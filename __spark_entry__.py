@@ -1,10 +1,9 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2; the matching
+``oracle_sql()`` string is the ANSI-SQL equivalent DuckDB runs on the same
+parquet tables. Column names and rounding are aligned on both sides so the
+driver's order-insensitive value-hash matches.
 """
 
 from __future__ import annotations
@@ -14,25 +13,38 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query smoke (sf0.001)
+# ---------------------------------------------------------------------------
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1 pricing summary at sf0.001."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q1_pricing_summary,
+    )
+
+    return q1_pricing_summary(_t(spark, "/root/testdata/sf0.001", "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# queries: one entry per implemented operator
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from iceberg_geospatial_api_server_spark import entry_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return entry_queries.QUERIES
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from iceberg_geospatial_api_server_spark import entry_queries
+
+    return entry_queries.ORACLES

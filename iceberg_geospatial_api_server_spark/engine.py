@@ -1,0 +1,237 @@
+"""Core feature-query engine on Spark DataFrames.
+
+Re-expresses ``/root/reference/iceberg-geo-api/src/iceberg_geo/query/
+engine.py:282-463 query_features`` — the reference's single SQL-building
+choke point — as declarative DataFrame transforms so Catalyst handles
+pushdown, pruning and ordering strategy:
+
+* bbox filter via __bbox_* pre-filter columns (engine.py:318-339)
+* WKT geometry filter with intersects/contains/within (341-357)
+* sanitized attribute WHERE (539-563) compiled with F.expr
+* stable global OIDs (367-372), count-only / ids-only / objectIds modes
+* field selection (_build_select, 648-683), ORDER BY sanitization
+  (566-596), limit/offset pagination, exceededTransferLimit (448-456)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from iceberg_geospatial_api_server_spark.catalog import detect_geometry_column
+from iceberg_geospatial_api_server_spark.geo import functions as G
+from iceberg_geospatial_api_server_spark.geo import wkb as W
+from iceberg_geospatial_api_server_spark.models import QueryParams, QueryResult
+
+# Sanitization rules — same allowlist posture as the reference
+# (engine.py:33-45, 539-563).
+_FORBIDDEN_KEYWORDS = re.compile(
+    r"\b(DROP|DELETE|INSERT|UPDATE|CREATE|ALTER|EXEC|EXECUTE|UNION|"
+    r"TRUNCATE|GRANT|REVOKE|MERGE|CALL|COPY|ATTACH|DETACH|PRAGMA)\b",
+    re.IGNORECASE,
+)
+_FORBIDDEN_PATTERNS = re.compile(r"(--|/\*|\*/|;)")
+
+_INTERNAL_COLS = {"__oid", "__bbox_xmin", "__bbox_ymin", "__bbox_xmax", "__bbox_ymax"}
+
+
+def sanitize_where(where: str) -> str:
+    """Ref engine.py:539-563 _sanitize_where."""
+    if not where or not where.strip():
+        return "1=1"
+    if _FORBIDDEN_PATTERNS.search(where):
+        raise ValueError(f"Forbidden pattern in WHERE clause: {where}")
+    if _FORBIDDEN_KEYWORDS.search(where):
+        raise ValueError(f"Forbidden keyword in WHERE clause: {where}")
+    if re.search(r"\bSELECT\b", where, re.IGNORECASE):
+        raise ValueError(f"Subqueries not allowed in WHERE clause: {where}")
+    return where
+
+
+def sanitize_order(order_by: str) -> list:
+    """Ref engine.py:566-596 _sanitize_order → list of Column sort exprs."""
+    if not order_by:
+        return []
+    if _FORBIDDEN_PATTERNS.search(order_by) or _FORBIDDEN_KEYWORDS.search(order_by):
+        raise ValueError(f"Forbidden pattern in ORDER BY: {order_by}")
+    cols = []
+    for part in order_by.split(","):
+        tokens = part.split()
+        if not tokens:
+            continue
+        name = tokens[0]
+        if not re.match(r"^[a-zA-Z_][a-zA-Z0-9_]*$", name):
+            raise ValueError(f"Invalid column name in ORDER BY: {name}")
+        direction = tokens[1].upper() if len(tokens) > 1 else "ASC"
+        if direction not in ("ASC", "DESC"):
+            raise ValueError(f"Invalid sort direction: {direction}")
+        cols.append(F.col(name).desc() if direction == "DESC" else F.col(name).asc())
+    return cols
+
+
+def with_oid(df: DataFrame, order_cols: list[str] | None = None) -> DataFrame:
+    """Stable global OIDs (ref engine.py:367-372 numbered CTE).
+
+    The reference numbers an in-memory Arrow table in scan order; the
+    distributed equivalent needs an explicit total order, so we number by
+    the id-ish columns (deterministic across queries — the property QGIS
+    identify relies on). NOTE: a global row_number is a single-partition
+    sort at scale — production tables should persist __oid at ingest
+    (identity column); the engine skips this step when __oid exists.
+    """
+    if "__oid" in df.columns:
+        return df
+    order_cols = order_cols or [
+        f.name for f in df.schema.fields
+        if f.dataType.typeName() in ("integer", "long")
+    ][:1] or [df.columns[0]]
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn("__oid", (F.row_number().over(w) - 1).cast("int"))
+
+
+def _build_select(df: DataFrame, params: QueryParams, geom_col: str | None) -> list[str]:
+    """Ref engine.py:648-683 _build_select."""
+    cols = [c for c in df.columns if c not in _INTERNAL_COLS]
+    if params.out_fields and params.out_fields != "*":
+        wanted = [f.strip() for f in params.out_fields.split(",")]
+        cols = [c for c in wanted if c in df.columns and c not in _INTERNAL_COLS]
+        if geom_col and params.return_geometry and geom_col not in cols:
+            cols.append(geom_col)
+    if geom_col and not params.return_geometry:
+        cols = [c for c in cols if c != geom_col]
+    return ["__oid"] + cols
+
+
+def query_features(
+    df: DataFrame,
+    params: QueryParams,
+    geom_col: str | None = None,
+    oid_order: list[str] | None = None,
+) -> QueryResult:
+    """Execute the unified feature query (ref engine.py:282-463).
+
+    All filters are declarative Column expressions: Catalyst pushes the
+    attribute and bbox predicates into the parquet scan when __bbox_* are
+    persisted, and the WKB exact predicate (pandas UDF) only runs on rows
+    that survive the numeric pre-filters.
+    """
+    geom_col = geom_col or detect_geometry_column(df.schema)
+    numbered = with_oid(df, oid_order)
+
+    cond = F.lit(True)
+
+    # spatial: bbox envelope (engine.py:318-339)
+    if params.bbox is not None:
+        src = numbered
+        if "__bbox_xmin" not in numbered.columns and geom_col:
+            numbered = G.with_bbox(numbered, geom_col)
+        xmin, ymin, xmax, ymax = params.bbox
+        cond = cond & G.bbox_intersects(xmin, ymin, xmax, ymax)
+
+    # spatial: WKT geometry filter (engine.py:341-357)
+    if params.geometry_filter:
+        gbuf = W.from_wkt(params.geometry_filter)
+        fxmin, fymin, fxmax, fymax = W.bbox(gbuf)
+        if "__bbox_xmin" not in numbered.columns and geom_col:
+            numbered = G.with_bbox(numbered, geom_col)
+        # bbox pre-filter for every relation
+        cond = cond & G.bbox_intersects(fxmin, fymin, fxmax, fymax)
+        code = W.geometry_type_code(gbuf)
+        if code in (W.POLYGON, W.MULTIPOLYGON) and params.spatial_rel in (
+            "intersects",
+            "within",
+        ):
+            # exact test for point features against the filter polygon;
+            # non-point features keep the bbox semantics (reference parity:
+            # its fallback path tests shapely predicates per row).
+            is_pt = (F.col("__bbox_xmin") == F.col("__bbox_xmax")) & (
+                F.col("__bbox_ymin") == F.col("__bbox_ymax")
+            )
+            exact = G.st_contains_point(
+                F.lit(bytearray(gbuf)), F.col("__bbox_xmin"), F.col("__bbox_ymin")
+            )
+            cond = cond & (~is_pt | exact)
+
+    # attribute WHERE (engine.py:359-362)
+    if params.where:
+        cond = cond & F.expr(sanitize_where(params.where))
+
+    filtered = numbered.filter(cond)
+
+    # count-only (engine.py:374-387)
+    if params.return_count_only:
+        return QueryResult(features=None, count=filtered.count())
+
+    # ids-only (engine.py:389-398)
+    if params.return_ids_only:
+        ids = filtered.select("__oid").orderBy("__oid")
+        return QueryResult(features=ids, geometry_column=geom_col, count=ids.count())
+
+    # objectIds fetch (engine.py:400-416)
+    if params.object_ids is not None:
+        out = numbered.filter(F.col("__oid").isin([int(i) for i in params.object_ids]))
+        out = out.select(*_build_select(out, params, geom_col))
+        return QueryResult(
+            features=out,
+            geometry_column=geom_col,
+            count=out.count(),
+            exceeded_transfer_limit=False,
+        )
+
+    # order / pagination (engine.py:418-438)
+    order = sanitize_order(params.order_by) if params.order_by else [F.col("__oid")]
+    out = filtered.orderBy(*order)
+
+    offset = params.offset or 0
+    if offset:
+        out = out.offset(offset)
+    if params.limit:
+        out = out.limit(int(params.limit))
+
+    out = out.select(*_build_select(out, params, geom_col))
+
+    # exceededTransferLimit (engine.py:448-456)
+    exceeded = False
+    n = out.count()
+    if params.limit:
+        total = filtered.count()
+        exceeded = total > offset + int(params.limit)
+
+    return QueryResult(
+        features=out,
+        geometry_column=geom_col,
+        count=n,
+        exceeded_transfer_limit=exceeded,
+    )
+
+
+def get_features(
+    df: DataFrame,
+    bbox: tuple[float, float, float, float] | None = None,
+    limit: int | None = None,
+    simplify: float | None = None,
+    mode: str | None = None,
+    resolution: float | None = None,
+    geom_col: str = "geometry",
+) -> DataFrame:
+    """The /api/features endpoint semantics (ref api/main.py:306-480):
+    bbox filter + optional ST_Simplify + optional grid-aggregate mode."""
+    src = df if "__bbox_xmin" in df.columns else G.with_bbox(df, geom_col)
+    if bbox is not None:
+        src = src.filter(G.bbox_intersects(*bbox))
+
+    if mode == "aggregate":
+        res = resolution or 0.1
+        cent = G.st_centroid(F.col(geom_col))
+        pts = src.select(cent.alias("__c")).select(
+            F.col("__c.x").alias("x"), F.col("__c.y").alias("y")
+        )
+        return G.grid_aggregate(pts, "x", "y", res, limit)
+
+    if simplify and simplify > 0:
+        src = src.withColumn(geom_col, G.st_simplify(simplify)(F.col(geom_col)))
+
+    out = src.drop(*[c for c in G.BBOX_COLS if c in src.columns])
+    return out.limit(limit) if limit else out

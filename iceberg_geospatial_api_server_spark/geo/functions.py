@@ -1,0 +1,364 @@
+"""Spark-native geospatial column functions and spatial operators.
+
+Design rule (100 TB posture): WKB is decoded ONCE per scan by an
+Arrow-batched pandas UDF into plain double columns; everything after that
+(bbox filters, distance, grid binning, containment pre-filters) is Spark
+built-in arithmetic that stays inside whole-stage codegen. Exact polygon
+predicates run only on grid-co-partitioned candidate pairs, never on the
+full cross product.
+
+Reference parity: cookbook §1.2-1.6/§2.3-2.8 queries, engine.py bbox
+prefilter (232-279), main.py grid aggregate (410-443) and extent (206-222).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from iceberg_geospatial_api_server_spark.geo import wkb as W
+
+BBOX_COLS = ["__bbox_xmin", "__bbox_ymin", "__bbox_xmax", "__bbox_ymax"]
+
+# ---------------------------------------------------------------------------
+# constructors / accessors (pandas-UDF kernels over WKB)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf("binary")
+def st_point(x: pd.Series, y: pd.Series) -> pd.Series:
+    return pd.Series(W.points_to_wkb_np(x.to_numpy("f8"), y.to_numpy("f8")))
+
+
+@pandas_udf("xmin double, ymin double, xmax double, ymax double")
+def st_bbox(geom: pd.Series) -> pd.DataFrame:
+    b = W.bbox_of_wkb_series(geom)
+    return pd.DataFrame(
+        {"xmin": b[:, 0], "ymin": b[:, 1], "xmax": b[:, 2], "ymax": b[:, 3]}
+    )
+
+
+@pandas_udf("x double, y double")
+def st_centroid(geom: pd.Series) -> pd.DataFrame:
+    out = np.full((len(geom), 2), np.nan)
+    for i, buf in enumerate(geom):
+        if buf is not None:
+            out[i] = W.centroid(buf)
+    return pd.DataFrame({"x": out[:, 0], "y": out[:, 1]})
+
+
+@pandas_udf("double")
+def st_area(geom: pd.Series) -> pd.Series:
+    return pd.Series([W.area(b) if b is not None else None for b in geom])
+
+
+@pandas_udf("string")
+def st_astext(geom: pd.Series) -> pd.Series:
+    return pd.Series([W.to_wkt(b) if b is not None else None for b in geom])
+
+
+@pandas_udf("string")
+def st_asgeojson(geom: pd.Series) -> pd.Series:
+    import json
+
+    return pd.Series(
+        [json.dumps(W.to_geojson(b)) if b is not None else None for b in geom]
+    )
+
+
+@pandas_udf("string")
+def st_geometrytype(geom: pd.Series) -> pd.Series:
+    return pd.Series(
+        [W.geometry_type_name(b) if b is not None else None for b in geom]
+    )
+
+
+def st_simplify(tolerance: float):
+    """ST_Simplify(geom, tol) — Douglas-Peucker (ref main.py:368-378)."""
+
+    @pandas_udf("binary")
+    def _simplify(geom: pd.Series) -> pd.Series:
+        out = []
+        for buf in geom:
+            if buf is None:
+                out.append(None)
+                continue
+            code, payload = W.decode(buf)
+            if code == W.LINESTRING:
+                out.append(W.encode_linestring(W.simplify_dp(payload, tolerance)))
+            elif code == W.POLYGON:
+                out.append(
+                    W.encode_polygon(
+                        [W.simplify_dp(r, tolerance) for r in payload]
+                    )
+                )
+            else:
+                out.append(buf)
+        return pd.Series(out)
+
+    return _simplify
+
+
+def st_buffer_point(radius: float, segments: int = 16):
+    """Approximate point buffer → polygon WKB (cookbook §1.6 ST_Buffer)."""
+
+    @pandas_udf("binary")
+    def _buffer(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(
+            [W.buffer_point(float(a), float(b), radius, segments) for a, b in zip(x, y)]
+        )
+
+    return _buffer
+
+
+# ---------------------------------------------------------------------------
+# pure-JVM column math (the hot path)
+# ---------------------------------------------------------------------------
+
+
+def st_distance_xy(x1, y1, x2, y2) -> Column:
+    """Planar euclidean distance on coordinate columns — whole-stage codegen."""
+    dx = F.col(x1) - x2 if isinstance(x1, str) else x1 - x2
+    dy = F.col(y1) - y2 if isinstance(y1, str) else y1 - y2
+    return F.sqrt(dx * dx + dy * dy)
+
+
+def grid_cell(x: Column, y: Column, res: float) -> tuple[Column, Column]:
+    """Quantized grid cell ids (ref main.py:417-424 FLOOR(x/res))."""
+    return F.floor(x / F.lit(res)), F.floor(y / F.lit(res))
+
+
+def bbox_intersects(xmin: float, ymin: float, xmax: float, ymax: float) -> Column:
+    """Envelope intersection over the bbox pre-filter columns
+    (ref engine.py:326-330) — cheap numeric comparisons, pushdown-friendly."""
+    return (
+        (F.col("__bbox_xmax") >= xmin)
+        & (F.col("__bbox_xmin") <= xmax)
+        & (F.col("__bbox_ymax") >= ymin)
+        & (F.col("__bbox_ymin") <= ymax)
+    )
+
+
+def mercator_x(lon: Column) -> Column:
+    return lon * F.lit(6378137.0 * np.pi / 180.0)
+
+
+def mercator_y(lat: Column) -> Column:
+    return F.log(F.tan((F.lit(90.0) + lat) * F.lit(np.pi / 360.0))) * F.lit(6378137.0)
+
+
+# ---------------------------------------------------------------------------
+# dataframe-level operators
+# ---------------------------------------------------------------------------
+
+
+def with_bbox(df: DataFrame, geom_col: str = "geometry") -> DataFrame:
+    """Attach __bbox_* pre-filter columns (ref engine.py:232-279).
+
+    One Arrow-batched decode pass; afterwards every spatial pre-filter is a
+    numeric comparison. At ingest time these columns should be *persisted*
+    so parquet min/max stats enable data skipping at the scan.
+    """
+    b = st_bbox(F.col(geom_col))
+    return (
+        df.withColumn("__b", b)
+        .withColumn("__bbox_xmin", F.col("__b.xmin"))
+        .withColumn("__bbox_ymin", F.col("__b.ymin"))
+        .withColumn("__bbox_xmax", F.col("__b.xmax"))
+        .withColumn("__bbox_ymax", F.col("__b.ymax"))
+        .drop("__b")
+    )
+
+
+def extent(df: DataFrame, geom_col: str = "geometry") -> DataFrame:
+    """Aggregate extent = MIN/MAX over per-geometry bboxes
+    (ref api/main.py:206-222 _compute_bbox)."""
+    src = df if "__bbox_xmin" in df.columns else with_bbox(df, geom_col)
+    return src.agg(
+        F.min("__bbox_xmin").alias("xmin"),
+        F.min("__bbox_ymin").alias("ymin"),
+        F.max("__bbox_xmax").alias("xmax"),
+        F.max("__bbox_ymax").alias("ymax"),
+    )
+
+
+def grid_aggregate(
+    df: DataFrame, x_col: str, y_col: str, res: float, limit: int | None = None
+) -> DataFrame:
+    """Grid-binned centroid aggregation (ref api/main.py:410-443
+    mode=aggregate): snap to cell centers, count per cell.
+
+    Pure groupBy on quantized keys — map-side partial aggregation, uniform
+    shuffle keys, no geometry objects in flight.
+    """
+    cx, cy = grid_cell(F.col(x_col), F.col(y_col), res)
+    out = (
+        df.groupBy(cx.alias("cell_x"), cy.alias("cell_y"))
+        .agg(F.count(F.lit(1)).alias("feature_count"))
+        .select(
+            ((F.col("cell_x") + 0.5) * F.lit(res)).alias("x"),
+            ((F.col("cell_y") + 0.5) * F.lit(res)).alias("y"),
+            "feature_count",
+        )
+        .orderBy(F.desc("feature_count"), "x", "y")
+    )
+    return out.limit(limit) if limit else out
+
+
+def knn(
+    df: DataFrame, x_col: str, y_col: str, qx: float, qy: float, k: int,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """k nearest rows to a query point (cookbook §1.2/§2.3).
+
+    orderBy+limit compiles to TakeOrderedAndProject: per-partition top-k
+    then a k-row merge on the driver — no global sort shuffle at any scale.
+    """
+    dist = st_distance_xy(F.col(x_col), F.col(y_col), F.lit(qx), F.lit(qy))
+    out = df.withColumn("dist", dist)
+    order = [F.col("dist")] + [F.col(c) for c in (id_cols or [])]
+    return out.orderBy(*order).limit(k)
+
+
+def dwithin(
+    df: DataFrame, x_col: str, y_col: str, qx: float, qy: float, radius: float
+) -> DataFrame:
+    """Rows within `radius` of the query point (cookbook §1.2 second query)."""
+    dist = st_distance_xy(F.col(x_col), F.col(y_col), F.lit(qx), F.lit(qy))
+    return df.withColumn("dist", dist).filter(F.col("dist") < radius)
+
+
+def _cells_covering_bbox(res: float):
+    """Explode helper: all grid cells covered by a row's bbox."""
+    return F.expr(
+        f"""
+        flatten(transform(
+          sequence(floor(__bbox_xmin / {res}), floor(__bbox_xmax / {res})),
+          cx -> transform(
+            sequence(floor(__bbox_ymin / {res}), floor(__bbox_ymax / {res})),
+            cy -> struct(cx as cx, cy as cy)
+          )
+        ))
+        """
+    )
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    px_col: str = "x",
+    py_col: str = "y",
+    poly_geom_col: str = "geometry",
+    res: float = 1.0,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-polygon spatial join (cookbook §1.5/§2.6), scale-safe.
+
+    Plan: polygons explode to the grid cells their bbox covers; points map
+    to their single cell; equi-join on (cx, cy) — a plain hash shuffle on
+    uniform keys — then the exact ray-cast predicate runs only on candidate
+    pairs. No cross join at any scale; `res` trades replication for
+    candidate-pair count.
+    """
+    polys = polygons if "__bbox_xmin" in polygons.columns else with_bbox(
+        polygons, poly_geom_col
+    )
+    polys = polys.withColumn("__cell", F.explode(_cells_covering_bbox(res))).select(
+        F.col("__cell.cx").alias("__cx"), F.col("__cell.cy").alias("__cy"), "*"
+    ).drop("__cell")
+
+    cx, cy = grid_cell(F.col(px_col), F.col(py_col), res)
+    pts = points.withColumn("__cx", cx).withColumn("__cy", cy)
+
+    joined = pts.join(polys, on=["__cx", "__cy"], how="inner")
+    # bbox pre-filter then exact predicate on survivors only
+    joined = joined.filter(
+        (F.col(px_col) >= F.col("__bbox_xmin"))
+        & (F.col(px_col) <= F.col("__bbox_xmax"))
+        & (F.col(py_col) >= F.col("__bbox_ymin"))
+        & (F.col(py_col) <= F.col("__bbox_ymax"))
+    )
+    exact = st_contains_point(F.col(poly_geom_col), F.col(px_col), F.col(py_col))
+    out = joined.filter(exact).drop("__cx", "__cy", *BBOX_COLS)
+    if how == "inner":
+        return out
+    raise ValueError("only inner supported; build left joins from the inner result")
+
+
+@pandas_udf("boolean")
+def st_contains_point(poly: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+    out = np.zeros(len(poly), dtype=bool)
+    cache: dict[bytes, object] = {}
+    for i, (buf, px, py) in enumerate(zip(poly, x, y)):
+        if buf is None or px is None:
+            continue
+        out[i] = W.contains(buf, float(px), float(py))
+    return pd.Series(out)
+
+
+def nearest_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    lx: str,
+    ly: str,
+    rx: str,
+    ry: str,
+    right_keep: list[str],
+) -> DataFrame:
+    """Exact per-row nearest neighbor (cookbook §2.8 LATERAL), for a
+    broadcastable right side: broadcast nested-loop candidates + min_by.
+
+    The |L|x|R| pair stream never shuffles (right is broadcast) and
+    collapses map-side via partial min/min_by aggregation. For fact-fact
+    NN joins use the grid-cell candidate variant instead.
+    """
+    r = right.select(
+        F.col(rx).alias("__rx"), F.col(ry).alias("__ry"),
+        *[F.col(c).alias(f"nn_{c}") for c in right_keep],
+    )
+    d = st_distance_xy(F.col(lx), F.col(ly), F.col("__rx"), F.col("__ry"))
+    pairs = left.crossJoin(F.broadcast(r)).withColumn("nn_dist", d)
+    keep_first = [F.first(c).alias(c) for c in left.columns if c != left_id]
+    nn_cols = [F.min_by(f"nn_{c}", F.struct("nn_dist", f"nn_{c}")).alias(f"nn_{c}")
+               for c in right_keep]
+    return pairs.groupBy(left_id).agg(
+        *keep_first, F.min("nn_dist").alias("nn_dist"), *nn_cols
+    )
+
+
+def convex_hull_by_group(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Convex hull per group (cookbook §1.6): hull area + vertex count.
+
+    Two-level at scale: a cheap distinct on quantized coords bounds the
+    per-group point count before the per-group monotone-chain kernel.
+    """
+    import pyarrow  # noqa: F401  (applyInPandas requires arrow)
+
+    slim = df.select(group_col, x_col, y_col).dropDuplicates([group_col, x_col, y_col])
+    n_pts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("point_count"))
+
+    def _hull(pdf: pd.DataFrame) -> pd.DataFrame:
+        pts = pdf[[x_col, y_col]].to_numpy("f8")
+        hull = W.convex_hull(pts)
+        if len(hull) >= 4:
+            a, _, _ = W._ring_centroid(hull)
+            area = abs(a)
+        else:
+            area = 0.0
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "hull_vertices": [max(len(hull) - 1, len(hull))],
+                "hull_area": [area],
+            }
+        )
+
+    schema = f"{group_col} string, hull_vertices long, hull_area double"
+    hulls = slim.groupBy(group_col).applyInPandas(_hull, schema)
+    return hulls.join(n_pts, group_col)
