@@ -180,9 +180,12 @@ def query_features(
             exceeded_transfer_limit=False,
         )
 
-    # order / pagination (engine.py:418-438)
-    order = sanitize_order(params.order_by) if params.order_by else [F.col("__oid")]
-    out = filtered.orderBy(*order)
+    # order / pagination (engine.py:418-438). __oid is always appended as a
+    # tiebreaker so pagination windows are deterministic under ties (the
+    # reference inherits DuckDB's stable sort; a distributed sort has no
+    # such guarantee without an explicit total order).
+    order = sanitize_order(params.order_by) if params.order_by else []
+    out = filtered.orderBy(*order, F.col("__oid"))
 
     offset = params.offset or 0
     if offset:

@@ -33,6 +33,17 @@ def st_point(x: pd.Series, y: pd.Series) -> pd.Series:
     return pd.Series(W.points_to_wkb_np(x.to_numpy("f8"), y.to_numpy("f8")))
 
 
+@pandas_udf("binary")
+def st_rect_polygon(
+    xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series
+) -> pd.Series:
+    out = []
+    for a, b, c, d in zip(xmin, ymin, xmax, ymax):
+        ring = [(a, b), (c, b), (c, d), (a, d), (a, b)]
+        out.append(W.encode_polygon([ring]))
+    return pd.Series(out)
+
+
 @pandas_udf("xmin double, ymin double, xmax double, ymax double")
 def st_bbox(geom: pd.Series) -> pd.DataFrame:
     b = W.bbox_of_wkb_series(geom)

@@ -370,9 +370,12 @@ def point_in_polygon(px: float, py: float, rings: list[np.ndarray]) -> bool:
     for ring in rings:
         x, y = ring[:, 0], ring[:, 1]
         x0, y0, x1, y1 = x[:-1], y[:-1], x[1:], y[1:]
-        crosses = ((y0 > py) != (y1 > py)) & (
-            px < (x1 - x0) * (py - y0) / (y1 - y0) + x0
-        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # horizontal edges divide by zero but are masked out by the
+            # (y0 > py) != (y1 > py) crossing test
+            crosses = ((y0 > py) != (y1 > py)) & (
+                px < (x1 - x0) * (py - y0) / (y1 - y0) + x0
+            )
         if int(crosses.sum()) % 2:
             inside = not inside
     return inside

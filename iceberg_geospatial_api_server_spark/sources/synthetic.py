@@ -1,0 +1,102 @@
+"""Derived geospatial views of the TPC-H-ish testdata.
+
+The testdata has no geometry column, so geo operators run on points and
+rectangles derived *deterministically* from integer keys. Each derivation
+is a SQL expression string used verbatim on BOTH sides — ``F.expr`` in the
+Spark plan and text-substituted into the DuckDB oracle — so coordinates are
+bit-identical and comparisons/distances agree exactly.
+
+Coordinates land on a 0.1° grid; rectangle bounds sit on ±.05 offsets so
+no point ever falls exactly on a boundary (edge-inclusion semantics can
+then never disagree between ray-casting and closed-interval comparisons).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# lineitem → one point per row (lon in [-180, 180), lat in [-85, 85))
+LI_X = "(l_partkey * 131 % 3600) / 10.0 - 180.0"
+LI_Y = "(l_suppkey * 241 % 1700) / 10.0 - 85.0"
+
+# supplier / customer points (distinct multipliers de-correlate the grids)
+SUPP_X = "(s_suppkey * 37 % 3600) / 10.0 - 180.0"
+SUPP_Y = "(s_suppkey * 53 % 1700) / 10.0 - 85.0"
+CUST_X = "(c_custkey * 29 % 3600) / 10.0 - 180.0"
+CUST_Y = "(c_custkey * 41 % 1700) / 10.0 - 85.0"
+
+# nation → one rectangle per row, 5x5 tiling with gaps (width 59.9, height 29.9)
+NAT_XMIN = "(n_nationkey % 5) * 72.0 - 180.0 + 0.05"
+NAT_XMAX = "(n_nationkey % 5) * 72.0 - 180.0 + 59.95"
+NAT_YMIN = "((n_nationkey - n_nationkey % 5) / 5.0) * 34.0 - 85.0 + 0.05"
+NAT_YMAX = "((n_nationkey - n_nationkey % 5) / 5.0) * 34.0 - 85.0 + 29.95"
+
+LINEITEM_POINTS_SQL = f"""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+           {LI_X} AS x, {LI_Y} AS y
+    FROM lineitem
+"""
+
+SUPPLIER_POINTS_SQL = f"""
+    SELECT s_suppkey, {SUPP_X} AS x, {SUPP_Y} AS y FROM supplier
+"""
+
+CUSTOMER_POINTS_SQL = f"""
+    SELECT c_custkey, {CUST_X} AS x, {CUST_Y} AS y FROM customer
+"""
+
+NATION_RECTS_SQL = f"""
+    SELECT n_nationkey, n_name,
+           {NAT_XMIN} AS xmin, {NAT_XMAX} AS xmax,
+           {NAT_YMIN} AS ymin, {NAT_YMAX} AS ymax
+    FROM nation
+"""
+
+
+def lineitem_points(lineitem: DataFrame) -> DataFrame:
+    return lineitem.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        F.expr(LI_X).alias("x"), F.expr(LI_Y).alias("y"),
+    )
+
+
+def supplier_points(supplier: DataFrame) -> DataFrame:
+    return supplier.select(
+        "s_suppkey", F.expr(SUPP_X).alias("x"), F.expr(SUPP_Y).alias("y")
+    )
+
+
+def customer_points(customer: DataFrame) -> DataFrame:
+    return customer.select(
+        "c_custkey", F.expr(CUST_X).alias("x"), F.expr(CUST_Y).alias("y")
+    )
+
+
+def nation_rects(nation: DataFrame) -> DataFrame:
+    return nation.select(
+        "n_nationkey", "n_name",
+        F.expr(NAT_XMIN).alias("xmin"), F.expr(NAT_XMAX).alias("xmax"),
+        F.expr(NAT_YMIN).alias("ymin"), F.expr(NAT_YMAX).alias("ymax"),
+    )
+
+
+def nation_rect_polygons(nation: DataFrame) -> DataFrame:
+    """Rectangles as real WKB polygons (exercises the geometry path)."""
+    from iceberg_geospatial_api_server_spark.geo.functions import st_rect_polygon
+
+    rects = nation_rects(nation)
+    return rects.withColumn(
+        "geometry",
+        st_rect_polygon(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
+        ),
+    )
+
+
+def lineitem_point_geoms(lineitem: DataFrame) -> DataFrame:
+    """lineitem points as WKB geometry (exercises the codec at scan scale)."""
+    from iceberg_geospatial_api_server_spark.geo.functions import st_point
+
+    pts = lineitem_points(lineitem)
+    return pts.withColumn("geometry", st_point(F.col("x"), F.col("y")))

@@ -8,9 +8,39 @@ same file, which also truncates to micros)."""
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_PYFILES_ADDED: set[str] = set()
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    The driver process may import us from a path that executor workers
+    don't have on sys.path (cloudpickle serializes pandas UDFs by module
+    reference). A zip of the package distributed through SparkFiles makes
+    the import resolvable everywhere — the same mechanism used to deploy
+    to a real cluster."""
+    key = id(spark.sparkContext)
+    if key in _PYFILES_ADDED:
+        return
+    import iceberg_geospatial_api_server_spark as pkg
+
+    pkgdir = os.path.dirname(os.path.abspath(pkg.__file__))
+    zip_base = os.path.join(
+        tempfile.gettempdir(), f"igass_pkg_{os.getpid()}"
+    )
+    zip_path = shutil.make_archive(
+        zip_base, "zip", os.path.dirname(pkgdir), os.path.basename(pkgdir)
+    )
+    spark.sparkContext.addPyFile(zip_path)
+    _PYFILES_ADDED.add(key)
 
 TABLE_NAMES = [
     "region", "nation", "customer", "supplier", "part",
@@ -22,6 +52,7 @@ _NANO_TS_COLS = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_workers_can_import(spark)
     if name in _NANO_TS_COLS:
         # runtime-settable; needed because the driver may hand us a session
         # built without this conf
