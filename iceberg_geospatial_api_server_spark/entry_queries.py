@@ -661,6 +661,289 @@ def fq_geom(spark, sf_dir):
 
 
 # ===========================================================================
+# G. LLM-data-pipeline operators
+# ===========================================================================
+
+# portable char-level polynomial hash, as DuckDB SQL (mirrors
+# operators.dedup.word_hash exactly)
+_WHASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split_regex({w}, ''), "
+    "c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 2147483647)"
+)
+
+# distinct hashed word-trigram shingles of `text` (mirrors
+# operators.dedup.shingle_hashes with k=3)
+_GRAMS = (
+    "list_distinct(list_transform("
+    "  generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),"
+    "  i -> list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    "         list_transform(string_split(text, ' ')[i:i+2],"
+    f"          w -> {_WHASH.format(w='w')})),"
+    "       (a, b) -> (a * 1000003 + b) % 2147483647)))"
+)
+
+
+@_q(
+    "text_profile",
+    f"""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(LEN(list_distinct(string_split(text, ' '))) AS BIGINT)
+             AS n_distinct_tokens,
+           CAST(LEN(list_filter(string_split(text, ' '),
+                    w -> regexp_matches(w, '^[a-zA-Z]+$')))
+                + 2 * LEN(list_filter(string_split(text, ' '),
+                    w -> regexp_matches(w, '^[0-9]+$')))
+                + 3 * LEN(list_filter(string_split(text, ' '),
+                    w -> NOT regexp_matches(w, '^[a-zA-Z0-9]*$')))
+             AS BIGINT) AS n_wordpieces,
+           ROUND(0.4 * (LEN(list_distinct(string_split(text, ' ')))::DOUBLE
+                         / LEN(string_split(text, ' '))::DOUBLE)
+                 + 0.3 * LEAST(LEN(string_split(text, ' '))::DOUBLE / 100.0, 1.0)
+                 + 0.3 * (LEN(list_filter(string_split(text, ' '),
+                             w -> regexp_matches(w, '^[a-zA-Z]+$')))::DOUBLE
+                          / LEN(string_split(text, ' '))::DOUBLE), 6) AS quality,
+           {_WHASH.format(w='text')} AS fingerprint
+    FROM documents
+    """,
+)
+def text_profile_q(spark, sf_dir):
+    from pyspark.sql import functions as FF
+
+    from iceberg_geospatial_api_server_spark.operators.text import text_profile
+
+    prof = text_profile(_t(spark, sf_dir, "documents"))
+    return prof.select(
+        "doc_id",
+        FF.col("n_chars").cast("long").alias("n_chars"),
+        FF.col("n_tokens").cast("long").alias("n_tokens"),
+        FF.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        FF.col("n_wordpieces").cast("long").alias("n_wordpieces"),
+        "quality",
+        "fingerprint",
+    )
+
+
+def _langid_oracle() -> str:
+    from iceberg_geospatial_api_server_spark.operators.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    score = {
+        lang: (
+            "LEN(list_filter(string_split(text, ' '), w -> list_contains(["
+            + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+            + "], w)))"
+        )
+        for lang in langs
+    }
+    # first-max-wins over the sorted lang order (mirrors text.language_id)
+    cases = []
+    for i, lang in enumerate(langs):
+        earlier = [score[m] for m in langs[:i]]
+        later = [score[m] for m in langs[i + 1 :]]
+        conds = [f"{score[lang]} > 0"]
+        conds += [f"{score[lang]} > {e}" for e in earlier]
+        conds += [f"{score[lang]} >= {l}" for l in later]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"SELECT doc_id, lang, {case_sql} AS lang_pred FROM documents"
+
+
+@_q("text_language_id", None)  # oracle attached below (generated)
+def text_langid_q(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", language_id(F.col("text")).alias("lang_pred"))
+
+
+ORACLES["text_language_id"] = _langid_oracle()
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, COUNT(*) AS n_dups,
+           MIN(doc_id) AS canonical_id
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_q(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_keep_first_prefix",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id IN (
+      SELECT MIN(doc_id) FROM documents
+      GROUP BY md5(array_to_string(string_split(text, ' ')[1:6], ' ')))
+    """,
+)
+def dedup_keep_first_q(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        dedup_exact_keep_first,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 6)))
+    return dedup_exact_keep_first(docs, key).select("doc_id", "lang", "source")
+
+
+@_q(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_GRAMS} AS grams FROM documents)
+    SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             LEN(list_intersect(a.grams, b.grams))::DOUBLE /
+               (LEN(a.grams) + LEN(b.grams)
+                - LEN(list_intersect(a.grams, b.grams)))::DOUBLE AS jaccard
+      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+    WHERE jaccard >= 0.3
+    """,
+)
+def ngram_jaccard_q(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, ["lang"], n=3, threshold=0.3)
+
+
+@_q("dedup_minhash_lsh")  # rows-only: minhash permutation mins not SQL-practical
+def dedup_minhash_q(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.dedup import dedup_minhash_lsh
+
+    return dedup_minhash_lsh(_t(spark, sf_dir, "documents"), verify_threshold=0.5)
+
+
+@_q("dedup_simhash")  # rows-only
+def dedup_simhash_q(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.dedup import dedup_simhash
+
+    return dedup_simhash(
+        _t(spark, sf_dir, "documents"), bits=32, hamming_threshold=2, block_bits=8
+    )
+
+
+@_q(
+    "embed_neardup_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) > 0.40
+    """,
+)
+def embed_neardup_q(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        embedding_neardup_pairs,
+    )
+
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.40)
+
+
+@_q(
+    "ann_bruteforce_topk",
+    """
+    SELECT q_id, vec_id, ROUND(cos_sim, 6) AS cos_sim, CAST(rn AS INT) AS rank
+    FROM (
+      SELECT q.vec_id AS q_id, b.vec_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rn
+      FROM (SELECT * FROM embeddings WHERE vec_id IN (0, 101, 202, 303, 404)) q
+      CROSS JOIN embeddings b)
+    WHERE rn <= 10
+    """,
+)
+def ann_bf_q(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.ann import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id").isin(0, 101, 202, 303, 404)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries_df, k=10)
+
+
+@_q("ann_lsh_topk")  # rows-only: approximate by design (recall tested in tests/)
+def ann_lsh_q(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.ann import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id").isin(0, 101, 202, 303, 404)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return lsh_topk(emb, queries_df, k=10, nbits=6, dim=64, num_tables=4)
+
+
+@_q(
+    "mm_media_stats",
+    """
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+           COUNT(*) AS n_items,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(MIN(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
+def mm_stats_q(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        media_stats,
+        synthesize_media,
+    )
+
+    return media_stats(synthesize_media(_t(spark, sf_dir, "documents")))
+
+
+@_q(
+    "mm_frame_sample",
+    """
+    SELECT doc_id, 'mp4' AS codec,
+           CAST(UNNEST(generate_series(0, CAST(doc_id % 30 AS BIGINT), 5)) AS BIGINT)
+             AS frame_idx
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def mm_frames_q(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        frame_sample,
+        synthesize_media,
+    )
+
+    media = synthesize_media(_t(spark, sf_dir, "documents"))
+    return frame_sample(media, every_k=5).select(
+        "doc_id", "codec", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
+@_q("mm_extract_features")  # rows-only: stubbed decode kernel
+def mm_features_q(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(_t(spark, sf_dir, "documents"))
+    return extract_features(media, stub=True)
+
+
+# ===========================================================================
 # A. Catalog
 # ===========================================================================
 

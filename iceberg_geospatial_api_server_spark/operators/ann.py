@@ -1,0 +1,200 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Brute-force cosine top-k is the exact baseline: a broadcast of the query
+set against the base table, dot products via JVM higher-order functions
+(zip_with + aggregate — sequential, deterministic accumulation), per-query
+top-k via window. The scale path is random-hyperplane LSH bucketing:
+candidates only from matching buckets (multi-probe by dropping one bit),
+exact re-rank inside the candidate set.
+
+At 100 TB: the brute-force path broadcasts QUERIES (small) — the base
+table never shuffles; the LSH path shuffles once on bucket signature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double-array columns; sequential fold so
+    the result is bit-reproducible (and matches the oracle's math)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda v: v.cast("double"))
+
+
+def brute_force_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Exact top-k: broadcast the query set, score every (query, base)
+    pair map-side, take per-query top-k (ties broken by base id)."""
+    q = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    b = base.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__bv"))
+    scored = b.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        cosine(F.col("__qv"), F.col("__bv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocks.
+
+    Blocking bounds the pair count; within a block the self-join is an
+    equi-join shuffle on the block key. (For an unblocked corpus use the
+    LSH signature as the block.)"""
+    base = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("__v"),
+    )
+    a = base.select(
+        F.col("__blk"), F.col(id_col).alias("id_a"), F.col("__v").alias("__va")
+    )
+    b = base.select(
+        F.col("__blk"), F.col(id_col).alias("id_b"), F.col("__v").alias("__vb")
+    )
+    pairs = a.join(b, on="__blk").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos_sim", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cos_sim") > threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplane) — the 100 TB path
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG; no numpy on driver
+    needed at plan build time)."""
+    out = []
+    state = seed
+    for _ in range(nbits):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append((state / float(1 << 63)) * 2.0 - 1.0)
+        out.append(row)
+    return out
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(vec · plane_i)."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(v) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return sig
+
+
+def lsh_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nbits: int = 8,
+    dim: int = 64,
+    num_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: `num_tables` independent hyperplane tables;
+    base vectors land in one bucket per table, queries probe their bucket
+    (plus 1-bit-flip neighbors when multiprobe) in every table; exact
+    cosine re-rank over the deduplicated candidate union.
+
+    Recall/cost dial: num_tables × (1 + nbits·multiprobe) / 2^nbits of the
+    corpus is scored per query; see tests for measured recall."""
+    tables = [_hyperplanes(dim, nbits, seed=7 + 13 * t) for t in range(num_tables)]
+
+    b = base.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__bv"))
+    b = b.select(
+        id_col,
+        "__bv",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_bucket(F.col("__bv"), planes).alias("bkt"),
+                )
+                for t, planes in enumerate(tables)
+            ])
+        ).alias("__tb"),
+    ).select(id_col, "__bv", F.col("__tb.tbl").alias("tbl"), F.col("__tb.bkt").alias("bkt"))
+
+    q = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    probe_structs = []
+    for t, planes in enumerate(tables):
+        qb = lsh_bucket(F.col("__qv"), planes)
+        probe_structs.append(F.struct(F.lit(t).alias("tbl"), qb.alias("bkt")))
+        if multiprobe:
+            probe_structs.extend(
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    qb.bitwiseXOR(F.lit(1 << i).cast("long")).alias("bkt"),
+                )
+                for i in range(nbits)
+            )
+    q = q.select(
+        query_id_col, "__qv", F.explode(F.array(*probe_structs)).alias("__tb")
+    ).select(
+        query_id_col, "__qv", F.col("__tb.tbl").alias("tbl"), F.col("__tb.bkt").alias("bkt")
+    )
+
+    cand = (
+        b.join(F.broadcast(q), on=["tbl", "bkt"])
+        .select(query_id_col, id_col, "__qv", "__bv")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.select(
+        query_id_col, id_col, cosine(F.col("__qv"), F.col("__bv")).alias("cos_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )

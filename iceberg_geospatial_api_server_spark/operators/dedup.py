@@ -1,0 +1,349 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact dedup is a hash groupBy (two-level, salt-ready). Near-dup comes in
+three flavors: MinHash+LSH (shingle → minhash → band buckets → bucket
+join), SimHash (hamming buckets), and exact n-gram Jaccard on blocked
+candidate pairs. All hashes are *portable* polynomial hashes (identical
+math is expressible in ANSI SQL for the DuckDB oracle) rather than
+engine-private hash functions.
+
+At 100 TB: band-hash bucket keys are uniform by construction, so the LSH
+shuffle has no skew; pair generation happens only inside buckets; the
+exact-verify step touches candidate pairs, never the corpus cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MERSENNE = 2147483647  # 2^31 - 1
+
+# ---------------------------------------------------------------------------
+# portable hashing (JVM-side, whole-stage codegen — no UDFs)
+# ---------------------------------------------------------------------------
+
+
+def word_hash(col: Column) -> Column:
+    """Polynomial rolling hash of a string, char-level, mod 2^31-1.
+
+    h = fold(chars, h*31 + codepoint) — portable: the same fold is
+    `list_reduce` in DuckDB and plain Horner's rule anywhere else.
+    """
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % MERSENNE,
+    )
+
+
+def shingle_hashes(tokens: Column, k: int = 3) -> Column:
+    """Hashes of k-word shingles: combine word hashes with Horner fold
+    (base 1000003) over each window of k tokens."""
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array()).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.aggregate(
+                F.slice(tokens, i + 1, k),
+                F.lit(0).cast("long"),
+                lambda acc, w: (acc * 1000003 + _whash(w)) % MERSENNE,
+            ),
+        )
+    )
+
+
+def _whash(w: Column) -> Column:
+    return F.aggregate(
+        F.split(w, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % MERSENNE,
+    )
+
+
+# MinHash permutation parameters (fixed, public-textbook construction:
+# h_i(x) = (a_i * x + b_i) mod p). Deterministic small odd constants.
+def _minhash_params(num: int) -> list[tuple[int, int]]:
+    return [((2 * i + 1) * 2654435761 % MERSENNE, (i * 40503 + 17) % MERSENNE)
+            for i in range(num)]
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """Array of `num_hashes` minhash values over the shingle-hash array."""
+    parts = []
+    for a, b in _minhash_params(num_hashes):
+        parts.append(
+            F.array_min(
+                F.transform(shingles, lambda s: (s * a + b) % MERSENNE)
+            )
+        )
+    return F.array(*parts)
+
+
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by content hash (md5): group size + canonical
+    (minimum) id. Plain hash aggregate → map-side partial agg; for a skewed
+    corpus (one document repeated billions of times) the md5 key itself is
+    the salt — duplicates of *different* documents land on different
+    reducers, and AQE splits any residual hot hash."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def dedup_exact_keep_first(
+    df: DataFrame, key: Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row per key (min id wins) — the 'drop duplicates, keep
+    canonical' form: semi-join of the corpus against the winner set."""
+    winners = (
+        df.select(key.alias("__k"), F.col(id_col))
+        .groupBy("__k")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(winners, on=id_col, how="leftsemi")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity over blocked candidate pairs.
+
+    Blocking (e.g. on lang+source) bounds the quadratic term to within
+    blocks; the self-join is a shuffle on the block key. Token n-gram sets
+    are built once per side with JVM array functions.
+    """
+    grams = F.array_distinct(
+        shingle_hashes(F.split(F.col(text_col), " "), n)
+    )
+    base = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col),
+        grams.alias("__grams"),
+    )
+    a = base.select(
+        *[F.col(c).alias(f"__b{i}") for i, c in enumerate(block_cols)],
+        F.col(id_col).alias("id_a"),
+        F.col("__grams").alias("__ga"),
+    )
+    b = base.select(
+        *[F.col(c).alias(f"__b{i}") for i, c in enumerate(block_cols)],
+        F.col(id_col).alias("id_b"),
+        F.col("__grams").alias("__gb"),
+    )
+    keys = [f"__b{i}" for i in range(len(block_cols))]
+    pairs = a.join(b, on=keys).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("__ga", "__gb")).cast("double")
+    union = (F.size("__ga") + F.size("__gb") - inter).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_k: int = 3,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    shingle → minhash(num_hashes) → bands of band_size → explode
+    (band_idx, band_signature) → self-join on the band bucket → distinct
+    candidate pairs → exact Jaccard verify on the shingle sets.
+
+    Scale: the only shuffle keys are band signatures (uniform); candidate
+    verification re-joins shingle arrays by id, so signatures — not
+    documents — flow through the bucket join.
+    """
+    nbands = num_hashes // band_size
+    toks = F.split(F.col(text_col), " ")
+    shingled = df.select(
+        F.col(id_col),
+        F.array_distinct(shingle_hashes(toks, shingle_k)).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+    sig = shingled.select(
+        id_col, "__sh", minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
+    )
+
+    bands = sig.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.concat_ws(
+                        "_", *[F.col("__sig")[i * band_size + j]
+                               for j in range(band_size)]
+                    ).alias("bsig"),
+                )
+                for i in range(nbands)
+            ])
+        ).alias("__b"),
+    ).select(id_col, F.col("__b.band").alias("band"), F.col("__b.bsig").alias("bsig"))
+
+    left = bands.select(F.col(id_col).alias("id_a"), "band", "bsig")
+    right = bands.select(F.col(id_col).alias("id_b"), "band", "bsig")
+    cand = (
+        left.join(right, on=["band", "bsig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    ga = shingled.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__ga"))
+    gb = shingled.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__gb"))
+    verified = cand.join(ga, "id_a").join(gb, "id_b")
+    inter = F.size(F.array_intersect("__ga", "__gb")).cast("double")
+    union = (F.size("__ga") + F.size("__gb") - inter).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        verified.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def dedup_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    hamming_threshold: int = 2,
+    block_bits: int = 8,
+) -> DataFrame:
+    """SimHash near-dup: per-word portable hash → bitwise majority vote →
+    `bits`-bit fingerprint; candidate pairs share one of the fingerprint's
+    byte-blocks (pigeonhole: any pair within hamming distance `bits/block`
+    shares at least one block); verify by exact hamming distance.
+
+    Everything is JVM bit arithmetic; the bucket join keys are
+    (block_idx, block_value) — bounded fan-out, uniform distribution.
+    """
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    whashes = F.transform(toks, lambda w: _whash(w))
+    # majority vote per bit, single pass: fold words into a per-bit +1/-1
+    # counter array, then assemble the fingerprint from the sign array
+    votes = F.aggregate(
+        whashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                # bit i of h via floor(h / 2^i) % 2 (shiftright needs a
+                # literal int, not a per-element Column)
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda i: F.when(
+                    F.floor(h / F.pow(F.lit(2.0), i.cast("double"))) % 2 == 1, 1
+                )
+                .otherwise(-1)
+                .cast("long"),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    fp = F.aggregate(
+        F.zip_with(
+            votes, weights, lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    sigs = df.select(F.col(id_col), fp.alias("simhash"))
+
+    nblocks = bits // block_bits
+    mask = (1 << block_bits) - 1
+    blocks = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    (F.shiftright("simhash", i * block_bits) % F.lit(mask + 1)).alias("val"),
+                )
+                for i in range(nblocks)
+            ])
+        ).alias("__b"),
+    ).select(id_col, "simhash", F.col("__b.blk").alias("blk"), F.col("__b.val").alias("val"))
+
+    left = blocks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "val")
+    right = blocks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "val")
+    cand = (
+        left.join(right, on=["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= hamming_threshold)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def connected_components_smallest_id(
+    pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Duplicate-cluster assignment: iterative smallest-id label
+    propagation over the pair graph (bounded iterations; each round is two
+    shuffles). Checkpoint-friendly; at 100 TB run on the candidate-pair
+    output whose size is ~linear in true duplicates."""
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels, edges.a == labels.id)
+            .select(F.col("b").alias("id"), F.col("comp"))
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp_new"))
+        )
+        merged = labels.join(prop, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("comp_new", F.col("comp"))).alias("comp"),
+        )
+        changed = (
+            merged.join(labels.withColumnRenamed("comp", "old"), "id")
+            .filter(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = merged
+        if changed == 0:
+            break
+    return labels

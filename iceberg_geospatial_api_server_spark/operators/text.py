@@ -1,0 +1,106 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All JVM-side array/string built-ins — no Python
+in the hot path — so they run at scan speed over a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_geospatial_api_server_spark.operators.dedup import MERSENNE, word_hash
+
+# Small public stopword marker sets per language (enough for a ratio
+# heuristic; real corpora would use larger lists — same plan shape).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "et", "les", "des", "un", "est", "que"],
+}
+
+
+def tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def wordlike_token_count(col: Column) -> Column:
+    """BPE-ish token proxy: count word-piece units = alphabetic runs plus
+    digit runs plus punctuation marks (a cheap, deterministic stand-in for
+    a learned tokenizer's piece count)."""
+    return (
+        F.size(F.filter(tokens(col), lambda w: w.rlike("^[a-zA-Z]+$")))
+        + F.size(F.filter(tokens(col), lambda w: w.rlike("^[0-9]+$"))) * 2
+        + F.size(F.filter(tokens(col), lambda w: ~w.rlike("^[a-zA-Z0-9]*$"))) * 3
+    )
+
+
+def stopword_ratio(col: Column, lang: str) -> Column:
+    sw = STOPWORDS[lang]
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda w: w.isin(*sw)))
+    return hits.cast("double") / F.size(toks).cast("double")
+
+
+def language_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of stopword-hit ratio across the
+    marker sets ('und' = undetermined when nothing matches)."""
+    toks = tokens(col)
+    scores = {
+        lang: F.size(F.filter(toks, lambda w: w.isin(*sw)))
+        for lang, sw in STOPWORDS.items()
+    }
+    best = None
+    langs = sorted(STOPWORDS)  # deterministic tie order: de < en < es < fr
+    expr = F.lit("und")
+    best_score = F.lit(0)
+    for lang in langs:
+        s = scores[lang]
+        is_better = s > best_score
+        expr = F.when(is_better, F.lit(lang)).otherwise(expr)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return expr
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality score in [0,1]:
+    0.4·distinct-token ratio + 0.3·length factor + 0.3·alpha-token ratio.
+    (Same spirit as Gopher/C4-style heuristics, arithmetic only.)"""
+    toks = tokens(col)
+    n = F.size(toks).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    length_factor = F.least(n / F.lit(100.0), F.lit(1.0))
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda w: w.rlike("^[a-zA-Z]+$"))).cast("double") / n
+    )
+    return (
+        F.lit(0.4) * distinct_ratio
+        + F.lit(0.3) * length_factor
+        + F.lit(0.3) * alpha_ratio
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Polynomial rolling-hash fingerprint of the whole document (char
+    level, mod 2^31-1) — portable across engines (see dedup.word_hash)."""
+    return word_hash(col)
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Full per-document profile: token stats, language, quality, fingerprint."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(c).alias("n_chars"),
+        token_count(c).alias("n_tokens"),
+        F.size(F.array_distinct(tokens(c))).alias("n_distinct_tokens"),
+        wordlike_token_count(c).alias("n_wordpieces"),
+        language_id(c).alias("lang_pred"),
+        F.round(quality_score(c), 6).alias("quality"),
+        fingerprint(c).alias("fingerprint"),
+    )

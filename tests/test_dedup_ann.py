@@ -1,0 +1,103 @@
+"""Dedup + ANN operator semantics: planted near-dups must be found."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(tables):
+    return tables["documents"]
+
+
+def test_minhash_finds_planted_neardups(spark, docs):
+    """The corpus plants near-duplicate pairs (trigram jaccard ≥ 0.5);
+    MinHash-LSH must recover them all (it's a superset-recall check
+    against the exact blocked-jaccard ground truth)."""
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        ngram_jaccard_pairs,
+    )
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, ["lang"], n=3, threshold=0.5).collect()
+    }
+    assert exact, "expected planted near-dup pairs in the corpus"
+    found = {
+        (r.id_a, r.id_b)
+        for r in dedup_minhash_lsh(docs, verify_threshold=0.5).collect()
+    }
+    missed = exact - found
+    assert not missed, f"minhash-LSH missed planted pairs: {missed}"
+
+
+def test_simhash_pairs_are_near_dups(spark, docs):
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        dedup_simhash,
+        ngram_jaccard_pairs,
+    )
+
+    sim = dedup_simhash(docs, bits=32, hamming_threshold=2, block_bits=8)
+    pairs = {(r.id_a, r.id_b) for r in sim.collect()}
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, ["lang"], n=3, threshold=0.5).collect()
+    }
+    # simhash at hamming<=2 should recover the planted (j>=0.5) pairs
+    assert exact <= pairs | exact  # sanity: computed
+    recovered = exact & pairs
+    assert len(recovered) >= len(exact) // 2, (
+        f"simhash recovered {len(recovered)}/{len(exact)} planted pairs"
+    )
+
+
+def test_exact_dedup_keep_first(spark, docs):
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        dedup_exact_keep_first,
+    )
+
+    key = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 6)))
+    kept = dedup_exact_keep_first(docs, key)
+    n_docs = docs.count()
+    n_kept = kept.count()
+    n_keys = docs.select(key.alias("k")).distinct().count()
+    assert n_kept == n_keys < n_docs
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, tables):
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = tables["embeddings"]
+    q = emb.filter(F.col("vec_id").isin(0, 101, 202, 303, 404)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, q, k=10).collect()
+    approx = lsh_topk(emb, q, k=10, nbits=6, dim=64, num_tables=4).collect()
+    exact_set = {(r.q_id, r.vec_id) for r in exact}
+    approx_set = {(r.q_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"LSH recall {recall:.2f} too low"
+    # self-match must always rank 1 in the exact path
+    for r in exact:
+        if r.q_id == r.vec_id:
+            assert r.rank == 1 and r.cos_sim == pytest.approx(1.0)
+
+
+def test_connected_components(spark):
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        connected_components_smallest_id,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)],
+        "id_a long, id_b long",
+    )
+    labels = {
+        r.id: r.comp for r in connected_components_smallest_id(pairs).collect()
+    }
+    assert labels[1] == labels[2] == labels[3] == labels[4] == 1
+    assert labels[10] == labels[11] == 10
+    assert labels[20] == labels[21] == labels[22] == 20
