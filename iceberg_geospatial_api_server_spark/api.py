@@ -1,0 +1,115 @@
+"""GeoServices / OGC parameter translation (ref geoservices/routes/
+feature_server.py:126-268 query_layer + helpers).
+
+HTTP serving itself is out of scope (Spark is the engine, not the web
+tier) — this module is the pure translation layer an API front-end calls:
+Esri query params → QueryParams → engine.query_features → serializer.
+"""
+
+from __future__ import annotations
+
+import json
+
+from iceberg_geospatial_api_server_spark.models import QueryParams
+
+SPATIAL_REL_MAP = {
+    "esriSpatialRelIntersects": "intersects",
+    "esriSpatialRelEnvelopeIntersects": "intersects",
+    "esriSpatialRelContains": "contains",
+    "esriSpatialRelWithin": "within",
+}
+
+
+def parse_spatial_ref(sr: str | None) -> int | None:
+    """Ref feature_server.py:271-295: plain WKID or JSON SR object."""
+    if sr is None:
+        return None
+    try:
+        return int(sr)
+    except (ValueError, TypeError):
+        pass
+    try:
+        obj = json.loads(sr)
+        if isinstance(obj, dict):
+            return int(obj.get("latestWkid") or obj.get("wkid") or 4326)
+    except (json.JSONDecodeError, TypeError, ValueError):
+        pass
+    return None
+
+
+def parse_esri_geometry(
+    geometry_str: str, geometry_type: str = "esriGeometryEnvelope"
+) -> tuple[tuple[float, float, float, float] | None, str | None]:
+    """Ref feature_server.py:298-337: envelope/point/polygon/bbox-string →
+    (bbox, wkt)."""
+    try:
+        geom = json.loads(geometry_str)
+    except (json.JSONDecodeError, TypeError):
+        parts = [float(x) for x in geometry_str.split(",")]
+        if len(parts) == 4:
+            return tuple(parts), None
+        raise ValueError(f"Cannot parse geometry: {geometry_str}")
+
+    if "xmin" in geom:
+        return (geom["xmin"], geom["ymin"], geom["xmax"], geom["ymax"]), None
+    if "x" in geom:
+        return None, f"POINT ({geom['x']} {geom['y']})"
+    if "rings" in geom:
+        ring = geom["rings"][0]
+        coords = ", ".join(f"{x} {y}" for x, y in ring)
+        return None, f"POLYGON (({coords}))"
+    raise ValueError(f"Unsupported geometry type: {geometry_type}")
+
+
+def _to_bool(val, default=False):
+    if val is None:
+        return default
+    if isinstance(val, bool):
+        return val
+    return str(val).lower() in ("true", "1", "yes")
+
+
+def parse_geoservices_params(
+    params: dict, max_record_count: int = 10000
+) -> QueryParams:
+    """Full GeoServices query-param translation (ref feature_server.py:
+    126-238): where/objectIds/geometry/spatialRel/outFields/
+    returnGeometry/returnCountOnly/returnIdsOnly/resultOffset/
+    resultRecordCount/orderByFields/outSR."""
+    where = params.get("where", "1=1")
+    geometry_param = params.get("geometry")
+    bbox = wkt = None
+    if geometry_param:
+        bbox, wkt = parse_esri_geometry(
+            geometry_param, params.get("geometryType", "esriGeometryEnvelope")
+        )
+
+    object_ids = None
+    if params.get("objectIds"):
+        object_ids = [
+            int(x.strip()) for x in str(params["objectIds"]).split(",") if x.strip()
+        ]
+
+    def _int(key, default=None):
+        try:
+            return int(params[key])
+        except (KeyError, ValueError, TypeError):
+            return default
+
+    return QueryParams(
+        bbox=bbox,
+        geometry_filter=wkt,
+        spatial_rel=SPATIAL_REL_MAP.get(
+            params.get("spatialRel", "esriSpatialRelIntersects"), "intersects"
+        ),
+        where=None if where == "1=1" else where,
+        out_fields=params.get("outFields", "*"),
+        return_geometry=_to_bool(params.get("returnGeometry"), True),
+        return_count_only=_to_bool(params.get("returnCountOnly"), False),
+        return_ids_only=_to_bool(params.get("returnIdsOnly"), False),
+        object_ids=object_ids,
+        limit=_int("resultRecordCount", max_record_count),
+        offset=_int("resultOffset", 0),
+        order_by=params.get("orderByFields"),
+        out_sr=parse_spatial_ref(params.get("outSR")),
+    )

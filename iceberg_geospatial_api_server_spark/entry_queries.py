@@ -481,12 +481,15 @@ def geo_hull(spark, sf_dir):
 # ===========================================================================
 
 _NUMBERED = """
-    (SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS INT)
+    (SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_shipdate) - 1 AS INT)
               AS __oid, *
      FROM lineitem)
 """
 
-_OID_ORDER = ["l_orderkey", "l_linenumber"]
+_OID_ORDER = [
+    "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+    "l_quantity", "l_extendedprice", "l_shipdate",
+]  # full unique composite: (orderkey, linenumber) alone has collisions
 
 
 @_q(
@@ -587,7 +590,7 @@ def fq_count(spark, sf_dir):
     "fq_bbox_filter",
     f"""
     SELECT __oid, l_orderkey, l_linenumber
-    FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS INT)
+    FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_shipdate) - 1 AS INT)
                    AS __oid,
                  l_orderkey, l_linenumber,
                  (l_partkey * 131 % 3600) / 10.0 - 180.0 AS x,
@@ -603,9 +606,7 @@ def fq_bbox(spark, sf_dir):
         lineitem_point_geoms,
     )
 
-    geoms = lineitem_point_geoms(_t(spark, sf_dir, "lineitem")).select(
-        "l_orderkey", "l_linenumber", "geometry"
-    )
+    geoms = lineitem_point_geoms(_t(spark, sf_dir, "lineitem"))
     res = query_features(
         geoms,
         QueryParams(
@@ -623,7 +624,7 @@ def fq_bbox(spark, sf_dir):
     "fq_geometry_filter",
     f"""
     SELECT __oid, l_orderkey, l_linenumber
-    FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS INT)
+    FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_shipdate) - 1 AS INT)
                    AS __oid,
                  l_orderkey, l_linenumber,
                  (l_partkey * 131 % 3600) / 10.0 - 180.0 AS x,
@@ -639,9 +640,7 @@ def fq_geom(spark, sf_dir):
         lineitem_point_geoms,
     )
 
-    geoms = lineitem_point_geoms(_t(spark, sf_dir, "lineitem")).select(
-        "l_orderkey", "l_linenumber", "geometry"
-    )
+    geoms = lineitem_point_geoms(_t(spark, sf_dir, "lineitem"))
     wkt = (
         "POLYGON ((-60.05 -30.05, 40.05 -30.05, 40.05 35.05, "
         "-60.05 35.05, -60.05 -30.05))"

@@ -17,7 +17,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
+
+# NOTE: pandas_udf return types are DataType objects, not DDL strings —
+# string types are parsed via the active SparkContext, which does not exist
+# when an executor worker imports this module to unpickle a UDF.
+_BBOX_T = T.StructType([T.StructField(n, T.DoubleType()) for n in ("xmin", "ymin", "xmax", "ymax")])
+_XY_T = T.StructType([T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())])
 
 from iceberg_geospatial_api_server_spark.geo import wkb as W
 
@@ -28,12 +35,12 @@ BBOX_COLS = ["__bbox_xmin", "__bbox_ymin", "__bbox_xmax", "__bbox_ymax"]
 # ---------------------------------------------------------------------------
 
 
-@pandas_udf("binary")
+@pandas_udf(T.BinaryType())
 def st_point(x: pd.Series, y: pd.Series) -> pd.Series:
     return pd.Series(W.points_to_wkb_np(x.to_numpy("f8"), y.to_numpy("f8")))
 
 
-@pandas_udf("binary")
+@pandas_udf(T.BinaryType())
 def st_rect_polygon(
     xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series
 ) -> pd.Series:
@@ -44,7 +51,7 @@ def st_rect_polygon(
     return pd.Series(out)
 
 
-@pandas_udf("xmin double, ymin double, xmax double, ymax double")
+@pandas_udf(_BBOX_T)
 def st_bbox(geom: pd.Series) -> pd.DataFrame:
     b = W.bbox_of_wkb_series(geom)
     return pd.DataFrame(
@@ -52,7 +59,7 @@ def st_bbox(geom: pd.Series) -> pd.DataFrame:
     )
 
 
-@pandas_udf("x double, y double")
+@pandas_udf(_XY_T)
 def st_centroid(geom: pd.Series) -> pd.DataFrame:
     out = np.full((len(geom), 2), np.nan)
     for i, buf in enumerate(geom):
@@ -61,17 +68,17 @@ def st_centroid(geom: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"x": out[:, 0], "y": out[:, 1]})
 
 
-@pandas_udf("double")
+@pandas_udf(T.DoubleType())
 def st_area(geom: pd.Series) -> pd.Series:
     return pd.Series([W.area(b) if b is not None else None for b in geom])
 
 
-@pandas_udf("string")
+@pandas_udf(T.StringType())
 def st_astext(geom: pd.Series) -> pd.Series:
     return pd.Series([W.to_wkt(b) if b is not None else None for b in geom])
 
 
-@pandas_udf("string")
+@pandas_udf(T.StringType())
 def st_asgeojson(geom: pd.Series) -> pd.Series:
     import json
 
@@ -80,7 +87,7 @@ def st_asgeojson(geom: pd.Series) -> pd.Series:
     )
 
 
-@pandas_udf("string")
+@pandas_udf(T.StringType())
 def st_geometrytype(geom: pd.Series) -> pd.Series:
     return pd.Series(
         [W.geometry_type_name(b) if b is not None else None for b in geom]
@@ -90,7 +97,7 @@ def st_geometrytype(geom: pd.Series) -> pd.Series:
 def st_simplify(tolerance: float):
     """ST_Simplify(geom, tol) — Douglas-Peucker (ref main.py:368-378)."""
 
-    @pandas_udf("binary")
+    @pandas_udf(T.BinaryType())
     def _simplify(geom: pd.Series) -> pd.Series:
         out = []
         for buf in geom:
@@ -116,7 +123,7 @@ def st_simplify(tolerance: float):
 def st_buffer_point(radius: float, segments: int = 16):
     """Approximate point buffer → polygon WKB (cookbook §1.6 ST_Buffer)."""
 
-    @pandas_udf("binary")
+    @pandas_udf(T.BinaryType())
     def _buffer(x: pd.Series, y: pd.Series) -> pd.Series:
         return pd.Series(
             [W.buffer_point(float(a), float(b), radius, segments) for a, b in zip(x, y)]
@@ -265,18 +272,35 @@ def point_in_polygon_join(
     poly_geom_col: str = "geometry",
     res: float = 1.0,
     how: str = "inner",
+    broadcast_geoms: bool = True,
 ) -> DataFrame:
     """Point-in-polygon spatial join (cookbook §1.5/§2.6), scale-safe.
 
     Plan: polygons explode to the grid cells their bbox covers; points map
     to their single cell; equi-join on (cx, cy) — a plain hash shuffle on
-    uniform keys — then the exact ray-cast predicate runs only on candidate
-    pairs. No cross join at any scale; `res` trades replication for
-    candidate-pair count.
+    uniform keys (broadcast when the exploded polygon side is small) —
+    then the exact ray-cast predicate runs only on candidate pairs. No
+    cross join at any scale; `res` trades replication for candidate count.
+
+    ``broadcast_geoms``: when the polygon side fits on the driver (the
+    dimension-table case), decoded rings ship to workers as a broadcast
+    variable and only (geom_key, x, y) crosses the Arrow boundary for the
+    exact test — for fact-sized polygon sets set False to stream WKB
+    through the candidate rows instead.
     """
     polys = polygons if "__bbox_xmin" in polygons.columns else with_bbox(
         polygons, poly_geom_col
     )
+    bcast = None
+    if broadcast_geoms:
+        rows = polys.select(poly_geom_col).distinct().collect()
+        decoded = {}
+        for r in rows:
+            buf = bytes(r[0])
+            code, payload = W.decode(buf)
+            decoded[buf] = [payload] if code == W.POLYGON else payload
+        bcast = decoded  # shipped in the UDF closure (dim-sized by guard)
+
     polys = polys.withColumn("__cell", F.explode(_cells_covering_bbox(res))).select(
         F.col("__cell.cx").alias("__cx"), F.col("__cell.cy").alias("__cy"), "*"
     ).drop("__cell")
@@ -292,21 +316,80 @@ def point_in_polygon_join(
         & (F.col(py_col) >= F.col("__bbox_ymin"))
         & (F.col(py_col) <= F.col("__bbox_ymax"))
     )
-    exact = st_contains_point(F.col(poly_geom_col), F.col(px_col), F.col(py_col))
+    if bcast is not None:
+        exact = _contains_point_broadcast(bcast)(
+            F.col(poly_geom_col), F.col(px_col), F.col(py_col)
+        )
+    else:
+        exact = st_contains_point(F.col(poly_geom_col), F.col(px_col), F.col(py_col))
     out = joined.filter(exact).drop("__cx", "__cy", *BBOX_COLS)
     if how == "inner":
         return out
     raise ValueError("only inner supported; build left joins from the inner result")
 
 
-@pandas_udf("boolean")
+def _contains_point_broadcast(decoded_map):
+    """Exact containment against pre-decoded rings shipped in the UDF
+    closure (no WKB decode on workers; rows group by geometry for one
+    vectorized sweep). For polygon sets too large to ship per-task, use
+    the WKB-streaming st_contains_point path instead."""
+
+    @pandas_udf(T.BooleanType())
+    def _contains(poly: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+        decoded = decoded_map
+        out = np.zeros(len(poly), dtype=bool)
+        xs = x.to_numpy("f8")
+        ys = y.to_numpy("f8")
+        groups: dict[bytes, list[int]] = {}
+        for i, buf in enumerate(poly):
+            if buf is not None:
+                groups.setdefault(bytes(buf), []).append(i)
+        for buf, idxs in groups.items():
+            polys = decoded.get(buf)
+            if polys is None:
+                code, payload = W.decode(buf)
+                polys = [payload] if code == W.POLYGON else payload
+            ix = np.array(idxs)
+            out[ix] = _rings_contain(polys, xs[ix], ys[ix])
+        return pd.Series(out)
+
+    return _contains
+
+
+def _rings_contain(polys, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    inside = np.zeros(len(px), dtype=bool)
+    for rings in polys:  # list of (n,2) vertex arrays, even-odd rule
+        hit = np.zeros(len(px), dtype=bool)
+        for ring in rings:
+            rx, ry = ring[:, 0], ring[:, 1]
+            for j in range(len(ring) - 1):
+                x0, y0, x1, y1 = rx[j], ry[j], rx[j + 1], ry[j + 1]
+                if y0 == y1:
+                    continue
+                hit ^= ((y0 > py) != (y1 > py)) & (
+                    px < (x1 - x0) * (py - y0) / (y1 - y0) + x0
+                )
+        inside |= hit
+    return inside
+
+
+@pandas_udf(T.BooleanType())
 def st_contains_point(poly: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+    """Vectorized point-in-polygon: rows are grouped by identical polygon
+    buffer (spatial joins repeat few polygons across many points), each
+    group tested with one numpy ray-cast sweep over all its points."""
     out = np.zeros(len(poly), dtype=bool)
-    cache: dict[bytes, object] = {}
-    for i, (buf, px, py) in enumerate(zip(poly, x, y)):
-        if buf is None or px is None:
-            continue
-        out[i] = W.contains(buf, float(px), float(py))
+    xs = x.to_numpy("f8")
+    ys = y.to_numpy("f8")
+    groups: dict[bytes, list[int]] = {}
+    for i, buf in enumerate(poly):
+        if buf is not None:
+            groups.setdefault(bytes(buf), []).append(i)
+    for buf, idxs in groups.items():
+        code, payload = W.decode(buf)
+        polys = [payload] if code == W.POLYGON else payload
+        ix = np.array(idxs)
+        out[ix] = _rings_contain(polys, xs[ix], ys[ix])
     return pd.Series(out)
 
 

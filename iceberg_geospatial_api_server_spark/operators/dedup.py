@@ -183,10 +183,17 @@ def dedup_minhash_lsh(
     """
     nbands = num_hashes // band_size
     toks = F.split(F.col(text_col), " ")
-    shingled = df.select(
-        F.col(id_col),
-        F.array_distinct(shingle_hashes(toks, shingle_k)).alias("__sh"),
-    ).filter(F.size("__sh") > 0)
+    # cache: the shingle arrays feed three plan branches (signature bands,
+    # verify-left, verify-right) — without this the char-level hash fold
+    # recomputes per branch (3x the dominant cost; found via bench.py)
+    shingled = (
+        df.select(
+            F.col(id_col),
+            F.array_distinct(shingle_hashes(toks, shingle_k)).alias("__sh"),
+        )
+        .filter(F.size("__sh") > 0)
+        .cache()
+    )
     sig = shingled.select(
         id_col, "__sh", minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
     )

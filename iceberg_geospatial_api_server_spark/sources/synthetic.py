@@ -95,8 +95,12 @@ def nation_rect_polygons(nation: DataFrame) -> DataFrame:
 
 
 def lineitem_point_geoms(lineitem: DataFrame) -> DataFrame:
-    """lineitem points as WKB geometry (exercises the codec at scan scale)."""
+    """lineitem points as WKB geometry (exercises the codec at scan scale).
+
+    Keeps every lineitem column: the engine's deterministic OID needs the
+    full unique composite key (orderkey+linenumber alone collides)."""
     from iceberg_geospatial_api_server_spark.geo.functions import st_point
 
-    pts = lineitem_points(lineitem)
-    return pts.withColumn("geometry", st_point(F.col("x"), F.col("y")))
+    return lineitem.withColumn(
+        "geometry", st_point(F.expr(LI_X), F.expr(LI_Y))
+    )

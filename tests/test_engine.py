@@ -1,0 +1,143 @@
+"""Feature-query engine semantics (mirrors reference tests/test_query_engine.py):
+OID stability, pagination, count/ids modes, sanitizer rejections."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_geospatial_api_server_spark.engine import (
+    query_features,
+    sanitize_order,
+    sanitize_where,
+    with_oid,
+)
+from iceberg_geospatial_api_server_spark.models import QueryParams
+
+OID_ORDER = [
+    "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+    "l_quantity", "l_extendedprice", "l_shipdate",
+]
+
+
+@pytest.fixture(scope="module")
+def li(tables):
+    return tables["lineitem"]
+
+
+def test_oid_stable_across_filters(li):
+    """A feature's __oid must be identical regardless of the filter that
+    returned it (ref engine.py:305-310 — critical for QGIS identify)."""
+    all_ids = {
+        (r.l_orderkey, r.l_linenumber, r.l_partkey, r.l_suppkey, r.l_quantity, r.l_extendedprice, r.l_shipdate): r["__oid"]
+        for r in with_oid(li, OID_ORDER).collect()
+    }
+    res = query_features(
+        li,
+        QueryParams(where="l_quantity > 40.0", return_geometry=False, limit=None),
+        oid_order=OID_ORDER,
+    )
+    for r in res.features.collect():
+        assert all_ids[(r.l_orderkey, r.l_linenumber, r.l_partkey, r.l_suppkey, r.l_quantity, r.l_extendedprice, r.l_shipdate)] == r["__oid"]
+
+
+def test_pagination_windows_disjoint_and_ordered(li):
+    p1 = query_features(
+        li,
+        QueryParams(order_by="l_quantity DESC", limit=20, offset=0,
+                    out_fields="l_orderkey,l_linenumber,l_quantity",
+                    return_geometry=False),
+        oid_order=OID_ORDER,
+    )
+    p2 = query_features(
+        li,
+        QueryParams(order_by="l_quantity DESC", limit=20, offset=20,
+                    out_fields="l_orderkey,l_linenumber,l_quantity",
+                    return_geometry=False),
+        oid_order=OID_ORDER,
+    )
+    rows1 = p1.features.collect()
+    rows2 = p2.features.collect()
+    ids1 = {r["__oid"] for r in rows1}
+    ids2 = {r["__oid"] for r in rows2}
+    assert len(rows1) == len(rows2) == 20
+    assert not ids1 & ids2
+    assert p1.exceeded_transfer_limit
+    # boundary respects the (l_quantity DESC, __oid) total order
+    assert (rows1[-1].l_quantity, rows1[-1]["__oid"]) < (
+        rows2[0].l_quantity,
+        -rows2[0]["__oid"],
+    ) or rows1[-1].l_quantity >= rows2[0].l_quantity
+
+
+def test_count_and_ids_modes_agree(li):
+    params = dict(where="l_returnflag = 'R'")
+    n = query_features(
+        li, QueryParams(**params, return_count_only=True), oid_order=OID_ORDER
+    ).count
+    ids = query_features(
+        li, QueryParams(**params, return_ids_only=True), oid_order=OID_ORDER
+    )
+    assert ids.count == n == ids.features.count()
+
+
+def test_object_ids_roundtrip(li):
+    ids = [3, 7, 11]
+    res = query_features(
+        li,
+        QueryParams(object_ids=ids, out_fields="l_orderkey", return_geometry=False),
+        oid_order=OID_ORDER,
+    )
+    got = sorted(r["__oid"] for r in res.features.collect())
+    assert got == ids
+
+
+def test_exceeded_transfer_limit_false_when_exact(li):
+    total = li.count()
+    res = query_features(
+        li,
+        QueryParams(limit=total, return_geometry=False),
+        oid_order=OID_ORDER,
+    )
+    assert not res.exceeded_transfer_limit
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "1=1; DROP TABLE lineitem",
+        "l_quantity > 5 -- comment",
+        "l_quantity IN (SELECT 1)",
+        "DELETE FROM x",
+        "a /* b */ c",
+    ],
+)
+def test_where_sanitizer_rejects(bad):
+    with pytest.raises(ValueError):
+        sanitize_where(bad)
+
+
+def test_where_sanitizer_accepts():
+    assert sanitize_where("a > 5 AND b = 'x'") == "a > 5 AND b = 'x'"
+    assert sanitize_where("") == "1=1"
+
+
+@pytest.mark.parametrize(
+    "bad", ["col; DROP", "col EXEC", "col ASCENDING", "1col ASC", "a--"]
+)
+def test_order_sanitizer_rejects(bad):
+    with pytest.raises(ValueError):
+        sanitize_order(bad)
+
+
+def test_order_sanitizer_parses():
+    cols = sanitize_order("a ASC, b DESC")
+    assert len(cols) == 2
+
+
+def test_out_fields_projection(li):
+    res = query_features(
+        li,
+        QueryParams(out_fields="l_orderkey,l_quantity", return_geometry=False,
+                    limit=5),
+        oid_order=OID_ORDER,
+    )
+    assert res.features.columns == ["__oid", "l_orderkey", "l_quantity"]

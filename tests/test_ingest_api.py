@@ -1,0 +1,136 @@
+"""Ingest normalization (GeoJSON/GeoParquet → WKB) and GeoServices param
+translation (mirrors reference test_geoservices_query.py)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_geospatial_api_server_spark.api import (
+    parse_esri_geometry,
+    parse_geoservices_params,
+    parse_spatial_ref,
+)
+from iceberg_geospatial_api_server_spark.geo import wkb as W
+from iceberg_geospatial_api_server_spark.sources import ingest
+
+
+@pytest.fixture(scope="module")
+def geojson_file(tmp_path_factory):
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "geometry": {"type": "Point", "coordinates": [1.5, 2.5]},
+                "properties": {"name": "a", "val": 10},
+            },
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]],
+                },
+                "properties": {"name": "b", "val": 20},
+            },
+        ],
+    }
+    p = tmp_path_factory.mktemp("ingest") / "data.geojson"
+    p.write_text(json.dumps(fc))
+    return str(p)
+
+
+def test_read_geojson_normalizes_to_wkb(spark, geojson_file):
+    df = ingest.read_geojson(spark, geojson_file)
+    assert df.columns[0] == "geometry"
+    rows = {r.name: r for r in df.collect()}
+    assert W.geometry_type_name(bytes(rows["a"].geometry)) == "Point"
+    assert W.geometry_type_name(bytes(rows["b"].geometry)) == "Polygon"
+    assert rows["a"].val == 10
+
+
+def test_geoparquet_roundtrip(spark, tables, tmp_path):
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        lineitem_point_geoms,
+    )
+
+    src = lineitem_point_geoms(tables["lineitem"]).select(
+        "geometry", "l_orderkey", "l_quantity"
+    ).limit(200)
+    out = str(tmp_path / "geo.parquet")
+    ingest.write_geoparquet(src, out)
+
+    col, enc = ingest.detect_geoparquet_geometry(out)
+    assert (col, enc) == ("geometry", "WKB")
+
+    back = ingest.read_geoparquet(spark, out)
+    assert back.columns[0] == "geometry"
+    assert back.count() == 200
+    buf = bytes(back.select("geometry").first()[0])
+    assert W.geometry_type_name(buf) == "Point"
+
+
+def test_ingest_union_and_append(spark, geojson_file):
+    df1 = ingest.ingest(spark, [geojson_file])
+    df2 = ingest.ingest(spark, [geojson_file], append_to=df1)
+    assert df2.count() == 2 * df1.count()
+    with pytest.raises(ValueError):
+        ingest.ingest(spark, ["data.csv"])
+
+
+# --- GeoServices param translation ----------------------------------------
+
+
+def test_parse_spatial_ref_forms():
+    assert parse_spatial_ref("4326") == 4326
+    assert parse_spatial_ref('{"wkid": 102100, "latestWkid": 3857}') == 3857
+    assert parse_spatial_ref(None) is None
+    assert parse_spatial_ref("garbage") is None
+
+
+def test_parse_esri_geometry_forms():
+    bbox, wkt = parse_esri_geometry("1,2,3,4")
+    assert bbox == (1.0, 2.0, 3.0, 4.0) and wkt is None
+
+    bbox, wkt = parse_esri_geometry('{"xmin":0,"ymin":1,"xmax":2,"ymax":3}')
+    assert bbox == (0, 1, 2, 3)
+
+    bbox, wkt = parse_esri_geometry('{"x": 5, "y": 6}')
+    assert bbox is None and wkt == "POINT (5 6)"
+
+    bbox, wkt = parse_esri_geometry('{"rings": [[[0,0],[1,0],[1,1],[0,0]]]}')
+    assert wkt.startswith("POLYGON ((0 0, 1 0, 1 1, 0 0))")
+
+    with pytest.raises(ValueError):
+        parse_esri_geometry("1,2,3")
+
+
+def test_parse_geoservices_params_full():
+    p = parse_geoservices_params(
+        {
+            "where": "pop > 100",
+            "geometry": '{"xmin":-10,"ymin":-10,"xmax":10,"ymax":10}',
+            "spatialRel": "esriSpatialRelContains",
+            "outFields": "name,pop",
+            "returnGeometry": "false",
+            "resultOffset": "20",
+            "resultRecordCount": "50",
+            "orderByFields": "pop DESC",
+            "outSR": "3857",
+            "objectIds": "1, 2, 3",
+        }
+    )
+    assert p.where == "pop > 100"
+    assert p.bbox == (-10, -10, 10, 10)
+    assert p.spatial_rel == "contains"
+    assert p.out_fields == "name,pop"
+    assert p.return_geometry is False
+    assert p.offset == 20 and p.limit == 50
+    assert p.order_by == "pop DESC"
+    assert p.out_sr == 3857
+    assert p.object_ids == [1, 2, 3]
+
+
+def test_parse_geoservices_defaults():
+    p = parse_geoservices_params({}, max_record_count=500)
+    assert p.where is None and p.limit == 500 and p.return_geometry

@@ -1,0 +1,146 @@
+"""Physical-plan shape assertions — the 100 TB posture, checked in CI.
+
+These tests pin the *plan*, not the result: filters reach the parquet
+scan (PushedFilters), column pruning holds (ReadSchema), dimension joins
+broadcast, and spatial/NN joins never degenerate into cartesian products.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_pruning(tables):
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q1_pricing_summary,
+    )
+
+    plan = _plan(q1_pricing_summary(tables["lineitem"]))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    # column pruning: unused columns (e.g. l_partkey) must not be read
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m and "l_partkey" not in m.group(1)
+    assert "HashAggregate" in plan
+
+
+def test_q3_broadcasts_customer(tables):
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q3_shipping_priority,
+    )
+
+    plan = _plan(
+        q3_shipping_priority(tables["customer"], tables["orders"], tables["lineitem"])
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # final top-k must be TakeOrderedAndProject, not a global Sort+Limit
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_all_dims_broadcast(tables):
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q5_local_supplier_volume,
+    )
+
+    plan = _plan(
+        q5_local_supplier_volume(
+            tables["customer"], tables["orders"], tables["lineitem"],
+            tables["supplier"], tables["nation"], tables["region"],
+        )
+    )
+    # exactly one non-broadcast join allowed (lineitem ⋈ orders)
+    n_smj = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert n_smj <= 1, f"expected ≤1 shuffle join, plan:\n{plan}"
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_knn_is_take_ordered(tables):
+    from iceberg_geospatial_api_server_spark.geo.functions import knn
+    from iceberg_geospatial_api_server_spark.sources.synthetic import lineitem_points
+
+    pts = lineitem_points(tables["lineitem"])
+    plan = _plan(knn(pts, "x", "y", 0.0, 0.0, 10, id_cols=["l_orderkey"]))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort shuffle
+
+
+def test_pip_join_no_cartesian(tables):
+    from iceberg_geospatial_api_server_spark.geo.functions import (
+        point_in_polygon_join,
+    )
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        lineitem_points,
+        nation_rect_polygons,
+    )
+
+    pts = lineitem_points(tables["lineitem"])
+    polys = nation_rect_polygons(tables["nation"]).select(
+        "n_nationkey", "n_name", "geometry"
+    )
+    plan = _plan(point_in_polygon_join(pts, polys, res=30.0))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nearest_join_broadcast_no_shuffle_of_left(tables):
+    from iceberg_geospatial_api_server_spark.geo.functions import (
+        nearest_join_broadcast,
+    )
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        customer_points,
+        supplier_points,
+    )
+
+    out = nearest_join_broadcast(
+        supplier_points(tables["supplier"]),
+        customer_points(tables["customer"]),
+        "s_suppkey", "x", "y", "x", "y", ["c_custkey"],
+    )
+    plan = _plan(out)
+    # candidates via broadcast NLJ (intended), aggregation collapses map-side
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_dedup_exact_partial_aggregation(tables):
+    from iceberg_geospatial_api_server_spark.operators.dedup import dedup_exact
+
+    plan = _plan(dedup_exact(tables["documents"]))
+    # two HashAggregates (partial + final) around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "hashpartitioning" in plan
+
+
+def test_bbox_prefilter_stays_jvm(tables):
+    """The bbox filter itself must be plain comparisons (a Filter node),
+    with the python kernel only in the projection that computed the bbox."""
+    from iceberg_geospatial_api_server_spark.engine import query_features
+    from iceberg_geospatial_api_server_spark.models import QueryParams
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        lineitem_point_geoms,
+    )
+
+    geoms = lineitem_point_geoms(tables["lineitem"])
+    res = query_features(
+        geoms,
+        QueryParams(bbox=(-50, -40, 30, 25), return_geometry=False, limit=None,
+                    out_fields="l_orderkey"),
+        oid_order=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                   "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+    plan = _plan(res.features)
+    # the bbox comparisons appear as a plain Filter over the decoded
+    # struct fields (Catalyst collapses the __bbox_* aliases)
+    assert re.search(r"Condition : .*xmax >= -50\.0", plan)
+    assert re.search(r"Condition : .*ymin <= 25\.0", plan)
