@@ -9,6 +9,7 @@ Conventions keeping the driver's hash-compare green:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -657,6 +658,137 @@ def fq_geom(spark, sf_dir):
         oid_order=_OID_ORDER,
     )
     return res.features
+
+
+@_q("events_approx_stats")  # rows-only: HLL/quantile sketches are
+# algorithm-specific (Spark HyperLogLog++ vs DuckDB's sketch differ by design)
+def ev_approx(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("p50_value"),
+        F.percentile_approx("value", 0.99).alias("p99_value"),
+    )
+
+
+@_q(
+    "q6_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24.0
+    """,
+)
+def q6(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan+filter+agg — every predicate must reach
+    the parquet scan (asserted in tests/test_plans.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "fq_aggregate_mode",
+    """
+    SELECT (FLOOR(x / 5.0) + 0.5) * 5.0 AS x,
+           (FLOOR(y / 5.0) + 0.5) * 5.0 AS y,
+           COUNT(*) AS feature_count
+    FROM (SELECT (l_partkey * 131 % 3600) / 10.0 - 180.0 AS x,
+                 (l_suppkey * 241 % 1700) / 10.0 - 85.0 AS y
+          FROM lineitem) p
+    GROUP BY FLOOR(x / 5.0), FLOOR(y / 5.0)
+    """,
+)
+def fq_agg_mode(spark, sf_dir):
+    """The /api/features mode=aggregate path (ref api/main.py:410-443)
+    end-to-end: WKB geometry → st_centroid kernel → grid bins."""
+    from iceberg_geospatial_api_server_spark.engine import get_features
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        lineitem_point_geoms,
+    )
+
+    geoms = lineitem_point_geoms(_t(spark, sf_dir, "lineitem"))
+    return get_features(geoms, mode="aggregate", resolution=5.0)
+
+
+@_q("geo_buffer_overlap")  # rows-only (buffer polygons not SQL-expressible)
+def geo_buffer_overlap(spark, sf_dir):
+    """Cookbook §1.6: buffer supplier points ~2° and count customer points
+    inside each buffer (buffer → polygon → grid-cell spatial join)."""
+    from iceberg_geospatial_api_server_spark.geo.functions import (
+        point_in_polygon_join,
+        st_buffer_point,
+    )
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        customer_points,
+        supplier_points,
+    )
+
+    supp = supplier_points(_t(spark, sf_dir, "supplier")).withColumn(
+        "geometry", st_buffer_point(2.0, 16)(F.col("x"), F.col("y"))
+    ).select("s_suppkey", "geometry")
+    cust = customer_points(_t(spark, sf_dir, "customer"))
+    joined = point_in_polygon_join(cust, supp, "x", "y", "geometry", res=4.0)
+    return (
+        joined.groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("customers_within"))
+        .filter(F.col("customers_within") >= 1)
+    )
+
+
+@_q("geo_simplify")  # rows-only (Douglas-Peucker not SQL-expressible)
+def geo_simplify(spark, sf_dir):
+    """ST_Simplify over synthetic zigzag polylines derived from orders
+    (ref api/main.py:368-378): output vertex counts before/after."""
+    from iceberg_geospatial_api_server_spark.geo.functions import st_simplify
+    from pyspark.sql import types as TT
+    from pyspark.sql.functions import pandas_udf
+
+    from iceberg_geospatial_api_server_spark.geo import wkb as W_
+
+    @pandas_udf(TT.BinaryType())
+    def make_zigzag(key: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for k in key:
+            xs = np.arange(20, dtype="f8")
+            ys = np.where(xs % 2 == 0, 0.0, (float(k) % 7) / 100.0)
+            out.append(W_.encode_linestring(np.column_stack([xs, ys])))
+        return pd.Series(out)
+
+    @pandas_udf(TT.IntegerType())
+    def n_vertices(geom: pd.Series) -> pd.Series:
+        return pd.Series(
+            [len(W_.decode(b)[1]) if b is not None else 0 for b in geom]
+        )
+
+    orders = _t(spark, sf_dir, "orders").limit(500)
+    lines = orders.select(
+        "o_orderkey", make_zigzag(F.col("o_orderkey")).alias("geometry")
+    )
+    simplified = lines.withColumn("simple", st_simplify(0.05)(F.col("geometry")))
+    return simplified.select(
+        "o_orderkey",
+        n_vertices(F.col("geometry")).alias("n_before"),
+        n_vertices(F.col("simple")).alias("n_after"),
+    )
 
 
 # ===========================================================================

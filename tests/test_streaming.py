@@ -95,3 +95,33 @@ def test_foreach_batch_upsert_idempotent(spark, events_path, tmp_path):
     q2.awaitTermination(120)
     n2 = spark.read.parquet(target).count()
     assert n1 == n2 == spark.read.parquet(events_path).count()
+
+
+def test_stateful_running_totals(spark, events_path):
+    from iceberg_geospatial_api_server_spark.streaming.stateful import (
+        running_user_totals,
+    )
+    from iceberg_geospatial_api_server_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory_sink,
+    )
+
+    stream = read_event_stream(spark, events_path)
+    out = running_user_totals(stream, threshold=1000.0)
+    run_to_memory_sink(out, "state_out", mode="update")
+    # last update per user is the final running total
+    rows = spark.sql(
+        """SELECT user_id, max_by(n_events, n_events) AS n,
+                  max_by(total_value, n_events) AS total
+           FROM state_out GROUP BY user_id"""
+    ).collect()
+    got = {r.user_id: (r.n, r.total) for r in rows}
+
+    batch = (
+        spark.read.parquet(events_path)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .collect()
+    )
+    want = {r.user_id: (r.n, r.total) for r in batch}
+    assert got == want
