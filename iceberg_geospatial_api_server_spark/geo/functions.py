@@ -293,12 +293,15 @@ def point_in_polygon_join(
     )
     bcast = None
     if broadcast_geoms:
-        rows = polys.select(poly_geom_col).distinct().collect()
+        # key geometries by a JVM-side 64-bit hash so candidate rows carry
+        # an 8-byte key through the Arrow boundary instead of the WKB blob
+        keyed = polys.select(
+            F.xxhash64(poly_geom_col).alias("__gk"), poly_geom_col
+        ).distinct().collect()
         decoded = {}
-        for r in rows:
-            buf = bytes(r[0])
-            code, payload = W.decode(buf)
-            decoded[buf] = [payload] if code == W.POLYGON else payload
+        for r in keyed:
+            code, payload = W.decode(bytes(r[1]))
+            decoded[int(r[0])] = [payload] if code == W.POLYGON else payload
         bcast = decoded  # shipped in the UDF closure (dim-sized by guard)
 
     polys = polys.withColumn("__cell", F.explode(_cells_covering_bbox(res))).select(
@@ -307,6 +310,11 @@ def point_in_polygon_join(
 
     cx, cy = grid_cell(F.col(px_col), F.col(py_col), res)
     pts = points.withColumn("__cx", cx).withColumn("__cy", cy)
+    # NOTE: no forced repartition here — with a broadcast polygon side the
+    # probe pipelines inside the scan stage; measured locally, fanning the
+    # probe out over a shuffle costs more than the parallelism buys. On a
+    # real cluster the scan has thousands of splits and parallelism comes
+    # free; pass a pre-repartitioned `points` if the input is one file.
 
     joined = pts.join(polys, on=["__cx", "__cy"], how="inner")
     # bbox pre-filter then exact predicate on survivors only
@@ -318,7 +326,7 @@ def point_in_polygon_join(
     )
     if bcast is not None:
         exact = _contains_point_broadcast(bcast)(
-            F.col(poly_geom_col), F.col(px_col), F.col(py_col)
+            F.xxhash64(F.col(poly_geom_col)), F.col(px_col), F.col(py_col)
         )
     else:
         exact = st_contains_point(F.col(poly_geom_col), F.col(px_col), F.col(py_col))
@@ -335,22 +343,18 @@ def _contains_point_broadcast(decoded_map):
     the WKB-streaming st_contains_point path instead."""
 
     @pandas_udf(T.BooleanType())
-    def _contains(poly: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+    def _contains(gkey: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
         decoded = decoded_map
-        out = np.zeros(len(poly), dtype=bool)
+        out = np.zeros(len(gkey), dtype=bool)
         xs = x.to_numpy("f8")
         ys = y.to_numpy("f8")
-        groups: dict[bytes, list[int]] = {}
-        for i, buf in enumerate(poly):
-            if buf is not None:
-                groups.setdefault(bytes(buf), []).append(i)
-        for buf, idxs in groups.items():
-            polys = decoded.get(buf)
+        keys = gkey.to_numpy("i8")
+        for k in np.unique(keys):
+            polys = decoded.get(int(k))
             if polys is None:
-                code, payload = W.decode(buf)
-                polys = [payload] if code == W.POLYGON else payload
-            ix = np.array(idxs)
-            out[ix] = _rings_contain(polys, xs[ix], ys[ix])
+                continue
+            mask = keys == k
+            out[mask] = _rings_contain(polys, xs[mask], ys[mask])
         return pd.Series(out)
 
     return _contains

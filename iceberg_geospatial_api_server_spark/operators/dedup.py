@@ -39,8 +39,13 @@ def word_hash(col: Column) -> Column:
 
 
 def shingle_hashes(tokens: Column, k: int = 3) -> Column:
-    """Hashes of k-word shingles: combine word hashes with Horner fold
-    (base 1000003) over each window of k tokens."""
+    """Hashes of k-word shingles: Horner fold (base 1000003) of the word
+    hashes in each window of k tokens.
+
+    NOTE each word hashes k times here (once per window it joins).
+    Pre-hashing the token array into a single expression looks cheaper but
+    Catalyst INLINES the array expression into every window lambda —
+    O(n²·chars) — measured 5× slower at sf0.1. Keep the fold inside."""
     n = F.size(tokens)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(n < k, F.array()).otherwise(
@@ -184,8 +189,8 @@ def dedup_minhash_lsh(
     nbands = num_hashes // band_size
     toks = F.split(F.col(text_col), " ")
     # cache: the shingle arrays feed three plan branches (signature bands,
-    # verify-left, verify-right) — without this the char-level hash fold
-    # recomputes per branch (3x the dominant cost; found via bench.py)
+    # verify-left, verify-right) — without it the char-level hash fold
+    # recomputes per branch (bench.py-measured 3x)
     shingled = (
         df.select(
             F.col(id_col),
