@@ -752,6 +752,48 @@ def geo_buffer_overlap(spark, sf_dir):
     )
 
 
+@_q("geo_line_join")  # rows-only (segment-intersection not SQL-expressible)
+def geo_line_join(spark, sf_dir):
+    """Line-polygon ST_Intersects join (cookbook §1.5 second query):
+    polylines derived from customer points vs nation rectangles."""
+    from iceberg_geospatial_api_server_spark.geo.functions import (
+        line_polygon_intersect_join,
+        st_point,
+    )
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        customer_points,
+        nation_rect_polygons,
+    )
+    from pyspark.sql import types as TT
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(TT.BinaryType())
+    def make_line(x: pd.Series, y: pd.Series) -> pd.Series:
+        from iceberg_geospatial_api_server_spark.geo import wkb as W_
+
+        return pd.Series(
+            [
+                W_.encode_linestring(
+                    [(a, b), (a + 8.0, b + 4.0), (a + 16.0, b)]
+                )
+                for a, b in zip(x.astype("f8"), y.astype("f8"))
+            ]
+        )
+
+    lines = customer_points(_t(spark, sf_dir, "customer")).select(
+        "c_custkey", make_line(F.col("x"), F.col("y")).alias("geometry")
+    )
+    polys = nation_rect_polygons(_t(spark, sf_dir, "nation")).select(
+        "n_nationkey", "n_name", "geometry"
+    )
+    joined = line_polygon_intersect_join(lines, polys, res=30.0)
+    return (
+        joined.groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("n_name")
+    )
+
+
 @_q("geo_simplify")  # rows-only (Douglas-Peucker not SQL-expressible)
 def geo_simplify(spark, sf_dir):
     """ST_Simplify over synthetic zigzag polylines derived from orders

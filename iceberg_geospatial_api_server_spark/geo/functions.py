@@ -360,6 +360,132 @@ def _contains_point_broadcast(decoded_map):
     return _contains
 
 
+def line_polygon_intersect_join(
+    lines: DataFrame,
+    polygons: DataFrame,
+    line_geom_col: str = "geometry",
+    poly_geom_col: str = "geometry",
+    res: float = 1.0,
+) -> DataFrame:
+    """Line-polygon ST_Intersects join (cookbook §1.5 second query).
+
+    Same scale shape as the point join: BOTH sides explode to the grid
+    cells their bbox covers, equi-join on the cell, per-pair bbox
+    pre-filter, then the exact segment/ray-cast kernel on candidates only
+    (polygon rings pre-decoded and shipped by 64-bit key)."""
+    lns = lines if "__bbox_xmin" in lines.columns else with_bbox(lines, line_geom_col)
+    # disambiguate: both sides may carry a column named `geometry`
+    lns = lns.select(
+        *[
+            F.col(c).alias(
+                "__line_geom"
+                if c == line_geom_col
+                else (f"__l_{c}" if c.startswith("__bbox") else c)
+            )
+            for c in lns.columns
+        ]
+    )
+    pls = polygons if "__bbox_xmin" in polygons.columns else with_bbox(
+        polygons, poly_geom_col
+    )
+
+    keyed = pls.select(
+        F.xxhash64(poly_geom_col).alias("__gk"), F.col(poly_geom_col)
+    ).distinct().collect()
+    decoded = {}
+    for r in keyed:
+        code, payload = W.decode(bytes(r[1]))
+        decoded[int(r[0])] = [payload] if code == W.POLYGON else payload
+
+    cell = F.explode(_cells_covering_bbox(res)).alias("__cell")
+    pls = pls.select(cell, "*").select(
+        F.col("__cell.cx").alias("__cx"), F.col("__cell.cy").alias("__cy"), "*"
+    ).drop("__cell")
+
+    lcell = F.explode(
+        F.expr(
+            f"""
+            flatten(transform(
+              sequence(floor(__l___bbox_xmin / {res}), floor(__l___bbox_xmax / {res})),
+              cx -> transform(
+                sequence(floor(__l___bbox_ymin / {res}), floor(__l___bbox_ymax / {res})),
+                cy -> struct(cx as cx, cy as cy)
+              )
+            ))
+            """
+        )
+    ).alias("__cell")
+    lns = lns.select(lcell, "*").select(
+        F.col("__cell.cx").alias("__cx"), F.col("__cell.cy").alias("__cy"), "*"
+    ).drop("__cell")
+
+    joined = lns.join(pls, on=["__cx", "__cy"]).filter(
+        (F.col("__l___bbox_xmax") >= F.col("__bbox_xmin"))
+        & (F.col("__l___bbox_xmin") <= F.col("__bbox_xmax"))
+        & (F.col("__l___bbox_ymax") >= F.col("__bbox_ymin"))
+        & (F.col("__l___bbox_ymin") <= F.col("__bbox_ymax"))
+    )
+    exact = _line_intersects_broadcast(decoded)(
+        F.col("__line_geom"), F.xxhash64(F.col(poly_geom_col))
+    )
+    drop = ["__cx", "__cy", *BBOX_COLS, *[f"__l_{c}" for c in BBOX_COLS]]
+    out = joined.filter(exact).drop(*drop).dropDuplicates()
+    return out.withColumnRenamed("__line_geom", f"line_{line_geom_col}")
+
+
+def _line_intersects_broadcast(decoded_map):
+    @pandas_udf(T.BooleanType())
+    def _intersects(line: pd.Series, gkey: pd.Series) -> pd.Series:
+        out = np.zeros(len(line), dtype=bool)
+        keys = gkey.to_numpy("i8")
+        for i, buf in enumerate(line):
+            if buf is None:
+                continue
+            polys = decoded_map.get(int(keys[i]))
+            if polys is None:
+                continue
+            code, payload = W.decode(bytes(buf))
+            parts = [payload] if code == W.LINESTRING else (
+                payload if code == W.MULTILINESTRING else None
+            )
+            if parts is None:
+                continue
+            out[i] = any(
+                _line_hits_polygon(part, polys) for part in parts
+            )
+        return pd.Series(out)
+
+    return _intersects
+
+
+def _line_hits_polygon(coords: np.ndarray, polys) -> bool:
+    """Exact LineString-polygon intersection: any vertex inside (even-odd,
+    holes respected) or any segment crossing any ring edge."""
+    if bool(_rings_contain(polys, coords[:, 0], coords[:, 1]).any()):
+        return True
+    a1 = coords[:-1]
+    a2 = coords[1:]
+    for rings in polys:
+        for ring in rings:
+            b1 = ring[:-1]
+            b2 = ring[1:]
+            # orientation tests, all (segment, edge) pairs at once: (n, m)
+            u = (a2 - a1)[:, None, :]
+            v = (b2 - b1)[None, :, :]
+            d1 = _cross(u, b1[None, :, :] - a1[:, None, :])
+            d2 = _cross(u, b2[None, :, :] - a1[:, None, :])
+            d3 = _cross(v, a1[:, None, :] - b1[None, :, :])
+            d4 = _cross(v, a2[:, None, :] - b1[None, :, :])
+            if bool((((d1 * d2) < 0) & ((d3 * d4) < 0)).any()):
+                return True
+    return False
+
+
+def _cross(v: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """2-D cross product over broadcastable (..., 2) arrays."""
+    return v[..., 0] * w[..., 1] - v[..., 1] * w[..., 0]
+
+
 def _rings_contain(polys, px: np.ndarray, py: np.ndarray) -> np.ndarray:
     inside = np.zeros(len(px), dtype=bool)
     for rings in polys:  # list of (n,2) vertex arrays, even-odd rule

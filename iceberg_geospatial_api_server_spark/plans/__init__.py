@@ -1,0 +1,15 @@
+"""Plan inspection & verification helpers (the `.explain` feedback loop)."""
+
+from iceberg_geospatial_api_server_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    formatted_plan,
+)
+
+__all__ = [
+    "formatted_plan",
+    "assert_pushed_filters",
+    "assert_broadcast_join",
+    "assert_no_cartesian",
+]

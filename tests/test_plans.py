@@ -11,14 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 
-def _plan(df) -> str:
-    import contextlib
-    import io
-
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain(mode="formatted")
-    return buf.getvalue()
+from iceberg_geospatial_api_server_spark.plans import formatted_plan as _plan
 
 
 def test_q1_filter_pushdown_and_pruning(tables):
