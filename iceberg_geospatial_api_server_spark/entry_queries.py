@@ -660,6 +660,181 @@ def fq_geom(spark, sf_dir):
     return res.features
 
 
+@_q(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q4(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q4_order_priority,
+    )
+
+    return q4_order_priority(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@_q(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE)
+             AS revenue
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q10_returned_items,
+    )
+
+    return q10_returned_items(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@_q(
+    "q12_shipmode_priority",
+    """
+    SELECT CAST(l_linenumber % 2 AS BIGINT) AS ship_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q12(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q12_shipmode_priority,
+    )
+
+    return q12_shipmode_priority(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    ).select(
+        F.col("ship_bucket").cast("long").alias("ship_bucket"),
+        "high_line_count",
+        "low_line_count",
+    )
+
+
+@_q(
+    "q14_promo_revenue",
+    """
+    SELECT ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                 * 100.0 / SUM(l_extendedprice * (1 - l_discount)), 4)
+             AS promo_revenue_pct
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def q14(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q14_promo_revenue,
+    )
+
+    return q14_promo_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@_q(
+    "q18_large_volume",
+    """
+    SELECT c_custkey, c_name, o_orderkey,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_totalprice, ROUND(total_qty, 2) AS total_qty
+    FROM customer, orders,
+         (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 210.0) big
+    WHERE o_orderkey = big.l_orderkey AND c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+)
+def q18(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q18_large_volume,
+    )
+
+    return q18_large_volume(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        threshold=210.0,
+    )
+
+
+@_q(
+    "q19_disjunctive",
+    """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey AND (
+      (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+      OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+      OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15))
+    """,
+)
+def q19(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q19_disjunctive,
+    )
+
+    return q19_disjunctive(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@_q(
+    "part_type_stats",
+    """
+    SELECT p_brand, p_type,
+           COUNT(*) AS n_parts,
+           ROUND(AVG(p_retailprice), 4) AS avg_price,
+           ROUND(SUM(p_retailprice), 2) AS total_price,
+           CAST(MIN(p_size) AS INT) AS min_size,
+           CAST(MAX(p_size) AS INT) AS max_size
+    FROM part GROUP BY p_brand, p_type
+    """,
+)
+def part_stats(spark, sf_dir):
+    """Category statistics (cookbook §2.5 shape)."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand", "p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
 @_q("events_approx_stats")  # rows-only: HLL/quantile sketches are
 # algorithm-specific (Spark HyperLogLog++ vs DuckDB's sketch differ by design)
 def ev_approx(spark, sf_dir):

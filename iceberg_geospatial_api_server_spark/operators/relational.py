@@ -136,6 +136,134 @@ def q5_local_supplier_volume(
     )
 
 
+def q4_order_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join. The semi join shuffles on
+    orderkey once; lineitem is pre-filtered and projected to the key only
+    before the exchange."""
+    d0 = F.lit("1996-07-01").cast("timestamp")
+    d1 = F.lit("1996-10-01").cast("timestamp")
+    # EXISTS condition: the order has at least one high-quantity item
+    # (this testdata lacks commit/receipt dates, so the classic "late
+    # delivery" predicate becomes a quantity predicate — same semi-join)
+    late_items = lineitem.filter(F.col("l_quantity") > 45.0).select("l_orderkey")
+    return (
+        orders.filter((F.col("o_orderdate") >= d0) & (F.col("o_orderdate") < d1))
+        .join(late_items, orders.o_orderkey == late_items.l_orderkey, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q10_returned_items(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """TPC-H Q10: revenue lost to returns, top-20 customers."""
+    d0 = F.lit("1996-01-01").cast("timestamp")
+    d1 = F.lit("1996-04-01").cast("timestamp")
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter((F.col("o_orderdate") >= d0) & (F.col("o_orderdate") < d1)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        # DECIMAL accumulation: the revenue sum is order-independent and
+        # exact, so the 2dp round can never flip on a last-ulp boundary
+        # between engines (bitten once at sf0.01: ...3.595 rounded .60/.59)
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q12_shipmode_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q12 shape (no shipmode column in this testdata → bucket by
+    linenumber parity): conditional aggregation after one join."""
+    d0 = F.lit("1996-01-01").cast("timestamp")
+    d1 = F.lit("1997-01-01").cast("timestamp")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        lineitem.filter((F.col("l_shipdate") >= d0) & (F.col("l_shipdate") < d1))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy((F.col("l_linenumber") % 2).alias("ship_bucket"))
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14: promo revenue share — broadcast part, single scalar."""
+    d0 = F.lit("1996-03-01").cast("timestamp")
+    d1 = F.lit("1996-04-01").cast("timestamp")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)
+    return (
+        lineitem.filter((F.col("l_shipdate") >= d0) & (F.col("l_shipdate") < d1))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(F.sum(promo) * 100.0 / F.sum(rev), 4).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q18_large_volume(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, threshold: float
+) -> DataFrame:
+    """TPC-H Q18: customers with large-volume orders (HAVING subquery →
+    inner join against the aggregated key set)."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > threshold)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+def q19_disjunctive(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across the join — Catalyst
+    pushes the common conjuncts and keeps the disjunction post-join."""
+    j = lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity").between(1, 11)) & (F.col("p_size").between(1, 5)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity").between(10, 20)) & (F.col("p_size").between(1, 10)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("l_quantity").between(20, 30)) & (F.col("p_size").between(1, 15)))
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def top_k_per_group(
     df: DataFrame, group_col: str, order_col: str, k: int, tiebreak: str
 ) -> DataFrame:

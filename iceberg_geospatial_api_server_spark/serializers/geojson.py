@@ -20,11 +20,18 @@ from iceberg_geospatial_api_server_spark.models import QueryResult
 
 
 def feature_lines(df: DataFrame, geom_col: str = "geometry") -> DataFrame:
-    """One GeoJSON Feature object (as a JSON string column) per row."""
+    """One GeoJSON Feature object (as a JSON string column) per row.
+    Geometry-less results (skip_geometry / returnGeometry=false) emit
+    `"geometry": null` like the reference serializer."""
     props = [c for c in df.columns if c != geom_col and not c.startswith("__bbox_")]
+    geom_json = (
+        F.coalesce(st_asgeojson(F.col(geom_col)), F.lit("null"))
+        if geom_col in df.columns
+        else F.lit("null")
+    )
     feature = F.concat(
         F.lit('{"type": "Feature", "geometry": '),
-        F.coalesce(st_asgeojson(F.col(geom_col)), F.lit("null")),
+        geom_json,
         F.lit(', "properties": '),
         F.to_json(F.struct(*[F.col(c) for c in props])),
         F.lit("}"),
