@@ -1227,6 +1227,17 @@ def ann_bf_q(spark, sf_dir):
     return brute_force_topk(emb, queries_df, k=10)
 
 
+@_q("ann_ivf_topk")  # rows-only: approximate by design (recall tested in tests/)
+def ann_ivf_q(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id").isin(0, 101, 202, 303, 404)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return ivf_topk(emb, queries_df, k=10, nlist=8, nprobe=4)
+
+
 @_q("ann_lsh_topk")  # rows-only: approximate by design (recall tested in tests/)
 def ann_lsh_q(spark, sf_dir):
     from iceberg_geospatial_api_server_spark.operators.ann import lsh_topk

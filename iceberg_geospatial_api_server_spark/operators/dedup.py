@@ -87,6 +87,26 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     return F.array(*parts)
 
 
+def fast_shingle_hashes(tokens: Column, k: int = 3) -> Column:
+    """Shingle hashes via Spark-native xxhash64 over the joined window
+    text — the fast path for operators WITHOUT a SQL oracle (minhash,
+    simhash): one native hash call per window instead of a char-level
+    fold. (Oracle-checked operators use `shingle_hashes`, whose math is
+    reproducible in ANSI SQL.) Folded into [0, 2^31) so downstream
+    minhash permutation arithmetic is shared."""
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array()).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.pmod(
+                F.xxhash64(F.concat_ws("\x1f", F.slice(tokens, i + 1, k))),
+                F.lit(MERSENNE),
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # operators
 # ---------------------------------------------------------------------------
@@ -194,7 +214,7 @@ def dedup_minhash_lsh(
     shingled = (
         df.select(
             F.col(id_col),
-            F.array_distinct(shingle_hashes(toks, shingle_k)).alias("__sh"),
+            F.array_distinct(fast_shingle_hashes(toks, shingle_k)).alias("__sh"),
         )
         .filter(F.size("__sh") > 0)
         .cache()
@@ -258,7 +278,10 @@ def dedup_simhash(
     (block_idx, block_value) — bounded fan-out, uniform distribution.
     """
     toks = F.array_distinct(F.split(F.col(text_col), " "))
-    whashes = F.transform(toks, lambda w: _whash(w))
+    # xxhash64: simhash has no SQL oracle, so the fast native hash applies
+    whashes = F.transform(
+        toks, lambda w: F.pmod(F.xxhash64(w), F.lit(MERSENNE))
+    )
     # majority vote per bit, single pass: fold words into a per-bit +1/-1
     # counter array, then assemble the fingerprint from the sign array
     votes = F.aggregate(

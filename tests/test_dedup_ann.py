@@ -101,3 +101,22 @@ def test_connected_components(spark):
     assert labels[1] == labels[2] == labels[3] == labels[4] == 1
     assert labels[10] == labels[11] == 10
     assert labels[20] == labels[21] == labels[22] == 20
+
+
+def test_ivf_topk_recall(spark, tables):
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = tables["embeddings"]
+    q = emb.filter(F.col("vec_id").isin(0, 101, 202, 303, 404)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = {(r.q_id, r.vec_id) for r in brute_force_topk(emb, q, k=10).collect()}
+    approx_rows = ivf_topk(emb, q, k=10, nlist=8, nprobe=4).collect()
+    approx = {(r.q_id, r.vec_id) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall:.2f}"
+    # self-match must survive probing (query's own cell is always probed)
+    assert all((qid, qid) in approx for qid in (0, 101, 202, 303, 404))
