@@ -25,6 +25,10 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_volume",
+    "q19_disjunctive",
     "top3_orders_per_priority",
     "events_windowed_agg",
     "events_sessionize",

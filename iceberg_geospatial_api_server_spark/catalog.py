@@ -105,6 +105,35 @@ class FsCatalog:
             self.load(n, namespace).createOrReplaceTempView(n)
         return names
 
+    def table_files(self, namespace: str = "") -> DataFrame:
+        """Data-file manifest per table — the filesystem analog of the
+        Iceberg `.files` metadata table (cookbook §1.7: file_path,
+        file_format, record_count, file_size_in_bytes)."""
+        import pyarrow.parquet as pq
+
+        rows = []
+        for name in self.list_tables(namespace):
+            path = self.table_path(namespace, name)
+            files = (
+                [path]
+                if os.path.isfile(path)
+                else [
+                    os.path.join(path, f)
+                    for f in sorted(os.listdir(path))
+                    if f.endswith(".parquet")
+                ]
+            )
+            for f in files:
+                meta = pq.ParquetFile(f).metadata
+                rows.append(
+                    (name, f, "parquet", meta.num_rows, os.path.getsize(f))
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "tbl string, file_path string, file_format string, "
+            "record_count long, file_size_in_bytes long",
+        )
+
     def row_counts(self, namespace: str = "") -> DataFrame:
         """Feature count per table (cookbook §2.2 UNION ALL counts)."""
         dfs = [

@@ -1326,3 +1326,30 @@ def row_counts(spark, sf_dir):
     from iceberg_geospatial_api_server_spark.catalog import FsCatalog
 
     return FsCatalog(spark, sf_dir).row_counts()
+
+
+@_q(
+    "catalog_table_files",
+    """
+    SELECT 'customer' AS tbl, 1 AS n_files, COUNT(*) AS total_records FROM customer
+    UNION ALL SELECT 'documents', 1, COUNT(*) FROM documents
+    UNION ALL SELECT 'embeddings', 1, COUNT(*) FROM embeddings
+    UNION ALL SELECT 'events', 1, COUNT(*) FROM events
+    UNION ALL SELECT 'lineitem', 1, COUNT(*) FROM lineitem
+    UNION ALL SELECT 'nation', 1, COUNT(*) FROM nation
+    UNION ALL SELECT 'orders', 1, COUNT(*) FROM orders
+    UNION ALL SELECT 'part', 1, COUNT(*) FROM part
+    UNION ALL SELECT 'region', 1, COUNT(*) FROM region
+    UNION ALL SELECT 'supplier', 1, COUNT(*) FROM supplier
+    """,
+)
+def table_files_q(spark, sf_dir):
+    """Iceberg `.files` metadata-table analog (cookbook §1.7): per-table
+    file count + record count from parquet footers (no data scan)."""
+    from iceberg_geospatial_api_server_spark.catalog import FsCatalog
+
+    files = FsCatalog(spark, sf_dir).table_files()
+    return files.groupBy("tbl").agg(
+        F.count(F.lit(1)).cast("int").alias("n_files"),
+        F.sum("record_count").alias("total_records"),
+    )

@@ -125,3 +125,31 @@ def test_stateful_running_totals(spark, events_path):
     )
     want = {r.user_id: (r.n, r.total) for r in batch}
     assert got == want
+
+
+def test_streaming_geo_grid_aggregate(spark, events_path):
+    """Cross-feature: windowed grid heatmap over a stream — event points
+    (derived from user_id/value) binned per tumbling window."""
+    from iceberg_geospatial_api_server_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory_sink,
+    )
+
+    stream = read_event_stream(spark, events_path)
+    pts = stream.select(
+        "ts",
+        ((F.col("user_id") * 37 % 360) - 180.0).alias("x"),
+        ((F.col("value").cast("int") % 170) - 85.0).alias("y"),
+    )
+    heat = (
+        pts.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "6 hours").alias("w"),
+            F.floor(F.col("x") / 30).alias("cx"),
+            F.floor(F.col("y") / 30).alias("cy"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    run_to_memory_sink(heat, "heat_out", mode="complete")
+    rows = spark.sql("SELECT * FROM heat_out").collect()
+    assert rows and sum(r.n for r in rows) == spark.read.parquet(events_path).count()

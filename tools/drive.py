@@ -4,8 +4,8 @@ import sys, math, time, os
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 
-spark = (SparkSession.builder.master("local[8]")
-         .config("spark.sql.shuffle.partitions", "8")
+spark = (SparkSession.builder.master(os.environ.get("DRIVE_MASTER", "local[8]"))
+         .config("spark.sql.shuffle.partitions", os.environ.get("DRIVE_SHUFFLE", "8"))
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.ui.enabled", "false")
          .getOrCreate())
