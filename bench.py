@@ -80,7 +80,37 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+
+    if "--compare-duckdb" in sys.argv:
+        out["duckdb_sec"] = _duckdb_reference_timings()
+
     print(json.dumps(out))
+
+
+def _duckdb_reference_timings() -> dict[str, float]:
+    """Time the oracle SQL in DuckDB on the same data — the reference
+    engine IS DuckDB (query/engine.py builds DuckDB SQL), so this is the
+    'reference single-node throughput' yardstick at the same SF."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    con = duckdb.connect()
+    con.execute(f"SET threads={CPUS}")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    oracles = entry_mod.oracle_sql()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in oracles:
+            continue
+        t0 = time.perf_counter()
+        con.execute(oracles[name]).fetchall()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
 
 
 if __name__ == "__main__":

@@ -292,6 +292,7 @@ def point_in_polygon_join(
         polygons, poly_geom_col
     )
     bcast = None
+    all_rectangles = False
     if broadcast_geoms:
         # key geometries by a JVM-side 64-bit hash so candidate rows carry
         # an 8-byte key through the Arrow boundary instead of the WKB blob
@@ -303,6 +304,12 @@ def point_in_polygon_join(
             code, payload = W.decode(bytes(r[1]))
             decoded[int(r[0])] = [payload] if code == W.POLYGON else payload
         bcast = decoded  # shipped in the UDF closure (dim-sized by guard)
+        # rectangle fast path: if every polygon is an axis-aligned
+        # rectangle, containment ≡ the bbox comparison — the exact test
+        # (and the whole python stage) disappears from the plan
+        all_rectangles = all(
+            _is_axis_rect(polys_rings) for polys_rings in decoded.values()
+        )
 
     polys = polys.withColumn("__cell", F.explode(_cells_covering_bbox(res))).select(
         F.col("__cell.cx").alias("__cx"), F.col("__cell.cy").alias("__cy"), "*"
@@ -324,6 +331,11 @@ def point_in_polygon_join(
         & (F.col(py_col) >= F.col("__bbox_ymin"))
         & (F.col(py_col) <= F.col("__bbox_ymax"))
     )
+    if all_rectangles:
+        out = joined.drop("__cx", "__cy", *BBOX_COLS)  # bbox test was exact
+        if how == "inner":
+            return out
+        raise ValueError("only inner supported")
     if bcast is not None:
         exact = _contains_point_broadcast(bcast)(
             F.xxhash64(F.col(poly_geom_col)), F.col(px_col), F.col(py_col)
@@ -334,6 +346,19 @@ def point_in_polygon_join(
     if how == "inner":
         return out
     raise ValueError("only inner supported; build left joins from the inner result")
+
+
+def _is_axis_rect(polys) -> bool:
+    """True if the decoded geometry is a single axis-aligned rectangular
+    ring (closed, 5 points, alternating horizontal/vertical edges)."""
+    if len(polys) != 1 or len(polys[0]) != 1:
+        return False
+    ring = polys[0][0]
+    if len(ring) != 5 or not np.array_equal(ring[0], ring[-1]):
+        return False
+    xs = {float(v) for v in ring[:, 0]}
+    ys = {float(v) for v in ring[:, 1]}
+    return len(xs) == 2 and len(ys) == 2
 
 
 def _contains_point_broadcast(decoded_map):
