@@ -1165,6 +1165,63 @@ def ngram_jaccard_q(spark, sf_dir):
     return ngram_jaccard_pairs(docs, ["lang"], n=3, threshold=0.3)
 
 
+@_q(
+    "text_ngram_topk",
+    """
+    SELECT gram, COUNT(*) AS freq FROM (
+      SELECT UNNEST(list_transform(
+        generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+        i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS gram
+      FROM documents)
+    GROUP BY gram ORDER BY freq DESC, gram LIMIT 25
+    """,
+)
+def text_ngram_topk(spark, sf_dir):
+    """Top-25 word trigrams corpus-wide: the explode→count→top-k shape.
+    At scale the explode fans out map-side and partial aggregation
+    collapses the long tail before the shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams = F.when(n < 3, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        )
+    )
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "gram")
+        .limit(25)
+    )
+
+
+@_q(
+    "doc_length_histogram",
+    """
+    SELECT CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
+def doc_len_hist(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / 100) * 100).cast("long")
+    return (
+        docs.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
 @_q("dedup_minhash_lsh")  # rows-only: minhash permutation mins not SQL-practical
 def dedup_minhash_q(spark, sf_dir):
     from iceberg_geospatial_api_server_spark.operators.dedup import dedup_minhash_lsh
