@@ -1410,3 +1410,219 @@ def table_files_q(spark, sf_dir):
         F.count(F.lit(1)).cast("int").alias("n_files"),
         F.sum("record_count").alias("total_records"),
     )
+
+
+# --- TPC-H join-shape extensions (outer / anti / correlated subqueries) ----
+
+
+@_q(
+    "q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem, orders, customer, supplier,
+         nation n1, nation n2, region r1, region r2
+    WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND l_suppkey = s_suppkey
+      AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      AND n1.n_regionkey = r1.r_regionkey AND n2.n_regionkey = r2.r_regionkey
+      AND ((r1.r_name = 'AMERICA' AND r2.r_name = 'ASIA')
+           OR (r1.r_name = 'ASIA' AND r2.r_name = 'AMERICA'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q7(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q7_volume_shipping,
+    )
+
+    return q7_volume_shipping(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+@_q(
+    "q8_market_share",
+    """
+    SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           ROUND(
+             CAST(SUM(CASE WHEN n1.n_name = 'NATION_2'
+                   THEN CAST(l_extendedprice AS DECIMAL(18,6))
+                        * (1 - CAST(l_discount AS DECIMAL(18,6)))
+                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                    * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE),
+             6) AS mkt_share
+    FROM part, lineitem, supplier, orders, customer, nation n1, nation n2, region
+    WHERE p_partkey = l_partkey AND l_suppkey = s_suppkey
+      AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      AND s_nationkey = n1.n_nationkey
+      AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r_regionkey
+      AND r_name = 'ASIA' AND p_type = 'ECONOMY'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q8(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q8_market_share,
+    )
+
+    return q8_market_share(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+@_q(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey)
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q13_customer_distribution,
+    )
+
+    return q13_customer_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@_q(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name,
+           CAST(ROUND(total, 2) AS DOUBLE) AS total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total = (SELECT MAX(total) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q15_top_supplier,
+    )
+
+    return q15_top_supplier(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    )
+
+
+@_q(
+    "q17_small_qty_revenue",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l1, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#13' AND p_type = 'SMALL'
+      AND 5 * CAST(l_quantity AS DECIMAL(18,2))
+            * (SELECT COUNT(*) FROM lineitem l2
+               WHERE l2.l_partkey = l1.l_partkey)
+          < (SELECT SUM(CAST(l_quantity AS DECIMAL(18,2))) FROM lineitem l2
+             WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+def q17(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q17_small_quantity_revenue,
+    )
+
+    return q17_small_quantity_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@_q(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+)
+def q21(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q21_waiting_suppliers,
+    )
+
+    return q21_waiting_suppliers(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@_q(
+    "q22_lapsed_customers",
+    """
+    SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS totacctbal
+    FROM customer c
+    WHERE c_nationkey IN (10, 11, 12, 13, 14, 15, 16)
+      AND CAST(c_acctbal AS DECIMAL(18,2))
+            * (SELECT COUNT(*) FROM customer
+               WHERE c_acctbal > 0
+                 AND c_nationkey IN (10, 11, 12, 13, 14, 15, 16))
+          > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer
+             WHERE c_acctbal > 0
+               AND c_nationkey IN (10, 11, 12, 13, 14, 15, 16))
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c.c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def q22(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q22_lapsed_customers,
+    )
+
+    return q22_lapsed_customers(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )

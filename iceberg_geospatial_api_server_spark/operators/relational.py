@@ -423,3 +423,315 @@ def user_stats(events: DataFrame) -> DataFrame:
         .filter(F.col("n_events") >= 3)
         .orderBy("user_id")
     )
+
+
+def _dec(col: str | "F.Column", scale: int = 6):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+def _rev_dec():
+    """Exact DECIMAL revenue term (see q10 note on rounding boundaries)."""
+    return _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount"))
+
+
+def q7_volume_shipping(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_a: str = "AMERICA",
+    region_b: str = "ASIA",
+    d0: str = "1996-01-01",
+    d1: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two regions, by
+    supplier nation × customer nation × ship year.
+
+    Scale plan: nation⋈region is a 25-row dim → broadcast onto supplier
+    and customer, which pre-filters both sides to the two regions BEFORE
+    the fact joins; lineitem⋈orders shuffles on orderkey; the asymmetric
+    pair predicate is a cheap post-join filter on two tiny dim columns.
+    """
+    nr = (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name").isin(region_a, region_b))
+        .select("n_nationkey", "n_name", "r_name")
+    )
+    supp = supplier.join(
+        F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select(
+        "s_suppkey",
+        F.col("n_name").alias("supp_nation"),
+        F.col("r_name").alias("supp_region"),
+    )
+    cust = customer.join(
+        F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select(
+        "c_custkey",
+        F.col("n_name").alias("cust_nation"),
+        F.col("r_name").alias("cust_region"),
+    )
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(d0).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(d1).cast("timestamp"))
+    )
+    pair = (
+        (F.col("supp_region") == region_a) & (F.col("cust_region") == region_b)
+    ) | ((F.col("supp_region") == region_b) & (F.col("cust_region") == region_a))
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(
+    part: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_2",
+    market_region: str = "ASIA",
+    p_type: str = "ECONOMY",
+    d0: str = "1996-01-01",
+    d1: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q8 shape: target nation's share of one part-type's revenue in
+    one market region, by order year.
+
+    Scale plan: both numerator and denominator accumulate in exact
+    DECIMAL so the final share is a division of two bit-identical doubles
+    on any engine. part is filtered before the fact join (at 100 TB the
+    filtered part side shuffles; dims broadcast).
+    """
+    pf = part.filter(F.col("p_type") == p_type).select("p_partkey")
+    cust_in_region = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == market_region)
+        .select("c_custkey")
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    od = orders.filter(
+        (F.col("o_orderdate") >= F.lit(d0).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(d1).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    rev = _rev_dec()
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        lineitem.join(pf, F.col("l_partkey") == F.col("p_partkey"))
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_in_region, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == target_nation, rev).otherwise(zero))
+            .alias("_num"),
+            F.sum(rev).alias("_den"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("_num").cast("double") / F.col("_den").cast("double"), 6
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q13_customer_distribution(
+    customer: DataFrame, orders: DataFrame, excluded_priority: str = "5-LOW"
+) -> DataFrame:
+    """TPC-H Q13 shape: distribution of order counts per customer,
+    including zero-order customers (LEFT OUTER join preserved through the
+    double aggregation).
+
+    Scale plan: one shuffle on custkey for the outer join + first agg
+    (same key → single exchange), then a trivially small second agg.
+    """
+    filtered = orders.filter(F.col("o_orderpriority") != excluded_priority).select(
+        "o_custkey", "o_orderkey"
+    )
+    return (
+        customer.select("c_custkey")
+        .join(filtered, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q15_top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    d0: str = "1996-01-01",
+    d1: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15: supplier(s) with maximum quarterly revenue.
+
+    Scale plan: the per-supplier aggregate is tiny after the map-side
+    combine; the scalar MAX is broadcast back as a 1-row join so the
+    equality test is exact DECIMAL = DECIMAL (ties included, like the
+    spec's subquery form).
+    """
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(d0).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(d1).cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev_dec()).alias("_total"))
+    )
+    mx = rev.agg(F.max("_total").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev["_total"] == mx["_mx"])
+        .join(supplier, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("_total", 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q17_small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#13",
+    p_type: str = "SMALL",
+) -> DataFrame:
+    """TPC-H Q17: revenue from small-quantity orders of one brand/type,
+    where "small" is relative to the part's own average quantity.
+
+    Scale plan: the correlated AVG subquery becomes a window over
+    l_partkey on the part-filtered fact — ONE shuffle total (the join and
+    the window share the partkey partitioning). The avg comparison is
+    multiplied through (5·qty·cnt < sum_qty) so it stays in exact DECIMAL
+    arithmetic — no engine-dependent float-avg boundary.
+    """
+    pf = part.filter(
+        (F.col("p_brand") == brand) & (F.col("p_type") == p_type)
+    ).select("p_partkey")
+    li = lineitem.join(pf, F.col("l_partkey") == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    sum_qty = F.sum(qty).over(w)
+    cnt = F.count(F.lit(1)).over(w)
+    small = F.lit(5).cast("decimal(18,2)") * qty * cnt < sum_qty
+    return (
+        li.withColumn("_small", small)
+        .filter(F.col("_small"))
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 2
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+def q21_waiting_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_3",
+    late_days: int = 90,
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    multi-supplier finalized order ("late" adapted to shipdate >
+    orderdate + N days — this testdata has no commit/receipt dates).
+
+    Scale plan: the EXISTS / NOT EXISTS pair collapses into two
+    collect_set windows over l_orderkey that REUSE the partitioning of
+    the lineitem⋈orders shuffle (one exchange for join + both windows);
+    the nation-filtered supplier dim broadcasts.
+    """
+    od = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        od, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {late_days} DAYS"
+    )
+    w = Window.partitionBy("l_orderkey")
+    n_supp = F.size(F.collect_set("l_suppkey").over(w))
+    n_late_supp = F.size(
+        F.collect_set(F.when(late, F.col("l_suppkey"))).over(w)
+    )
+    qualifying = (
+        j.withColumn("_late", late)
+        .withColumn("_n_supp", n_supp)
+        .withColumn("_n_late", n_late_supp)
+        .filter(F.col("_late") & (F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
+    )
+    supp = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return (
+        qualifying.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+def q22_lapsed_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    nationkeys: tuple = (10, 11, 12, 13, 14, 15, 16),
+    recent_cutoff: str = "2000-01-01",
+) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers in a nation set
+    with no recent orders (country-code prefixes adapted to nationkeys;
+    "no orders at all" adapted to "no orders since cutoff" because every
+    customer in this testdata has historic orders).
+
+    Scale plan: the scalar AVG subquery broadcasts as a 1-row aggregate;
+    the comparison is multiplied through (bal·cnt > sum) to stay exact
+    DECIMAL; the NOT EXISTS is a left-anti join against the date-filtered
+    order keys.
+    """
+    keys = list(nationkeys)
+    in_set = customer.filter(F.col("c_nationkey").isin(keys))
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    stats = in_set.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).alias("_s"), F.count(F.lit(1)).alias("_c")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(recent_cutoff).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        in_set.crossJoin(F.broadcast(stats))
+        .filter(bal * F.col("_c") > F.col("_s"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(bal), 2).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

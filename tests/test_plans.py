@@ -137,3 +137,43 @@ def test_bbox_prefilter_stays_jvm(tables):
     # struct fields (Catalyst collapses the __bbox_* aliases)
     assert re.search(r"Condition : .*xmax >= -50\.0", plan)
     assert re.search(r"Condition : .*ymin <= 25\.0", plan)
+
+
+def test_q17_window_reuses_join_partitioning(tables):
+    """The correlated-AVG rewrite must share ONE partkey exchange between
+    the part join and the per-part window — not shuffle twice."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q17_small_quantity_revenue,
+    )
+
+    plan = _plan(q17_small_quantity_revenue(tables["lineitem"], tables["part"]))
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_no_nested_loop_and_bounded_exchanges(tables):
+    """EXISTS/NOT-EXISTS as collect_set windows: no nested-loop joins, and
+    the two windows reuse the orderkey partitioning (≤2 hash exchanges
+    total, i.e. only the lineitem⋈orders join's own shuffles)."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q21_waiting_suppliers,
+    )
+
+    plan = _plan(
+        q21_waiting_suppliers(
+            tables["lineitem"], tables["orders"], tables["supplier"], tables["nation"]
+        )
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_q13_outer_join_survives_to_plan(tables):
+    """The zero-order customers must be preserved: plan keeps an outer
+    join (Catalyst must not be able to rewrite it to inner)."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q13_customer_distribution,
+    )
+
+    plan = _plan(q13_customer_distribution(tables["customer"], tables["orders"]))
+    assert "LeftOuter" in plan or "RightOuter" in plan, plan
