@@ -125,3 +125,65 @@ def foreach_batch_upsert(stream_df: DataFrame, target_path: str, key_cols: list[
         .foreachBatch(_upsert)
         .trigger(availableNow=True)
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: str = "1 hour",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming deduplication — the ingest-side twin of operators.dedup.
+
+    `dropDuplicatesWithinWatermark` keeps per-key state only for the
+    watermark horizon, so state is bounded by (arrival rate × horizon)
+    instead of growing with total stream length — the only viable mode
+    for a continuous 100 TB ingest. Plain `dropDuplicates` (exact, state
+    grows forever) is kept for bounded backfills.
+    """
+    wm = events.withWatermark("ts", watermark)
+    if within_watermark:
+        return wm.dropDuplicatesWithinWatermark(key_cols)
+    return wm.dropDuplicates(key_cols)
+
+
+def stream_stream_attribution(
+    events: DataFrame,
+    trigger_type: str = "view",
+    outcome_type: str = "purchase",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join (click-attribution shape):
+    each `outcome_type` event joined to `trigger_type` events of the same
+    user that happened within `horizon` BEFORE it.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can expire buffered rows once the watermark passes
+    the range — state stays proportional to the horizon, never the full
+    history. (The unbounded-time version of this join is impossible to
+    run continuously at scale; the range bound IS the design.)
+    """
+    trig = (
+        events.filter(F.col("event_type") == trigger_type)
+        .withWatermark("ts", watermark)
+        .alias("t")
+    )
+    out = (
+        events.filter(F.col("event_type") == outcome_type)
+        .withWatermark("ts", watermark)
+        .alias("o")
+    )
+    return trig.join(
+        out,
+        (F.col("t.user_id") == F.col("o.user_id"))
+        & (F.col("o.ts") >= F.col("t.ts"))
+        & (F.col("o.ts") <= F.col("t.ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("t.user_id").alias("user_id"),
+        F.col("t.event_id").alias("trigger_id"),
+        F.col("t.ts").alias("trigger_ts"),
+        F.col("o.event_id").alias("outcome_id"),
+        F.col("o.ts").alias("outcome_ts"),
+        F.col("o.value").alias("outcome_value"),
+    )

@@ -153,3 +153,61 @@ def test_streaming_geo_grid_aggregate(spark, events_path):
     run_to_memory_sink(heat, "heat_out", mode="complete")
     rows = spark.sql("SELECT * FROM heat_out").collect()
     assert rows and sum(r.n for r in rows) == spark.read.parquet(events_path).count()
+
+
+def test_dedup_stream_drops_planted_duplicates(spark, events_path, tmp_path):
+    """Duplicate the first 50 events into a second file; the streaming
+    dedup must emit each event_id exactly once."""
+    from iceberg_geospatial_api_server_spark.streaming.windows import (
+        dedup_stream,
+        read_event_stream,
+        run_to_memory_sink,
+    )
+
+    src = str(tmp_path / "dup_events")
+    base = spark.read.parquet(events_path)
+    base.write.parquet(src)
+    base.orderBy("event_id").limit(50).write.mode("append").parquet(src)
+
+    stream = read_event_stream(spark, src)
+    out = dedup_stream(stream, ["event_id"], watermark="365 days")
+    run_to_memory_sink(out, "dedup_out", mode="append")
+    got = spark.sql("SELECT COUNT(*) c, COUNT(DISTINCT event_id) d FROM dedup_out").first()
+    total = base.count()
+    assert got.c == got.d == total
+
+
+def test_stream_stream_attribution_matches_batch(spark, events_path):
+    """Watermarked stream-stream range join ≡ the same join in batch."""
+    from iceberg_geospatial_api_server_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory_sink,
+        stream_stream_attribution,
+    )
+
+    joined = stream_stream_attribution(read_event_stream(spark, events_path))
+    run_to_memory_sink(joined, "ss_out", mode="append")
+    got = {
+        (r.trigger_id, r.outcome_id)
+        for r in spark.sql("SELECT * FROM ss_out").collect()
+    }
+
+    ev = spark.read.parquet(events_path)
+    t = ev.filter(F.col("event_type") == "view").alias("t")
+    o = ev.filter(F.col("event_type") == "purchase").alias("o")
+    want = {
+        (r.trigger_id, r.outcome_id)
+        for r in t.join(
+            o,
+            (F.col("t.user_id") == F.col("o.user_id"))
+            & (F.col("o.ts") >= F.col("t.ts"))
+            & (F.col("o.ts") <= F.col("t.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            F.col("t.event_id").alias("trigger_id"),
+            F.col("o.event_id").alias("outcome_id"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
