@@ -288,32 +288,60 @@ def point_in_polygon_join(
     exact test — for fact-sized polygon sets set False to stream WKB
     through the candidate rows instead.
     """
-    polys = polygons if "__bbox_xmin" in polygons.columns else with_bbox(
-        polygons, poly_geom_col
-    )
     bcast = None
     all_rectangles = False
     if broadcast_geoms:
-        # key geometries by a JVM-side 64-bit hash so candidate rows carry
-        # an 8-byte key through the Arrow boundary instead of the WKB blob
-        keyed = polys.select(
-            F.xxhash64(poly_geom_col).alias("__gk"), poly_geom_col
-        ).distinct().collect()
-        decoded = {}
-        for r in keyed:
-            code, payload = W.decode(bytes(r[1]))
-            decoded[int(r[0])] = [payload] if code == W.POLYGON else payload
-        bcast = decoded  # shipped in the UDF closure (dim-sized by guard)
-        # rectangle fast path: if every polygon is an axis-aligned
-        # rectangle, containment ≡ the bbox comparison — the exact test
-        # (and the whole python stage) disappears from the plan
-        all_rectangles = all(
-            _is_axis_rect(polys_rings) for polys_rings in decoded.values()
-        )
+        # Dim-sized polygon side: do ALL of its prep (WKB decode, bbox,
+        # keying, cell cover) on the DRIVER with the numpy codec and
+        # rebuild it as a local DataFrame. This removes every python
+        # worker stage from the polygon side — the pandas-UDF spin-up for
+        # a 25-row dim cost more than the whole join (bench: ~5s → ~3s).
+        import hashlib
 
-    polys = polys.withColumn("__cell", F.explode(_cells_covering_bbox(res))).select(
-        F.col("__cell.cx").alias("__cx"), F.col("__cell.cy").alias("__cy"), "*"
-    ).drop("__cell")
+        base = polygons.drop(*BBOX_COLS) if "__bbox_xmin" in polygons.columns else polygons
+        raw = base.collect()
+        decoded = {}
+        local_rows = []
+        for r in raw:
+            wkb_bytes = bytes(r[poly_geom_col])
+            code, payload = W.decode(wkb_bytes)
+            rings = [payload] if code == W.POLYGON else payload
+            gk = int.from_bytes(
+                hashlib.blake2b(wkb_bytes, digest_size=8).digest(), "big"
+            ) >> 1  # stable 63-bit key, driver-side only (carried through the join)
+            decoded[gk] = rings
+            pts_all = np.concatenate([ring for poly in rings for ring in (poly if isinstance(poly, list) else [poly])]) if rings else np.zeros((0, 2))
+            xmin, ymin = (float(pts_all[:, 0].min()), float(pts_all[:, 1].min())) if len(pts_all) else (0.0, 0.0)
+            xmax, ymax = (float(pts_all[:, 0].max()), float(pts_all[:, 1].max())) if len(pts_all) else (0.0, 0.0)
+            for cxi in range(int(np.floor(xmin / res)), int(np.floor(xmax / res)) + 1):
+                for cyi in range(int(np.floor(ymin / res)), int(np.floor(ymax / res)) + 1):
+                    local_rows.append(tuple(r) + (gk, xmin, ymin, xmax, ymax, cxi, cyi))
+        bcast = decoded
+        all_rectangles = all(_is_axis_rect(rings) for rings in decoded.values())
+        schema = T.StructType(
+            list(base.schema.fields)
+            + [T.StructField("__gk", T.LongType())]
+            + [T.StructField(c, T.DoubleType()) for c in BBOX_COLS]
+            + [T.StructField("__cx", T.LongType()), T.StructField("__cy", T.LongType())]
+        )
+        # pandas conversion path: a plain list-of-tuples createDataFrame
+        # becomes a pickled python RDD whose first action spins up the
+        # whole python worker pool (~4s measured) — the pandas path stays
+        # JVM-side after one driver conversion
+        pdf = pd.DataFrame.from_records(
+            [tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v for v in row) for row in local_rows],
+            columns=[f.name for f in schema.fields],
+        )
+        polys = points.sparkSession.createDataFrame(pdf, schema).coalesce(1)
+    else:
+        polys = polygons if "__bbox_xmin" in polygons.columns else with_bbox(
+            polygons, poly_geom_col
+        )
+        polys = polys.withColumn(
+            "__cell", F.explode(_cells_covering_bbox(res))
+        ).select(
+            F.col("__cell.cx").alias("__cx"), F.col("__cell.cy").alias("__cy"), "*"
+        ).drop("__cell")
 
     cx, cy = grid_cell(F.col(px_col), F.col(py_col), res)
     pts = points.withColumn("__cx", cx).withColumn("__cy", cy)
@@ -323,7 +351,11 @@ def point_in_polygon_join(
     # real cluster the scan has thousands of splits and parallelism comes
     # free; pass a pre-repartitioned `points` if the input is one file.
 
-    joined = pts.join(polys, on=["__cx", "__cy"], how="inner")
+    joined = pts.join(
+        F.broadcast(polys) if bcast is not None else polys,
+        on=["__cx", "__cy"],
+        how="inner",
+    )
     # bbox pre-filter then exact predicate on survivors only
     joined = joined.filter(
         (F.col(px_col) >= F.col("__bbox_xmin"))
@@ -331,18 +363,19 @@ def point_in_polygon_join(
         & (F.col(py_col) >= F.col("__bbox_ymin"))
         & (F.col(py_col) <= F.col("__bbox_ymax"))
     )
+    drop_cols = ["__cx", "__cy", *BBOX_COLS] + (["__gk"] if bcast is not None else [])
     if all_rectangles:
-        out = joined.drop("__cx", "__cy", *BBOX_COLS)  # bbox test was exact
+        out = joined.drop(*drop_cols)  # bbox test was exact
         if how == "inner":
             return out
         raise ValueError("only inner supported")
     if bcast is not None:
         exact = _contains_point_broadcast(bcast)(
-            F.xxhash64(F.col(poly_geom_col)), F.col(px_col), F.col(py_col)
+            F.col("__gk"), F.col(px_col), F.col(py_col)
         )
     else:
         exact = st_contains_point(F.col(poly_geom_col), F.col(px_col), F.col(py_col))
-    out = joined.filter(exact).drop("__cx", "__cy", *BBOX_COLS)
+    out = joined.filter(exact).drop(*drop_cols)
     if how == "inner":
         return out
     raise ValueError("only inner supported; build left joins from the inner result")

@@ -206,13 +206,19 @@ def dedup_minhash_lsh(
     verification re-joins shingle arrays by id, so signatures — not
     documents — flow through the bucket join.
     """
+    from iceberg_geospatial_api_server_spark.util import spread
+
     nbands = num_hashes // band_size
     toks = F.split(F.col(text_col), " ")
+    # spread BEFORE shingling: the shingle/minhash folds are CPU-bound JVM
+    # codegen, so unlike the pandas-UDF stages (where the shuffle +
+    # python-worker fan-out costs more than it buys) parallelizing a
+    # single-row-group scan wins here (bench: ~5s → ~3.2s at sf0.1).
     # cache: the shingle arrays feed three plan branches (signature bands,
     # verify-left, verify-right) — without it the char-level hash fold
     # recomputes per branch (bench.py-measured 3x)
     shingled = (
-        df.select(
+        spread(df).select(
             F.col(id_col),
             F.array_distinct(fast_shingle_hashes(toks, shingle_k)).alias("__sh"),
         )

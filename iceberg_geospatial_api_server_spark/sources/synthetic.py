@@ -82,16 +82,50 @@ def nation_rects(nation: DataFrame) -> DataFrame:
 
 
 def nation_rect_polygons(nation: DataFrame) -> DataFrame:
-    """Rectangles as real WKB polygons (exercises the geometry path)."""
-    from iceberg_geospatial_api_server_spark.geo.functions import st_rect_polygon
+    """Rectangles as real WKB polygons (exercises the geometry path).
+
+    Dim-sized (25 rows): the rect coords come back from a JVM-only
+    collect and the WKB encode runs on the driver with the numpy codec —
+    no python worker stage for a dimension table (the pandas-UDF pool
+    spin-up costs more than the whole query at bench scale)."""
+    import numpy as np
+
+    from iceberg_geospatial_api_server_spark.geo import wkb as W
+
+    import pandas as pd
 
     rects = nation_rects(nation)
-    return rects.withColumn(
-        "geometry",
-        st_rect_polygon(
-            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
-        ),
+    rows = rects.collect()
+    out_rows = [
+        tuple(r)
+        + (
+            W.encode_polygon(
+                [
+                    np.array(
+                        [
+                            [r["xmin"], r["ymin"]],
+                            [r["xmax"], r["ymin"]],
+                            [r["xmax"], r["ymax"]],
+                            [r["xmin"], r["ymax"]],
+                            [r["xmin"], r["ymin"]],
+                        ],
+                        dtype="f8",
+                    )
+                ]
+            ),
+        )
+        for r in rows
+    ]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(rects.schema.fields) + [T.StructField("geometry", T.BinaryType())]
     )
+    # pandas conversion path (not list-of-tuples): keeps the local relation
+    # JVM-side — the pickled-RDD path would spin up the python worker pool
+    # on first action just to deserialize 25 rows
+    pdf = pd.DataFrame.from_records(out_rows, columns=[f.name for f in schema.fields])
+    return nation.sparkSession.createDataFrame(pdf, schema).coalesce(1)
 
 
 def lineitem_point_geoms(lineitem: DataFrame) -> DataFrame:
