@@ -1626,3 +1626,13 @@ def q22(spark, sf_dir):
     return q22_lapsed_customers(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
     )
+
+
+@_q("embed_kmeans_profile")  # rows-only: iterative algorithm (Lloyd's) —
+# determinism + inertia-decrease asserted in tests/test_dedup_ann.py
+def embed_kmeans_q(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        kmeans_cluster_profile,
+    )
+
+    return kmeans_cluster_profile(_t(spark, sf_dir, "embeddings"), k=8, iters=4)

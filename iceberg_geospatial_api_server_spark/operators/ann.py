@@ -110,6 +110,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "q_id",
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: a deterministic coarse quantizer
     (nlist centroids drawn by stride from the base set — the k-means-free
@@ -121,18 +122,22 @@ def ivf_topk(
     At 100 TB: assignment is one numpy matvec per Arrow batch; the only
     shuffle keys are cell ids (bounded, near-uniform); queries broadcast.
     Cost dial: nprobe/nlist of the corpus is scored per query."""
-    ids = sorted(
-        r[0] for r in base.select(id_col).distinct().collect()
-    )
-    stride = max(len(ids) // nlist, 1)
-    centroid_ids = ids[::stride][:nlist]
-    cent_rows = (
-        base.filter(F.col(id_col).isin(centroid_ids))
-        .select(id_col, vec_col)
-        .collect()
-    )
-    cent = np.array([[float(v) for v in r[1]] for r in cent_rows], dtype="f8")
-    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype="f8")
+        cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    else:
+        ids = sorted(
+            r[0] for r in base.select(id_col).distinct().collect()
+        )
+        stride = max(len(ids) // nlist, 1)
+        centroid_ids = ids[::stride][:nlist]
+        cent_rows = (
+            base.filter(F.col(id_col).isin(centroid_ids))
+            .select(id_col, vec_col)
+            .collect()
+        )
+        cent = np.array([[float(v) for v in r[1]] for r in cent_rows], dtype="f8")
+        cent /= np.linalg.norm(cent, axis=1, keepdims=True)
 
     assign1 = _ivf_assign_kernel(cent, 1)
     assignN = _ivf_assign_kernel(cent, nprobe)
@@ -278,4 +283,116 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# spherical k-means — trained coarse quantizer / clustering operator
+# ---------------------------------------------------------------------------
+
+
+def _assign_with_sim_kernel(centroids):
+    """pandas UDF: (nearest centroid id, cosine sim to it) per vector —
+    one matmul per Arrow batch."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    out_t = T.StructType(
+        [T.StructField("cell", T.IntegerType()), T.StructField("sim", T.DoubleType())]
+    )
+
+    @pandas_udf(out_t)
+    def _assign(vecs: pd.Series) -> pd.DataFrame:
+        M = np.array([[float(x) for x in v] for v in vecs], dtype="f8")
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (M / norms) @ centroids.T
+        best = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {"cell": best.astype("int32"), "sim": sims[np.arange(len(best)), best]}
+        )
+
+    return _assign
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    iters: int = 5,
+    dim: int | None = None,
+):
+    """Spherical k-means (Lloyd's) over an embedding column, Spark-first.
+
+    Per iteration: assignment is an Arrow-batched matmul against the
+    broadcast centroid matrix (vectors never shuffle); the update step is
+    `avg(embedding[i])` per dimension per cluster — d JVM aggregate
+    expressions with map-side partial aggregation, so the single shuffle
+    carries k×d partial sums regardless of corpus size (no explode row
+    multiplication). Deterministic: stride-sampled init over sorted ids,
+    fixed iteration count, empty clusters keep their previous centroid.
+
+    Returns (centroids ndarray (k,d) L2-normalized, assignments DataFrame
+    [id, cell, sim], total_inertia float = Σ(1 - cos_sim)).
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    base = df.select(id_col, _as_double(F.col(vec_col)).alias("__v"))
+
+    ids = sorted(r[0] for r in df.select(id_col).distinct().collect())
+    stride = max(len(ids) // k, 1)
+    seed_ids = ids[::stride][:k]
+    seed_rows = (
+        df.filter(F.col(id_col).isin(seed_ids)).select(id_col, vec_col).collect()
+    )
+    seed_rows.sort(key=lambda r: r[0])
+    cent = np.array([[float(v) for v in r[1]] for r in seed_rows], dtype="f8")
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+
+    assigned = None
+    for _ in range(iters):
+        assign = _assign_with_sim_kernel(cent)
+        assigned = base.withColumn("__a", assign(F.col("__v"))).select(
+            id_col, F.col("__a.cell").alias("cell"), F.col("__a.sim").alias("sim"), "__v"
+        )
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.array(*[F.avg(F.col("__v")[i]) for i in range(dim)]).alias("__mean"),
+            )
+            .collect()
+        )
+        new_cent = cent.copy()
+        for r in means:
+            m = np.array(r["__mean"], dtype="f8")
+            n = np.linalg.norm(m)
+            if n > 0:
+                new_cent[r["cell"]] = m / n
+        cent = new_cent
+
+    inertia = assigned.agg(
+        F.sum(F.lit(1.0) - F.col("sim")).alias("inertia")
+    ).first()[0]
+    return cent, assigned.select(id_col, "cell", F.round("sim", 6).alias("sim")), float(inertia)
+
+
+def kmeans_cluster_profile(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+) -> DataFrame:
+    """Cluster-size/compactness profile of the embedding corpus (the
+    reportable form of kmeans_fit for the query registry)."""
+    _, assigned, _ = kmeans_fit(df, vec_col, id_col, k=k, iters=iters)
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("sim"), 6).alias("avg_sim"),
+        )
+        .orderBy("cell")
     )

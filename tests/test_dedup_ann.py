@@ -120,3 +120,37 @@ def test_ivf_topk_recall(spark, tables):
     assert recall >= 0.6, f"IVF recall {recall:.2f}"
     # self-match must survive probing (query's own cell is always probed)
     assert all((qid, qid) in approx for qid in (0, 101, 202, 303, 404))
+
+
+def test_kmeans_deterministic_and_converging(spark, tables):
+    from iceberg_geospatial_api_server_spark.operators.ann import kmeans_fit
+
+    emb = tables["embeddings"]
+    c1, a1, inertia5 = kmeans_fit(emb, k=8, iters=5)
+    c2, _, _ = kmeans_fit(emb, k=8, iters=5)
+    assert (c1 == c2).all(), "same data + same init must give same centroids"
+    _, _, inertia1 = kmeans_fit(emb, k=8, iters=1)
+    assert inertia5 <= inertia1 + 1e-9, "more Lloyd iterations must not increase inertia"
+    sizes = {r.cell: r for r in a1.groupBy("cell").count().collect()}
+    assert sum(r["count"] for r in sizes.values()) == emb.count()
+
+
+def test_ivf_with_trained_centroids_recall(spark, tables):
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    emb = tables["embeddings"]
+    cent, _, _ = kmeans_fit(emb, k=8, iters=4)
+    q = emb.filter(F.col("vec_id").isin(0, 101, 202, 303, 404)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = {(r.q_id, r.vec_id) for r in brute_force_topk(emb, q, k=10).collect()}
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in ivf_topk(emb, q, k=10, nlist=8, nprobe=4, centroids=cent).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF(kmeans) recall {recall:.2f}"
