@@ -1636,3 +1636,65 @@ def embed_kmeans_q(spark, sf_dir):
     )
 
     return kmeans_cluster_profile(_t(spark, sf_dir, "embeddings"), k=8, iters=4)
+
+
+@_q(
+    "doc_chunks",
+    """
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(LEN(string_split(text, ' ')[i*48+1 : i*48+64]) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(string_split(text, ' ')[i*48+1 : i*48+64], ' ')
+             AS chunk_text
+    FROM (
+      SELECT doc_id, text,
+             UNNEST(generate_series(0,
+               CASE WHEN LEN(string_split(text, ' ')) <= 64 THEN 0
+                    ELSE CAST(FLOOR((LEN(string_split(text, ' ')) - 64 + 47)
+                              / 48.0) AS INT) END)) AS i
+      FROM documents)
+    """,
+)
+def doc_chunks_q(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+def _quality_sql(t: str = "text") -> str:
+    return (
+        f"0.4 * (LEN(list_distinct(string_split({t}, ' ')))::DOUBLE"
+        f"       / LEN(string_split({t}, ' '))::DOUBLE)"
+        f" + 0.3 * LEAST(LEN(string_split({t}, ' '))::DOUBLE / 100.0, 1.0)"
+        f" + 0.3 * (LEN(list_filter(string_split({t}, ' '),"
+        f"             w -> regexp_matches(w, '^[a-zA-Z]+$')))::DOUBLE"
+        f"          / LEN(string_split({t}, ' '))::DOUBLE)"
+    )
+
+
+@_q(
+    "corpus_clean",
+    f"""
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(qraw, 6) AS quality
+    FROM (
+      SELECT doc_id, n_tokens, qraw,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM (
+        SELECT doc_id, text,
+               LEN(string_split(text, ' ')) AS n_tokens,
+               {_quality_sql()} AS qraw
+        FROM documents)
+      WHERE n_tokens >= 20 AND qraw >= 0.5)
+    WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def corpus_clean_q(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.text import clean_corpus
+
+    return clean_corpus(
+        _t(spark, sf_dir, "documents"), min_tokens=20, min_quality=0.5
+    )

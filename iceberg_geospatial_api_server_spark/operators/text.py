@@ -104,3 +104,78 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.round(quality_score(c), 6).alias("quality"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into token-bounded overlapping chunks (the
+    context-window prep step of a training pipeline).
+
+    Chunk i covers tokens [i·step, i·step + chunk_tokens) with
+    step = chunk_tokens − overlap; the final chunk may be short. All JVM:
+    sequence → transform → explode — the fan-out happens map-side with no
+    shuffle, and chunk count per row is bounded by ~n_tokens/step.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # n <= chunk_tokens → 1 chunk; else 1 + ceil((n - chunk_tokens)/step)
+    last_idx = F.when(n <= chunk_tokens, F.lit(0)).otherwise(
+        F.floor((n - F.lit(chunk_tokens) + F.lit(step - 1)) / F.lit(step)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), last_idx),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.slice(toks, i * step + 1, chunk_tokens).alias("toks"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("__c"))
+        .select(
+            id_col,
+            F.col("__c.chunk_idx").alias("chunk_idx"),
+            F.size("__c.toks").cast("long").alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.col("__c.toks")).alias("chunk_text"),
+        )
+    )
+
+
+def clean_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """Quality-filter + exact-dedup pipeline (keep the smallest-id copy of
+    each distinct text): the canonical first pass of corpus curation.
+
+    Filters are JVM expressions evaluated in the scan stage; the dedup is
+    one shuffle on md5(text) (self-salting: distinct docs → distinct
+    reducers) with a row_number window sharing that partitioning.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    filtered = df.filter(
+        (token_count(c) >= min_tokens) & (quality_score(c) >= min_quality)
+    )
+    w = Window.partitionBy(F.md5(c)).orderBy(id_col)
+    return (
+        filtered.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            token_count(c).cast("long").alias("n_tokens"),
+            F.round(quality_score(c), 6).alias("quality"),
+        )
+        .orderBy(id_col)
+    )
