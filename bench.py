@@ -27,8 +27,11 @@ BENCH_QUERIES = [
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q13_customer_distribution",
+    "q17_small_qty_revenue",
     "q18_large_volume",
     "q19_disjunctive",
+    "q21_waiting_suppliers",
     "top3_orders_per_priority",
     "events_windowed_agg",
     "events_sessionize",
@@ -42,6 +45,9 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
     "text_profile",
+    "text_ngram_topk",
+    "doc_chunks",
+    "corpus_clean",
     "mm_media_stats",
 ]
 
