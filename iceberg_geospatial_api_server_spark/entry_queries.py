@@ -1698,3 +1698,59 @@ def corpus_clean_q(spark, sf_dir):
     return clean_corpus(
         _t(spark, sf_dir, "documents"), min_tokens=20, min_quality=0.5
     )
+
+
+# --- deterministic sampling (training-data curation) -----------------------
+
+_IDHASH = "(({id} * 2654435761) % 2147483647)"
+
+
+@_q(
+    "sample_per_lang",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_IDHASH.format(id='doc_id')}, doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 10 ORDER BY lang, doc_id
+    """,
+)
+def sample_per_lang_q(spark, sf_dir):
+    """Deterministic 10-doc sample per language (portable hash order)."""
+    from iceberg_geospatial_api_server_spark.operators.sampling import (
+        sample_per_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_per_group(docs, ["lang"], 10).select("doc_id", "lang").orderBy(
+        "lang", "doc_id"
+    )
+
+
+@_q(
+    "corpus_mixture",
+    f"""
+    SELECT lang, COUNT(*) AS n_kept FROM documents
+    WHERE {_IDHASH.format(id='doc_id')} <
+          CAST((CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 1.0
+                WHEN 'fr' THEN 1.0 WHEN 'es' THEN 1.0 WHEN 'zh' THEN 0.5
+                ELSE 0.0 END) * 2147483647.0 AS BIGINT)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def corpus_mixture_q(spark, sf_dir):
+    """Mixture reweighting: downsample over-represented languages by
+    per-stratum hash-threshold (pure scan-stage filter)."""
+    from iceberg_geospatial_api_server_spark.operators.sampling import (
+        weighted_mixture,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    mixed = weighted_mixture(
+        docs, {"en": 0.25, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 0.5}
+    )
+    return (
+        mixed.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("lang")
+    )

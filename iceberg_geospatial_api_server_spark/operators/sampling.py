@@ -1,0 +1,71 @@
+"""Deterministic sampling operators for training-data curation.
+
+Random sampling is useless in a reproducible data pipeline — re-runs must
+select the same rows, and an engine swap must not change the corpus. All
+selection here is by a portable multiplicative hash of the row id
+(`(id * 2654435761) % 2147483647` — Knuth's constant, exact in 64-bit
+integer arithmetic on any engine), so every sample is a pure filter or a
+per-group window: no RAND(), no state, reproducible everywhere.
+
+At 100 TB: fraction sampling is a scan-stage filter (no shuffle);
+per-group sampling shuffles once on the group key with partial top-k
+possible via the window; mixture sampling is fraction sampling with a
+per-stratum rate looked up from a broadcast map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761
+MERSENNE = 2147483647
+
+
+def id_hash(id_col: Column) -> Column:
+    """Portable multiplicative hash of an integral id (exact in 64-bit)."""
+    return (id_col.cast("long") * F.lit(KNUTH)) % F.lit(MERSENNE)
+
+
+def sample_fraction(
+    df: DataFrame, fraction: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep ~`fraction` of rows: hash(id) < fraction·M. Pure filter —
+    pushed into the scan stage, deterministic, engine-portable."""
+    return df.filter(id_hash(F.col(id_col)) < F.lit(int(fraction * MERSENNE)))
+
+
+def sample_per_group(
+    df: DataFrame, group_cols: list[str], n: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic n rows per group, ordered by the id hash (a fixed
+    pseudo-random order): one shuffle on the group key."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        id_hash(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def weighted_mixture(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum keep rates (corpus mixture reweighting, e.g. downsample
+    over-represented languages). Selection is hash-threshold per stratum —
+    still a pure scan-stage filter; the rate lookup is a literal CASE
+    chain (broadcast-map-sized by construction)."""
+    rate = None
+    for k, v in sorted(rates.items()):
+        cond = F.col(stratum_col) == k
+        rate = F.when(cond, F.lit(v)) if rate is None else rate.when(cond, F.lit(v))
+    rate = rate.otherwise(F.lit(default_rate)) if rate is not None else F.lit(default_rate)
+    return df.filter(
+        id_hash(F.col(id_col)) < (rate * F.lit(float(MERSENNE))).cast("long")
+    )
