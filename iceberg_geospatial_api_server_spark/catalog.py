@@ -66,6 +66,16 @@ class FsCatalog:
     def list_namespaces(self) -> list[str]:
         out = []
         for dirpath, dirnames, filenames in os.walk(self.root):
+            # a directory holding parquet part-files IS a table — don't
+            # list it as a namespace and don't descend into it
+            dirnames[:] = [
+                d
+                for d in dirnames
+                if not any(
+                    f.endswith(".parquet")
+                    for f in os.listdir(os.path.join(dirpath, d))
+                )
+            ]
             rel = os.path.relpath(dirpath, self.root)
             if rel == ".":
                 continue
@@ -104,6 +114,39 @@ class FsCatalog:
         for n in names:
             self.load(n, namespace).createOrReplaceTempView(n)
         return names
+
+
+    def namespaces_tree(self) -> list[list[str]]:
+        """Namespaces as path arrays, including nested levels
+        (ref api/main.py:165-180 /api/namespaces/tree)."""
+        return [ns.split(".") for ns in self.list_namespaces()]
+
+    def namespace_extent(self, namespace: str = "") -> dict | None:
+        """Aggregate bbox across every geometry table in a namespace
+        (ref api/main.py:225-263 /api/bbox/{namespace}): per-table extents
+        via the decoded-bbox MIN/MAX aggregate, folded on the driver.
+        Returns {"bbox": [xmin, ymin, xmax, ymax]} or None when the
+        namespace holds no geometry."""
+        from iceberg_geospatial_api_server_spark.geo.functions import extent
+
+        extents = []
+        for name in self.list_tables(namespace):
+            df = self.load(name, namespace)
+            if detect_geometry_column(df.schema) is None:
+                continue
+            row = extent(df).first()
+            if row is not None and row["xmin"] is not None:
+                extents.append((row["xmin"], row["ymin"], row["xmax"], row["ymax"]))
+        if not extents:
+            return None
+        return {
+            "bbox": [
+                min(e[0] for e in extents),
+                min(e[1] for e in extents),
+                max(e[2] for e in extents),
+                max(e[3] for e in extents),
+            ]
+        }
 
     def table_files(self, namespace: str = "") -> DataFrame:
         """Data-file manifest per table — the filesystem analog of the
