@@ -113,3 +113,39 @@ def parse_geoservices_params(
         order_by=params.get("orderByFields"),
         out_sr=parse_spatial_ref(params.get("outSR")),
     )
+
+
+def query_layer(
+    df,
+    params: dict,
+    out_format: str | None = None,
+    max_record_count: int = 10000,
+):
+    """The /{service}/FeatureServer/{layer}/query handler, HTTP-free
+    (ref routes/feature_server.py:124-269): raw GeoServices params →
+    QueryParams → engine.query_features → serializer chosen by `f`
+    (json → Esri JSON FeatureSet, pbf → FeatureCollection protobuf,
+    geojson → GeoJSON FeatureCollection).
+
+    Returns (payload, media_type) — a dict for the JSON formats, bytes
+    for pbf — so any web framework (or none) can wrap it.
+    """
+    from iceberg_geospatial_api_server_spark.catalog import feature_schema
+    from iceberg_geospatial_api_server_spark.engine import query_features
+    from iceberg_geospatial_api_server_spark.serializers import (
+        esri_json,
+        esri_pbf,
+        geojson,
+    )
+
+    fmt = (out_format or params.get("f") or "json").lower()
+    schema = feature_schema(df)
+    qp = parse_geoservices_params(
+        params, max_record_count=schema.max_record_count or max_record_count
+    )
+    result = query_features(df, qp)
+    if fmt == "pbf":
+        return esri_pbf.serialize(result, schema), "application/x-protobuf"
+    if fmt == "geojson":
+        return geojson.serialize(result), "application/geo+json"
+    return esri_json.serialize(result, schema), "application/json"

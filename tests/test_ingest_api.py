@@ -134,3 +134,31 @@ def test_parse_geoservices_params_full():
 def test_parse_geoservices_defaults():
     p = parse_geoservices_params({}, max_record_count=500)
     assert p.where is None and p.limit == 500 and p.return_geometry
+
+
+def test_query_layer_format_dispatch(spark, tables):
+    """End-to-end route handler: params dict in, serialized payload out,
+    all three wire formats."""
+    from iceberg_geospatial_api_server_spark.api import query_layer
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        lineitem_point_geoms,
+    )
+
+    df = lineitem_point_geoms(tables["lineitem"]).limit(200)
+
+    js, mt = query_layer(df, {"where": "l_quantity > 25", "resultRecordCount": "5"})
+    assert mt == "application/json"
+    assert len(js["features"]) == 5
+    assert all(f["attributes"]["l_quantity"] > 25 for f in js["features"])
+
+    gj, mt = query_layer(df, {"f": "geojson", "resultRecordCount": "3"})
+    assert mt == "application/geo+json"
+    assert gj["type"] == "FeatureCollection" and len(gj["features"]) == 3
+
+    pbf, mt = query_layer(df, {"returnCountOnly": "true"}, out_format="pbf")
+    assert mt == "application/x-protobuf" and isinstance(pbf, bytes) and len(pbf) > 0
+
+    # ids-only ignores pagination — the reference returns every matching
+    # OID (ref engine.py:390-398), and so do we
+    ids, mt = query_layer(df, {"returnIdsOnly": "true", "resultRecordCount": "4"})
+    assert "objectIds" in ids and len(ids["objectIds"]) == df.count()
