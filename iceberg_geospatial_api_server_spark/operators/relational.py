@@ -699,6 +699,278 @@ def q21_waiting_suppliers(
     )
 
 
+def _unit_cost():
+    """Per-line unit price as the partsupp-cost surrogate.
+
+    The testdata has no PARTSUPP table, so the Q2/Q9/Q11/Q16/Q20 shapes
+    derive the part↔supplier relation from lineitem and use unit price
+    (extendedprice / quantity) where the spec uses ps_supplycost. IEEE
+    double division is bit-identical across engines, and every aggregate
+    over it here is order-insensitive (MIN) or re-cast to DECIMAL first.
+    """
+    return F.col("l_extendedprice") / F.col("l_quantity")
+
+
+def q2_min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    p_type: str = "ECONOMY",
+    size_min: int = 10,
+) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) in one
+    region offering the minimum cost (correlated-MIN subquery → min-join).
+
+    Adaptation: partsupp(ps_supplycost) ← lineitem unit price per
+    (partkey, suppkey); see _unit_cost.
+
+    Scale plan: part filter and region-filtered supplier dim broadcast
+    onto the lineitem-derived partsupp aggregate. The explicit
+    repartition on l_partkey ALONE satisfies both the (partkey, suppkey)
+    groupBy's ClusteredDistribution and the correlated-MIN window's
+    partitionBy — one shuffle total instead of two (hash(partkey,
+    suppkey) would NOT satisfy the window). No global sort until the
+    final top-100.
+    """
+    pf = part.filter(
+        (F.col("p_type") == p_type) & (F.col("p_size") >= size_min)
+    ).select("p_partkey", "p_type", "p_size")
+    supp_region = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == region_name)
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("n_name"))
+    )
+    ps = (
+        lineitem.join(F.broadcast(pf.select("p_partkey")),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_unit_cost()).alias("supply_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    ranked = ps.join(
+        F.broadcast(supp_region), F.col("l_suppkey") == F.col("s_suppkey")
+    ).withColumn("_min_cost", F.min("supply_cost").over(w))
+    return (
+        ranked.filter(F.col("supply_cost") == F.col("_min_cost"))
+        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            # raw doubles on purpose: MIN over bit-identical per-row
+            # divisions is engine-exact; ROUND on double is not
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            "p_size",
+            "supply_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q9_product_type_profit(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    name_pattern: str = "%widget%",
+) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation × order year over parts
+    matching a name pattern.
+
+    Adaptation: amount = extprice·(1−disc) − 10%·retailprice·qty (the
+    ps_supplycost·l_quantity term rebuilt from p_retailprice; exact
+    DECIMAL accumulation either way).
+
+    Scale plan: the LIKE-filtered part is the only selective input — it
+    broadcasts onto lineitem so the scan prunes before the orderkey
+    shuffle; supplier⋈nation broadcasts; group key (nation, year) is
+    tiny so the final agg is one small exchange after map-side partials.
+    """
+    pf = part.filter(F.col("p_name").like(name_pattern)).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    # cost term: per-row DOUBLE product (bit-identical across engines),
+    # ONE cast to decimal — a triple-decimal product would overflow
+    # Spark's precision-38 cap and round differently than the oracle
+    amount = _rev_dec() - (
+        F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    ).cast("decimal(18,6)")
+    return (
+        lineitem.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q11_important_stock(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_19",
+    fraction_denom: int = 1000,
+) -> DataFrame:
+    """TPC-H Q11 shape: parts whose stock value at one nation's suppliers
+    exceeds a fraction of that nation's total (HAVING vs scalar subquery).
+
+    Adaptation: value = Σ extprice·(1−disc) over the nation's lineitems
+    per part (partsupp availqty·supplycost surrogate).
+
+    Scale plan: nation-filtered supplier broadcasts; one partkey shuffle
+    for the per-part aggregate; the grand total is a 1-row broadcast and
+    the threshold compare is multiplied through (denom·value > total) so
+    it stays exact DECIMAL — no float-fraction boundary.
+    """
+    supp = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    li = lineitem.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(_rev_dec()).alias("_value"))
+    # revenue terms are ≤4dp exact (2dp·2dp products), so the narrowing
+    # casts below lose nothing; tight precisions keep the multiply-through
+    # compare under Spark's 38-digit cap → exact on both engines
+    total = per_part.agg(F.sum("_value").cast("decimal(30,6)").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("_value").cast("decimal(28,6)")
+            * F.lit(fraction_denom).cast("decimal(4,0)")
+            > F.col("_total")
+        )
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.round("_value", 2).cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+def q16_supplier_part_count(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    excluded_brand: str = "Brand#11",
+    excluded_type_prefix: str = "STANDARD",
+    sizes: tuple = (5, 10, 15, 20, 25, 30, 35, 40),
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    excluding one brand/type-prefix and "complaint" suppliers.
+
+    Adaptation: the part↔supplier relation comes from lineitem;
+    "customer complaints" ← s_acctbal < 0 (the testdata has no comment
+    column). Shape preserved: NOT-IN → left-anti join + COUNT(DISTINCT).
+
+    Scale plan: filtered part broadcasts onto the lineitem-derived pairs;
+    complaint suppliers are a tiny broadcast anti-join; the distinct
+    count shuffles once on the 3-part group key after a map-side
+    pair-dedup partial.
+    """
+    pf = part.filter(
+        (F.col("p_brand") != excluded_brand)
+        & (~F.col("p_type").startswith(excluded_type_prefix))
+        & (F.col("p_size").isin(list(sizes)))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    complaints = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(complaints),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q20_excess_suppliers(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_18",
+    name_pattern: str = "red%",
+    d0: str = "1996-01-01",
+    d1: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation holding "excess" stock of
+    name-matched parts (nested IN-subquery chain → semi-join chain).
+
+    Adaptation: availqty > ½·shipped ← a supplier qualifies when its
+    shipped quantity of a matched part in the window exceeds ½ of that
+    part's per-supplier average (window over the same partkey exchange).
+
+    Scale plan: innermost filter (part LIKE) broadcasts; the per-(part,
+    supp) aggregate and the per-part average share one partkey-prefixed
+    shuffle; qualifying (part,supp) pairs collapse to a distinct suppkey
+    semi-join against the nation-filtered supplier dim.
+    """
+    pf = part.filter(F.col("p_name").like(name_pattern)).select("p_partkey")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(d0).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(d1).cast("timestamp"))
+    ).join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    # repartition on l_partkey alone serves both the 2-key groupBy and
+    # the per-part window below — one exchange (see q2_min_cost_supplier)
+    per_ps = (
+        li.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(qty).alias("_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    # excess ⟺ qty > ½·(part_total/n_supp) ⟺ 2·qty·n_supp > part_total (exact;
+    # tight decimal precisions keep the product under the 38-digit cap)
+    part_total = F.sum("_qty").over(w)
+    n_supp = F.count(F.lit(1)).over(w)
+    qualifying = (
+        per_ps.withColumn("_pt", part_total)
+        .withColumn("_ns", n_supp)
+        .filter(
+            F.lit(2).cast("decimal(2,0)")
+            * F.col("_qty")
+            * F.col("_ns").cast("decimal(9,0)")
+            > F.col("_pt")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        supp.join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 def q22_lapsed_customers(
     customer: DataFrame,
     orders: DataFrame,
