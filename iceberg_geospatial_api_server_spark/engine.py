@@ -71,24 +71,112 @@ def sanitize_order(order_by: str) -> list:
     return cols
 
 
+_SORTABLE_TYPES = {
+    "integer", "long", "short", "byte", "float", "double", "decimal",
+    "string", "date", "timestamp", "timestamp_ntz", "boolean", "binary",
+}
+
+# Buckets for the distributed rank. 64 keeps the offset map tiny on
+# local[32]; a 1000-executor deployment would raise this toward
+# defaultParallelism so each bucket's sort fits one task.
+_OID_BUCKETS = 64
+
+
+def _default_oid_order(df: DataFrame) -> list[str]:
+    """Total order over every sortable column (schema order) so OIDs never
+    depend on plan/partition order even when no single column is unique."""
+    cols = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in _SORTABLE_TYPES
+    ]
+    return cols or [df.columns[0]]
+
+
 def with_oid(df: DataFrame, order_cols: list[str] | None = None) -> DataFrame:
     """Stable global OIDs (ref engine.py:367-372 numbered CTE).
 
     The reference numbers an in-memory Arrow table in scan order; the
-    distributed equivalent needs an explicit total order, so we number by
-    the id-ish columns (deterministic across queries — the property QGIS
-    identify relies on). NOTE: a global row_number is a single-partition
-    sort at scale — production tables should persist __oid at ingest
-    (identity column); the engine skips this step when __oid exists.
+    distributed equivalent ranks rows under an explicit content-based total
+    order (all sortable columns by default) so the ids-only → objectIds
+    round-trip is deterministic across queries and plans.
+
+    Scale path: a bare ``row_number().over(Window.orderBy(...))`` funnels
+    the whole table through ONE partition. Instead we rank in parallel:
+
+    1. deterministic quantile cutpoints on the leading key (driver gets
+       ~``_OID_BUCKETS`` doubles, never rows),
+    2. order-preserving bucket id per row (JVM higher-order function),
+    3. per-bucket counts (collect ≤ ``_OID_BUCKETS`` rows) → cumulative
+       offsets,
+    4. ``row_number`` windowed *per bucket* (parallel shuffle on the
+       bucket id) + the bucket's offset.
+
+    Any order-preserving bucketing yields the same final rank, so slight
+    quantile drift between sessions cannot change an OID. Falls back to
+    the global window only when the leading key is non-numeric (the
+    bucketing needs approxQuantile). Production tables should still
+    persist ``__oid`` at ingest; the engine skips this step when it exists.
     """
     if "__oid" in df.columns:
         return df
-    order_cols = order_cols or [
-        f.name for f in df.schema.fields
-        if f.dataType.typeName() in ("integer", "long")
-    ][:1] or [df.columns[0]]
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
-    return df.withColumn("__oid", (F.row_number().over(w) - 1).cast("int"))
+    cached = getattr(df, "_sg_oid_df", None)
+    if cached is not None:
+        return cached
+    order_cols = order_cols or _default_oid_order(df)
+    key0 = order_cols[0]
+    key0_type = df.schema[key0].dataType.typeName()
+    numeric = key0_type in {
+        "integer", "long", "short", "byte", "float", "double", "decimal",
+    }
+    sort_exprs = [F.col(c) for c in order_cols]
+
+    if not numeric:
+        w = Window.orderBy(*sort_exprs)
+        out = df.withColumn("__oid", (F.row_number().over(w) - 1).cast("int"))
+        df._sg_oid_df = out
+        return out
+
+    probs = [i / _OID_BUCKETS for i in range(1, _OID_BUCKETS)]
+    cuts = sorted(
+        {float(c) for c in df.stat.approxQuantile(key0, probs, 0.001)}
+    )
+    if cuts:
+        cut_arr = F.array(*[F.lit(c) for c in cuts])
+        key_as_d = F.col(key0).cast("double")
+        bucket = F.size(F.filter(cut_arr, lambda c: key_as_d > c))
+    else:  # constant/empty leading key → single bucket
+        bucket = F.lit(0)
+    tagged = df.withColumn("__bkt", bucket)
+
+    counts = {
+        r["__bkt"]: r["cnt"]
+        for r in tagged.groupBy("__bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    if not offsets:
+        offsets = {0: 0}
+    offset_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+
+    w = Window.partitionBy("__bkt").orderBy(*sort_exprs)
+    out = (
+        tagged.withColumn(
+            "__oid",
+            (
+                F.element_at(offset_map, F.col("__bkt"))
+                + F.row_number().over(w)
+                - 1
+            ).cast("int"),
+        )
+        .drop("__bkt")
+    )
+    df._sg_oid_df = out
+    return out
 
 
 def _build_select(df: DataFrame, params: QueryParams, geom_col: str | None) -> list[str]:

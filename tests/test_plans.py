@@ -177,3 +177,26 @@ def test_q13_outer_join_survives_to_plan(tables):
 
     plan = _plan(q13_customer_distribution(tables["customer"], tables["orders"]))
     assert "LeftOuter" in plan or "RightOuter" in plan, plan
+
+
+def test_with_oid_no_single_partition_exchange(tables):
+    """OID assignment must rank in parallel: the fq_attribute_filter plan
+    may not funnel the fact table through Exchange SinglePartition (the
+    window runs per quantile-bucket instead)."""
+    from iceberg_geospatial_api_server_spark.engine import query_features
+    from iceberg_geospatial_api_server_spark.models import QueryParams
+
+    res = query_features(
+        tables["lineitem"],
+        QueryParams(
+            where="l_quantity > 45.0",
+            out_fields="l_orderkey,l_linenumber,l_quantity",
+            return_geometry=False,
+            limit=50,
+        ),
+        oid_order=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                   "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+    plan = _plan(res.features)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(__bkt" in plan, plan
