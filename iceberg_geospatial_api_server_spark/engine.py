@@ -25,28 +25,85 @@ from iceberg_geospatial_api_server_spark.geo import functions as G
 from iceberg_geospatial_api_server_spark.geo import wkb as W
 from iceberg_geospatial_api_server_spark.models import QueryParams, QueryResult
 
-# Sanitization rules — same allowlist posture as the reference
-# (engine.py:33-45, 539-563).
-_FORBIDDEN_KEYWORDS = re.compile(
-    r"\b(DROP|DELETE|INSERT|UPDATE|CREATE|ALTER|EXEC|EXECUTE|UNION|"
-    r"TRUNCATE|GRANT|REVOKE|MERGE|CALL|COPY|ATTACH|DETACH|PRAGMA)\b",
-    re.IGNORECASE,
-)
+# WHERE sanitization. The reference blocklists keywords
+# (engine.py:33-45, 539-563) against DuckDB; compiling client text with
+# F.expr against Spark SQL exposes a much larger builtin surface
+# (java_method/reflect can invoke arbitrary static Java methods), so we
+# use a token-level ALLOWLIST instead: column refs, literals,
+# comparison/boolean operators, IN/BETWEEN/LIKE/IS NULL, arithmetic, and
+# a short approved function list. Anything else — in particular any
+# function call not on the list — is rejected.
 _FORBIDDEN_PATTERNS = re.compile(r"(--|/\*|\*/|;)")
+
+_WHERE_TOKEN = re.compile(
+    r"""
+      \s+
+    | '(?:[^']|'')*'                  # string literal ('' escape)
+    | \d+(?:\.\d+)?(?:[eE][+-]?\d+)?  # numeric literal
+    | [a-zA-Z_][a-zA-Z0-9_]*          # identifier / keyword
+    | <= | >= | <> | != | = | < | >
+    | [(),+\-*/%.]
+    """,
+    re.VERBOSE,
+)
+
+_WHERE_KEYWORDS = {
+    "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE", "ILIKE", "ESCAPE",
+    "IS", "NULL", "TRUE", "FALSE", "TIMESTAMP", "DATE",
+}
+_WHERE_FUNCS = {
+    "UPPER", "LOWER", "ABS", "ROUND", "FLOOR", "CEIL", "COALESCE",
+    "LENGTH", "TRIM", "SUBSTRING", "CAST",
+}
+# DML/DDL verbs can never appear in a valid scalar predicate; rejecting
+# them outright gives clearer errors than Catalyst's parse failure.
+_WHERE_DENY = {
+    "DROP", "DELETE", "INSERT", "UPDATE", "CREATE", "ALTER", "EXEC",
+    "EXECUTE", "UNION", "TRUNCATE", "GRANT", "REVOKE", "MERGE", "CALL",
+    "COPY", "ATTACH", "DETACH", "PRAGMA", "SET",
+}
 
 _INTERNAL_COLS = {"__oid", "__bbox_xmin", "__bbox_ymin", "__bbox_xmax", "__bbox_ymax"}
 
 
 def sanitize_where(where: str) -> str:
-    """Ref engine.py:539-563 _sanitize_where."""
+    """Allowlist-validate a client WHERE clause (ref engine.py:539-563
+    _sanitize_where, hardened for Spark's builtin surface)."""
     if not where or not where.strip():
         return "1=1"
     if _FORBIDDEN_PATTERNS.search(where):
         raise ValueError(f"Forbidden pattern in WHERE clause: {where}")
-    if _FORBIDDEN_KEYWORDS.search(where):
-        raise ValueError(f"Forbidden keyword in WHERE clause: {where}")
-    if re.search(r"\bSELECT\b", where, re.IGNORECASE):
-        raise ValueError(f"Subqueries not allowed in WHERE clause: {where}")
+
+    tokens, pos = [], 0
+    while pos < len(where):
+        m = _WHERE_TOKEN.match(where, pos)
+        if not m:
+            raise ValueError(
+                f"Unsupported character {where[pos]!r} in WHERE clause: {where}"
+            )
+        tok = m.group(0)
+        if tok.strip():
+            tokens.append(tok)
+        pos = m.end()
+
+    for i, tok in enumerate(tokens):
+        if not re.match(r"^[a-zA-Z_]", tok):
+            continue
+        up = tok.upper()
+        if up in ("SELECT", "EXISTS"):
+            raise ValueError(f"Subqueries not allowed in WHERE clause: {where}")
+        if up in _WHERE_DENY:
+            raise ValueError(f"Forbidden keyword in WHERE clause: {where}")
+        if up in _WHERE_KEYWORDS:
+            continue
+        is_call = i + 1 < len(tokens) and tokens[i + 1] == "("
+        if is_call:
+            if up not in _WHERE_FUNCS:
+                raise ValueError(
+                    f"Function {tok!r} not allowed in WHERE clause: {where}"
+                )
+        # bare identifier → column reference (validated against the
+        # schema by Catalyst's analyzer; unknown columns fail there)
     return where
 
 
@@ -54,7 +111,7 @@ def sanitize_order(order_by: str) -> list:
     """Ref engine.py:566-596 _sanitize_order → list of Column sort exprs."""
     if not order_by:
         return []
-    if _FORBIDDEN_PATTERNS.search(order_by) or _FORBIDDEN_KEYWORDS.search(order_by):
+    if _FORBIDDEN_PATTERNS.search(order_by):
         raise ValueError(f"Forbidden pattern in ORDER BY: {order_by}")
     cols = []
     for part in order_by.split(","):

@@ -108,6 +108,12 @@ def test_exceeded_transfer_limit_false_when_exact(li):
         "l_quantity IN (SELECT 1)",
         "DELETE FROM x",
         "a /* b */ c",
+        "java_method('java.lang.System','getenv','HOME') LIKE 'A%'",
+        "reflect('java.lang.Thread','currentThread') IS NULL",
+        "assert_true(l_quantity > 0)",
+        "l_quantity = 1 OR raise_error('boom') IS NULL",
+        'a = "b"',
+        "a = `b`",
     ],
 )
 def test_where_sanitizer_rejects(bad):
