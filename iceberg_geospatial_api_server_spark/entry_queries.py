@@ -1702,7 +1702,9 @@ def corpus_clean_q(spark, sf_dir):
 
 # --- deterministic sampling (training-data curation) -----------------------
 
-_IDHASH = "(({id} * 2654435761) % 2147483647)"
+# Overflow-safe modular form of (id * 2654435761) % 2147483647 — matches
+# operators.sampling.id_hash for any 64-bit id (506952114 = K mod M).
+_IDHASH = "((({id} % 2147483647) * 506952114) % 2147483647)"
 
 
 @_q(

@@ -2,10 +2,14 @@
 
 Random sampling is useless in a reproducible data pipeline — re-runs must
 select the same rows, and an engine swap must not change the corpus. All
-selection here is by a portable multiplicative hash of the row id
-(`(id * 2654435761) % 2147483647` — Knuth's constant, exact in 64-bit
-integer arithmetic on any engine), so every sample is a pure filter or a
-per-group window: no RAND(), no state, reproducible everywhere.
+selection here is by a portable multiplicative hash of the row id —
+`(id * 2654435761) % 2147483647` (Knuth's constant) evaluated in
+overflow-safe modular form `((id mod M) * (K mod M)) mod M`, so the
+intermediate product stays below 2^61 for ANY 64-bit id (the naive
+product overflows for ids ≥ ~3.5e9, which under ANSI SQL throws and
+under wrap-around silently admits every row). Every sample is a pure
+filter or a per-group window: no RAND(), no state, reproducible
+everywhere.
 
 At 100 TB: fraction sampling is a scan-stage filter (no shuffle);
 per-group sampling shuffles once on the group key with partial top-k
@@ -20,11 +24,18 @@ from pyspark.sql import functions as F
 
 KNUTH = 2654435761
 MERSENNE = 2147483647
+_KNUTH_MOD = KNUTH % MERSENNE  # 506952114
 
 
 def id_hash(id_col: Column) -> Column:
-    """Portable multiplicative hash of an integral id (exact in 64-bit)."""
-    return (id_col.cast("long") * F.lit(KNUTH)) % F.lit(MERSENNE)
+    """Portable multiplicative hash of an integral id.
+
+    Modular form of ``(id * KNUTH) % MERSENNE``: reducing both factors
+    first bounds the product by (M-1)·(K mod M) < 2^61, so the hash is
+    exact for any 64-bit id and never trips ANSI overflow; ``pmod``
+    keeps negative ids in [0, M)."""
+    m = F.lit(MERSENNE)
+    return F.pmod(F.pmod(id_col.cast("long"), m) * F.lit(_KNUTH_MOD), m)
 
 
 def sample_fraction(

@@ -37,3 +37,22 @@ def test_weighted_mixture_rates(tables):
     assert "en" not in langs and "de" in langs
     n_de = mixed.filter(F.col("lang") == "de").count()
     assert n_de == docs.filter(F.col("lang") == "de").count(), "rate 1.0 keeps all"
+
+
+def test_id_hash_safe_for_huge_ids(spark):
+    """ids ≥ ~3.5e9 overflowed the naive product (ANSI throw / silent
+    wrap); the modular form must stay exact for any 64-bit id."""
+    from iceberg_geospatial_api_server_spark.operators.sampling import (
+        MERSENNE, id_hash, sample_fraction,
+    )
+    from pyspark.sql import functions as F
+
+    ids = [2**62 + i * 9_999_999_937 for i in range(200)] + [0, -5, 2**63 - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    hashes = [r.h for r in df.select(id_hash(F.col("doc_id")).alias("h")).collect()]
+    assert all(0 <= h < MERSENNE for h in hashes)
+    # modular form must equal the exact bignum product (Python int is exact)
+    expected = [(i * 2654435761) % MERSENNE for i in ids]
+    assert hashes == expected
+    kept = sample_fraction(df, 0.5).count()
+    assert 0 < kept < len(ids)
