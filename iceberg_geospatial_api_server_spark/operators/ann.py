@@ -36,6 +36,45 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda v: v.cast("double"))
 
 
+def _seed_vectors(
+    df: DataFrame, id_col: str, vec_col: str, k: int, oversample: int = 32
+) -> np.ndarray:
+    """Pick k deterministic, well-spread seed vectors WITHOUT collecting
+    ids to the driver (the round-1 version collected every distinct id —
+    fatal at 100 TB).
+
+    Distributed selection: hash-threshold filter admits ~k·oversample
+    rows (scan-stage, content-based, deterministic), then the k smallest
+    (hash, id) survive via orderBy+limit — Spark compiles that to
+    TakeOrderedAndProject (parallel partial top-k, no global sort). Only
+    the k seed vectors ever reach the driver."""
+    from iceberg_geospatial_api_server_spark.operators.sampling import (
+        MERSENNE,
+        id_hash,
+    )
+
+    n = df.count()
+    if n == 0:
+        raise ValueError("cannot seed from an empty corpus")
+    frac = min(1.0, (k * oversample) / n)
+    h = id_hash(F.col(id_col))
+    cand = df.select(id_col, vec_col)
+    if frac < 1.0:
+        cand = cand.filter(h < F.lit(int(frac * MERSENNE)))
+    rows = cand.orderBy(h.asc(), F.col(id_col).asc()).limit(k).collect()
+    if len(rows) < k and frac < 1.0:  # pathological hash clustering
+        rows = (
+            df.select(id_col, vec_col)
+            .orderBy(h.asc(), F.col(id_col).asc())
+            .limit(k)
+            .collect()
+        )
+    cent = np.array([[float(v) for v in r[1]] for r in rows], dtype="f8")
+    norms = np.linalg.norm(cent, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return cent / norms
+
+
 def brute_force_topk(
     base: DataFrame,
     queries: DataFrame,
@@ -113,8 +152,9 @@ def ivf_topk(
     centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: a deterministic coarse quantizer
-    (nlist centroids drawn by stride from the base set — the k-means-free
-    variant; plug a trained codebook in the same slot for tighter cells),
+    (nlist centroids drawn by distributed hash-threshold sample from the
+    base set — the k-means-free variant; plug a trained codebook in the
+    same slot for tighter cells),
     base vectors partitioned into inverted lists by nearest centroid,
     queries probe their `nprobe` closest lists, exact cosine re-rank on
     candidates.
@@ -126,18 +166,7 @@ def ivf_topk(
         cent = np.asarray(centroids, dtype="f8")
         cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
     else:
-        ids = sorted(
-            r[0] for r in base.select(id_col).distinct().collect()
-        )
-        stride = max(len(ids) // nlist, 1)
-        centroid_ids = ids[::stride][:nlist]
-        cent_rows = (
-            base.filter(F.col(id_col).isin(centroid_ids))
-            .select(id_col, vec_col)
-            .collect()
-        )
-        cent = np.array([[float(v) for v in r[1]] for r in cent_rows], dtype="f8")
-        cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+        cent = _seed_vectors(base, id_col, vec_col, nlist)
 
     assign1 = _ivf_assign_kernel(cent, 1)
     assignN = _ivf_assign_kernel(cent, nprobe)
@@ -330,8 +359,9 @@ def kmeans_fit(
     `avg(embedding[i])` per dimension per cluster — d JVM aggregate
     expressions with map-side partial aggregation, so the single shuffle
     carries k×d partial sums regardless of corpus size (no explode row
-    multiplication). Deterministic: stride-sampled init over sorted ids,
-    fixed iteration count, empty clusters keep their previous centroid.
+    multiplication). Deterministic: hash-threshold seed selection
+    (distributed, never collects ids — see _seed_vectors), fixed
+    iteration count, empty clusters keep their previous centroid.
 
     Returns (centroids ndarray (k,d) L2-normalized, assignments DataFrame
     [id, cell, sim], total_inertia float = Σ(1 - cos_sim)).
@@ -340,15 +370,7 @@ def kmeans_fit(
         dim = len(df.select(vec_col).first()[0])
     base = df.select(id_col, _as_double(F.col(vec_col)).alias("__v"))
 
-    ids = sorted(r[0] for r in df.select(id_col).distinct().collect())
-    stride = max(len(ids) // k, 1)
-    seed_ids = ids[::stride][:k]
-    seed_rows = (
-        df.filter(F.col(id_col).isin(seed_ids)).select(id_col, vec_col).collect()
-    )
-    seed_rows.sort(key=lambda r: r[0])
-    cent = np.array([[float(v) for v in r[1]] for r in seed_rows], dtype="f8")
-    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    cent = _seed_vectors(df, id_col, vec_col, k)
 
     assigned = None
     for _ in range(iters):
