@@ -209,24 +209,32 @@ def dedup_minhash_lsh(
     from iceberg_geospatial_api_server_spark.util import spread
 
     nbands = num_hashes // band_size
-    toks = F.split(F.col(text_col), " ")
+
     # spread BEFORE shingling: the shingle/minhash folds are CPU-bound JVM
     # codegen, so unlike the pandas-UDF stages (where the shuffle +
     # python-worker fan-out costs more than it buys) parallelizing a
     # single-row-group scan wins here (bench: ~5s → ~3.2s at sf0.1).
-    # cache: the shingle arrays feed three plan branches (signature bands,
-    # verify-left, verify-right) — without it the char-level hash fold
-    # recomputes per branch (bench.py-measured 3x)
-    shingled = (
-        spread(df).select(
-            F.col(id_col),
-            F.array_distinct(fast_shingle_hashes(toks, shingle_k)).alias("__sh"),
+    def _shingled(src: DataFrame) -> DataFrame:
+        return (
+            spread(src)
+            .select(
+                F.col(id_col),
+                F.array_distinct(
+                    fast_shingle_hashes(F.split(F.col(text_col), " "), shingle_k)
+                ).alias("__sh"),
+            )
+            .filter(F.size("__sh") > 0)
         )
-        .filter(F.size("__sh") > 0)
+
+    # Cache SIGNATURES, not shingle arrays: id + num_hashes longs per doc
+    # (~150 B) vs the full shingle set (~KBs) — the round-1 version cached
+    # the shingled corpus, an executor-memory hazard at 100 TB. Both sides
+    # of the band self-join read this one cached frame, so the corpus is
+    # shingled exactly once here.
+    sig = (
+        _shingled(df)
+        .select(id_col, minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
         .cache()
-    )
-    sig = shingled.select(
-        id_col, "__sh", minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
     )
 
     bands = sig.select(
@@ -247,15 +255,30 @@ def dedup_minhash_lsh(
 
     left = bands.select(F.col(id_col).alias("id_a"), "band", "bsig")
     right = bands.select(F.col(id_col).alias("id_b"), "band", "bsig")
+    # candidate pairs are ~linear in true duplicates — cache them: they
+    # feed both the id-set semi-join and the verify join below
     cand = (
         left.join(right, on=["band", "bsig"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .cache()
     )
 
-    ga = shingled.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__ga"))
-    gb = shingled.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__gb"))
+    # exact-verify needs shingle sets only for docs that appear in a
+    # candidate pair — semi-join the corpus down first, then re-shingle
+    # just those docs (second corpus *scan*, but shingle compute only on
+    # the candidate slice)
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    # cached: consumed twice (ga/gb); size is bounded by the candidate
+    # set, not the corpus
+    needed = _shingled(df.join(cand_ids, on=id_col, how="leftsemi")).cache()
+    ga = needed.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__ga"))
+    gb = needed.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__gb"))
     verified = cand.join(ga, "id_a").join(gb, "id_b")
     inter = F.size(F.array_intersect("__ga", "__gb")).cast("double")
     union = (F.size("__ga") + F.size("__gb") - inter).cast("double")
@@ -351,40 +374,58 @@ def dedup_simhash(
 
 
 def connected_components_smallest_id(
-    pairs: DataFrame, max_iters: int = 20
+    pairs: DataFrame, max_iters: int = 20, check_every: int = 5
 ) -> DataFrame:
     """Duplicate-cluster assignment: iterative smallest-id label
-    propagation over the pair graph (bounded iterations; each round is two
-    shuffles). Checkpoint-friendly; at 100 TB run on the candidate-pair
-    output whose size is ~linear in true duplicates."""
+    propagation over the pair graph (each round is two shuffles). At
+    100 TB run on the candidate-pair output, whose size is ~linear in
+    true duplicates.
+
+    Scale posture: the edge set is checkpointed once (it is re-read every
+    round), labels are localCheckpoint'ed every ``check_every`` rounds so
+    lineage/plan size stays O(check_every) instead of O(iterations), and
+    convergence is tested once per block — not per round — so a
+    converged graph costs at most ``check_every - 1`` extra cheap rounds
+    instead of one extra *action* per round."""
     edges = (
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
+        .localCheckpoint()
     )
-    for _ in range(max_iters):
-        prop = (
-            edges.join(labels, edges.a == labels.id)
-            .select(F.col("b").alias("id"), F.col("comp"))
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp_new"))
-        )
-        merged = labels.join(prop, "id", "left").select(
-            "id",
-            F.least(F.col("comp"), F.coalesce("comp_new", F.col("comp"))).alias("comp"),
-        )
+    done = 0
+    while done < max_iters:
+        block_start = labels  # checkpointed snapshot for the batched check
+        steps = min(check_every, max_iters - done)
+        for _ in range(steps):
+            prop = (
+                edges.join(labels, edges.a == labels.id)
+                .select(F.col("b").alias("id"), F.col("comp"))
+                .groupBy("id")
+                .agg(F.min("comp").alias("comp_new"))
+            )
+            labels = labels.join(prop, "id", "left").select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("comp_new", F.col("comp"))
+                ).alias("comp"),
+            )
+        done += steps
+        labels = labels.localCheckpoint()  # truncate lineage, one action
         changed = (
-            merged.join(labels.withColumnRenamed("comp", "old"), "id")
+            labels.join(
+                block_start.withColumnRenamed("comp", "old"), "id"
+            )
             .filter(F.col("comp") != F.col("old"))
             .limit(1)
             .count()
         )
-        labels = merged
         if changed == 0:
             break
     return labels
