@@ -281,23 +281,46 @@ def query_features(
         fxmin, fymin, fxmax, fymax = W.bbox(gbuf)
         if "__bbox_xmin" not in numbered.columns and geom_col:
             numbered = G.with_bbox(numbered, geom_col)
-        # bbox pre-filter for every relation
-        cond = cond & G.bbox_intersects(fxmin, fymin, fxmax, fymax)
+        # bbox pre-filter for every relation ('contains' needs the filter
+        # inside the feature, so feature bbox must COVER the filter bbox —
+        # still a pushable envelope test, just the containment direction)
+        if params.spatial_rel == "contains":
+            cond = cond & (
+                (F.col("__bbox_xmin") <= F.lit(fxmin))
+                & (F.col("__bbox_xmax") >= F.lit(fxmax))
+                & (F.col("__bbox_ymin") <= F.lit(fymin))
+                & (F.col("__bbox_ymax") >= F.lit(fymax))
+            )
+        else:
+            cond = cond & G.bbox_intersects(fxmin, fymin, fxmax, fymax)
         code = W.geometry_type_code(gbuf)
-        if code in (W.POLYGON, W.MULTIPOLYGON) and params.spatial_rel in (
-            "intersects",
-            "within",
-        ):
-            # exact test for point features against the filter polygon;
-            # non-point features keep the bbox semantics (reference parity:
-            # its fallback path tests shapely predicates per row).
-            is_pt = (F.col("__bbox_xmin") == F.col("__bbox_xmax")) & (
-                F.col("__bbox_ymin") == F.col("__bbox_ymax")
-            )
-            exact = G.st_contains_point(
-                F.lit(bytearray(gbuf)), F.col("__bbox_xmin"), F.col("__bbox_ymin")
-            )
-            cond = cond & (~is_pt | exact)
+        if code in (W.POLYGON, W.MULTIPOLYGON):
+            if params.spatial_rel not in ("intersects", "within", "contains"):
+                raise ValueError(
+                    f"unsupported spatial_rel: {params.spatial_rel}"
+                )
+            if geom_col:
+                # exact per-feature kernel for ALL geometry types (ref
+                # engine.py:599-647 runs shapely exact per feature); the
+                # pandas UDF only sees bbox-surviving candidates. Point
+                # features skip WKB decode via the cheap ray-cast on the
+                # __bbox center (a point's bbox IS the point).
+                is_pt = (F.col("__bbox_xmin") == F.col("__bbox_xmax")) & (
+                    F.col("__bbox_ymin") == F.col("__bbox_ymax")
+                )
+                if params.spatial_rel == "contains":
+                    exact = G.st_relates_const(gbuf, "contains")(F.col(geom_col))
+                    cond = cond & (~is_pt) & exact
+                else:
+                    pt_exact = G.st_contains_point(
+                        F.lit(bytearray(gbuf)),
+                        F.col("__bbox_xmin"),
+                        F.col("__bbox_ymin"),
+                    )
+                    shape_exact = G.st_relates_const(
+                        gbuf, params.spatial_rel
+                    )(F.col(geom_col))
+                    cond = cond & F.when(is_pt, pt_exact).otherwise(shape_exact)
 
     # attribute WHERE (engine.py:359-362)
     if params.where:

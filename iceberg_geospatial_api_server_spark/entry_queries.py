@@ -13,6 +13,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from iceberg_geospatial_api_server_spark.sources.synthetic import (
+    LI_X as _SYN_LI_X,
+    LI_Y as _SYN_LI_Y,
+)
+
 QUERIES: dict = {}
 ORACLES: dict = {}
 
@@ -648,6 +653,50 @@ def fq_geom(spark, sf_dir):
     )
     res = query_features(
         geoms,
+        QueryParams(
+            geometry_filter=wkt,
+            spatial_rel="intersects",
+            out_fields="l_orderkey,l_linenumber",
+            return_geometry=False,
+            limit=None,
+        ),
+        oid_order=_OID_ORDER,
+    )
+    return res.features
+
+
+@_q(
+    "fq_geometry_filter_rects",
+    f"""
+    SELECT __oid, l_orderkey, l_linenumber
+    FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_shipdate) - 1 AS INT)
+                   AS __oid,
+                 l_orderkey, l_linenumber,
+                 ({_SYN_LI_X}) - 1.95 AS rxmin, ({_SYN_LI_X}) + 1.95 AS rxmax,
+                 ({_SYN_LI_Y}) - 1.45 AS rymin, ({_SYN_LI_Y}) + 1.45 AS rymax
+          FROM lineitem) n
+    WHERE (rxmax > -60 AND rxmin < 0 AND rymax > -30 AND rymin < 35)
+       OR (rxmax > 0 AND rxmin < 40 AND rymax > -30 AND rymin < 0)
+    """,
+)
+def fq_geom_rects(spark, sf_dir):
+    """Polygon features × CONCAVE polygon filter — the exact non-point
+    path (an L-shaped filter: its bbox covers the notch, so bbox
+    semantics alone would return false positives there; the oracle is the
+    union-of-two-rectangles arithmetic, which the exact kernel must
+    reproduce)."""
+    from iceberg_geospatial_api_server_spark.engine import query_features
+    from iceberg_geospatial_api_server_spark.models import QueryParams
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        lineitem_rect_geoms,
+    )
+
+    rects = lineitem_rect_geoms(_t(spark, sf_dir, "lineitem"))
+    wkt = (
+        "POLYGON ((-60 -30, 40 -30, 40 0, 0 0, 0 35, -60 35, -60 -30))"
+    )
+    res = query_features(
+        rects,
         QueryParams(
             geometry_filter=wkt,
             spatial_rel="intersects",
@@ -1775,6 +1824,7 @@ _ORACLED_OVERFLOW = [
     "geo_mercator",  # closed-form projection; exercised by outSR route tests
     "doc_length_histogram",  # width_bucket agg; subset of text_profile
     "part_type_stats",  # simple group-agg; subsumed by q14/q19 part joins
+    "geo_extent",  # 4-value min/max agg; pinned by with_bbox + route tests
 ]
 
 

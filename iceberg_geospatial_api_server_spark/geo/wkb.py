@@ -66,6 +66,27 @@ def encode_multipoint(coords) -> bytes:
     return encode_multi(MULTIPOINT, [encode_point(x, y) for x, y in coords])
 
 
+def rects_to_wkb_np(
+    xmin: np.ndarray, ymin: np.ndarray, xmax: np.ndarray, ymax: np.ndarray
+) -> list[bytes]:
+    """Vectorized axis-aligned-rectangle polygon encoder: one (n, 93)
+    byte matrix (header + 1 ring + 5 closed vertices), no per-row pack."""
+    n = len(xmin)
+    buf = np.empty((n, 93), dtype=np.uint8)
+    buf[:, 0] = 1
+    buf[:, 1:5] = np.frombuffer(struct.pack("<I", POLYGON), dtype=np.uint8)
+    buf[:, 5:9] = np.frombuffer(struct.pack("<I", 1), dtype=np.uint8)
+    buf[:, 9:13] = np.frombuffer(struct.pack("<I", 5), dtype=np.uint8)
+    ring = np.empty((n, 5, 2), dtype="<f8")
+    ring[:, 0, 0] = xmin; ring[:, 0, 1] = ymin
+    ring[:, 1, 0] = xmax; ring[:, 1, 1] = ymin
+    ring[:, 2, 0] = xmax; ring[:, 2, 1] = ymax
+    ring[:, 3, 0] = xmin; ring[:, 3, 1] = ymax
+    ring[:, 4, 0] = xmin; ring[:, 4, 1] = ymin
+    buf[:, 13:93] = ring.view(np.uint8).reshape(n, 80)
+    return [r.tobytes() for r in buf]
+
+
 def points_to_wkb_np(xs: np.ndarray, ys: np.ndarray) -> list[bytes]:
     """Vectorized point encoder: one (n, 21) byte matrix, no per-row pack."""
     n = len(xs)

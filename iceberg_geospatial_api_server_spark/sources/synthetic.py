@@ -13,6 +13,7 @@ then never disagree between ray-casting and closed-interval comparisons).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -126,6 +127,40 @@ def nation_rect_polygons(nation: DataFrame) -> DataFrame:
     # on first action just to deserialize 25 rows
     pdf = pd.DataFrame.from_records(out_rows, columns=[f.name for f in schema.fields])
     return nation.sparkSession.createDataFrame(pdf, schema).coalesce(1)
+
+
+# lineitem rectangles: centered on the point grid, half-extents chosen so
+# edges land on .05 offsets (never coincide with integer filter bounds)
+LI_RECT_HW = 1.95
+LI_RECT_HH = 1.45
+
+
+def lineitem_rect_geoms(lineitem: DataFrame) -> DataFrame:
+    """One axis-aligned rectangle polygon (WKB) per lineitem row —
+    polygon-typed features for the exact geometry-filter path.
+
+    Keeps every lineitem column (the deterministic OID needs the full
+    unique composite key). Encode is the vectorized numpy rect codec in
+    an Arrow-batched pandas UDF: scan-stage, no shuffle."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from iceberg_geospatial_api_server_spark.geo import wkb as W
+
+    @pandas_udf(T.BinaryType())
+    def _rect(x: pd.Series, y: pd.Series) -> pd.Series:
+        xs = x.to_numpy("f8")
+        ys = y.to_numpy("f8")
+        return pd.Series(
+            W.rects_to_wkb_np(
+                xs - LI_RECT_HW, ys - LI_RECT_HH,
+                xs + LI_RECT_HW, ys + LI_RECT_HH,
+            )
+        )
+
+    return lineitem.withColumn(
+        "geometry", _rect(F.expr(LI_X), F.expr(LI_Y))
+    )
 
 
 def lineitem_point_geoms(lineitem: DataFrame) -> DataFrame:

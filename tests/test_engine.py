@@ -147,3 +147,47 @@ def test_out_fields_projection(li):
         oid_order=OID_ORDER,
     )
     assert res.features.columns == ["__oid", "l_orderkey", "l_quantity"]
+
+
+def test_geometry_filter_exact_nonpoint(spark, tables):
+    """Exact polygon-feature semantics: a rect wholly in the L-filter's
+    bbox NOTCH must be excluded (bbox semantics would keep it), and
+    spatial_rel contains/within work on polygon features."""
+    import numpy as np
+
+    from iceberg_geospatial_api_server_spark.geo import wkb as W
+    from iceberg_geospatial_api_server_spark.engine import query_features
+    from iceberg_geospatial_api_server_spark.models import QueryParams
+
+    def rect(xmin, ymin, xmax, ymax):
+        return W.encode_polygon([
+            np.array([[xmin, ymin], [xmax, ymin], [xmax, ymax],
+                      [xmin, ymax], [xmin, ymin]], dtype="f8")
+        ])
+
+    rows = [
+        (1, rect(-50.0, -20.0, -40.0, -10.0)),   # inside the L arm
+        (2, rect(10.0, 10.0, 20.0, 20.0)),       # inside the bbox NOTCH
+        (3, rect(-5.0, -5.0, 5.0, 5.0)),         # straddles the reflex corner
+        (4, rect(-62.0, -32.0, 42.0, 37.0)),     # covers the whole filter
+        (5, rect(100.0, 50.0, 110.0, 60.0)),     # far away
+    ]
+    df = spark.createDataFrame(rows, "fid int, geometry binary")
+    wkt = "POLYGON ((-60 -30, 40 -30, 40 0, 0 0, 0 35, -60 35, -60 -30))"
+
+    def run(rel):
+        res = query_features(
+            df,
+            QueryParams(geometry_filter=wkt, spatial_rel=rel,
+                        out_fields="fid", return_geometry=False),
+            geom_col="geometry",
+            oid_order=["fid"],
+        )
+        return sorted(r.fid for r in res.features.select("fid").collect())
+
+    assert run("intersects") == [1, 3, 4]  # 2 is the bbox false positive
+    assert run("within") == [1]
+    assert run("contains") == [4]
+
+    with pytest.raises(ValueError):
+        run("touches")
