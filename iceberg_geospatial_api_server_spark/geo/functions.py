@@ -424,13 +424,20 @@ def line_polygon_intersect_join(
     line_geom_col: str = "geometry",
     poly_geom_col: str = "geometry",
     res: float = 1.0,
+    broadcast_geoms: bool = True,
 ) -> DataFrame:
     """Line-polygon ST_Intersects join (cookbook §1.5 second query).
 
     Same scale shape as the point join: BOTH sides explode to the grid
     cells their bbox covers, equi-join on the cell, per-pair bbox
-    pre-filter, then the exact segment/ray-cast kernel on candidates only
-    (polygon rings pre-decoded and shipped by 64-bit key)."""
+    pre-filter, then the exact segment/ray-cast kernel on candidates only.
+
+    ``broadcast_geoms``: True (dimension-sized polygon side) pre-decodes
+    rings on the driver and ships them by 64-bit key in the UDF closure —
+    only (line_wkb, key) crosses the Arrow boundary. For a FACT-sized
+    polygon side set False: no driver collect; polygon WKB streams
+    through the candidate rows and the kernel decodes each distinct
+    buffer once per Arrow batch (mirror of st_contains_point)."""
     lns = lines if "__bbox_xmin" in lines.columns else with_bbox(lines, line_geom_col)
     # disambiguate: both sides may carry a column named `geometry`
     lns = lns.select(
@@ -447,13 +454,15 @@ def line_polygon_intersect_join(
         polygons, poly_geom_col
     )
 
-    keyed = pls.select(
-        F.xxhash64(poly_geom_col).alias("__gk"), F.col(poly_geom_col)
-    ).distinct().collect()
-    decoded = {}
-    for r in keyed:
-        code, payload = W.decode(bytes(r[1]))
-        decoded[int(r[0])] = [payload] if code == W.POLYGON else payload
+    decoded = None
+    if broadcast_geoms:
+        keyed = pls.select(
+            F.xxhash64(poly_geom_col).alias("__gk"), F.col(poly_geom_col)
+        ).distinct().collect()
+        decoded = {}
+        for r in keyed:
+            code, payload = W.decode(bytes(r[1]))
+            decoded[int(r[0])] = [payload] if code == W.POLYGON else payload
 
     cell = F.explode(_cells_covering_bbox(res)).alias("__cell")
     pls = pls.select(cell, "*").select(
@@ -483,9 +492,14 @@ def line_polygon_intersect_join(
         & (F.col("__l___bbox_ymax") >= F.col("__bbox_ymin"))
         & (F.col("__l___bbox_ymin") <= F.col("__bbox_ymax"))
     )
-    exact = _line_intersects_broadcast(decoded)(
-        F.col("__line_geom"), F.xxhash64(F.col(poly_geom_col))
-    )
+    if decoded is not None:
+        exact = _line_intersects_broadcast(decoded)(
+            F.col("__line_geom"), F.xxhash64(F.col(poly_geom_col))
+        )
+    else:
+        exact = _line_intersects_wkb(
+            F.col("__line_geom"), F.col(poly_geom_col)
+        )
     drop = ["__cx", "__cy", *BBOX_COLS, *[f"__l_{c}" for c in BBOX_COLS]]
     out = joined.filter(exact).drop(*drop).dropDuplicates()
     return out.withColumnRenamed("__line_geom", f"line_{line_geom_col}")
@@ -514,6 +528,32 @@ def _line_intersects_broadcast(decoded_map):
         return pd.Series(out)
 
     return _intersects
+
+
+@pandas_udf(T.BooleanType())
+def _line_intersects_wkb(line: pd.Series, poly: pd.Series) -> pd.Series:
+    """Streaming exact line-polygon intersect: no driver-side polygon
+    state. Rows are grouped by identical polygon buffer within each Arrow
+    batch (candidate pairs repeat few polygons across many lines after
+    the cell join), so each distinct polygon decodes once per batch."""
+    out = np.zeros(len(line), dtype=bool)
+    groups: dict[bytes, list[int]] = {}
+    for i, pbuf in enumerate(poly):
+        if pbuf is not None and line.iloc[i] is not None:
+            groups.setdefault(bytes(pbuf), []).append(i)
+    for pbuf, idxs in groups.items():
+        code, payload = W.decode(pbuf)
+        polys = [payload] if code == W.POLYGON else payload
+        for i in idxs:
+            lcode, lpayload = W.decode(bytes(line.iloc[i]))
+            if lcode == W.LINESTRING:
+                parts = [lpayload]
+            elif lcode == W.MULTILINESTRING:
+                parts = lpayload
+            else:
+                continue
+            out[i] = any(_line_hits_polygon(part, polys) for part in parts)
+    return pd.Series(out)
 
 
 def _line_hits_polygon(coords: np.ndarray, polys) -> bool:

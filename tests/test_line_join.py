@@ -48,3 +48,15 @@ def test_line_join_is_cell_equijoin(frames):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_line_join_streaming_path_matches_broadcast(frames):
+    """broadcast_geoms=False must produce identical pairs with NO driver
+    collect of the polygon side (the fact-scale path)."""
+    lines_df, polys_df = frames
+    out = line_polygon_intersect_join(
+        lines_df, polys_df, "geometry", "geometry", res=8.0,
+        broadcast_geoms=False,
+    )
+    pairs = {(r.line_id, r.poly_id) for r in out.select("line_id", "poly_id").collect()}
+    assert pairs == {(1, 1), (2, 1), (4, 1)}
