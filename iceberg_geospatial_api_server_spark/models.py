@@ -13,32 +13,34 @@ from pyspark.sql import DataFrame
 class QueryParams:
     """Unified query parameters (ref query/models.py:11-45)."""
 
-    # spatial
+    # -- geometry predicates (envelope and/or exact WKT filter) --
     bbox: Optional[tuple[float, float, float, float]] = None
     geometry_filter: Optional[str] = None  # WKT
     spatial_rel: str = "intersects"  # intersects | contains | within
 
-    # attribute
+    # -- attribute predicate (sanitized WHERE fragment) --
     where: Optional[str] = None
 
-    # fields
+    # -- projection: which columns come back --
     out_fields: Optional[str] = None  # comma-separated or "*"
     return_geometry: bool = True
 
-    # pagination
+    # -- paging window --
     limit: Optional[int] = 1000
     offset: Optional[int] = 0
 
-    # sorting
+    # -- result ordering --
     order_by: Optional[str] = None
 
-    # response modifiers
+    # -- alternate result shapes (count / id-list / fetch-by-oid) --
     return_count_only: bool = False
     return_ids_only: bool = False
     object_ids: Optional[list[int]] = None
 
-    # output spatial reference
+    # -- coordinate reference of returned geometries --
     out_sr: Optional[int] = None
+    # -- server-side vertex thinning tolerance (maxAllowableOffset) --
+    max_allowable_offset: Optional[float] = None
 
 
 @dataclass
