@@ -9,6 +9,7 @@ Esri query params → QueryParams → engine.query_features → serializer.
 from __future__ import annotations
 
 import json
+from dataclasses import replace
 
 from iceberg_geospatial_api_server_spark.models import QueryParams
 
@@ -112,7 +113,21 @@ def parse_geoservices_params(
         offset=_int("resultOffset", 0),
         order_by=params.get("orderByFields"),
         out_sr=parse_spatial_ref(params.get("outSR")),
+        max_allowable_offset=_float(params, "maxAllowableOffset"),
     )
+
+
+def _float(params: dict, key: str) -> float | None:
+    try:
+        return float(params[key])
+    except (KeyError, ValueError, TypeError):
+        return None
+
+
+# outSR codes the engine can produce (closed-form reprojections); any
+# other requested code is an explicit error, never silently-4326 output.
+_MERCATOR_WKIDS = {3857, 102100}
+_GEOGRAPHIC_WKIDS = {4326}
 
 
 def query_layer(
@@ -144,6 +159,28 @@ def query_layer(
         params, max_record_count=schema.max_record_count or max_record_count
     )
     result = query_features(df, qp)
+
+    # post-query geometry shaping (ref feature_server.py:183,259): first
+    # reproject to outSR, then thin vertices with maxAllowableOffset —
+    # the tolerance is in output-SR units per the GeoServices spec
+    gcol = result.geometry_column
+    if result.features is not None and gcol and gcol in result.features.columns:
+        from pyspark.sql import functions as F
+
+        from iceberg_geospatial_api_server_spark.geo import functions as G
+
+        if qp.out_sr is not None and qp.out_sr not in _GEOGRAPHIC_WKIDS:
+            if qp.out_sr not in _MERCATOR_WKIDS:
+                raise ValueError(f"unsupported outSR: {qp.out_sr}")
+            result.features = result.features.withColumn(
+                gcol, G.st_to_mercator_wkb(F.col(gcol))
+            )
+            schema = replace(schema, srid=qp.out_sr)
+        if qp.max_allowable_offset and qp.max_allowable_offset > 0:
+            result.features = result.features.withColumn(
+                gcol, G.st_simplify(qp.max_allowable_offset)(F.col(gcol))
+            )
+
     if fmt == "pbf":
         return esri_pbf.serialize(result, schema), "application/x-protobuf"
     if fmt == "geojson":

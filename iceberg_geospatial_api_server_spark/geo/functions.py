@@ -621,6 +621,56 @@ def st_contains_point(poly: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _transform_wkb(buf: bytes, fn) -> bytes:
+    """Re-encode a WKB geometry with every coordinate mapped through
+    ``fn(xs, ys) -> (xs', ys')`` (vectorized per vertex run)."""
+    code, payload = W.decode(buf)
+    if code == W.POINT:
+        x, y = fn(np.array([payload[0]]), np.array([payload[1]]))
+        return W.encode_point(float(x[0]), float(y[0]))
+    if code == W.LINESTRING:
+        x, y = fn(payload[:, 0], payload[:, 1])
+        return W.encode_linestring(np.column_stack([x, y]))
+    if code == W.POLYGON:
+        return W.encode_polygon(
+            [np.column_stack(fn(r[:, 0], r[:, 1])) for r in payload]
+        )
+    if code == W.MULTIPOINT:
+        return W.encode_multipoint(
+            [tuple(np.column_stack(fn(np.array([p[0]]), np.array([p[1]])))[0])
+             for p in payload]
+        )
+    if code == W.MULTILINESTRING:
+        parts = [
+            W.encode_linestring(np.column_stack(fn(c[:, 0], c[:, 1])))
+            for c in payload
+        ]
+        return W.encode_multi(W.MULTILINESTRING, parts)
+    if code == W.MULTIPOLYGON:
+        parts = [
+            W.encode_polygon(
+                [np.column_stack(fn(r[:, 0], r[:, 1])) for r in rings]
+            )
+            for rings in payload
+        ]
+        return W.encode_multi(W.MULTIPOLYGON, parts)
+    raise ValueError(f"unsupported geometry type {code}")
+
+
+@pandas_udf(T.BinaryType())
+def st_to_mercator_wkb(geom: pd.Series) -> pd.Series:
+    """Reproject WKB geometries EPSG:4326 → EPSG:3857 (closed-form
+    spherical Mercator — the reference reaches the same result through
+    pyproj, ref query/geometry.py:80-102 transform_coords)."""
+    out = []
+    for buf in geom:
+        out.append(
+            None if buf is None
+            else _transform_wkb(bytes(buf), W.lonlat_to_mercator)
+        )
+    return pd.Series(out)
+
+
 def _geom_parts(buf: bytes):
     """Decompose a WKB feature into (kind, paths, polys) where kind is
     'point' | 'line' | 'polygon', paths is a list of (n,2) coordinate

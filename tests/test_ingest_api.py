@@ -162,3 +162,53 @@ def test_query_layer_format_dispatch(spark, tables):
     # OID (ref engine.py:390-398), and so do we
     ids, mt = query_layer(df, {"returnIdsOnly": "true", "resultRecordCount": "4"})
     assert "objectIds" in ids and len(ids["objectIds"]) == df.count()
+
+
+def test_query_layer_out_sr_mercator(spark, tables):
+    """outSR=3857 must actually reproject coordinates (round-1 parsed the
+    param then ignored it) and stamp the output spatialReference."""
+    import math
+
+    from iceberg_geospatial_api_server_spark.api import query_layer
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        lineitem_point_geoms,
+    )
+
+    df = lineitem_point_geoms(tables["lineitem"]).limit(50)
+    js4326, _ = query_layer(df, {"resultRecordCount": "5"})
+    js3857, _ = query_layer(df, {"resultRecordCount": "5", "outSR": "3857"})
+    assert js3857["spatialReference"]["wkid"] == 3857
+
+    R = 6378137.0
+    for f0, f1 in zip(js4326["features"], js3857["features"]):
+        lon, lat = f0["geometry"]["x"], f0["geometry"]["y"]
+        assert f1["geometry"]["x"] == pytest.approx(lon * math.pi * R / 180.0)
+        assert f1["geometry"]["y"] == pytest.approx(
+            math.log(math.tan((90.0 + lat) * math.pi / 360.0)) * R
+        )
+
+    with pytest.raises(ValueError, match="unsupported outSR"):
+        query_layer(df, {"outSR": "27700", "resultRecordCount": "1"})
+
+
+def test_query_layer_max_allowable_offset(spark):
+    """maxAllowableOffset must thin vertices server-side (st_simplify in
+    the route, ref feature_server.py:183,259)."""
+    import numpy as np
+
+    from iceberg_geospatial_api_server_spark.api import query_layer
+    from iceberg_geospatial_api_server_spark.geo import wkb as W
+
+    # a noisy near-straight line: 50 vertices, amplitude 0.01
+    xs = np.linspace(0.0, 10.0, 50)
+    ys = np.where(np.arange(50) % 2 == 0, 0.0, 0.01)
+    line = W.encode_linestring(np.column_stack([xs, ys]))
+    df = spark.createDataFrame(
+        [(1, bytearray(line))], "fid int, geometry binary"
+    )
+
+    full, _ = query_layer(df, {"f": "geojson"})
+    thinned, _ = query_layer(df, {"f": "geojson", "maxAllowableOffset": "0.5"})
+    n_full = len(full["features"][0]["geometry"]["coordinates"])
+    n_thin = len(thinned["features"][0]["geometry"]["coordinates"])
+    assert n_full == 50 and n_thin == 2
