@@ -75,7 +75,12 @@ def feature_lines(df: DataFrame, geom_col: str = "geometry") -> DataFrame:
     props = [c for c in df.columns if c != geom_col and not c.startswith("__bbox_")]
     feature = F.concat(
         F.lit('{"attributes": '),
-        F.to_json(F.struct(*[F.col(c) for c in props])),
+        F.to_json(
+            F.struct(*[F.col(c) for c in props]),
+            # Esri/GeoJSON clients expect every declared field present —
+            # NULL attributes serialize as null, not as a missing key
+            {"ignoreNullFields": "false"},
+        ),
         F.lit(', "geometry": '),
         F.coalesce(st_as_esri_json(F.col(geom_col)), F.lit("null")),
         F.lit("}"),
@@ -115,7 +120,10 @@ def serialize(result: QueryResult, schema: FeatureSchema) -> dict:
         feats = [
             {"attributes": json.loads(r[0]), "geometry": None}
             for r in result.features.select(
-                F.to_json(F.struct(*[F.col(c) for c in cols]))
+                F.to_json(
+                    F.struct(*[F.col(c) for c in cols]),
+                    {"ignoreNullFields": "false"},
+                )
             ).collect()
         ]
 

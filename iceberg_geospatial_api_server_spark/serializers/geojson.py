@@ -33,7 +33,12 @@ def feature_lines(df: DataFrame, geom_col: str = "geometry") -> DataFrame:
         F.lit('{"type": "Feature", "geometry": '),
         geom_json,
         F.lit(', "properties": '),
-        F.to_json(F.struct(*[F.col(c) for c in props])),
+        F.to_json(
+            F.struct(*[F.col(c) for c in props]),
+            # Esri/GeoJSON clients expect every declared field present —
+            # NULL attributes serialize as null, not as a missing key
+            {"ignoreNullFields": "false"},
+        ),
         F.lit("}"),
     )
     return df.select(feature.alias("feature_json"))

@@ -188,3 +188,26 @@ def _unpack_varints(buf: bytes) -> list[int]:
 
 def _unzigzag(v: int) -> int:
     return (v >> 1) ^ -(v & 1)
+
+
+def test_null_attributes_serialized_as_null(spark):
+    """NULL-valued fields must appear as explicit nulls in Esri JSON and
+    GeoJSON properties (to_json drops them by default)."""
+    from iceberg_geospatial_api_server_spark.catalog import feature_schema
+    from iceberg_geospatial_api_server_spark.models import QueryResult
+    from iceberg_geospatial_api_server_spark.serializers import esri_json, geojson
+    from iceberg_geospatial_api_server_spark.geo import wkb as W
+
+    pt = W.encode_point(1.0, 2.0)
+    df = spark.createDataFrame(
+        [(0, 7, None, bytearray(pt))],
+        "__oid int, a int, b string, geometry binary",
+    )
+    res = QueryResult(features=df, geometry_column="geometry", count=1)
+
+    fs = esri_json.serialize(res, feature_schema(df))
+    assert fs["features"][0]["attributes"]["b"] is None
+    assert "b" in fs["features"][0]["attributes"]
+
+    gj = geojson.serialize(res)
+    assert gj["features"][0]["properties"]["b"] is None
