@@ -124,9 +124,10 @@ def _float(params: dict, key: str) -> float | None:
         return None
 
 
-# outSR codes the engine can produce (closed-form reprojections); any
-# other requested code is an explicit error, never silently-4326 output.
-_MERCATOR_WKIDS = {3857, 102100}
+# outSR handling: 4326 passes through; 3857/102100 and the WGS84 UTM
+# family reproject via closed forms (geo.functions.st_reproject_wkb);
+# any other requested code is an explicit error, never silently-4326
+# output.
 _GEOGRAPHIC_WKIDS = {4326}
 
 
@@ -170,10 +171,10 @@ def query_layer(
         from iceberg_geospatial_api_server_spark.geo import functions as G
 
         if qp.out_sr is not None and qp.out_sr not in _GEOGRAPHIC_WKIDS:
-            if qp.out_sr not in _MERCATOR_WKIDS:
-                raise ValueError(f"unsupported outSR: {qp.out_sr}")
+            # raises ValueError on codes with no closed form (the
+            # reference rejects unknown EPSG via pyproj the same way)
             result.features = result.features.withColumn(
-                gcol, G.st_to_mercator_wkb(F.col(gcol))
+                gcol, G.st_reproject_wkb(qp.out_sr)(F.col(gcol))
             )
             schema = replace(schema, srid=qp.out_sr)
         if qp.max_allowable_offset and qp.max_allowable_offset > 0:

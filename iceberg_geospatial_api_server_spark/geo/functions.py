@@ -671,6 +671,45 @@ def st_to_mercator_wkb(geom: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def reproject_fn(wkid: int):
+    """Vectorized 4326→`wkid` coordinate transform ``fn(xs, ys) -> (xs',
+    ys')``, or None when the target CRS has no closed form here.
+    Supported: 4326 (identity), 3857/102100 (spherical Mercator), the
+    WGS84 UTM family 32601-32660 / 32701-32760 (Krüger-series transverse
+    Mercator).  The reference reaches arbitrary EPSG codes through pyproj
+    (ref query/geometry.py:80-102); these closed forms cover the codes a
+    FeatureServer client actually requests without a projection library."""
+    if wkid == 4326:
+        return lambda xs, ys: (xs, ys)
+    if wkid in (3857, 102100):
+        return W.lonlat_to_mercator
+    utm = W.utm_wkid_params(wkid)
+    if utm is not None:
+        zone, north = utm
+        return lambda xs, ys: W.lonlat_to_utm(xs, ys, zone, north)
+    return None
+
+
+def st_reproject_wkb(wkid: int):
+    """Pandas-UDF factory: WKB 4326 → WKB in `wkid` for any supported
+    code (see reproject_fn).  Raises ValueError on unsupported codes so
+    the API layer can reject bad outSR requests up front."""
+    fn = reproject_fn(wkid)
+    if fn is None:
+        raise ValueError(f"unsupported outSR: {wkid}")
+
+    @pandas_udf(T.BinaryType())
+    def _reproject(geom: pd.Series) -> pd.Series:
+        out = []
+        for buf in geom:
+            out.append(
+                None if buf is None else _transform_wkb(bytes(buf), fn)
+            )
+        return pd.Series(out)
+
+    return _reproject
+
+
 def _geom_parts(buf: bytes):
     """Decompose a WKB feature into (kind, paths, polys) where kind is
     'point' | 'line' | 'polygon', paths is a list of (n,2) coordinate

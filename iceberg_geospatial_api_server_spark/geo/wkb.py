@@ -483,3 +483,90 @@ def mercator_to_lonlat(x, y):
     lon = np.asarray(x, dtype="f8") / (math.pi * _R / 180.0)
     lat = np.degrees(2.0 * np.arctan(np.exp(np.asarray(y, dtype="f8") / _R)) - math.pi / 2.0)
     return lon, lat
+
+
+# Ellipsoidal transverse Mercator (UTM, EPSG:326xx/327xx) via the standard
+# Krüger flattening series (order n³ — sub-mm inside a zone), extending the
+# reference's pyproj-backed arbitrary-EPSG reprojection (query/geometry.py:
+# 80-102) to the UTM family without a projection library.
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_TM_N = _WGS84_F / (2.0 - _WGS84_F)
+_TM_A = (_WGS84_A / (1.0 + _TM_N)) * (
+    1.0 + _TM_N**2 / 4.0 + _TM_N**4 / 64.0 + _TM_N**6 / 256.0
+)
+_TM_ALPHA = (
+    _TM_N / 2.0 - 2.0 * _TM_N**2 / 3.0 + 5.0 * _TM_N**3 / 16.0,
+    13.0 * _TM_N**2 / 48.0 - 3.0 * _TM_N**3 / 5.0,
+    61.0 * _TM_N**3 / 240.0,
+)
+_TM_BETA = (
+    _TM_N / 2.0 - 2.0 * _TM_N**2 / 3.0 + 37.0 * _TM_N**3 / 96.0,
+    _TM_N**2 / 48.0 + _TM_N**3 / 15.0,
+    17.0 * _TM_N**3 / 480.0,
+)
+_TM_DELTA = (
+    2.0 * _TM_N - 2.0 * _TM_N**2 / 3.0 - 2.0 * _TM_N**3,
+    7.0 * _TM_N**2 / 3.0 - 8.0 * _TM_N**3 / 5.0,
+    56.0 * _TM_N**3 / 15.0,
+)
+_UTM_K0 = 0.9996
+_UTM_FE = 500000.0
+_UTM_FN_SOUTH = 10000000.0
+
+
+def utm_zone_lon0(zone: int) -> float:
+    """Central meridian of a UTM zone, degrees."""
+    if not 1 <= zone <= 60:
+        raise ValueError(f"UTM zone out of range: {zone}")
+    return -183.0 + 6.0 * zone
+
+
+def lonlat_to_utm(lon, lat, zone: int, north: bool = True):
+    """Forward UTM: arrays of lon/lat degrees → easting/northing meters."""
+    lam = np.radians(np.asarray(lon, dtype="f8") - utm_zone_lon0(zone))
+    phi = np.radians(np.asarray(lat, dtype="f8"))
+    two_rtn = 2.0 * math.sqrt(_TM_N) / (1.0 + _TM_N)
+    t = np.sinh(
+        np.arctanh(np.sin(phi)) - two_rtn * np.arctanh(two_rtn * np.sin(phi))
+    )
+    xi = np.arctan2(t, np.cos(lam))
+    eta = np.arctanh(np.sin(lam) / np.sqrt(1.0 + t * t))
+    e_acc = eta.copy()
+    n_acc = xi.copy()
+    for j, a in enumerate(_TM_ALPHA, start=1):
+        e_acc += a * np.cos(2.0 * j * xi) * np.sinh(2.0 * j * eta)
+        n_acc += a * np.sin(2.0 * j * xi) * np.cosh(2.0 * j * eta)
+    easting = _UTM_FE + _UTM_K0 * _TM_A * e_acc
+    northing = _UTM_K0 * _TM_A * n_acc + (0.0 if north else _UTM_FN_SOUTH)
+    return easting, northing
+
+
+def utm_to_lonlat(easting, northing, zone: int, north: bool = True):
+    """Inverse UTM: easting/northing meters → lon/lat degrees."""
+    xi = (
+        np.asarray(northing, dtype="f8")
+        - (0.0 if north else _UTM_FN_SOUTH)
+    ) / (_UTM_K0 * _TM_A)
+    eta = (np.asarray(easting, dtype="f8") - _UTM_FE) / (_UTM_K0 * _TM_A)
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j, b in enumerate(_TM_BETA, start=1):
+        xi_p -= b * np.sin(2.0 * j * xi) * np.cosh(2.0 * j * eta)
+        eta_p -= b * np.cos(2.0 * j * xi) * np.sinh(2.0 * j * eta)
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+    phi = chi.copy()
+    for j, d in enumerate(_TM_DELTA, start=1):
+        phi += d * np.sin(2.0 * j * chi)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    return np.degrees(lam) + utm_zone_lon0(zone), np.degrees(phi)
+
+
+def utm_wkid_params(wkid: int) -> tuple[int, bool] | None:
+    """Decode an EPSG UTM code (32601-32660 north, 32701-32760 south) to
+    (zone, north); None when the code is not a WGS84 UTM CRS."""
+    if 32601 <= wkid <= 32660:
+        return wkid - 32600, True
+    if 32701 <= wkid <= 32760:
+        return wkid - 32700, False
+    return None

@@ -191,6 +191,34 @@ def test_query_layer_out_sr_mercator(spark, tables):
         query_layer(df, {"outSR": "27700", "resultRecordCount": "1"})
 
 
+def test_query_layer_out_sr_utm(spark, tables):
+    """outSR in the WGS84 UTM family (EPSG:326xx/327xx) reprojects through
+    the closed-form transverse Mercator (ref reaches the same codes via
+    pyproj, query/geometry.py:80-102)."""
+    import numpy as np
+
+    from iceberg_geospatial_api_server_spark.api import query_layer
+    from iceberg_geospatial_api_server_spark.geo import wkb as W
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        lineitem_point_geoms,
+    )
+
+    df = lineitem_point_geoms(tables["lineitem"]).limit(20)
+    js4326, _ = query_layer(df, {"resultRecordCount": "5"})
+    js_utm, _ = query_layer(df, {"resultRecordCount": "5", "outSR": "32633"})
+    assert js_utm["spatialReference"]["wkid"] == 32633
+
+    for f0, f1 in zip(js4326["features"], js_utm["features"]):
+        e, n = W.lonlat_to_utm(
+            np.array([f0["geometry"]["x"]]),
+            np.array([f0["geometry"]["y"]]),
+            33,
+            True,
+        )
+        assert f1["geometry"]["x"] == pytest.approx(e[0])
+        assert f1["geometry"]["y"] == pytest.approx(n[0])
+
+
 def test_query_layer_max_allowable_offset(spark):
     """maxAllowableOffset must thin vertices server-side (st_simplify in
     the route, ref feature_server.py:183,259)."""

@@ -97,6 +97,84 @@ def test_convex_hull_and_simplify():
     np.testing.assert_array_equal(simp, [[0, 0], [3, 0], [3, 3]])
 
 
+def _snyder_utm(lon, lat, zone):
+    """Independent forward-UTM implementation (Snyder, USGS PP 1395
+    eq. 8-9..8-13) used only to cross-check the Krüger series."""
+    a = 6378137.0
+    f = 1 / 298.257223563
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    k0 = 0.9996
+    lon0 = math.radians(-183 + 6 * zone)
+    lat = math.radians(lat)
+    lon = math.radians(lon)
+    N = a / math.sqrt(1 - e2 * math.sin(lat) ** 2)
+    T = math.tan(lat) ** 2
+    C = ep2 * math.cos(lat) ** 2
+    A = (lon - lon0) * math.cos(lat)
+    M = a * (
+        (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * lat
+        - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * math.sin(2 * lat)
+        + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * math.sin(4 * lat)
+        - (35 * e2**3 / 3072) * math.sin(6 * lat)
+    )
+    E = 500000 + k0 * N * (
+        A
+        + (1 - T + C) * A**3 / 6
+        + (5 - 18 * T + T**2 + 72 * C - 58 * ep2) * A**5 / 120
+    )
+    Nn = k0 * (
+        M
+        + N
+        * math.tan(lat)
+        * (
+            A**2 / 2
+            + (5 - T + 9 * C + 4 * C**2) * A**4 / 24
+            + (61 - 58 * T + T**2 + 600 * C - 330 * ep2) * A**6 / 720
+        )
+    )
+    return E, Nn
+
+
+def test_utm_central_meridian_anchor():
+    # zone 33 central meridian (15°E) on the equator is exactly the
+    # false easting / zero northing by construction
+    e, n = W.lonlat_to_utm(np.array([15.0]), np.array([0.0]), 33, True)
+    assert e[0] == pytest.approx(500000.0, abs=1e-6)
+    assert n[0] == pytest.approx(0.0, abs=1e-6)
+    # southern-hemisphere false northing
+    e, n = W.lonlat_to_utm(np.array([15.0]), np.array([-0.001]), 33, False)
+    assert n[0] < 10000000.0 and n[0] == pytest.approx(10000000.0, abs=200)
+
+
+@given(
+    lon_off=st.floats(-2.9, 2.9),
+    lat=st.floats(-80.0, 84.0),
+    zone=st.integers(1, 60),
+)
+@settings(max_examples=60, deadline=None)
+def test_utm_matches_snyder_and_roundtrips(lon_off, lat, zone):
+    lon = -183.0 + 6 * zone + lon_off
+    north = lat >= 0
+    e, n = W.lonlat_to_utm(np.array([lon]), np.array([lat]), zone, north)
+    es, ns = _snyder_utm(lon, lat, zone)
+    if not north:
+        ns += 10000000.0
+    # two independent formulations agree to < 2 mm inside the zone
+    assert e[0] == pytest.approx(es, abs=2e-3)
+    assert n[0] == pytest.approx(ns, abs=2e-3)
+    lon2, lat2 = W.utm_to_lonlat(e, n, zone, north)
+    assert lon2[0] == pytest.approx(lon, abs=1e-8)
+    assert lat2[0] == pytest.approx(lat, abs=1e-8)
+
+
+def test_utm_wkid_params():
+    assert W.utm_wkid_params(32633) == (33, True)
+    assert W.utm_wkid_params(32756) == (56, False)
+    assert W.utm_wkid_params(27700) is None
+    assert W.utm_wkid_params(3857) is None
+
+
 def test_mercator_roundtrip():
     lon = np.array([-120.0, 0.0, 77.7])
     lat = np.array([-60.0, 0.0, 45.0])
