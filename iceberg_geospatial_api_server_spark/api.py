@@ -108,6 +108,7 @@ def parse_geoservices_params(
         return_geometry=_to_bool(params.get("returnGeometry"), True),
         return_count_only=_to_bool(params.get("returnCountOnly"), False),
         return_ids_only=_to_bool(params.get("returnIdsOnly"), False),
+        return_extent_only=_to_bool(params.get("returnExtentOnly"), False),
         object_ids=object_ids,
         limit=_int("resultRecordCount", max_record_count),
         offset=_int("resultOffset", 0),
@@ -160,6 +161,38 @@ def query_layer(
         params, max_record_count=schema.max_record_count or max_record_count
     )
     result = query_features(df, qp)
+
+    # extent-only short-circuit: envelope (reprojected to outSR when
+    # requested) + count, no feature payload
+    if qp.return_extent_only:
+        from iceberg_geospatial_api_server_spark.geo import functions as G
+
+        srid = schema.srid or 4326
+        ext = result.extent
+        if ext is not None and qp.out_sr is not None and qp.out_sr != srid:
+            fn = G.reproject_fn(qp.out_sr)
+            if fn is None:
+                raise ValueError(f"unsupported outSR: {qp.out_sr}")
+            import numpy as np
+
+            xs, ys = fn(
+                np.array([ext["xmin"], ext["xmax"]]),
+                np.array([ext["ymin"], ext["ymax"]]),
+            )
+            ext = {
+                "xmin": float(xs[0]),
+                "ymin": float(ys[0]),
+                "xmax": float(xs[1]),
+                "ymax": float(ys[1]),
+            }
+            srid = qp.out_sr
+        payload = {
+            "count": result.count,
+            "extent": None
+            if ext is None
+            else ext | {"spatialReference": {"wkid": srid}},
+        }
+        return payload, "application/json"
 
     # post-query geometry shaping (ref feature_server.py:183,259): first
     # reproject to outSR, then thin vertices with maxAllowableOffset —

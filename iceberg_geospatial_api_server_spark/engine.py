@@ -332,6 +332,32 @@ def query_features(
     if params.return_count_only:
         return QueryResult(features=None, count=filtered.count())
 
+    # extent-only (GeoServices returnExtentOnly): envelope + count of the
+    # filtered set in ONE aggregation job — no features materialized
+    if params.return_extent_only:
+        if not geom_col:
+            return QueryResult(features=None, count=filtered.count())
+        if "__bbox_xmin" not in filtered.columns:
+            filtered = G.with_bbox(filtered, geom_col)
+        row = filtered.agg(
+            F.min("__bbox_xmin").alias("xmin"),
+            F.min("__bbox_ymin").alias("ymin"),
+            F.max("__bbox_xmax").alias("xmax"),
+            F.max("__bbox_ymax").alias("ymax"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        ext = (
+            None
+            if row["n"] == 0
+            else {k: float(row[k]) for k in ("xmin", "ymin", "xmax", "ymax")}
+        )
+        return QueryResult(
+            features=None,
+            geometry_column=geom_col,
+            count=int(row["n"]),
+            extent=ext,
+        )
+
     # ids-only (engine.py:389-398)
     if params.return_ids_only:
         ids = filtered.select("__oid").orderBy("__oid")

@@ -32,9 +32,10 @@ class QueryParams:
     # -- result ordering --
     order_by: Optional[str] = None
 
-    # -- alternate result shapes (count / id-list / fetch-by-oid) --
+    # -- alternate result shapes (count / id-list / extent / fetch-by-oid) --
     return_count_only: bool = False
     return_ids_only: bool = False
+    return_extent_only: bool = False
     object_ids: Optional[list[int]] = None
 
     # -- coordinate reference of returned geometries --
@@ -51,6 +52,9 @@ class QueryResult:
     geometry_column: str = "geometry"
     count: int = 0
     exceeded_transfer_limit: bool = False
+    # filled only for returnExtentOnly: {xmin, ymin, xmax, ymax} or None
+    # when the filtered set is empty
+    extent: Optional[dict] = None
 
     @classmethod
     def empty(cls) -> "QueryResult":

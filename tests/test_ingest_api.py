@@ -191,6 +191,48 @@ def test_query_layer_out_sr_mercator(spark, tables):
         query_layer(df, {"outSR": "27700", "resultRecordCount": "1"})
 
 
+def test_query_layer_return_extent_only(spark, tables):
+    """returnExtentOnly returns the filtered set's envelope + count with
+    no feature payload; outSR reprojects the envelope corners."""
+    import numpy as np
+
+    from iceberg_geospatial_api_server_spark.api import query_layer
+    from iceberg_geospatial_api_server_spark.geo import wkb as W
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        lineitem_point_geoms,
+    )
+
+    df = lineitem_point_geoms(tables["lineitem"]).limit(200)
+    out, mt = query_layer(df, {"returnExtentOnly": "true"})
+    assert mt == "application/json"
+    ext = out["extent"]
+    assert out["count"] == df.count()
+    assert ext["xmin"] <= ext["xmax"] and ext["ymin"] <= ext["ymax"]
+    assert ext["spatialReference"]["wkid"] == 4326
+
+    # count consistency with returnCountOnly
+    cnt, _ = query_layer(df, {"returnCountOnly": "true"})
+    assert cnt["count"] == out["count"]
+
+    # outSR reprojects the envelope corners
+    utm, _ = query_layer(df, {"returnExtentOnly": "true", "outSR": "32633"})
+    e, n = W.lonlat_to_utm(
+        np.array([ext["xmin"], ext["xmax"]]),
+        np.array([ext["ymin"], ext["ymax"]]),
+        33,
+        True,
+    )
+    assert utm["extent"]["xmin"] == pytest.approx(e[0])
+    assert utm["extent"]["ymax"] == pytest.approx(n[1])
+    assert utm["extent"]["spatialReference"]["wkid"] == 32633
+
+    # empty filtered set → null extent, zero count
+    empty, _ = query_layer(
+        df, {"returnExtentOnly": "true", "where": "l_quantity < -1"}
+    )
+    assert empty["count"] == 0 and empty["extent"] is None
+
+
 def test_query_layer_out_sr_utm(spark, tables):
     """outSR in the WGS84 UTM family (EPSG:326xx/327xx) reprojects through
     the closed-form transverse Mercator (ref reaches the same codes via
