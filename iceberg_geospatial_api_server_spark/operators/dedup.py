@@ -195,16 +195,24 @@ def dedup_minhash_lsh(
     band_size: int = 4,
     shingle_k: int = 3,
     verify_threshold: float = 0.5,
+    max_bucket_size: int = 10000,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs.
 
     shingle → minhash(num_hashes) → bands of band_size → explode
-    (band_idx, band_signature) → self-join on the band bucket → distinct
-    candidate pairs → exact Jaccard verify on the shingle sets.
+    (band_idx, band_signature) → ONE shuffle groups each band bucket →
+    in-bucket pair generation (sorted-id combinations, codegen) →
+    distinct candidate pairs → exact Jaccard verify on the shingle sets.
 
     Scale: the only shuffle keys are band signatures (uniform); candidate
     verification re-joins shingle arrays by id, so signatures — not
-    documents — flow through the bucket join.
+    documents — flow through the bucket grouping. Bucketing beats a
+    band-key self-join twice over: one exchange instead of two, and a
+    pathological hot bucket (many docs sharing a band signature) costs
+    O(bucket) agg memory and is then DROPPED by `max_bucket_size` —
+    the join formulation would emit O(bucket²) rows with no way to cap
+    without a separate counting pass. Buckets over the cap carry no
+    near-dup signal worth quadratic work (standard LSH practice).
     """
     from iceberg_geospatial_api_server_spark.util import spread
 
@@ -253,14 +261,32 @@ def dedup_minhash_lsh(
         ).alias("__b"),
     ).select(id_col, F.col("__b.band").alias("band"), F.col("__b.bsig").alias("bsig"))
 
-    left = bands.select(F.col(id_col).alias("id_a"), "band", "bsig")
-    right = bands.select(F.col(id_col).alias("id_b"), "band", "bsig")
+    buckets = (
+        bands.groupBy("band", "bsig")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    )
+    # sorted ids ⇒ each unordered pair emitted once per bucket as
+    # (smaller, larger); distinct below collapses cross-band repeats.
     # candidate pairs are ~linear in true duplicates — cache them: they
     # feed both the id-set semi-join and the verify join below
     cand = (
-        left.join(right, on=["band", "bsig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda b: F.struct(
+                                a.alias("id_a"), b.alias("id_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("__p")
+        )
+        .select("__p.id_a", "__p.id_b")
         .distinct()
         .cache()
     )
