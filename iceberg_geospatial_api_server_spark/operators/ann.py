@@ -344,6 +344,47 @@ def _assign_with_sim_kernel(centroids):
     return _assign
 
 
+# Above this dimensionality the per-dimension `avg(v[i])` aggregate list
+# stops being a good plan (d separate aggregate expressions blow up
+# whole-stage codegen); the posexplode partial-agg path takes over.
+_KMEANS_EXPR_DIM_MAX = 128
+
+
+def _centroid_update(assigned, cent: np.ndarray, dim: int) -> np.ndarray:
+    """One Lloyd's update: per-cluster mean (L2-normalized) of assigned
+    vectors; empty clusters keep their previous centroid. Both plans
+    shuffle only k×d partial sums (map-side combine)."""
+    if dim <= _KMEANS_EXPR_DIM_MAX:
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                F.array(
+                    *[F.avg(F.col("__v")[i]) for i in range(dim)]
+                ).alias("__mean"),
+            )
+            .collect()
+        )
+        rows = {r["cell"]: np.array(r["__mean"], dtype="f8") for r in means}
+    else:
+        sums = (
+            assigned.select("cell", F.posexplode("__v").alias("idx", "val"))
+            .groupBy("cell", "idx")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        rows = {}
+        for r in sums:
+            rows.setdefault(r["cell"], np.zeros(dim))[r["idx"]] = (
+                r["s"] / r["n"]
+            )
+    new_cent = cent.copy()
+    for cell, m in rows.items():
+        n = np.linalg.norm(m)
+        if n > 0:
+            new_cent[cell] = m / n
+    return new_cent
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -355,11 +396,18 @@ def kmeans_fit(
     """Spherical k-means (Lloyd's) over an embedding column, Spark-first.
 
     Per iteration: assignment is an Arrow-batched matmul against the
-    broadcast centroid matrix (vectors never shuffle); the update step is
-    `avg(embedding[i])` per dimension per cluster — d JVM aggregate
-    expressions with map-side partial aggregation, so the single shuffle
-    carries k×d partial sums regardless of corpus size (no explode row
-    multiplication). Deterministic: hash-threshold seed selection
+    broadcast centroid matrix (vectors never shuffle); the update step
+    keeps one shuffle of k×d partial sums regardless of corpus size, via
+    one of two equivalent plans chosen by dimensionality:
+
+    - d ≤ _KMEANS_EXPR_DIM_MAX: `avg(embedding[i])` per dimension — d
+      JVM aggregate expressions, no row multiplication;
+    - larger d: posexplode to (cell, idx, val) rows and sum per (cell,
+      idx) — map-side partial aggregation collapses to k×d rows per
+      partition, avoiding the d-wide codegen blowup that hundreds of
+      aggregate expressions would cause at embedding sizes ≥1024.
+
+    Deterministic: hash-threshold seed selection
     (distributed, never collects ids — see _seed_vectors), fixed
     iteration count, empty clusters keep their previous centroid.
 
@@ -378,21 +426,7 @@ def kmeans_fit(
         assigned = base.withColumn("__a", assign(F.col("__v"))).select(
             id_col, F.col("__a.cell").alias("cell"), F.col("__a.sim").alias("sim"), "__v"
         )
-        means = (
-            assigned.groupBy("cell")
-            .agg(
-                F.count(F.lit(1)).alias("__n"),
-                F.array(*[F.avg(F.col("__v")[i]) for i in range(dim)]).alias("__mean"),
-            )
-            .collect()
-        )
-        new_cent = cent.copy()
-        for r in means:
-            m = np.array(r["__mean"], dtype="f8")
-            n = np.linalg.norm(m)
-            if n > 0:
-                new_cent[r["cell"]] = m / n
-        cent = new_cent
+        cent = _centroid_update(assigned, cent, dim)
 
     inertia = assigned.agg(
         F.sum(F.lit(1.0) - F.col("sim")).alias("inertia")

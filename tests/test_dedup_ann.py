@@ -135,6 +135,21 @@ def test_kmeans_deterministic_and_converging(spark, tables):
     assert sum(r["count"] for r in sizes.values()) == emb.count()
 
 
+def test_kmeans_update_paths_agree(spark, tables, monkeypatch):
+    """The d-expression and posexplode centroid-update plans are the same
+    math — force the high-dim path on d=64 data and compare centroids."""
+    from iceberg_geospatial_api_server_spark.operators import ann
+
+    emb = tables["embeddings"]
+    c_expr, _, i_expr = ann.kmeans_fit(emb, k=6, iters=3)
+    monkeypatch.setattr(ann, "_KMEANS_EXPR_DIM_MAX", 0)
+    c_expl, _, i_expl = ann.kmeans_fit(emb, k=6, iters=3)
+    import numpy as np
+
+    np.testing.assert_allclose(c_expl, c_expr, atol=1e-9)
+    assert i_expl == pytest.approx(i_expr, abs=1e-6)
+
+
 def test_ivf_with_trained_centroids_recall(spark, tables):
     from iceberg_geospatial_api_server_spark.operators.ann import (
         brute_force_topk,
