@@ -1807,6 +1807,94 @@ def corpus_mixture_q(spark, sf_dir):
     )
 
 
+# duplicate-occurrence ratio over a list expression, as DuckDB SQL
+_DUPR = (
+    "CASE WHEN LEN({l}) > 0 THEN"
+    " (LEN({l}) - LEN(list_distinct({l})))::DOUBLE / LEN({l})::DOUBLE"
+    " ELSE 0.0 END"
+)
+# word-trigram strings of `text` (mirrors operators.text.trigram_strings)
+_TRIS = (
+    "list_transform(generate_series(1,"
+    " greatest(LEN(string_split(text, ' ')) - 2, 0)),"
+    " i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))"
+)
+
+
+@_q(
+    "text_repetition_profile",
+    f"""
+    SELECT doc_id,
+           CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           ROUND({_DUPR.format(l="string_split(text, ' ')")}, 6)
+             AS dup_word_ratio,
+           ROUND({_DUPR.format(l=_TRIS)}, 6) AS dup_trigram_ratio,
+           ({_DUPR.format(l="string_split(text, ' ')")}) <= 0.30
+             AND ({_DUPR.format(l=_TRIS)}) <= 0.20 AS keep
+    FROM documents
+    """,
+)
+def text_repetition_profile_q(spark, sf_dir):
+    """Gopher-style repetition signals: fraction of repeated word /
+    word-trigram occurrences per document + keep flag (map-side only)."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        repetition_profile,
+    )
+
+    return repetition_profile(_t(spark, sf_dir, "documents"))
+
+
+# quality score of `text` (mirrors operators.text.quality_score), unrounded
+_QUALITY = (
+    "(0.4 * (LEN(list_distinct(string_split(text, ' ')))::DOUBLE"
+    "        / LEN(string_split(text, ' '))::DOUBLE)"
+    " + 0.3 * LEAST(LEN(string_split(text, ' '))::DOUBLE / 100.0, 1.0)"
+    " + 0.3 * (LEN(list_filter(string_split(text, ' '),"
+    "            w -> regexp_matches(w, '^[a-zA-Z]+$')))::DOUBLE"
+    "          / LEN(string_split(text, ' '))::DOUBLE))"
+)
+
+
+@_q(
+    "corpus_token_budget",
+    f"""
+    WITH d AS (
+      SELECT LEAST(CAST(FLOOR({_QUALITY} * 100) AS INT), 99) AS bucket,
+             LEN(string_split(text, ' ')) AS t
+      FROM documents
+    ), a AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(t) AS BIGINT) AS n_tokens
+      FROM d GROUP BY bucket
+    )
+    SELECT bucket, n_docs, n_tokens,
+           CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           SUM(n_tokens) OVER w <= 10000 AS kept
+    FROM a
+    WINDOW w AS (ORDER BY bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY bucket DESC
+    """,
+)
+def corpus_token_budget_q(spark, sf_dir):
+    """Token-budget selection summary: quality-bucket histogram +
+    descending-quality cumulative token counts (window runs over the
+    ≤100-row aggregate, never the corpus)."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        corpus_token_budget,
+    )
+
+    tb = corpus_token_budget(_t(spark, sf_dir, "documents"), 10000)
+    return tb.select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        "kept",
+    )
+
+
 # ===========================================================================
 # Registration order
 # ===========================================================================
@@ -1825,6 +1913,8 @@ _ORACLED_OVERFLOW = [
     "doc_length_histogram",  # width_bucket agg; subset of text_profile
     "part_type_stats",  # simple group-agg; subsumed by q14/q19 part joins
     "geo_extent",  # 4-value min/max agg; pinned by with_bbox + route tests
+    "text_repetition_profile",  # added round 2, after the window filled
+    "corpus_token_budget",  # added round 2, after the window filled
 ]
 
 

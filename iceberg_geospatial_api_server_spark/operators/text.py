@@ -179,3 +179,152 @@ def clean_corpus(
         )
         .orderBy(id_col)
     )
+
+
+def trigram_strings(col: Column) -> Column:
+    """Word-trigram strings ('w1 w2 w3') per document — portable: the
+    same windows are expressible with list_transform/list slicing in
+    ANSI-ish SQL, so repetition ratios can be oracle-checked."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(n < 3, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        )
+    )
+
+
+def repetition_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_word_ratio: float = 0.30,
+    max_dup_trigram_ratio: float = 0.20,
+) -> DataFrame:
+    """Gopher-style repetition filter signals, per document: the fraction
+    of word occurrences that are repeats and the fraction of word-trigram
+    occurrences that are repeats, plus the resulting keep/drop flag.
+
+    Highly repetitive documents (boilerplate, keyword stuffing, template
+    spam) are a standard removal class in training-corpus curation. All
+    JVM array built-ins — map-side, scan speed, no shuffle.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_w = F.size(toks).cast("double")
+    dup_w = (F.size(toks) - F.size(F.array_distinct(toks))).cast("double")
+    dup_word_ratio = F.when(n_w > 0, dup_w / n_w).otherwise(F.lit(0.0))
+    tris = trigram_strings(c)
+    n_t = F.size(tris).cast("double")
+    dup_t = (F.size(tris) - F.size(F.array_distinct(tris))).cast("double")
+    dup_tri_ratio = F.when(n_t > 0, dup_t / n_t).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(dup_word_ratio, 6).alias("dup_word_ratio"),
+        F.round(dup_tri_ratio, 6).alias("dup_trigram_ratio"),
+        (
+            (dup_word_ratio <= max_dup_word_ratio)
+            & (dup_tri_ratio <= max_dup_trigram_ratio)
+        ).alias("keep"),
+    )
+
+
+def corpus_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    n_buckets: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget selection summary: quality-bucket histogram with
+    descending-quality cumulative token counts and a kept flag per
+    bucket (`cum_tokens <= budget`).
+
+    This is the scale-correct shape for "take the best N tokens": one
+    map-side pass computes (bucket, tokens), a partial-agg shuffle
+    collapses to ≤ n_buckets rows, and only that tiny frame goes through
+    the ordered cumulative window — never a global sort of the corpus.
+    `token_budget_filter` turns the summary into the actual document
+    selection.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    q = quality_score(c)
+    bucket = F.least(
+        F.floor(q * n_buckets).cast("int"), F.lit(n_buckets - 1)
+    )
+    agg = (
+        df.select(bucket.alias("bucket"), token_count(c).alias("__t"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__t").cast("long").alias("n_tokens"),
+        )
+    )
+    # ≤ n_buckets rows: the single-partition window is over the
+    # aggregate, not the corpus
+    w = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        agg.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("kept", F.col("cum_tokens") <= F.lit(int(budget_tokens)))
+        .orderBy(F.desc("bucket"))
+    )
+
+
+def token_budget_filter(
+    df: DataFrame,
+    budget_tokens: int,
+    n_buckets: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Select documents best-quality-first until the token budget is
+    spent: every document in fully-kept quality buckets, plus documents
+    from the boundary bucket in deterministic hash order until the
+    remainder runs out.
+
+    The bucket decision collects ≤ n_buckets summary rows (never ids);
+    the boundary refinement sorts only the boundary bucket's slice
+    (~1/n_buckets of the corpus) — pick n_buckets so that slice fits a
+    sort, exactly like choosing a partition count.
+    """
+    from pyspark.sql import Window
+
+    from iceberg_geospatial_api_server_spark.operators.sampling import id_hash
+
+    summary = corpus_token_budget(
+        df, budget_tokens, n_buckets=n_buckets, text_col=text_col
+    ).collect()
+    full = [r["bucket"] for r in summary if r["kept"]]
+    boundary = None
+    remaining = 0
+    for r in sorted(summary, key=lambda r: -r["bucket"]):
+        if not r["kept"]:
+            boundary = r["bucket"]
+            prev = [x["cum_tokens"] for x in summary if x["bucket"] > r["bucket"]]
+            remaining = int(budget_tokens) - (max(prev) if prev else 0)
+            break
+
+    c = F.col(text_col)
+    q = quality_score(c)
+    bucket = F.least(F.floor(q * n_buckets).cast("int"), F.lit(n_buckets - 1))
+    tagged = df.withColumn("__bucket", bucket).withColumn(
+        "__t", token_count(c).cast("long")
+    )
+    selected = tagged.filter(F.col("__bucket").isin(full)) if full else None
+    if boundary is not None and remaining > 0:
+        edge = tagged.filter(F.col("__bucket") == boundary)
+        w = Window.orderBy(id_hash(F.col(id_col)), id_col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        edge = edge.withColumn("__cum", F.sum("__t").over(w)).filter(
+            F.col("__cum") <= remaining
+        ).drop("__cum")
+        selected = edge if selected is None else selected.unionByName(edge)
+    if selected is None:
+        return df.filter(F.lit(False)).select(id_col)
+    return selected.select(id_col, F.col("__t").alias("n_tokens"))
