@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "ann_bruteforce_topk",
     "text_profile",
     "text_ngram_topk",
+    "text_repetition_profile",
+    "corpus_token_budget",
     "doc_chunks",
     "corpus_clean",
     "mm_media_stats",

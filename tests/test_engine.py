@@ -124,6 +124,47 @@ def test_where_sanitizer_rejects(bad):
 def test_where_sanitizer_accepts():
     assert sanitize_where("a > 5 AND b = 'x'") == "a > 5 AND b = 'x'"
     assert sanitize_where("") == "1=1"
+    assert sanitize_where("UPPER(b) LIKE 'A%'")
+    assert sanitize_where("CAST(a AS INT) BETWEEN 1 AND 9")
+    assert sanitize_where("COALESCE(a, 0) <> 3 AND b IS NOT NULL")
+
+
+def test_where_sanitizer_rejects_every_unapproved_function_call():
+    """The security property: NO function identifier outside the
+    allowlist may reach F.expr — Spark ships hundreds of builtins
+    (java_method, reflect, ...) and new ones appear with every release,
+    so the gate must be an allowlist, not a denylist."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iceberg_geospatial_api_server_spark.engine import _WHERE_FUNCS
+
+    ident = st.from_regex(r"[a-zA-Z_][a-zA-Z0-9_]{0,20}", fullmatch=True)
+
+    @settings(max_examples=300, deadline=None)
+    @given(name=ident, arg=st.sampled_from(["a", "'x'", "1", "a, 1"]))
+    def check(name, arg):
+        up = name.upper()
+        clause = f"{name}({arg}) = 1"
+        if up in _WHERE_FUNCS or up in ("NOT",):
+            sanitize_where(clause)  # allowlisted: must pass
+        else:
+            with pytest.raises(ValueError):
+                sanitize_where(clause)
+
+    check()
+
+    # the notorious concrete escapes stay rejected by name
+    for fn in (
+        "java_method", "reflect", "assert_true", "raise_error",
+        "input_file_name", "current_user", "session_user", "uuid",
+        "rand", "shuffle", "xpath_string", "sentences", "typeof",
+        "spark_partition_id", "monotonically_increasing_id",
+    ):
+        with pytest.raises(ValueError):
+            sanitize_where(f"{fn}() IS NULL")
+        with pytest.raises(ValueError):
+            sanitize_where(f"{fn.upper()}('a') = 'b'")
 
 
 @pytest.mark.parametrize(
@@ -134,7 +175,8 @@ def test_order_sanitizer_rejects(bad):
         sanitize_order(bad)
 
 
-def test_order_sanitizer_parses():
+def test_order_sanitizer_parses(spark):
+    # spark fixture: sanitize_order builds Column objects (needs a session)
     cols = sanitize_order("a ASC, b DESC")
     assert len(cols) == 2
 
