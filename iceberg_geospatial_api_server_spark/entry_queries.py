@@ -466,6 +466,85 @@ def geo_mercator(spark, sf_dir):
     )
 
 
+def _utm_oracle_sql() -> str:
+    """Krüger-series forward UTM (zone 33N) as DuckDB SQL, generated from
+    the SAME float constants as geo.functions.utm_cols, with hyperbolics
+    spelled as the same exp/ln compositions — so both engines execute an
+    identical operation sequence and the 3-dp rounded outputs hash-match."""
+    import math as _m
+
+    from iceberg_geospatial_api_server_spark.geo import wkb as _W
+
+    a1, a2, a3 = (repr(v) for v in _W._TM_ALPHA)
+    c2 = repr(2.0 * _m.sqrt(_W._TM_N) / (1.0 + _W._TM_N))
+    k0a = repr(0.9996 * _W._TM_A)
+    d2r = repr(_m.pi / 180.0)
+
+    def atanh(u: str) -> str:
+        return f"(0.5 * LN((1.0 + {u}) / (1.0 - {u})))"
+
+    def sinh(v: str) -> str:
+        return f"((EXP({v}) - EXP(-({v}))) / 2.0)"
+
+    def cosh(v: str) -> str:
+        return f"((EXP({v}) + EXP(-({v}))) / 2.0)"
+
+    t = sinh(f"{atanh('sp')} - {c2} * {atanh(f'{c2} * sp')}")
+    easting = (
+        f"500000.0 + {k0a} * (eta"
+        f" + {a1} * COS(2.0 * xi) * {sinh('2.0 * eta')}"
+        f" + {a2} * COS(4.0 * xi) * {sinh('4.0 * eta')}"
+        f" + {a3} * COS(6.0 * xi) * {sinh('6.0 * eta')})"
+    )
+    northing = (
+        f"{k0a} * (xi"
+        f" + {a1} * SIN(2.0 * xi) * {cosh('2.0 * eta')}"
+        f" + {a2} * SIN(4.0 * xi) * {cosh('4.0 * eta')}"
+        f" + {a3} * SIN(6.0 * xi) * {cosh('6.0 * eta')})"
+    )
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           ROUND({easting}, 3) AS easting,
+           ROUND({northing}, 3) AS northing
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             ATAN2(t, COS(lam)) AS xi,
+             {atanh('SIN(lam) / SQRT(1.0 + t * t)')} AS eta
+      FROM (
+        SELECT l_orderkey, l_linenumber, lam, {t} AS t
+        FROM (
+          SELECT l_orderkey, l_linenumber,
+                 (x - 15.0) * {d2r} AS lam,
+                 SIN(y * {d2r}) AS sp
+          FROM {_LI_PTS} p
+          WHERE x BETWEEN -5.0 AND 35.0 AND y >= 0.0
+        )
+      )
+    )
+    """
+
+
+@_q("geo_utm", _utm_oracle_sql())
+def geo_utm(spark, sf_dir):
+    """Closed-form UTM (zone 33N) as JVM column arithmetic over the
+    lineitem point cloud restricted to the zone's ±20° lon window."""
+    from iceberg_geospatial_api_server_spark.geo.functions import utm_cols
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        lineitem_points,
+    )
+
+    pts = lineitem_points(_t(spark, sf_dir, "lineitem")).filter(
+        (F.col("x") >= -5.0) & (F.col("x") <= 35.0) & (F.col("y") >= 0.0)
+    )
+    e, n = utm_cols(F.col("x"), F.col("y"), 33, True)
+    return pts.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(e, 3).alias("easting"),
+        F.round(n, 3).alias("northing"),
+    )
+
+
 @_q("geo_convex_hull")  # no SQL oracle (hull not expressible without spatial ext)
 def geo_hull(spark, sf_dir):
     from iceberg_geospatial_api_server_spark.geo.functions import (
@@ -1915,6 +1994,7 @@ _ORACLED_OVERFLOW = [
     "geo_extent",  # 4-value min/max agg; pinned by with_bbox + route tests
     "text_repetition_profile",  # added round 2, after the window filled
     "corpus_token_budget",  # added round 2, after the window filled
+    "geo_utm",  # added round 2; UTM math pinned by Snyder cross-check tests
 ]
 
 

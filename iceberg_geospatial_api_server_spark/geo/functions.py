@@ -13,6 +13,8 @@ prefilter (232-279), main.py grid aggregate (410-443) and extent (206-222).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -669,6 +671,54 @@ def st_to_mercator_wkb(geom: pd.Series) -> pd.Series:
             else _transform_wkb(bytes(buf), W.lonlat_to_mercator)
         )
     return pd.Series(out)
+
+
+def utm_cols(lon: Column, lat: Column, zone: int, north: bool = True):
+    """(easting, northing) Columns for one UTM zone — the Krüger series
+    as pure JVM column arithmetic (scan-speed, no UDF).
+
+    Hyperbolics are spelled as exp/ln compositions rather than native
+    SINH/ATANH so an external SQL engine can evaluate the *identical*
+    operation sequence for oracle comparison (native implementations
+    differ in the last ulp across math libraries).
+    """
+    a1, a2, a3 = W._TM_ALPHA
+    c2 = 2.0 * math.sqrt(W._TM_N) / (1.0 + W._TM_N)
+    k0a = 0.9996 * W._TM_A
+
+    def atanh(u: Column) -> Column:
+        return F.lit(0.5) * F.log((F.lit(1.0) + u) / (F.lit(1.0) - u))
+
+    def sinh(v: Column) -> Column:
+        return (F.exp(v) - F.exp(-v)) / F.lit(2.0)
+
+    def cosh(v: Column) -> Column:
+        return (F.exp(v) + F.exp(-v)) / F.lit(2.0)
+
+    # explicit degree→radian multiply (not F.radians) so the oracle SQL
+    # can reproduce the exact literal and operation
+    d2r = math.pi / 180.0
+    lam = (lon - F.lit(W.utm_zone_lon0(zone))) * F.lit(d2r)
+    phi = lat * F.lit(d2r)
+    sp = F.sin(phi)
+    t = sinh(atanh(sp) - F.lit(c2) * atanh(F.lit(c2) * sp))
+    xi = F.atan2(t, F.cos(lam))
+    eta = atanh(F.sin(lam) / F.sqrt(F.lit(1.0) + t * t))
+    easting = F.lit(500000.0) + F.lit(k0a) * (
+        eta
+        + F.lit(a1) * F.cos(F.lit(2.0) * xi) * sinh(F.lit(2.0) * eta)
+        + F.lit(a2) * F.cos(F.lit(4.0) * xi) * sinh(F.lit(4.0) * eta)
+        + F.lit(a3) * F.cos(F.lit(6.0) * xi) * sinh(F.lit(6.0) * eta)
+    )
+    northing = F.lit(k0a) * (
+        xi
+        + F.lit(a1) * F.sin(F.lit(2.0) * xi) * cosh(F.lit(2.0) * eta)
+        + F.lit(a2) * F.sin(F.lit(4.0) * xi) * cosh(F.lit(4.0) * eta)
+        + F.lit(a3) * F.sin(F.lit(6.0) * xi) * cosh(F.lit(6.0) * eta)
+    )
+    if not north:
+        northing = northing + F.lit(10000000.0)
+    return easting, northing
 
 
 def reproject_fn(wkid: int):

@@ -191,6 +191,25 @@ def test_query_layer_out_sr_mercator(spark, tables):
         query_layer(df, {"outSR": "27700", "resultRecordCount": "1"})
 
 
+def test_utm_cols_matches_numpy_kernel(spark):
+    """The JVM column arithmetic (oracle-comparable exp/ln hyperbolics)
+    and the numpy Krüger kernel must agree to sub-micrometer."""
+    import numpy as np
+    import pandas as pd
+
+    from iceberg_geospatial_api_server_spark.geo import wkb as W
+    from iceberg_geospatial_api_server_spark.geo.functions import utm_cols
+
+    lons = np.linspace(-4.0, 34.0, 40)
+    lats = np.linspace(0.5, 83.0, 40)
+    df = spark.createDataFrame(pd.DataFrame({"lon": lons, "lat": lats}))
+    e_col, n_col = utm_cols(F.col("lon"), F.col("lat"), 33, True)
+    got = df.select(e_col.alias("e"), n_col.alias("n")).toPandas()
+    e_ref, n_ref = W.lonlat_to_utm(lons, lats, 33, True)
+    np.testing.assert_allclose(got["e"], e_ref, atol=1e-6)
+    np.testing.assert_allclose(got["n"], n_ref, atol=1e-6)
+
+
 def test_query_layer_return_extent_only(spark, tables):
     """returnExtentOnly returns the filtered set's envelope + count with
     no feature payload; outSR reprojects the envelope corners."""
