@@ -257,3 +257,63 @@ def expire_snapshots(
         f"CALL {catalog}.system.expire_snapshots(table => '{identifier}', "
         f"older_than => TIMESTAMP '{older_than}')"
     )
+
+
+_REWRITE_STRATEGIES = {"binpack", "sort"}
+
+
+def rewrite_data_files(
+    spark: SparkSession,
+    identifier: str,
+    strategy: str = "binpack",
+    sort_order: str | None = None,
+    where: str | None = None,
+) -> DataFrame:
+    """Compact small files (the other half of 100 TB housekeeping:
+    streaming/MERGE write patterns fragment tables, and scan throughput
+    tracks file size). `where` limits the rewrite to recent partitions
+    and passes through the engine's WHERE allowlist."""
+    if strategy not in _REWRITE_STRATEGIES:
+        raise ValueError(f"unknown rewrite strategy: {strategy!r}")
+    quote_ident(identifier)  # validates charset
+    args = [f"table => '{identifier}'", f"strategy => '{strategy}'"]
+    if sort_order is not None:
+        from iceberg_geospatial_api_server_spark.engine import sanitize_order
+
+        sanitize_order(sort_order)  # raises on anything but col [ASC|DESC]
+        args.append(f"sort_order => '{sort_order}'")
+    if where is not None:
+        from iceberg_geospatial_api_server_spark.engine import sanitize_where
+
+        clean = sanitize_where(where).replace("'", "''")  # quote for CALL arg
+        args.append(f"where => '{clean}'")
+    catalog = identifier.split(".")[0]
+    return spark.sql(
+        f"CALL {catalog}.system.rewrite_data_files({', '.join(args)})"
+    )
+
+
+def rewrite_manifests(spark: SparkSession, identifier: str) -> DataFrame:
+    """Rewrite manifest files so partition-pruning metadata stays
+    clustered after many small commits."""
+    quote_ident(identifier)
+    catalog = identifier.split(".")[0]
+    return spark.sql(
+        f"CALL {catalog}.system.rewrite_manifests(table => '{identifier}')"
+    )
+
+
+def remove_orphan_files(
+    spark: SparkSession, identifier: str, older_than: str | None = None
+) -> DataFrame:
+    """Delete files no snapshot references (failed-job debris)."""
+    quote_ident(identifier)
+    args = [f"table => '{identifier}'"]
+    if older_than is not None:
+        if "'" in older_than:
+            raise ValueError(f"invalid timestamp literal: {older_than!r}")
+        args.append(f"older_than => TIMESTAMP '{older_than}'")
+    catalog = identifier.split(".")[0]
+    return spark.sql(
+        f"CALL {catalog}.system.remove_orphan_files({', '.join(args)})"
+    )

@@ -50,6 +50,25 @@ def test_delete_where_goes_through_sanitizer(spark):
         I.delete_where(spark, "lakehouse.db.t", "java_method('a','b') = 1")
 
 
+def test_maintenance_procedure_validation(spark):
+    with pytest.raises(ValueError):
+        I.rewrite_data_files(spark, "lakehouse.db.t", strategy="steal")
+    with pytest.raises(ValueError):
+        I.rewrite_data_files(
+            spark, "lakehouse.db.t", where="java_method('a','b') = 1"
+        )
+    with pytest.raises(ValueError):
+        I.rewrite_data_files(
+            spark, "lakehouse.db.t", strategy="sort", sort_order="ts; DROP"
+        )
+    with pytest.raises(ValueError):
+        I.remove_orphan_files(
+            spark, "lakehouse.db.t", older_than="x'); DROP TABLE t;--"
+        )
+    with pytest.raises(ValueError):
+        I.rewrite_manifests(spark, "bad`name..t")
+
+
 # ---------------------------------------------------------------------------
 # end-to-end: only with the Iceberg runtime on the classpath
 # ---------------------------------------------------------------------------
