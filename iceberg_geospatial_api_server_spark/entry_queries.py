@@ -1974,6 +1974,84 @@ def corpus_token_budget_q(spark, sf_dir):
     )
 
 
+@_q(
+    "events_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS q0
+      FROM events
+    ), s1b AS (
+      SELECT *, MAX(CASE WHEN q0 = 1 THEN us END) OVER w AS prev0 FROM s1
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), s2 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                          AND prev0 > us - 14400000000
+                     THEN 1 ELSE 0 END AS q1
+      FROM s1b
+    ), s2b AS (
+      SELECT *, MAX(CASE WHEN q1 = 1 THEN us END) OVER w AS prev1 FROM s2
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), s3 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                          AND prev1 > us - 14400000000
+                     THEN 1 ELSE 0 END AS q2
+      FROM s2b
+    ), per_user AS (
+      SELECT user_id, MAX(q0) AS r0, MAX(q1) AS r1, MAX(q2) AS r2
+      FROM s3 GROUP BY user_id
+    )
+    SELECT step, step_name, n_users FROM (
+      SELECT 1 AS step, 'view' AS step_name,
+             CAST(SUM(r0) AS BIGINT) AS n_users FROM per_user
+      UNION ALL
+      SELECT 2, 'click', CAST(SUM(r1) AS BIGINT) FROM per_user
+      UNION ALL
+      SELECT 3, 'purchase', CAST(SUM(r2) AS BIGINT) FROM per_user
+    ) ORDER BY step
+    """,
+)
+def events_funnel_q(spark, sf_dir):
+    """Windowed funnel view→click→purchase, 4-hour step gap (chained
+    windows on ONE user_id exchange; strictly-after semantics with
+    event_id tiebreak)."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        events_funnel,
+    )
+
+    return events_funnel(_t(spark, sf_dir, "events"), max_gap_minutes=240)
+
+
+@_q(
+    "events_retention",
+    """
+    WITH wk AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch_us(ts) / 604800000000) AS BIGINT) AS w
+      FROM events
+    ), first AS (
+      SELECT user_id, MIN(w) AS cohort_week FROM wk GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id, w AS active_week FROM wk
+    )
+    SELECT f.cohort_week, a.active_week - f.cohort_week AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM active a JOIN first f USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_retention_q(spark, sf_dir):
+    """Weekly retention cohorts: first-seen week × activity-week user
+    counts (two user_id-keyed shuffles + a tiny final agg)."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        events_retention,
+    )
+
+    return events_retention(_t(spark, sf_dir, "events"))
+
+
 # ===========================================================================
 # Registration order
 # ===========================================================================
@@ -1995,6 +2073,8 @@ _ORACLED_OVERFLOW = [
     "text_repetition_profile",  # added round 2, after the window filled
     "corpus_token_budget",  # added round 2, after the window filled
     "geo_utm",  # added round 2; UTM math pinned by Snyder cross-check tests
+    "events_funnel",  # added round 2, after the window filled
+    "events_retention",  # added round 2, after the window filled
 ]
 
 

@@ -1007,3 +1007,91 @@ def q22_lapsed_customers(
         )
         .orderBy("cntrycode")
     )
+
+
+def events_funnel(
+    events: DataFrame,
+    steps: tuple = ("view", "click", "purchase"),
+    max_gap_minutes: int = 15,
+) -> DataFrame:
+    """Windowed ordered funnel: a user reaches step k when a step-k event
+    occurs STRICTLY after a qualifying step-(k-1) event and within
+    `max_gap_minutes` of it (classic product-analytics conversion
+    funnel).
+
+    One shuffle: every chained "latest qualifying step-k timestamp
+    before this row" is a window over the same (user_id) partitioning —
+    Catalyst stacks the Window nodes on one exchange — the per-user
+    reach flags are a map-side partial aggregation, and the step rows
+    come from ONE explode over the final 1-row aggregate (no union
+    re-execution of the chain).
+    """
+    gap_us = max_gap_minutes * 60 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col("ts"))
+    df = events
+    qual_cols = []
+    prev_q = None
+    for i, step in enumerate(steps):
+        q = f"__q{i}"
+        is_step = F.col("event_type") == step
+        if prev_q is not None:
+            latest_prev = F.max(
+                F.when(F.col(prev_q) == 1, us)
+            ).over(w)
+            is_step = is_step & (latest_prev > us - F.lit(gap_us))
+        df = df.withColumn(q, F.when(is_step, 1).otherwise(0))
+        prev_q = q
+        qual_cols.append(q)
+    per_user = df.groupBy("user_id").agg(
+        *[F.max(q).alias(q) for q in qual_cols]
+    )
+    totals = per_user.agg(
+        *[F.sum(q).cast("long").alias(f"__n{i}") for i, q in enumerate(qual_cols)]
+    )
+    step_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(step).alias("step_name"),
+                F.col(f"__n{i}").alias("n_users"),
+            )
+            for i, step in enumerate(steps)
+        ]
+    )
+    return (
+        totals.select(F.explode(step_rows).alias("__s"))
+        .select("__s.step", "__s.step_name", "__s.n_users")
+        .orderBy("step")
+    )
+
+
+def events_retention(events: DataFrame) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen epoch week,
+    counted in each later week they were active.
+
+    Shape: first-seen agg (one user_id shuffle), distinct active
+    (user, week) pairs (partial agg map-side), equi-join on user_id, and
+    a final small aggregation — the standard two-scan cohort plan; no
+    window over the corpus.
+    """
+    week = F.floor(F.unix_micros(F.col("ts")) / F.lit(604800000000)).cast(
+        "long"
+    )
+    first = events.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    active = events.select(
+        "user_id", week.alias("active_week")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("active_week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
