@@ -2025,6 +2025,33 @@ def events_funnel_q(spark, sf_dir):
 
 
 @_q(
+    "events_props_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           ROUND(AVG(k), 6) AS avg_k
+    FROM (
+      SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_props_stats_q(spark, sf_dir):
+    """Typed JSON extraction from the free-form props payload (single
+    JVM from_json in the scan stage) + per-type aggregation."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        events_props_stats,
+    )
+
+    return events_props_stats(_t(spark, sf_dir, "events"))
+
+
+@_q(
     "events_retention",
     """
     WITH wk AS (
@@ -2075,6 +2102,7 @@ _ORACLED_OVERFLOW = [
     "geo_utm",  # added round 2; UTM math pinned by Snyder cross-check tests
     "events_funnel",  # added round 2, after the window filled
     "events_retention",  # added round 2, after the window filled
+    "events_props_stats",  # added round 2, after the window filled
 ]
 
 

@@ -1095,3 +1095,28 @@ def events_retention(events: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def events_props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured extraction: parse the JSON `props` payload with a
+    typed schema (single JVM from_json pass — no Python, no regex) and
+    aggregate the extracted field per event type.
+
+    The common lakehouse pattern for event streams that land with a
+    free-form JSON attributes column: typed extraction happens in the
+    scan stage, so the shuffle carries only (event_type, partial aggs).
+    """
+    k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+    return (
+        events.select("event_type", k.alias("__k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("__k").cast("long").alias("n_with_k"),
+            F.sum("__k").cast("long").alias("sum_k"),
+            F.min("__k").cast("long").alias("min_k"),
+            F.max("__k").cast("long").alias("max_k"),
+            F.round(F.avg("__k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
