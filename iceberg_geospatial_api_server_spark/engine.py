@@ -150,6 +150,32 @@ def _default_oid_order(df: DataFrame) -> list[str]:
     return cols or [df.columns[0]]
 
 
+def _string_cutpoints(df: DataFrame, key0: str) -> list | None:
+    """Driver-bounded bucket cutpoints for a string leading key: take a
+    deterministic hash-thinned sample of key values (no RAND), sort it,
+    and return evenly spaced quantiles. Returns None when the sample is
+    too thin — the caller then uses the one-sort small-frame fallback.
+
+    Cutpoint drift between plans/sessions is harmless: any
+    order-preserving bucketing produces identical final OIDs. Ordering
+    is engine-consistent because Spark compares strings bytewise on
+    UTF-8, which equals codepoint order, which equals Python ``str``
+    ordering used to sort the sample.
+    """
+    samp = (
+        df.select(F.col(key0).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .filter(F.pmod(F.xxhash64(F.col("k")), F.lit(64)) == 0)
+        .limit(64 * _OID_BUCKETS)
+        .collect()
+    )
+    keys = sorted({r["k"] for r in samp})
+    if len(keys) < 4 * _OID_BUCKETS:
+        return None
+    step = len(keys) / _OID_BUCKETS
+    return sorted({keys[int(i * step)] for i in range(1, _OID_BUCKETS)})
+
+
 def with_oid(df: DataFrame, order_cols: list[str] | None = None) -> DataFrame:
     """Stable global OIDs (ref engine.py:367-372 numbered CTE).
 
@@ -170,10 +196,13 @@ def with_oid(df: DataFrame, order_cols: list[str] | None = None) -> DataFrame:
        bucket id) + the bucket's offset.
 
     Any order-preserving bucketing yields the same final rank, so slight
-    quantile drift between sessions cannot change an OID. Falls back to
-    the global window only when the leading key is non-numeric (the
-    bucketing needs approxQuantile). Production tables should still
-    persist ``__oid`` at ingest; the engine skips this step when it exists.
+    quantile drift between sessions cannot change an OID. Numeric leading
+    keys derive cutpoints from approxQuantile; string keys from a
+    deterministic hash sample of key values (both driver-bounded: never
+    rows, only ≤ ``_OID_BUCKETS`` cut values). The global window remains
+    only as the small-frame fallback when the sample is too thin to cut.
+    Production tables should still persist ``__oid`` at ingest; the
+    engine skips this step when it exists.
     """
     if "__oid" in df.columns:
         return df
@@ -188,20 +217,26 @@ def with_oid(df: DataFrame, order_cols: list[str] | None = None) -> DataFrame:
     }
     sort_exprs = [F.col(c) for c in order_cols]
 
-    if not numeric:
-        w = Window.orderBy(*sort_exprs)
-        out = df.withColumn("__oid", (F.row_number().over(w) - 1).cast("int"))
-        df._sg_oid_df = out
-        return out
+    if numeric:
+        probs = [i / _OID_BUCKETS for i in range(1, _OID_BUCKETS)]
+        cuts = sorted(
+            {float(c) for c in df.stat.approxQuantile(key0, probs, 0.001)}
+        )
+        key_cmp = F.col(key0).cast("double")
+    else:
+        cuts = _string_cutpoints(df, key0)
+        key_cmp = F.col(key0)
+        if cuts is None:  # frame too small to sample — one sort fits
+            w = Window.orderBy(*sort_exprs)
+            out = df.withColumn(
+                "__oid", (F.row_number().over(w) - 1).cast("int")
+            )
+            df._sg_oid_df = out
+            return out
 
-    probs = [i / _OID_BUCKETS for i in range(1, _OID_BUCKETS)]
-    cuts = sorted(
-        {float(c) for c in df.stat.approxQuantile(key0, probs, 0.001)}
-    )
     if cuts:
         cut_arr = F.array(*[F.lit(c) for c in cuts])
-        key_as_d = F.col(key0).cast("double")
-        bucket = F.size(F.filter(cut_arr, lambda c: key_as_d > c))
+        bucket = F.size(F.filter(cut_arr, lambda c: key_cmp > c))
     else:  # constant/empty leading key → single bucket
         bucket = F.lit(0)
     tagged = df.withColumn("__bkt", bucket)

@@ -200,3 +200,43 @@ def test_with_oid_no_single_partition_exchange(tables):
     plan = _plan(res.features)
     assert "Exchange SinglePartition" not in plan, plan
     assert "hashpartitioning(__bkt" in plan, plan
+
+
+def test_with_oid_string_key_buckets_in_parallel(spark):
+    """String leading keys must ALSO rank in parallel (sampled string
+    cutpoints instead of approxQuantile), with OIDs equal to the rank in
+    lexicographic order."""
+    import pandas as pd
+
+    from iceberg_geospatial_api_server_spark.engine import with_oid
+
+    n = 30000
+    keys = [f"k{(i * 7919) % n:06d}" for i in range(n)]  # permuted, distinct
+    df = spark.createDataFrame(
+        pd.DataFrame({"name": keys, "v": range(n)}),
+        "name string, v long",
+    ).repartition(8)
+
+    out = with_oid(df, ["name"])
+    plan = _plan(out)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(__bkt" in plan, plan
+
+    got = {r["name"]: r["__oid"] for r in out.select("name", "__oid").collect()}
+    for rank, k in enumerate(sorted(keys)[:500]):  # spot-check the head
+        assert got[k] == rank
+    assert sorted(got.values()) == list(range(n))
+
+
+def test_with_oid_string_key_small_frame_fallback(spark):
+    import pandas as pd
+
+    from iceberg_geospatial_api_server_spark.engine import with_oid
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"name": ["b", "a", "c"]}), "name string"
+    )
+    out = with_oid(df, ["name"])
+    assert {r["name"]: r["__oid"] for r in out.collect()} == {
+        "a": 0, "b": 1, "c": 2,
+    }
