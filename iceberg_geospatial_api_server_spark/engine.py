@@ -170,10 +170,26 @@ def _string_cutpoints(df: DataFrame, key0: str) -> list | None:
         .collect()
     )
     keys = sorted({r["k"] for r in samp})
-    if len(keys) < 4 * _OID_BUCKETS:
-        return None
-    step = len(keys) / _OID_BUCKETS
-    return sorted({keys[int(i * step)] for i in range(1, _OID_BUCKETS)})
+    if len(keys) >= 4 * _OID_BUCKETS:
+        step = len(keys) / _OID_BUCKETS
+        return sorted({keys[int(i * step)] for i in range(1, _OID_BUCKETS)})
+    # Thin sample: either the frame is small (sort is fine) or the key
+    # has low cardinality (a 100 TB table with 50 distinct sources must
+    # NOT collapse to one partition). Distinguish with a bounded
+    # distinct probe and use the distinct keys themselves as cutpoints —
+    # ranking within one key value still co-locates that key's rows,
+    # which is the irreducible skew of ranking by a hot key.
+    cap = 4 * _OID_BUCKETS
+    distinct = (
+        df.select(F.col(key0).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .distinct()
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(distinct) > cap or len(distinct) <= 1:
+        return None  # genuinely small frame (or constant key) → one sort
+    return sorted({r["k"] for r in distinct})[1:]
 
 
 def with_oid(df: DataFrame, order_cols: list[str] | None = None) -> DataFrame:

@@ -228,6 +228,35 @@ def test_with_oid_string_key_buckets_in_parallel(spark):
     assert sorted(got.values()) == list(range(n))
 
 
+def test_with_oid_low_cardinality_string_key_still_parallel(spark):
+    """A big frame with FEW distinct string keys (e.g. a source/domain
+    column) must not collapse to one partition — the distinct keys
+    themselves become the bucket cutpoints."""
+    import pandas as pd
+
+    from iceberg_geospatial_api_server_spark.engine import with_oid
+
+    n = 20000
+    srcs = [f"src{i % 40:02d}" for i in range(n)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"source": srcs, "v": range(n)}),
+        "source string, v long",
+    ).repartition(8)
+    out = with_oid(df, ["source", "v"])
+    plan = _plan(out)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(__bkt" in plan, plan
+    got = out.select("source", "v", "__oid").collect()
+    expect = {
+        (r["source"], r["v"]): i
+        for i, r in enumerate(
+            sorted(got, key=lambda r: (r["source"], r["v"]))
+        )
+    }
+    for r in got[:2000]:
+        assert r["__oid"] == expect[(r["source"], r["v"])]
+
+
 def test_with_oid_string_key_small_frame_fallback(spark):
     import pandas as pd
 
