@@ -257,6 +257,50 @@ def test_with_oid_low_cardinality_string_key_still_parallel(spark):
         assert r["__oid"] == expect[(r["source"], r["v"])]
 
 
+def test_aqe_splits_planted_skew_join(spark):
+    """The §H skew claim, pinned: a join with one hot key must execute
+    as SortMergeJoin(skew=true) with the hot partition split by
+    AQEShuffleRead — the runtime re-plan a 100 TB skewed join relies on.
+    (Thresholds lowered so toy data crosses them; restored after.)"""
+    import numpy as np
+    import pandas as pd
+
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.shuffle.partitions",
+    )
+    prev = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set(keys[0], "16KB")
+        spark.conf.set(keys[1], "16KB")
+        spark.conf.set(keys[2], "2")
+        spark.conf.set(keys[3], "-1")
+        spark.conf.set(keys[4], "32")  # hot partition ≫ median at 32-way
+        n = 200_000
+        ks = np.where(np.arange(n) % 10 == 0, 7, np.arange(n) % 5000)
+        fact = spark.createDataFrame(
+            pd.DataFrame({"k": ks.astype("int64"), "pad": ["x" * 40] * n})
+        )
+        dim = spark.createDataFrame(
+            pd.DataFrame(
+                {"k": np.arange(5000, dtype="int64"), "v": np.arange(5000)}
+            )
+        )
+        joined = fact.join(dim, "k")
+        out = joined.toPandas()  # executes THIS DataFrame's query
+        assert len(out) == n
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan
+        assert "skewed" in plan, plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_with_oid_string_key_small_frame_fallback(spark):
     import pandas as pd
 
