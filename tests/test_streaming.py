@@ -127,6 +127,58 @@ def test_stateful_running_totals(spark, events_path):
     assert got == want
 
 
+def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path_factory):
+    """The incremental funnel state machine must reproduce the batch
+    windowed-funnel counts when micro-batches arrive in ts order (two
+    ts-ordered files, one per trigger)."""
+    import time
+
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        events_funnel,
+    )
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+    from iceberg_geospatial_api_server_spark.streaming.stateful import (
+        streaming_funnel,
+    )
+    from iceberg_geospatial_api_server_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory_sink,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    cut = events.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.5)")
+    ).first()[0]
+    base = tmp_path_factory.mktemp("funnel_stream")
+    early = str(base / "events")
+    # file source processes oldest-modified first: write the early half,
+    # then the late half, so triggers replay the stream in ts order
+    events.filter(F.unix_micros("ts") <= cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(early)
+    time.sleep(1.1)
+    events.filter(F.unix_micros("ts") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(early)
+
+    stream = read_event_stream(spark, early, max_files_per_trigger=1)
+    out = streaming_funnel(stream, max_gap_minutes=240)
+    run_to_memory_sink(out, "funnel_out", mode="update")
+    rows = spark.sql(
+        """SELECT user_id, max_by(stage, stage) AS stage
+           FROM funnel_out GROUP BY user_id"""
+    ).collect()
+    got_counts = {
+        k: sum(1 for r in rows if r.stage >= k) for k in (1, 2, 3)
+    }
+
+    want = {
+        r["step"]: r["n_users"]
+        for r in events_funnel(events, max_gap_minutes=240).collect()
+    }
+    assert got_counts == want
+
+
 def test_streaming_geo_grid_aggregate(spark, events_path):
     """Cross-feature: windowed grid heatmap over a stream — event points
     (derived from user_id/value) binned per tumbling window."""
