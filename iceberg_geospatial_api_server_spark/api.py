@@ -125,11 +125,10 @@ def _float(params: dict, key: str) -> float | None:
         return None
 
 
-# outSR handling: 4326 passes through; 3857/102100 and the WGS84 UTM
-# family reproject via closed forms (geo.functions.st_reproject_wkb);
-# any other requested code is an explicit error, never silently-4326
-# output.
-_GEOGRAPHIC_WKIDS = {4326}
+# outSR handling: out_sr == the layer's srid passes through; from a
+# 4326 layer, 3857/102100 and the WGS84 UTM family reproject via closed
+# forms (geo.functions.st_reproject_wkb); any other request is an
+# explicit error, never silently-wrong output.
 
 
 def query_layer(
@@ -170,20 +169,35 @@ def query_layer(
         srid = schema.srid or 4326
         ext = result.extent
         if ext is not None and qp.out_sr is not None and qp.out_sr != srid:
+            if srid != 4326:
+                raise ValueError(
+                    f"cannot reproject from srid {srid} (source must be 4326)"
+                )
             fn = G.reproject_fn(qp.out_sr)
             if fn is None:
                 raise ValueError(f"unsupported outSR: {qp.out_sr}")
             import numpy as np
 
-            xs, ys = fn(
-                np.array([ext["xmin"], ext["xmax"]]),
-                np.array([ext["ymin"], ext["ymax"]]),
+            # transform the envelope BOUNDARY, not just two corners: for
+            # non-separable projections (UTM) the extreme easting/
+            # northing can sit mid-edge (parallels/meridians map to
+            # curves), so sample each edge densely and take min/max
+            gx = np.linspace(ext["xmin"], ext["xmax"], 17)
+            gy = np.linspace(ext["ymin"], ext["ymax"], 17)
+            bx = np.concatenate(
+                [gx, gx, np.full_like(gy, ext["xmin"]),
+                 np.full_like(gy, ext["xmax"])]
             )
+            by = np.concatenate(
+                [np.full_like(gx, ext["ymin"]),
+                 np.full_like(gx, ext["ymax"]), gy, gy]
+            )
+            xs, ys = fn(bx, by)
             ext = {
-                "xmin": float(xs[0]),
-                "ymin": float(ys[0]),
-                "xmax": float(xs[1]),
-                "ymax": float(ys[1]),
+                "xmin": float(np.min(xs)),
+                "ymin": float(np.min(ys)),
+                "xmax": float(np.max(xs)),
+                "ymax": float(np.max(ys)),
             }
             srid = qp.out_sr
         payload = {
@@ -203,7 +217,15 @@ def query_layer(
 
         from iceberg_geospatial_api_server_spark.geo import functions as G
 
-        if qp.out_sr is not None and qp.out_sr not in _GEOGRAPHIC_WKIDS:
+        src_srid = schema.srid or 4326
+        if qp.out_sr is not None and qp.out_sr != src_srid:
+            if src_srid != 4326:
+                # closed forms only reproject FROM 4326; a layer already
+                # stored in another CRS must not be double-projected
+                raise ValueError(
+                    f"cannot reproject from srid {src_srid} "
+                    "(source must be 4326)"
+                )
             # raises ValueError on codes with no closed form (the
             # reference rejects unknown EPSG via pyproj the same way)
             result.features = result.features.withColumn(

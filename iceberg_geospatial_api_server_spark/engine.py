@@ -61,6 +61,14 @@ _WHERE_DENY = {
     "DROP", "DELETE", "INSERT", "UPDATE", "CREATE", "ALTER", "EXEC",
     "EXECUTE", "UNION", "TRUNCATE", "GRANT", "REVOKE", "MERGE", "CALL",
     "COPY", "ATTACH", "DETACH", "PRAGMA", "SET",
+    # niladic builtins: Spark's parser evaluates these WITHOUT parens, so
+    # a "bare identifier" spelling still calls the function — leaking the
+    # service account (current_user) or making predicates nondeterministic
+    # (current_timestamp). Columns may not use these reserved names.
+    "CURRENT_USER", "SESSION_USER", "USER", "CURRENT_DATE",
+    "CURRENT_TIMESTAMP", "CURRENT_TIME", "LOCALTIME", "LOCALTIMESTAMP",
+    "NOW", "CURRENT_CATALOG", "CURRENT_DATABASE", "CURRENT_SCHEMA",
+    "CURRENT_TIMEZONE",
 }
 
 _INTERNAL_COLS = {"__oid", "__bbox_xmin", "__bbox_ymin", "__bbox_xmax", "__bbox_ymax"}
@@ -222,10 +230,13 @@ def with_oid(df: DataFrame, order_cols: list[str] | None = None) -> DataFrame:
     """
     if "__oid" in df.columns:
         return df
-    cached = getattr(df, "_sg_oid_df", None)
-    if cached is not None:
-        return cached
     order_cols = order_cols or _default_oid_order(df)
+    # cache keyed by the ordering — OIDs from different order_cols on the
+    # same frame must never alias each other
+    cache_key = tuple(order_cols)
+    cached = getattr(df, "_sg_oid_cache", None)
+    if cached is not None and cache_key in cached:
+        return cached[cache_key]
     key0 = order_cols[0]
     key0_type = df.schema[key0].dataType.typeName()
     numeric = key0_type in {
@@ -247,7 +258,9 @@ def with_oid(df: DataFrame, order_cols: list[str] | None = None) -> DataFrame:
             out = df.withColumn(
                 "__oid", (F.row_number().over(w) - 1).cast("int")
             )
-            df._sg_oid_df = out
+            if not hasattr(df, "_sg_oid_cache"):
+                df._sg_oid_cache = {}
+            df._sg_oid_cache[cache_key] = out
             return out
 
     if cuts:
@@ -283,7 +296,9 @@ def with_oid(df: DataFrame, order_cols: list[str] | None = None) -> DataFrame:
         )
         .drop("__bkt")
     )
-    df._sg_oid_df = out
+    if not hasattr(df, "_sg_oid_cache"):
+        df._sg_oid_cache = {}
+    df._sg_oid_cache[cache_key] = out
     return out
 
 
@@ -397,9 +412,11 @@ def query_features(
             F.max("__bbox_ymax").alias("ymax"),
             F.count(F.lit(1)).alias("n"),
         ).first()
+        # rows may match while every geometry is NULL → aggregates come
+        # back None; that's a null extent, not a crash
         ext = (
             None
-            if row["n"] == 0
+            if row["n"] == 0 or row["xmin"] is None
             else {k: float(row[k]) for k in ("xmin", "ymin", "xmax", "ymax")}
         )
         return QueryResult(

@@ -91,7 +91,11 @@ def build_service_metadata(
         }
         for idx, tbl in enumerate(table_names)
     ]
-    return _SERVICE_TEMPLATE | {
+    import copy
+
+    # deep-copy the template: the shallow | overlay would share nested
+    # mutable dicts/lists across every response document
+    return copy.deepcopy(_SERVICE_TEMPLATE) | {
         "serviceDescription": f"Spark-lakehouse feature service: {namespace}",
         "layers": layer_dir,
     }
@@ -101,7 +105,9 @@ def build_layer_metadata(schema: FeatureSchema, layer_id: int) -> dict:
     """Per-layer document: fields, extent, and geometry type from the
     detected FeatureSchema overlaid on the capability template."""
     extent = _WORLD_EXTENT | (schema.extent or {})
-    return _LAYER_TEMPLATE | {
+    import copy
+
+    return copy.deepcopy(_LAYER_TEMPLATE) | {
         "id": layer_id,
         "name": schema.table_identifier.split(".")[-1],
         "geometryType": _esri_geom_type(schema.geometry_type),

@@ -213,6 +213,13 @@ def dedup_minhash_lsh(
     the join formulation would emit O(bucket²) rows with no way to cap
     without a separate counting pass. Buckets over the cap carry no
     near-dup signal worth quadratic work (standard LSH practice).
+
+    Cache lifecycle: three intermediates (signatures, candidate pairs,
+    candidate shingles) are cached (MEMORY_AND_DISK — spills, never
+    OOMs) because each feeds 2+ consumers of the returned lazy plan;
+    they stay pinned for the session. A long-lived service running many
+    corpora should ``spark.catalog.clearCache()`` between runs or
+    materialize the result and unpersist.
     """
     from iceberg_geospatial_api_server_spark.util import spread
 

@@ -51,12 +51,19 @@ def iceberg_available(spark: SparkSession) -> bool:
     )
 
 
+_IDENT_PART = __import__("re").compile(r"^[A-Za-z0-9_][A-Za-z0-9_\-]*$")
+
+
 def quote_ident(identifier: str) -> str:
-    """Backtick-quote each part of a dotted table identifier (defense for
-    identifiers that reach SQL strings — MERGE/travel statements below)."""
+    """Validate + backtick-quote each part of a dotted table identifier.
+
+    Charset ALLOWLIST, not a backtick blocklist: several call sites also
+    interpolate the identifier into single-quoted CALL/travel arguments,
+    where an apostrophe (not a backtick) is the escape — so only
+    [A-Za-z0-9_-] parts are accepted at all."""
     parts = identifier.split(".")
     for p in parts:
-        if not p or "`" in p:
+        if not p or not _IDENT_PART.match(p):
             raise ValueError(f"invalid table identifier: {identifier!r}")
     return ".".join(f"`{p}`" for p in parts)
 
@@ -166,6 +173,10 @@ def delete_where(spark: SparkSession, identifier: str, predicate: str) -> None:
     — this is the same client-facing surface as /query."""
     from iceberg_geospatial_api_server_spark.engine import sanitize_where
 
+    if not predicate or not predicate.strip():
+        # sanitize_where maps empty → the always-true "1=1"; for DELETE
+        # that would silently wipe the table — demand an explicit predicate
+        raise ValueError("delete_where requires a non-empty predicate")
     spark.sql(
         f"DELETE FROM {quote_ident(identifier)} WHERE {sanitize_where(predicate)}"
     )
@@ -206,6 +217,7 @@ def read_as_of(
 def rollback_to(spark: SparkSession, identifier: str, snapshot_id: int) -> None:
     """Roll the table's current pointer back to ``snapshot_id`` (Iceberg
     stored procedure; metadata-only, instant at any scale)."""
+    quote_ident(identifier)  # charset validation for the CALL arg below
     catalog = identifier.split(".")[0]
     spark.sql(
         f"CALL {catalog}.system.rollback_to_snapshot('{identifier}', {int(snapshot_id)})"
@@ -252,6 +264,7 @@ def expire_snapshots(
     at 100 TB write volume)."""
     if "'" in older_than:
         raise ValueError(f"invalid timestamp literal: {older_than!r}")
+    quote_ident(identifier)  # charset validation for the CALL arg
     catalog = identifier.split(".")[0]
     return spark.sql(
         f"CALL {catalog}.system.expire_snapshots(table => '{identifier}', "

@@ -114,8 +114,12 @@ def streaming_funnel(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         latest = list(state.get[0]) if state.exists else [-1] * n_steps
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        chunks = list(pdfs)
+        if chunks:
+            # one sort over the WHOLE group: a user spanning several
+            # Arrow chunks must still replay in (ts, event_id) order or
+            # the chain diverges from the batch operator
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             # unit-safe epoch µs (pandas may hand back ns or µs datetimes)
             us_arr = pdf["ts"].values.astype("datetime64[us]").astype("int64")
             for et, us in zip(pdf["event_type"], us_arr):

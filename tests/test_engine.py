@@ -114,6 +114,13 @@ def test_exceeded_transfer_limit_false_when_exact(li):
         "l_quantity = 1 OR raise_error('boom') IS NULL",
         'a = "b"',
         "a = `b`",
+        # niladic builtins evaluate WITHOUT parens — must be denied as
+        # bare identifiers too (service-account leak / nondeterminism)
+        "name = current_user",
+        "CURRENT_USER = 'root'",
+        "ts < current_timestamp",
+        "d = CURRENT_DATE",
+        "u = session_user",
     ],
 )
 def test_where_sanitizer_rejects(bad):
@@ -173,6 +180,38 @@ def test_where_sanitizer_rejects_every_unapproved_function_call():
 def test_order_sanitizer_rejects(bad):
     with pytest.raises(ValueError):
         sanitize_order(bad)
+
+
+def test_with_oid_cache_keyed_by_ordering(spark):
+    """Different order_cols on the same DataFrame object must produce
+    independently-ranked OIDs, not replay the first ordering's cache."""
+    import pandas as pd
+
+    from iceberg_geospatial_api_server_spark.engine import with_oid
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": [3, 1, 2], "b": [1, 2, 3]}), "a long, b long"
+    )
+    by_a = {r["a"]: r["__oid"] for r in with_oid(df, ["a"]).collect()}
+    by_b = {r["a"]: r["__oid"] for r in with_oid(df, ["b"]).collect()}
+    assert by_a == {1: 0, 2: 1, 3: 2}
+    assert by_b == {3: 0, 1: 1, 2: 2}
+
+
+def test_extent_only_all_null_geometry(spark):
+    """Rows matching the filter with only NULL geometries → null extent,
+    not a TypeError."""
+    import pandas as pd
+
+    from iceberg_geospatial_api_server_spark.engine import query_features
+    from iceberg_geospatial_api_server_spark.models import QueryParams
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"fid": [1, 2], "geometry": [None, None]}),
+        "fid long, geometry binary",
+    )
+    res = query_features(df, QueryParams(return_extent_only=True))
+    assert res.count == 2 and res.extent is None
 
 
 def test_order_sanitizer_parses(spark):

@@ -50,6 +50,24 @@ def test_delete_where_goes_through_sanitizer(spark):
         I.delete_where(spark, "lakehouse.db.t", "java_method('a','b') = 1")
 
 
+def test_delete_where_rejects_empty_predicate(spark):
+    # empty WHERE would sanitize to the always-true 1=1 → full-table
+    # DELETE; must raise instead
+    with pytest.raises(ValueError):
+        I.delete_where(spark, "lakehouse.db.t", "")
+    with pytest.raises(ValueError):
+        I.delete_where(spark, "lakehouse.db.t", "   ")
+
+
+def test_identifier_charset_allowlist():
+    # apostrophes would escape the single-quoted CALL-argument context
+    with pytest.raises(ValueError):
+        I.quote_ident("db.t', where => '1=1")
+    with pytest.raises(ValueError):
+        I.quote_ident("db.t name")
+    assert I.quote_ident("lake.geo-x.t_1") == "`lake`.`geo-x`.`t_1`"
+
+
 def test_maintenance_procedure_validation(spark):
     with pytest.raises(ValueError):
         I.rewrite_data_files(spark, "lakehouse.db.t", strategy="steal")

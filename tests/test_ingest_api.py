@@ -233,17 +233,29 @@ def test_query_layer_return_extent_only(spark, tables):
     cnt, _ = query_layer(df, {"returnCountOnly": "true"})
     assert cnt["count"] == out["count"]
 
-    # outSR reprojects the envelope corners
-    utm, _ = query_layer(df, {"returnExtentOnly": "true", "outSR": "32633"})
-    e, n = W.lonlat_to_utm(
-        np.array([ext["xmin"], ext["xmax"]]),
-        np.array([ext["ymin"], ext["ymax"]]),
-        33,
-        True,
+    # outSR: the reprojected envelope must COVER every reprojected
+    # feature (boundary-sampled, not just two corners — UTM extremes can
+    # sit mid-edge when the extent straddles the central meridian).
+    # Restrict to zone-33's validity window: UTM is undefined for data
+    # ±90°+ from the central meridian (same with pyproj).
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        LI_X,
+        LI_Y,
     )
-    assert utm["extent"]["xmin"] == pytest.approx(e[0])
-    assert utm["extent"]["ymax"] == pytest.approx(n[1])
-    assert utm["extent"]["spatialReference"]["wkid"] == 32633
+
+    zone_df = df.filter(
+        (F.expr(LI_X) >= -5.0) & (F.expr(LI_X) <= 35.0) & (F.expr(LI_Y) >= 0.0)
+    )
+    utm, _ = query_layer(zone_df, {"returnExtentOnly": "true", "outSR": "32633"})
+    uext = utm["extent"]
+    assert uext["spatialReference"]["wkid"] == 32633
+    pts = query_layer(zone_df, {"resultRecordCount": "200"})[0]["features"]
+    lons = np.array([f["geometry"]["x"] for f in pts])
+    lats = np.array([f["geometry"]["y"] for f in pts])
+    e, n = W.lonlat_to_utm(lons, lats, 33, True)
+    eps = 1e-6
+    assert uext["xmin"] <= e.min() + eps and e.max() <= uext["xmax"] + eps
+    assert uext["ymin"] <= n.min() + eps and n.max() <= uext["ymax"] + eps
 
     # empty filtered set → null extent, zero count
     empty, _ = query_layer(
