@@ -14,10 +14,18 @@ exact-verify step touches candidate pairs, never the corpus cross product.
 
 from __future__ import annotations
 
+import math
+
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MERSENNE = 2147483647  # 2^31 - 1
+
+# Default pin level for multi-consumer intermediates: spills to disk, never
+# OOMs. Operators accept ``storage_level=None`` to run cache-free (zero
+# session storage growth; intermediate stages recompute per consumer).
+_DEFAULT_STORAGE = StorageLevel.MEMORY_AND_DISK
 
 # ---------------------------------------------------------------------------
 # portable hashing (JVM-side, whole-stage codegen — no UDFs)
@@ -76,15 +84,24 @@ def _minhash_params(num: int) -> list[tuple[int, int]]:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """Array of `num_hashes` minhash values over the shingle-hash array."""
-    parts = []
-    for a, b in _minhash_params(num_hashes):
-        parts.append(
-            F.array_min(
-                F.transform(shingles, lambda s: (s * a + b) % MERSENNE)
-            )
-        )
-    return F.array(*parts)
+    """Array of `num_hashes` minhash values over the shingle-hash array.
+
+    Single fold over the shingles with a zip_with against the constant
+    (a, b) parameter array — same arithmetic as num_hashes separate
+    transform+array_min passes (verified bit-equal) but generates one
+    small codegen method instead of num_hashes inlined loops, so the
+    first-run JIT/compile cost stays flat as num_hashes grows."""
+    params = F.array(*[
+        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+        for a, b in _minhash_params(num_hashes)
+    ])
+    return F.aggregate(
+        shingles,
+        F.array_repeat(F.lit(MERSENNE).cast("long"), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc, params, lambda m, p: F.least(m, (s * p["a"] + p["b"]) % MERSENNE)
+        ),
+    )
 
 
 def fast_shingle_hashes(tokens: Column, k: int = 3) -> Column:
@@ -196,13 +213,15 @@ def dedup_minhash_lsh(
     shingle_k: int = 3,
     verify_threshold: float = 0.5,
     max_bucket_size: int = 10000,
+    storage_level: "StorageLevel | None" = _DEFAULT_STORAGE,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs.
 
     shingle → minhash(num_hashes) → bands of band_size → explode
     (band_idx, band_signature) → ONE shuffle groups each band bucket →
     in-bucket pair generation (sorted-id combinations, codegen) →
-    distinct candidate pairs → exact Jaccard verify on the shingle sets.
+    signature-estimated-Jaccard pre-filter → exact Jaccard verify on the
+    shingle sets of the surviving pairs only.
 
     Scale: the only shuffle keys are band signatures (uniform); candidate
     verification re-joins shingle arrays by id, so signatures — not
@@ -214,24 +233,44 @@ def dedup_minhash_lsh(
     without a separate counting pass. Buckets over the cap carry no
     near-dup signal worth quadratic work (standard LSH practice).
 
-    Cache lifecycle: three intermediates (signatures, candidate pairs,
-    candidate shingles) are cached (MEMORY_AND_DISK — spills, never
-    OOMs) because each feeds 2+ consumers of the returned lazy plan;
-    they stay pinned for the session. A long-lived service running many
-    corpora should ``spark.catalog.clearCache()`` between runs or
-    materialize the result and unpersist.
+    The pre-filter estimates Jaccard as the fraction of matching minhash
+    components (the textbook unbiased estimator), read straight off the
+    already-cached signatures — zero extra corpus scans. Only pairs with
+    ≥ ``ceil(verify_threshold · num_hashes) - 1`` matching components go
+    to the exact verify, so the re-shingle slice shrinks from "every doc
+    sharing any band" to near-final-output size. The -1 slack absorbs
+    estimator noise at the threshold boundary (a true-J≈threshold pair
+    with 16 hashes sits within one component of the cutoff); the exact
+    verify still applies ``verify_threshold``, so the filter can only
+    lose borderline pairs band-LSH itself keeps probabilistically, never
+    add false positives.
+
+    Cache lifecycle: two intermediates (signatures, pre-filtered
+    candidate pairs + the candidate shingle slice) persist at
+    ``storage_level`` (default MEMORY_AND_DISK — spills, never OOMs)
+    because each feeds 2+ consumers of the returned lazy plan; they stay
+    pinned until ``spark.catalog.clearCache()``. A long-lived service
+    running many corpora should pass ``storage_level=None``: nothing is
+    pinned (zero storage growth across calls), trading ~2× recompute of
+    the signature stage.
     """
     from iceberg_geospatial_api_server_spark.util import spread
 
     nbands = num_hashes // band_size
 
+    def _pin(frame: DataFrame) -> DataFrame:
+        return frame.persist(storage_level) if storage_level is not None else frame
+
     # spread BEFORE shingling: the shingle/minhash folds are CPU-bound JVM
     # codegen, so unlike the pandas-UDF stages (where the shuffle +
     # python-worker fan-out costs more than it buys) parallelizing a
     # single-row-group scan wins here (bench: ~5s → ~3.2s at sf0.1).
-    def _shingled(src: DataFrame) -> DataFrame:
+    # The verify slice skips the spread: it is near-output-sized and
+    # arrives already distributed by the semi-join — a repartition there
+    # is a pure extra exchange.
+    def _shingled(src: DataFrame, do_spread: bool = True) -> DataFrame:
         return (
-            spread(src)
+            (spread(src) if do_spread else src)
             .select(
                 F.col(id_col),
                 F.array_distinct(
@@ -246,14 +285,14 @@ def dedup_minhash_lsh(
     # the shingled corpus, an executor-memory hazard at 100 TB. Both sides
     # of the band self-join read this one cached frame, so the corpus is
     # shingled exactly once here.
-    sig = (
+    sig = _pin(
         _shingled(df)
         .select(id_col, minhash_signature(F.col("__sh"), num_hashes).alias("__sig"))
-        .cache()
     )
 
     bands = sig.select(
         id_col,
+        "__sig",
         F.explode(
             F.array(*[
                 F.struct(
@@ -266,36 +305,65 @@ def dedup_minhash_lsh(
                 for i in range(nbands)
             ])
         ).alias("__b"),
-    ).select(id_col, F.col("__b.band").alias("band"), F.col("__b.bsig").alias("bsig"))
+    ).select(
+        id_col,
+        "__sig",
+        F.col("__b.band").alias("band"),
+        F.col("__b.bsig").alias("bsig"),
+    )
 
+    # Signatures ride along INTO the buckets (struct sorts by its first
+    # field, so sorted-id pair emission is unchanged): the estimate filter
+    # below then reads both signatures straight off the emitted pair —
+    # zero extra joins/exchanges vs re-attaching them by id afterwards.
+    # Memory cost: a capped bucket holds ≤ max_bucket_size × (id +
+    # num_hashes longs) ≈ 1.4 MB at the defaults — fine for an agg buffer.
     buckets = (
         bands.groupBy("band", "bsig")
-        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
-    )
-    # sorted ids ⇒ each unordered pair emitted once per bucket as
-    # (smaller, larger); distinct below collapses cross-band repeats.
-    # candidate pairs are ~linear in true duplicates — cache them: they
-    # feed both the id-set semi-join and the verify join below
-    cand = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda a, i: F.transform(
-                            F.slice(F.col("ids"), i + 2, F.size("ids")),
-                            lambda b: F.struct(
-                                a.alias("id_a"), b.alias("id_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("__p")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct(F.col(id_col).alias("id"), F.col("__sig")))
+            ).alias("members")
         )
+        .filter(
+            (F.size("members") >= 2) & (F.size("members") <= max_bucket_size)
+        )
+    )
+
+    # Signature-estimated Jaccard pre-filter: #matching minhash components
+    # is the standard estimator of J·num_hashes; pairs that can't plausibly
+    # reach verify_threshold are dropped HERE, before the distinct and
+    # before any re-shingle — so the verify slice shrinks to near-final-
+    # output size. Sorted members ⇒ each unordered pair emitted once per
+    # bucket as (smaller, larger); distinct collapses cross-band repeats.
+    min_match = max(0, math.ceil(verify_threshold * num_hashes) - 1)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda a, i: F.transform(
+                F.slice(F.col("members"), i + 2, F.size("members")),
+                lambda b: F.struct(
+                    a["id"].alias("id_a"),
+                    b["id"].alias("id_b"),
+                    F.size(
+                        F.filter(
+                            F.zip_with(
+                                a["__sig"], b["__sig"], lambda x, y: x == y
+                            ),
+                            lambda m: m,
+                        )
+                    ).alias("est"),
+                ),
+            ),
+        )
+    )
+    # pre-filtered pairs are ~linear in true duplicates — persist them:
+    # they feed both the id-set semi-join and the verify join below
+    cand = _pin(
+        buckets.select(F.explode(pair_structs).alias("__p"))
+        .filter(F.col("__p.est") >= F.lit(min_match))
         .select("__p.id_a", "__p.id_b")
         .distinct()
-        .cache()
     )
 
     # exact-verify needs shingle sets only for docs that appear in a
@@ -303,13 +371,13 @@ def dedup_minhash_lsh(
     # just those docs (second corpus *scan*, but shingle compute only on
     # the candidate slice)
     cand_ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .union(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
+        cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
     )
-    # cached: consumed twice (ga/gb); size is bounded by the candidate
+    # pinned: consumed twice (ga/gb); size is bounded by the candidate
     # set, not the corpus
-    needed = _shingled(df.join(cand_ids, on=id_col, how="leftsemi")).cache()
+    needed = _pin(
+        _shingled(df.join(cand_ids, on=id_col, how="leftsemi"), do_spread=False)
+    )
     ga = needed.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__ga"))
     gb = needed.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__gb"))
     verified = cand.join(ga, "id_a").join(gb, "id_b")

@@ -31,6 +31,32 @@ def test_minhash_finds_planted_neardups(spark, docs):
     assert not missed, f"minhash-LSH missed planted pairs: {missed}"
 
 
+def test_minhash_storage_level_none_pins_nothing(spark, docs):
+    """Cache-lifecycle contract: with storage_level=None repeated
+    invocations leave ZERO new persisted RDDs behind (a long-lived
+    service never accumulates pinned storage); the default level pins
+    intermediates but clearCache() fully releases them."""
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    def n_persistent():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    spark.catalog.clearCache()
+    before = n_persistent()
+    for _ in range(2):
+        assert dedup_minhash_lsh(docs, storage_level=None).count() > 0
+    assert n_persistent() == before, "storage_level=None must pin nothing"
+
+    # default level pins intermediates for the session...
+    dedup_minhash_lsh(docs).count()
+    assert n_persistent() > before
+    # ...and clearCache() is the documented release valve
+    spark.catalog.clearCache()
+    assert n_persistent() == before
+
+
 def test_simhash_pairs_are_near_dups(spark, docs):
     from iceberg_geospatial_api_server_spark.operators.dedup import (
         dedup_simhash,
