@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from iceberg_geospatial_api_server_spark.util import epoch_of
+
 
 def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-01") -> DataFrame:
     """TPC-H Q1: scan-heavy groupBy with 8 aggregates.
@@ -281,8 +283,9 @@ def top_k_per_group(
 def events_windowed_agg(events: DataFrame, minutes: int = 60) -> DataFrame:
     """Tumbling-window aggregation over the event stream table (batch form
     of the structured-streaming windows in streaming/windows.py)."""
+    sec = epoch_of(events, "ts")
     bucket = (
-        F.floor(F.unix_timestamp("ts") / (minutes * 60)) * (minutes * 60)
+        F.floor(sec("ts", "SECOND") / (minutes * 60)) * (minutes * 60)
     ).cast("long")
     return (
         events.groupBy(bucket.alias("window_start"), "event_type")
@@ -299,12 +302,13 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: per-user lag + cumulative gap counter. One shuffle
     on user_id; both window passes reuse the same partitioning."""
     gap_us = gap_minutes * 60 * 1_000_000
+    us = epoch_of(events, "ts")
     w = Window.partitionBy("user_id").orderBy("ts")
     with_gap = events.withColumn(
         "new_session",
         (
             F.coalesce(
-                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)),
+                us("ts") - us(F.lag("ts").over(w)),
                 F.lit(gap_us + 1),
             )
             > gap_us
@@ -317,8 +321,8 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         with_sid.groupBy("user_id", "session_seq")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.unix_timestamp(F.min("ts")).alias("session_start"),
-            F.unix_timestamp(F.max("ts")).alias("session_end"),
+            us(F.min("ts"), "SECOND").alias("session_start"),
+            us(F.max("ts"), "SECOND").alias("session_end"),
             F.round(F.sum("value"), 4).alias("session_value"),
         )
         .orderBy("user_id", "session_seq")
@@ -366,12 +370,13 @@ def asof_join_events_orders(events: DataFrame, orders: DataFrame) -> DataFrame:
         F.last("o_orderkey", ignorenulls=True).over(w).alias("asof_orderkey"),
         F.last("o_totalprice", ignorenulls=True).over(w).alias("asof_totalprice"),
     )
+    us = epoch_of(carried, "ts")
     return (
         carried.filter(F.col("is_event") == 1)
         .select(
             "event_id",
             F.col("k").alias("user_id"),
-            F.unix_micros("ts").alias("event_ts"),
+            us("ts").alias("event_ts"),
             "asof_orderkey",
             "asof_totalprice",
         )
@@ -1032,7 +1037,7 @@ def events_funnel(
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_of(events, "ts")(F.col("ts"))
     df = events
     qual_cols = []
     prev_q = None
@@ -1079,9 +1084,9 @@ def events_retention(events: DataFrame) -> DataFrame:
     a final small aggregation — the standard two-scan cohort plan; no
     window over the corpus.
     """
-    week = F.floor(F.unix_micros(F.col("ts")) / F.lit(604800000000)).cast(
-        "long"
-    )
+    week = F.floor(
+        epoch_of(events, "ts")(F.col("ts")) / F.lit(604800000000)
+    ).cast("long")
     first = events.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
     active = events.select(
         "user_id", week.alias("active_week")

@@ -2,7 +2,34 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def epoch_of(df: DataFrame, col: str = "ts"):
+    """Epoch extractor that works for TIMESTAMP and TIMESTAMP_NTZ columns.
+
+    Parquet timestamps written without isAdjustedToUTC read back as
+    TIMESTAMP_NTZ under Spark 4's NTZ inference, and
+    unix_micros/unix_timestamp reject NTZ inputs. Returns
+    ``at(column=col, unit="MICROSECOND"|"SECOND") -> Column`` bound to the
+    dtype of ``df[col]``; pass derived columns (lag/min/max over ``col``)
+    through the same ``at``. For NTZ the naive wall time is pinned to UTC
+    via timestamp_diff from the NTZ epoch — no session-timezone
+    dependence — matching DuckDB's epoch_us()/epoch() on naive
+    timestamps, so oracle hashes agree in any driver timezone. SECOND
+    truncates like unix_timestamp for post-epoch values.
+    """
+    ntz = dict(df.dtypes).get(col) == "timestamp_ntz"
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+
+    def at(c: Column | str = col, unit: str = "MICROSECOND") -> Column:
+        c = F.col(c) if isinstance(c, str) else c
+        if ntz:
+            return F.timestamp_diff(unit, epoch, c)
+        return F.unix_micros(c) if unit == "MICROSECOND" else F.unix_timestamp(c)
+
+    return at
 
 
 def spread(df: DataFrame, partitions: int | None = None, *cols: str) -> DataFrame:

@@ -7,6 +7,8 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from iceberg_geospatial_api_server_spark.util import epoch_of
+
 
 @pytest.fixture(scope="module")
 def events_path(sf_dir, tmp_path_factory, spark):
@@ -146,18 +148,17 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path_factory):
     )
 
     events = load_table(spark, sf_dir, "events")
-    cut = events.agg(
-        F.expr("percentile_approx(unix_micros(ts), 0.5)")
-    ).first()[0]
+    us = epoch_of(events, "ts")
+    cut = events.agg(F.percentile_approx(us("ts"), 0.5)).first()[0]
     base = tmp_path_factory.mktemp("funnel_stream")
     early = str(base / "events")
     # file source processes oldest-modified first: write the early half,
     # then the late half, so triggers replay the stream in ts order
-    events.filter(F.unix_micros("ts") <= cut).coalesce(1).write.mode(
+    events.filter(us("ts") <= cut).coalesce(1).write.mode(
         "overwrite"
     ).parquet(early)
     time.sleep(1.1)
-    events.filter(F.unix_micros("ts") > cut).coalesce(1).write.mode(
+    events.filter(us("ts") > cut).coalesce(1).write.mode(
         "append"
     ).parquet(early)
 
