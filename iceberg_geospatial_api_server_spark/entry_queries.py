@@ -1476,7 +1476,7 @@ def mm_frames_q(spark, sf_dir):
     )
 
 
-@_q("mm_extract_features")  # rows-only: stubbed decode kernel
+@_q("mm_extract_features")  # rows-only: stub kernel over text-byte payloads
 def mm_features_q(spark, sf_dir):
     from iceberg_geospatial_api_server_spark.operators.multimodal import (
         extract_features,
@@ -1485,6 +1485,31 @@ def mm_features_q(spark, sf_dir):
 
     media = synthesize_media(_t(spark, sf_dir, "documents"))
     return extract_features(media, stub=True)
+
+
+@_q("mm_real_decode_stats")  # rows-only: binary decode isn't SQL-expressible
+def mm_real_decode_q(spark, sf_dir):
+    """REAL decode path end-to-end, distributed: encode genuine PNG/WAV
+    payloads per doc (mapInPandas), decode them back through the stdlib
+    codec kernel, aggregate per modality. Proves the non-stub kernel under
+    the driver protocol (stable rows: 2 modalities with deterministic
+    counts and feature sums)."""
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        extract_features,
+        synthesize_real_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    feats = extract_features(synthesize_real_media(docs), stub=False)
+    return (
+        feats.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.element_at("features", 4)), 4).alias("sum_feat4"),
+            F.round(F.avg(F.element_at("features", 1)), 4).alias("avg_feat1"),
+        )
+        .orderBy("modality")
+    )
 
 
 # ===========================================================================

@@ -5,11 +5,21 @@ Image/audio/video cells are `binary` columns with a metadata struct
 resize / frame-sample run as Arrow-batched `mapInPandas` kernels so each
 Python worker sees whole record batches, never single rows.
 
-The actual media decoding is STUBBED (this container has no image/audio
-libraries): `decode_stub=True` produces a deterministic fake decode
-(byte-histogram features) behind the same schema/partitioning/batch shape
-the real kernel would use; swapping in PIL/ffmpeg later changes only the
-body of `_decode_batch`.
+Decoding has a REAL path and a stub path:
+
+- real (``stub=False``): `media_codecs` decodes PNG and WAV with
+  stdlib-only codecs (zlib chunk walk + scanline unfiltering; wave/PCM)
+  and computes genuine image/audio statistics (edge energy, RMS,
+  zero-crossing rate, spectral split); Pillow — when installed — extends
+  coverage to JPEG &co through the same dispatch, gated exactly like the
+  Iceberg jar check. Codecs with no decoder here (mp4 video) raise
+  unless ``skip_undecodable=True``, which emits null features for those
+  rows instead (the honest 100 TB posture: a corpus sweep must not die
+  on the first exotic codec).
+- stub (``stub=True``, default): deterministic byte-histogram features
+  behind the identical schema/partitioning/batch shape — the offline
+  fallback for payloads that are not real media (e.g. the synthesized
+  text-bytes corpus).
 """
 
 from __future__ import annotations
@@ -20,6 +30,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from iceberg_geospatial_api_server_spark.operators import media_codecs
 
 MEDIA_SCHEMA = (
     "doc_id long, payload binary, modality string, codec string, "
@@ -49,36 +61,95 @@ def synthesize_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _decode_batch(payloads: pd.Series, stub: bool) -> np.ndarray:
-    """Decode a batch of payloads → (n, 8) feature matrix.
+def synthesize_real_media(docs: DataFrame) -> DataFrame:
+    """Build a multimodal table whose payloads are REAL encoded media:
+    even doc_ids carry a PNG (deterministic gradient+checker image seeded
+    by the id), odd ones a 16-bit PCM WAV (sine whose frequency derives
+    from the id). Runs as mapInPandas so payload encoding is distributed
+    exactly like decoding — this is the fixture generator for the real
+    decode kernel and the driver-visible `mm_real_decode_stats` entry."""
 
-    STUB path: deterministic byte-histogram over 8 buckets, L1-normalized
-    — stands in for a real decoder+embedder.
-    Real path: would decode via PIL/torchaudio/ffmpeg here.
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from iceberg_geospatial_api_server_spark.operators import media_codecs
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    h, w = 12 + d % 5, 16 + d % 7
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    img = np.stack(
+                        [
+                            (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+                            (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+                            (((xx + yy + d) % 2) * 255).astype(np.uint8),
+                        ],
+                        axis=2,
+                    )
+                    rows.append((d, media_codecs.encode_png(img), "image", "png"))
+                else:
+                    rate = 8000
+                    freq = 200 + (d % 17) * 50
+                    t = np.arange(rate // 10) / rate  # 100 ms clip
+                    wav = media_codecs.encode_wav(
+                        0.5 * np.sin(2 * np.pi * freq * t), rate
+                    )
+                    rows.append((d, wav, "audio", "wav"))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "modality", "codec"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        kernel, "doc_id long, payload binary, modality string, codec string"
+    )
+
+
+def _decode_batch(
+    payloads: pd.Series,
+    codecs: pd.Series,
+    stub: bool,
+    skip_undecodable: bool = False,
+) -> list:
+    """Decode a batch of payloads → list of 8-d feature vectors (or None).
+
+    STUB path: deterministic byte-histogram over 8 buckets, L1-normalized.
+    REAL path: dispatch by codec through media_codecs (stdlib PNG/WAV
+    decoders; Pillow for JPEG &co when installed).
     """
-    if not stub:
-        raise NotImplementedError(
-            "real media decoding requires image/audio libs not present "
-            "in this environment; run with stub=True"
-        )
-    out = np.zeros((len(payloads), 8), dtype="f8")
-    for i, buf in enumerate(payloads):
+    out: list = []
+    for buf, codec in zip(payloads, codecs):
         if buf is None or len(buf) == 0:
+            out.append(None)
             continue
-        arr = np.frombuffer(buf, dtype=np.uint8)
-        hist = np.bincount(arr >> 5, minlength=8).astype("f8")
-        out[i] = hist / hist.sum()
+        if stub:
+            arr = np.frombuffer(buf, dtype=np.uint8)
+            hist = np.bincount(arr >> 5, minlength=8).astype("f8")
+            out.append(hist / hist.sum())
+            continue
+        try:
+            out.append(media_codecs.decode_features(bytes(buf), codec))
+        except NotImplementedError:
+            if not skip_undecodable:
+                raise
+            out.append(None)
     return out
 
 
 def extract_features(
-    media: DataFrame, stub: bool = True, batch_note: str = "byte-histogram"
+    media: DataFrame, stub: bool = True, skip_undecodable: bool = False
 ) -> DataFrame:
-    """Per-item feature extraction via mapInPandas (Arrow batches)."""
+    """Per-item feature extraction via mapInPandas (Arrow batches).
+
+    ``stub=False`` runs the real decoders (see module docstring);
+    ``skip_undecodable`` turns codec-coverage gaps into null features
+    instead of task failures."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = _decode_batch(pdf["payload"], stub)
+            feats = _decode_batch(
+                pdf["payload"], pdf["codec"], stub, skip_undecodable
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -86,7 +157,7 @@ def extract_features(
                     "n_bytes": pdf["payload"].map(
                         lambda b: len(b) if b is not None else 0
                     ),
-                    "features": list(feats),
+                    "features": feats,
                 }
             )
 
