@@ -55,3 +55,63 @@ def test_namespace_extent_none_without_geometry(lake, tmp_path_factory):
     empty_root = tmp_path_factory.mktemp("empty_lake")
     cat = FsCatalog(lake.spark, str(empty_root))
     assert cat.namespace_extent("") is None
+
+
+def test_mcp_sql_surface_reproduces_pip_cookbook(spark, sf_dir):
+    """The MCP-analog surface end-to-end (SURVEY §4 last row): the
+    reference exposes its lakehouse to agents as raw SQL over attached
+    tables (mcp/duckdb-mcp-init.sql); here that surface is
+    ``register_all`` + ``spark.sql``. A cookbook §2.6 PIP join written as
+    PLAIN SQL over the registered views must reproduce the DataFrame-API
+    operator row-for-row."""
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.geo.functions import (
+        point_in_polygon_join,
+    )
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        lineitem_points,
+        nation_rect_polygons,
+    )
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+
+    registered = FsCatalog(spark, sf_dir).register_all()
+    assert {"lineitem", "nation"} <= set(registered)
+
+    sql_rows = spark.sql(
+        """
+        SELECT n.n_name,
+               COUNT(*) AS n_points,
+               ROUND(SUM(p.l_quantity), 2) AS sum_qty
+        FROM (SELECT l_quantity,
+                     (l_partkey * 131 % 3600) / 10.0 - 180.0 AS x,
+                     (l_suppkey * 241 % 1700) / 10.0 - 85.0 AS y
+              FROM lineitem) p
+        JOIN (SELECT n_name,
+                     (n_nationkey % 5) * 72.0 - 180.0 + 0.05 AS xmin,
+                     (n_nationkey % 5) * 72.0 - 180.0 + 59.95 AS xmax,
+                     ((n_nationkey - n_nationkey % 5) / 5.0) * 34.0 - 85.0 + 0.05 AS ymin,
+                     ((n_nationkey - n_nationkey % 5) / 5.0) * 34.0 - 85.0 + 29.95 AS ymax
+              FROM nation) n
+          ON p.x > n.xmin AND p.x < n.xmax AND p.y > n.ymin AND p.y < n.ymax
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+        """
+    ).collect()
+
+    pts = lineitem_points(load_table(spark, sf_dir, "lineitem"))
+    polys = nation_rect_polygons(load_table(spark, sf_dir, "nation")).select(
+        "n_nationkey", "n_name", "geometry"
+    )
+    df_rows = (
+        point_in_polygon_join(pts, polys, "x", "y", "geometry", res=30.0)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("n_name")
+        .collect()
+    )
+    assert [tuple(r) for r in sql_rows] == [tuple(r) for r in df_rows]
+    assert len(sql_rows) > 0, "vacuous match — no polygons hit"
