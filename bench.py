@@ -43,7 +43,9 @@ BENCH_QUERIES = [
     "geo_nearest_join",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_bruteforce_topk",
+    "ann_lsh_topk",
     "text_profile",
     "text_ngram_topk",
     "text_repetition_profile",
