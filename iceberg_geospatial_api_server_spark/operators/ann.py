@@ -229,7 +229,11 @@ def _hyperplanes(dim: int, nbits: int, seed: int = 7) -> list[list[float]]:
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane signature: bit i = sign(vec · plane_i)."""
+    """Random-hyperplane signature: bit i = sign(vec · plane_i).
+
+    Column-expression form — kept for single-table uses and as the
+    semantic reference for `_lsh_buckets_kernel`; the multi-table hot
+    path batches all tables' signatures through one Arrow matmul."""
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         arr = F.array(*[F.lit(v) for v in plane])
@@ -240,6 +244,43 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
         )
         sig = sig + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(0)
     return sig
+
+
+def _lsh_buckets_kernel(tables: list[list[list[float]]]):
+    """pandas UDF: embedding → array of per-table bucket ids, ALL tables
+    in one numpy matmul per Arrow batch.
+
+    The column-expression route costs num_tables·nbits interpreted
+    zip_with/aggregate dot products per vector (HOFs don't codegen) —
+    for 4×8 planes over dim-64 that is 2k interpreted multiplies per
+    row, which made LSH *slower* than brute force for small query sets.
+    Here the whole batch computes (n, dim) @ (dim, T·nbits) once, signs
+    become bits, bits pack into T bucket longs. Summation order differs
+    from the sequential fold, so a dot within float rounding of zero
+    could flip a bit vs `lsh_bucket` — harmless: base and query sides
+    both go through THIS kernel, so bucket agreement (what the join
+    needs) is exact, and LSH is probabilistic over plane choice anyway.
+    """
+    from pyspark.sql import types as T
+
+    num_tables = len(tables)
+    nbits = len(tables[0])
+    planes = np.asarray(
+        [p for tbl in tables for p in tbl], dtype=np.float64
+    ).T  # (dim, T*nbits)
+    weights = (1 << np.arange(nbits, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.Series([], dtype=object)
+        bits = (mat @ planes) > 0  # (n, T*nbits)
+        per_tbl = bits.reshape(len(mat), num_tables, nbits)
+        ids = (per_tbl * weights).sum(axis=2)  # (n, T)
+        return pd.Series(list(ids))
+
+    return _buckets
 
 
 def lsh_topk(
@@ -262,42 +303,40 @@ def lsh_topk(
     Recall/cost dial: num_tables × (1 + nbits·multiprobe) / 2^nbits of the
     corpus is scored per query; see tests for measured recall."""
     tables = [_hyperplanes(dim, nbits, seed=7 + 13 * t) for t in range(num_tables)]
+    kernel = _lsh_buckets_kernel(tables)
 
-    b = base.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__bv"))
-    b = b.select(
-        id_col,
-        "__bv",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    lsh_bucket(F.col("__bv"), planes).alias("bkt"),
-                )
-                for t, planes in enumerate(tables)
-            ])
-        ).alias("__tb"),
-    ).select(id_col, "__bv", F.col("__tb.tbl").alias("tbl"), F.col("__tb.bkt").alias("bkt"))
+    # one Arrow matmul per batch yields every table's bucket id; posexplode
+    # turns the T-array into (tbl, bkt) rows map-side — no shuffle yet
+    b = (
+        base.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__bv"))
+        .withColumn("__bkts", kernel("__bv"))
+        .select(
+            id_col,
+            "__bv",
+            F.posexplode("__bkts").alias("tbl", "bkt"),
+        )
+    )
 
-    q = queries.select(
-        F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qv")
+    q = (
+        queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qv"))
+        .withColumn("__bkts", kernel("__qv"))
+        .select(query_id_col, "__qv", F.posexplode("__bkts").alias("tbl", "bkt"))
     )
-    probe_structs = []
-    for t, planes in enumerate(tables):
-        qb = lsh_bucket(F.col("__qv"), planes)
-        probe_structs.append(F.struct(F.lit(t).alias("tbl"), qb.alias("bkt")))
-        if multiprobe:
-            probe_structs.extend(
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    qb.bitwiseXOR(F.lit(1 << i).cast("long")).alias("bkt"),
-                )
-                for i in range(nbits)
-            )
-    q = q.select(
-        query_id_col, "__qv", F.explode(F.array(*probe_structs)).alias("__tb")
-    ).select(
-        query_id_col, "__qv", F.col("__tb.tbl").alias("tbl"), F.col("__tb.bkt").alias("bkt")
-    )
+    if multiprobe:
+        # probe the home bucket plus every 1-bit-flip neighbor: XOR is
+        # plain JVM bit math over the already-computed bucket id
+        flips = F.array(
+            F.lit(0).cast("long"),
+            *[F.lit(1 << i).cast("long") for i in range(nbits)],
+        )
+        q = q.select(
+            query_id_col,
+            "__qv",
+            "tbl",
+            F.explode(
+                F.transform(flips, lambda m: F.col("bkt").bitwiseXOR(m))
+            ).alias("bkt"),
+        )
 
     cand = (
         b.join(F.broadcast(q), on=["tbl", "bkt"])
