@@ -383,6 +383,14 @@ def query_features(
                         F.col("__bbox_xmin"),
                         F.col("__bbox_ymin"),
                     )
+                    if params.spatial_rel == "intersects":
+                        # closed-set intersects: a point ON the filter
+                        # boundary intersects (ray-cast alone is
+                        # boundary-ambiguous); within keeps interior
+                        # semantics (shapely: boundary point not within)
+                        pt_exact = pt_exact | G.st_point_on_edge(gbuf)(
+                            F.col("__bbox_xmin"), F.col("__bbox_ymin")
+                        )
                     shape_exact = G.st_relates_const(
                         gbuf, params.spatial_rel
                     )(F.col(geom_col))

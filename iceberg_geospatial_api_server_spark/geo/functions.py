@@ -781,10 +781,35 @@ def _geom_parts(buf: bytes):
     raise ValueError(f"unsupported geometry type {code}")
 
 
-def _any_edge_cross(paths, polys) -> bool:
-    """True when any segment of `paths` properly crosses any ring edge of
-    `polys` (strict orientation tests — shared touching points excluded,
-    matching the grid-offset testdata convention)."""
+# absolute tolerance for "exactly on the line" tests: coordinates are
+# lon/lat-scale doubles, so 1e-9 is ~1e-4 m — far below feature precision
+# while safely above accumulated f64 rounding
+_ON_EPS = 1e-9
+
+
+def _on_segment(p1, p2, q, d) -> np.ndarray:
+    """q collinear with segment (p1,p2) (|cross| ≤ eps given in d) AND
+    inside its bbox — the standard inclusive point-on-segment test.
+    Shapes broadcast: p1/p2 (..., 2), q (..., 2), d (...)."""
+    lo = np.minimum(p1, p2)
+    hi = np.maximum(p1, p2)
+    in_box = ((q >= lo - _ON_EPS) & (q <= hi + _ON_EPS)).all(axis=-1)
+    return (np.abs(d) <= _ON_EPS) & in_box
+
+
+def _any_edge_cross(paths, polys, inclusive: bool = False) -> bool:
+    """True when any segment of `paths` crosses any ring edge of `polys`.
+
+    strict (default): proper crossings only (d1·d2 < 0 AND d3·d4 < 0) —
+    the interior test `within`/`contains` need (boundary contact does not
+    violate containment, so touching must NOT count there).
+    inclusive: additionally counts boundary CONTACT — any segment
+    endpoint lying on the other segment, which also covers collinear
+    overlap (shared-edge parcels, identical rectangles) since any
+    collinear overlapping pair puts at least one endpoint inside the
+    other's span. This is the closed-set `intersects` the reference gets
+    from shapely (ref query/engine.py:599-647: shapely .intersects
+    counts touching)."""
     for coords in paths:
         if len(coords) < 2:
             continue
@@ -794,12 +819,68 @@ def _any_edge_cross(paths, polys) -> bool:
                 b1, b2 = ring[:-1], ring[1:]
                 u = (a2 - a1)[:, None, :]
                 v = (b2 - b1)[None, :, :]
-                d1 = _cross(u, b1[None, :, :] - a1[:, None, :])
-                d2 = _cross(u, b2[None, :, :] - a1[:, None, :])
-                d3 = _cross(v, a1[:, None, :] - b1[None, :, :])
-                d4 = _cross(v, a2[:, None, :] - b1[None, :, :])
+                A1 = a1[:, None, :]
+                A2 = a2[:, None, :]
+                B1 = b1[None, :, :]
+                B2 = b2[None, :, :]
+                d1 = _cross(u, B1 - A1)
+                d2 = _cross(u, B2 - A1)
+                d3 = _cross(v, A1 - B1)
+                d4 = _cross(v, A2 - B1)
                 if bool((((d1 * d2) < 0) & ((d3 * d4) < 0)).any()):
                     return True
+                if inclusive:
+                    touch = (
+                        _on_segment(A1, A2, B1, d1)
+                        | _on_segment(A1, A2, B2, d2)
+                        | _on_segment(B1, B2, A1, d3)
+                        | _on_segment(B1, B2, A2, d4)
+                    )
+                    if bool(touch.any()):
+                        return True
+    return False
+
+
+def st_point_on_edge(filter_wkb: bytes):
+    """pandas-UDF factory: (x, y) lies ON the boundary of the constant
+    filter polygon. Complements `st_contains_point` (ray-cast interior,
+    boundary-ambiguous) so the engine's point fast path — bbox-center
+    coords, no WKB decode — gets closed-set `intersects` semantics."""
+    code, payload = W.decode(filter_wkb)
+    polys = [payload] if code == W.POLYGON else list(payload)
+    edges = [
+        (ring[:-1], ring[1:]) for rings in polys for ring in rings
+    ]
+
+    @pandas_udf(T.BooleanType())
+    def _on_edge(x: pd.Series, y: pd.Series) -> pd.Series:
+        pts = np.column_stack([x.to_numpy("f8"), y.to_numpy("f8")])
+        hit = np.zeros(len(pts), dtype=bool)
+        for p1, p2 in edges:
+            v = (p2 - p1)[None, :, :]
+            w = pts[:, None, :] - p1[None, :, :]
+            d = _cross(v, w)
+            hit |= _on_segment(
+                p1[None, :, :], p2[None, :, :], pts[:, None, :], d
+            ).any(axis=1)
+        return pd.Series(hit)
+
+    return _on_edge
+
+
+def _verts_on_edges(verts: np.ndarray, polys) -> bool:
+    """True when any vertex lies ON any ring edge of `polys` — the
+    boundary-contact half of closed-set `intersects` for point features
+    (and degenerate single-vertex paths), which the ray-cast containment
+    test treats as ambiguous."""
+    for rings in polys:
+        for ring in rings:
+            p1, p2 = ring[:-1], ring[1:]
+            v = (p2 - p1)[None, :, :]
+            w = verts[:, None, :] - p1[None, :, :]
+            d = _cross(v, w)
+            if bool(_on_segment(p1[None, :, :], p2[None, :, :], verts[:, None, :], d).any()):
+                return True
     return False
 
 
@@ -818,7 +899,10 @@ def _relate_exact(kind, paths, polys, fpolys, fverts, rel: str) -> bool:
             polys, fverts[:, 0], fverts[:, 1]
         ).any():
             return True  # filter (or a filter ring) sits inside the feature
-        return _any_edge_cross(paths, fpolys)
+        # closed-set semantics: boundary contact IS intersection
+        if _any_edge_cross(paths, fpolys, inclusive=True):
+            return True
+        return _verts_on_edges(verts, fpolys)
     if rel == "within":
         if not _rings_contain(fpolys, verts[:, 0], verts[:, 1]).all():
             return False

@@ -272,3 +272,53 @@ def test_geometry_filter_exact_nonpoint(spark, tables):
 
     with pytest.raises(ValueError):
         run("touches")
+
+
+def test_geometry_filter_boundary_touching_intersects(spark):
+    """Closed-set `intersects` (shapely semantics, ref query/engine.py
+    shapely fallback): boundary contact counts — identical rectangles,
+    shared-edge parcels, corner-touching rects, a point ON the boundary,
+    and a line running ALONG an edge all intersect; `within`/`contains`
+    keep interior semantics (boundary contact alone doesn't violate
+    containment, proper crossings still do)."""
+    import numpy as np
+
+    from iceberg_geospatial_api_server_spark.engine import query_features
+    from iceberg_geospatial_api_server_spark.geo import wkb as W
+    from iceberg_geospatial_api_server_spark.models import QueryParams
+
+    def rect(xmin, ymin, xmax, ymax):
+        return W.encode_polygon([
+            np.array([[xmin, ymin], [xmax, ymin], [xmax, ymax],
+                      [xmin, ymax], [xmin, ymin]], dtype="f8")
+        ])
+
+    rows = [
+        (1, rect(0.0, 0.0, 10.0, 10.0)),      # identical to the filter
+        (2, rect(10.0, 0.0, 20.0, 10.0)),     # shares the x=10 edge
+        (3, rect(10.0, 10.0, 20.0, 20.0)),    # touches only corner (10,10)
+        (4, W.encode_point(10.0, 5.0)),       # point ON the boundary
+        (5, W.encode_linestring(
+            np.array([[0.0, 10.0], [10.0, 10.0]], dtype="f8"))),
+        #   line collinear with the top edge
+        (6, rect(10.000001, 0.0, 20.0, 10.0)),  # just OFF the edge
+        (7, W.encode_point(5.0, 5.0)),          # interior point (control)
+    ]
+    df = spark.createDataFrame(rows, "fid int, geometry binary")
+    wkt = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+
+    def run(rel):
+        res = query_features(
+            df,
+            QueryParams(geometry_filter=wkt, spatial_rel=rel,
+                        out_fields="fid", return_geometry=False),
+            geom_col="geometry",
+            oid_order=["fid"],
+        )
+        return sorted(r.fid for r in res.features.select("fid").collect())
+
+    assert run("intersects") == [1, 2, 3, 4, 5, 7]
+    # within: interior containment — the identical rect crosses no edge
+    # and the interior point qualifies; edge-sharers' far halves are out
+    got_within = run("within")
+    assert 7 in got_within and 2 not in got_within and 6 not in got_within
