@@ -182,15 +182,23 @@ def query_layer(
             # non-separable projections (UTM) the extreme easting/
             # northing can sit mid-edge (parallels/meridians map to
             # curves), so sample each edge densely and take min/max
+            ymin, ymax = ext["ymin"], ext["ymax"]
+            if qp.out_sr == 3857:
+                # web-mercator is undefined at the poles (y → ±inf, which
+                # json.dumps would emit as non-standard 'Infinity'):
+                # clamp to the projection's standard latitude domain
+                lim = 85.05112878
+                ymin = max(ymin, -lim)
+                ymax = min(ymax, lim)
             gx = np.linspace(ext["xmin"], ext["xmax"], 17)
-            gy = np.linspace(ext["ymin"], ext["ymax"], 17)
+            gy = np.linspace(ymin, ymax, 17)
             bx = np.concatenate(
                 [gx, gx, np.full_like(gy, ext["xmin"]),
                  np.full_like(gy, ext["xmax"])]
             )
             by = np.concatenate(
-                [np.full_like(gx, ext["ymin"]),
-                 np.full_like(gx, ext["ymax"]), gy, gy]
+                [np.full_like(gx, ymin),
+                 np.full_like(gx, ymax), gy, gy]
             )
             xs, ys = fn(bx, by)
             ext = {

@@ -1857,7 +1857,12 @@ def corpus_clean_q(spark, sf_dir):
 
 # Overflow-safe modular form of (id * 2654435761) % 2147483647 — matches
 # operators.sampling.id_hash for any 64-bit id (506952114 = K mod M).
-_IDHASH = "((({id} % 2147483647) * 506952114) % 2147483647)"
+# Double-mod keeps the result NON-NEGATIVE: DuckDB's % is sign-of-dividend
+# while the engine uses pmod, so a plain % would diverge on negative ids.
+_IDHASH = (
+    "((((({id} % 2147483647) + 2147483647) % 2147483647)"
+    " * 506952114) % 2147483647)"
+)
 
 
 @_q(

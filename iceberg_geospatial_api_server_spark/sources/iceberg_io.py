@@ -144,15 +144,24 @@ def merge_upsert(
 
     Iceberg executes this as a row-level operation (merge-on-read or
     copy-on-write per table property) — distributed, no driver loop."""
-    src_view = "__merge_src"
+    import uuid
+
+    # unique per call: concurrent merges on one SparkSession must not
+    # clobber each other's source view (and no user view is shadowed)
+    src_view = f"__merge_src_{uuid.uuid4().hex}"
     source.createOrReplaceTempView(src_view)
     try:
         tgt = quote_ident(target)
-        on = " AND ".join(f"t.`{c}` = s.`{c}`" for c in key_cols)
+        # column names go through the same charset allowlist as table
+        # identifiers — backtick-quoting alone is not validation
+        keys = [quote_ident(c) for c in key_cols]
+        on = " AND ".join(f"t.{c} = s.{c}" for c in keys)
         if update_cols is None:
             update_clause = "UPDATE SET *"
         else:
-            sets = ", ".join(f"t.`{c}` = s.`{c}`" for c in update_cols)
+            sets = ", ".join(
+                f"t.{q} = s.{q}" for q in (quote_ident(c) for c in update_cols)
+            )
             update_clause = f"UPDATE SET {sets}"
         spark.sql(
             f"""

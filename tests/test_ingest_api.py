@@ -313,3 +313,32 @@ def test_query_layer_max_allowable_offset(spark):
     n_full = len(full["features"][0]["geometry"]["coordinates"])
     n_thin = len(thinned["features"][0]["geometry"]["coordinates"])
     assert n_full == 50 and n_thin == 2
+
+
+def test_extent_out_sr_mercator_polar_clamp(spark):
+    """A layer reaching the poles must reproject its extent to FINITE
+    web-mercator values (lat is clamped to ±85.05112878 before the edge
+    sampling) — ±inf would serialize as non-standard JSON 'Infinity'."""
+    import json
+    import math
+
+    from iceberg_geospatial_api_server_spark.api import query_layer
+    from iceberg_geospatial_api_server_spark.geo import wkb as W
+
+    rows = [
+        (1, bytearray(W.encode_point(0.0, 90.0))),   # north pole
+        (2, bytearray(W.encode_point(10.0, -90.0))), # south pole
+        (3, bytearray(W.encode_point(-20.0, 45.0))),
+    ]
+    df = spark.createDataFrame(rows, "fid long, geometry binary")
+    out, _ = query_layer(
+        df, {"returnExtentOnly": "true", "outSR": "3857"}
+    )
+    ext = out["extent"]
+    vals = [ext["xmin"], ext["ymin"], ext["xmax"], ext["ymax"]]
+    assert all(math.isfinite(v) for v in vals), vals
+    # strict-JSON serializable
+    json.loads(json.dumps(ext))
+    # clamped northern edge ≈ mercator(85.05112878) ≈ 20037508.34
+    assert ext["ymax"] == pytest.approx(20037508.34, rel=1e-3)
+    assert ext["ymin"] == pytest.approx(-20037508.34, rel=1e-3)
