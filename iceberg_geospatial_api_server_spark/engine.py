@@ -399,6 +399,9 @@ def query_features(
     # attribute WHERE (engine.py:359-362)
     if params.where:
         cond = cond & F.expr(sanitize_where(params.where))
+    # typed predicate from programmatic callers — no text round-trip
+    if params.where_expr is not None:
+        cond = cond & params.where_expr
 
     filtered = numbered.filter(cond)
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 
 @dataclass
@@ -20,6 +20,10 @@ class QueryParams:
 
     # -- attribute predicate (sanitized WHERE fragment) --
     where: Optional[str] = None
+    # -- attribute predicate as a typed Column expression: programmatic
+    # callers (e.g. the OGC provider) pass predicates WITHOUT a text
+    # round-trip through the sanitizer; ANDed with `where` when both set.
+    where_expr: Optional[Column] = None
 
     # -- projection: which columns come back --
     out_fields: Optional[str] = None  # comma-separated or "*"

@@ -13,6 +13,7 @@ import json
 from typing import Any
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from iceberg_geospatial_api_server_spark.catalog import FeatureSchema, feature_schema
 from iceberg_geospatial_api_server_spark.engine import query_features
@@ -65,11 +66,17 @@ class OgcFeaturesProvider:
             return_count_only=(resulttype == "hits"),
         )
         if properties:
-            parts = []
+            # typed Column predicates — property values never pass through
+            # SQL text, so no quoting/escaping surface exists at all;
+            # unknown property names fail fast instead of reaching Spark
+            expr = None
             for prop in properties:
-                safe = str(prop["value"]).replace("'", "''")
-                parts.append(f"{prop['property']} = '{safe}'")
-            params.where = " AND ".join(parts)
+                name = prop["property"]
+                if name not in self.df.columns:
+                    raise ValueError(f"unknown property: {name}")
+                clause = F.col(name) == F.lit(prop["value"])
+                expr = clause if expr is None else expr & clause
+            params.where_expr = expr
         if sortby:
             params.order_by = ", ".join(
                 f"{s['property']} {'ASC' if s.get('order', 'A') == 'A' else 'DESC'}"

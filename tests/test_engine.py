@@ -144,7 +144,10 @@ def test_where_sanitizer_rejects_every_unapproved_function_call():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    from iceberg_geospatial_api_server_spark.engine import _WHERE_FUNCS
+    from iceberg_geospatial_api_server_spark.engine import (
+        _WHERE_FUNCS,
+        _WHERE_KEYWORDS,
+    )
 
     ident = st.from_regex(r"[a-zA-Z_][a-zA-Z0-9_]{0,20}", fullmatch=True)
 
@@ -153,8 +156,11 @@ def test_where_sanitizer_rejects_every_unapproved_function_call():
     def check(name, arg):
         up = name.upper()
         clause = f"{name}({arg}) = 1"
-        if up in _WHERE_FUNCS or up in ("NOT",):
-            sanitize_where(clause)  # allowlisted: must pass
+        if up in _WHERE_FUNCS or up in _WHERE_KEYWORDS:
+            # allowlisted functions AND keywords pass: keywords precede
+            # '(' in legitimate SQL (x IN (1,2), NOT (a=1), a=1 AND (b=2))
+            # and none of them is a side-effecting callable
+            sanitize_where(clause)
         else:
             with pytest.raises(ValueError):
                 sanitize_where(clause)
