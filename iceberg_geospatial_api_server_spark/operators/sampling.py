@@ -80,3 +80,34 @@ def weighted_mixture(
     return df.filter(
         id_hash(F.col(id_col)) < (rate * F.lit(float(MERSENNE))).cast("long")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash.
+
+    Each row's split is a pure function of its OWN id — the production
+    property that matters for training pipelines: a document's split
+    never changes when other documents are added or removed (exact
+    per-stratum quantile splits re-assign rows on every corpus change,
+    silently leaking yesterday's training docs into today's eval set).
+    Zero shuffle: the CASE over ``id_hash`` evaluates in the scan stage,
+    and proportions converge to the weights by hash uniformity.
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    h = id_hash(F.col(id_col))
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        bound = int(acc * MERSENNE)
+        clause = (h < F.lit(bound), F.lit(name))
+        expr = F.when(*clause) if expr is None else expr.when(*clause)
+    last = F.lit(items[-1][0])
+    split = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)

@@ -328,3 +328,44 @@ def token_budget_filter(
     if selected is None:
         return df.filter(F.lit(False)).select(id_col)
     return selected.select(id_col, F.col("__t").alias("n_tokens"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: drop every document sharing ANY hashed
+    word n-gram with the benchmark corpus — the standard eval-leakage
+    guard in training-data pipelines (n-gram collision counts as
+    contamination; false positives are the safe direction).
+
+    Scale shape: benchmark suites are tiny next to a 100 TB corpus, so
+    the DISTINCT benchmark n-gram set broadcasts; corpus n-grams explode
+    map-side into a broadcast semi-join (no corpus shuffle), the
+    surviving contaminated-id set is near-output-sized, and the final
+    anti-join prunes by id. Uses the oracle-portable `shingle_hashes`
+    so the whole pipeline is SQL-checkable.
+    """
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        shingle_hashes,
+    )
+
+    grams = lambda c: F.array_distinct(  # noqa: E731
+        shingle_hashes(F.split(c, " "), n)
+    )
+    bench_grams = (
+        benchmark.select(F.explode(grams(F.col(text_col))).alias("__g"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(grams(F.col(text_col))).alias("__g")
+    )
+    contaminated = (
+        doc_grams.join(F.broadcast(bench_grams), on="__g")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(contaminated, on=id_col, how="left_anti")

@@ -56,3 +56,54 @@ def test_id_hash_safe_for_huge_ids(spark):
     assert hashes == expected
     kept = sample_fraction(df, 0.5).count()
     assert 0 < kept < len(ids)
+
+
+def test_hash_split_proportions_and_stability(spark, sf_dir):
+    """Split proportions approach 80/10/10, every row gets exactly one
+    split, and — the property exact quantile splits lack — a document's
+    assignment is unchanged when the corpus shrinks or grows."""
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.operators.sampling import (
+        hash_split,
+    )
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    out = hash_split(docs)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == n
+    assert abs(counts["train"] / n - 0.8) < 0.1
+
+    # stability: assignments on a half-corpus agree with the full corpus
+    half = hash_split(docs.filter(F.col("doc_id") % 2 == 0))
+    joined = (
+        out.select("doc_id", F.col("split").alias("full_split"))
+        .join(half.select("doc_id", "split"), "doc_id")
+    )
+    assert joined.filter(F.col("split") != F.col("full_split")).count() == 0
+
+
+def test_decontaminate_removes_planted_overlap(spark):
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text about spark engines here"),
+            (3, "shares quick brown fox phrase with the benchmark"),
+            (4, "tiny"),  # < n tokens: no grams, never contaminated
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox appears in this benchmark item")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in decontaminate(docs, bench).collect())
+    assert kept == [2, 4], kept
