@@ -368,3 +368,34 @@ def test_query_features_pushdown_with_persisted_bbox(spark, tmp_path_factory):
     assert "geometry" not in read
     for absent in ("l_partkey", "l_suppkey", "l_extendedprice", "l_shipdate"):
         assert absent not in read
+
+
+def test_hash_split_no_exchange(tables, spark, sf_dir):
+    """The split CASE must evaluate in the scan stage: no Exchange node
+    anywhere — a doc's split is a pure function of its own id."""
+    from iceberg_geospatial_api_server_spark.operators.sampling import (
+        hash_split,
+    )
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(hash_split(docs))
+    assert "Exchange" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark n-gram set must broadcast (benchmarks are tiny next
+    to a 100 TB corpus) and the candidate join must never be a cartesian
+    product: corpus grams stream map-side into the broadcast hash join."""
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        decontaminate,
+    )
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    plan = _plan(decontaminate(docs, bench))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
