@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "corpus_token_budget",
     "doc_chunks",
     "corpus_clean",
+    "corpus_split",
+    "corpus_decontaminate",
     "mm_media_stats",
 ]
 

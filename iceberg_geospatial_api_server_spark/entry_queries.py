@@ -1977,7 +1977,7 @@ def corpus_decontaminate_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     return (
-        decontaminate(docs, bench)
+        decontaminate(docs, bench, portable_hash=True)
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_clean"))
         .orderBy("lang")

@@ -336,6 +336,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination: drop every document sharing ANY hashed
     word n-gram with the benchmark corpus — the standard eval-leakage
@@ -346,15 +347,22 @@ def decontaminate(
     the DISTINCT benchmark n-gram set broadcasts; corpus n-grams explode
     map-side into a broadcast semi-join (no corpus shuffle), the
     surviving contaminated-id set is near-output-sized, and the final
-    anti-join prunes by id. Uses the oracle-portable `shingle_hashes`
-    so the whole pipeline is SQL-checkable.
+    anti-join prunes by id.
+
+    Hash choice: the default is the native-xxhash64 rolling gram hash
+    (`fast_shingle_hashes`) — the 100 TB path. ``portable_hash=True``
+    switches to the char-fold `shingle_hashes`, whose math is
+    reproducible in ANSI SQL — the oracle-checked driver entry uses it
+    so DuckDB can verify the whole pipeline value-for-value.
     """
     from iceberg_geospatial_api_server_spark.operators.dedup import (
+        fast_shingle_hashes,
         shingle_hashes,
     )
 
+    hasher = shingle_hashes if portable_hash else fast_shingle_hashes
     grams = lambda c: F.array_distinct(  # noqa: E731
-        shingle_hashes(F.split(c, " "), n)
+        hasher(F.split(c, " "), n)
     )
     bench_grams = (
         benchmark.select(F.explode(grams(F.col(text_col))).alias("__g"))

@@ -264,3 +264,33 @@ def test_stream_stream_attribution_matches_batch(spark, events_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_epoch_of_matches_for_ltz_and_ntz(spark):
+    """Testdata timestamp physical types change across driver rounds
+    (r2: nanos→LTZ via legacy conf; r3: naive micros→NTZ). epoch_of must
+    return identical epochs for the same wall-clock instants regardless
+    of column dtype, pinned to UTC, at both MICROSECOND and SECOND
+    units — this is what keeps oracle hashes timezone-independent."""
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.util import epoch_of
+
+    rows = [("2024-03-01 12:34:56.789012",), ("1999-12-31 23:59:59.5",)]
+    base = spark.createDataFrame(rows, "s string")
+    ltz = base.select(F.to_timestamp("s").alias("ts"))
+    ntz = base.select(F.col("s").cast("timestamp_ntz").alias("ts"))
+    assert dict(ltz.dtypes)["ts"] == "timestamp"
+    assert dict(ntz.dtypes)["ts"] == "timestamp_ntz"
+
+    for unit, expect in [
+        ("MICROSECOND", [1709296496789012, 946684799500000]),
+        ("SECOND", [1709296496, 946684799]),
+    ]:
+        got_ltz = sorted(
+            r[0] for r in ltz.select(epoch_of(ltz, "ts")("ts", unit)).collect()
+        )
+        got_ntz = sorted(
+            r[0] for r in ntz.select(epoch_of(ntz, "ts")("ts", unit)).collect()
+        )
+        assert got_ltz == got_ntz == sorted(expect), (unit, got_ltz, got_ntz)
