@@ -116,6 +116,45 @@ class FsCatalog:
         return names
 
 
+    # -- agent scratch namespaces (ref api/main.py:967-981: sessions
+    # materialize results into `_scratch_{id}` schemas, dropped after the
+    # session disconnects with a grace period — the grace timer is
+    # transport policy; the engine capability is the lifecycle) ---------
+
+    def scratch_namespace(self, session_id: str) -> str:
+        """`_scratch_` + first 8 hex-ish chars of the dash-stripped
+        session id — the reference's naming (api/main.py:971-972)."""
+        short = session_id.replace("-", "")[:8]
+        if not re.match(r"^[a-zA-Z0-9_]+$", short):
+            raise ValueError(f"invalid session id: {session_id!r}")
+        return f"_scratch_{short}"
+
+    def create_scratch(self, session_id: str) -> str:
+        """Create (idempotently) the session's scratch namespace and
+        return its dotted name; tables written under it are discoverable
+        like any other namespace."""
+        ns = self.scratch_namespace(session_id)
+        os.makedirs(os.path.join(self.root, ns), exist_ok=True)
+        return ns
+
+    def drop_scratch(self, session_id: str) -> None:
+        """Drop the session's scratch namespace and everything in it —
+        DROP SCHEMA ... CASCADE analog. Refuses to touch anything that is
+        not a `_scratch_*` directory directly under the catalog root, and
+        is a no-op when the namespace never materialized (ref swallows
+        the same way, api/main.py:979-981)."""
+        import shutil
+
+        ns = self.scratch_namespace(session_id)
+        path = os.path.realpath(os.path.join(self.root, ns))
+        root = os.path.realpath(self.root)
+        if os.path.dirname(path) != root or not os.path.basename(
+            path
+        ).startswith("_scratch_"):
+            raise ValueError(f"refusing to drop non-scratch path: {path}")
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+
     def namespaces_tree(self) -> list[list[str]]:
         """Namespaces as path arrays, including nested levels
         (ref api/main.py:165-180 /api/namespaces/tree)."""

@@ -115,3 +115,42 @@ def test_mcp_sql_surface_reproduces_pip_cookbook(spark, sf_dir):
     )
     assert [tuple(r) for r in sql_rows] == [tuple(r) for r in df_rows]
     assert len(sql_rows) > 0, "vacuous match — no polygons hit"
+
+
+def test_scratch_namespace_lifecycle(spark, tmp_path_factory):
+    """Agent scratch-namespace lifecycle (ref api/main.py:967-981): a
+    session materializes a result into its `_scratch_{id}` namespace,
+    the layer is discoverable + notifiable like any other, and dropping
+    the scratch removes everything (idempotently); non-scratch paths are
+    refused."""
+    from iceberg_geospatial_api_server_spark.geo import wkb as W
+    from iceberg_geospatial_api_server_spark.streaming.notifications import (
+        LayerNotifier,
+        notify_layer_ready,
+    )
+
+    root = tmp_path_factory.mktemp("scratch_lake")
+    cat = FsCatalog(spark, str(root))
+    session = "3fa9c1d2-aaaa-bbbb-cccc-121212121212"
+    ns = cat.create_scratch(session)
+    assert ns == "_scratch_3fa9c1d2"
+    assert cat.create_scratch(session) == ns  # idempotent
+
+    rows = [(1, bytearray(W.encode_point(2.0, 3.0)))]
+    spark.createDataFrame(rows, "fid long, geometry binary").write.parquet(
+        str(root / ns / "result")
+    )
+    assert cat.list_tables(ns) == ["result"]
+
+    notifier = LayerNotifier()
+    got = []
+    notifier.subscribe(session, got.append)
+    ev = notify_layer_ready(cat, ns, "result", notifier, session)
+    assert got == [ev] and ev.bbox == [2.0, 3.0, 2.0, 3.0]
+
+    cat.drop_scratch(session)
+    assert cat.list_tables(ns) == []
+    cat.drop_scratch(session)  # no-op on missing namespace
+
+    with pytest.raises(ValueError):
+        cat.drop_scratch("../../etc")
