@@ -1308,17 +1308,13 @@ def text_ngram_topk(spark, sf_dir):
     """Top-25 word trigrams corpus-wide: the explode→count→top-k shape.
     At scale the explode fans out map-side and partial aggregation
     collapses the long tail before the shuffle."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    grams = F.when(n < 3, F.array()).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-        )
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        trigram_strings,
     )
+
+    docs = _t(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(grams).alias("gram"))
+        docs.select(F.explode(trigram_strings(F.col("text"))).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), "gram")

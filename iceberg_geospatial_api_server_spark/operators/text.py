@@ -184,15 +184,19 @@ def clean_corpus(
 def trigram_strings(col: Column) -> Column:
     """Word-trigram strings ('w1 w2 w3') per document — portable: the
     same windows are expressible with list_transform/list slicing in
-    ANSI-ish SQL, so repetition ratios can be oracle-checked."""
+    ANSI-ish SQL, so repetition ratios can be oracle-checked.
+
+    Built as two zip_withs over shifted slices (rolling concat) rather
+    than a per-window slice+concat_ws: HOFs evaluate interpreted, so one
+    binary concat per window beats allocating a 3-slice per window."""
     toks = tokens(col)
     n = F.size(toks)
-    return F.when(n < 3, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n - 3),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-        )
-    )
+    m = F.greatest(n - 2, F.lit(0))
+    a1 = F.slice(toks, 1, m)
+    a2 = F.slice(toks, 2, m)
+    a3 = F.slice(toks, 3, m)
+    pair = F.zip_with(a1, a2, lambda x, y: F.concat_ws(" ", x, y))
+    return F.zip_with(pair, a3, lambda x, y: F.concat_ws(" ", x, y))
 
 
 def repetition_profile(
