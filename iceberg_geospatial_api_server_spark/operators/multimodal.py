@@ -173,6 +173,58 @@ def resize_stub(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     ).withColumn("resize_op", F.lit(f"stub:{target_w}x{target_h}"))
 
 
+def resize_images(
+    media: DataFrame, target_w: int, target_h: int
+) -> DataFrame:
+    """REAL image resize for decodable codecs: decode → nearest-neighbor
+    resample (numpy index grid, vectorized per image) → re-encode PNG.
+    Non-image or undecodable rows pass through untouched with
+    ``resized=false`` — a corpus sweep must not die on exotic codecs.
+    Arrow-batched mapInPandas like every media kernel here."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from iceberg_geospatial_api_server_spark.operators import media_codecs
+
+        for pdf in batches:
+            payloads, widths, heights, resized = [], [], [], []
+            for buf, codec, w, h in zip(
+                pdf["payload"], pdf["codec"], pdf["width"], pdf["height"]
+            ):
+                ok = False
+                if buf is not None and str(codec).lower() == "png":
+                    try:
+                        img = media_codecs.decode_png(bytes(buf))
+                        # per-image index grid: source sizes vary per row
+                        sy = np.arange(target_h) * img.shape[0] // target_h
+                        sx = np.arange(target_w) * img.shape[1] // target_w
+                        out = img[sy[:, None], sx[None, :]]
+                        buf = media_codecs.encode_png(out)
+                        w, h, ok = target_w, target_h, True
+                    except Exception:
+                        ok = False
+                payloads.append(buf)
+                widths.append(w)
+                heights.append(h)
+                resized.append(ok)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "modality": pdf["modality"],
+                    "codec": pdf["codec"],
+                    "width": widths,
+                    "height": heights,
+                    "resized": resized,
+                }
+            )
+
+    schema = (
+        "doc_id long, payload binary, modality string, codec string, "
+        "width int, height int, resized boolean"
+    )
+    return media.mapInPandas(kernel, schema)
+
+
 def frame_sample(media: DataFrame, every_k: int = 5) -> DataFrame:
     """Frame sampling plan: one output row per sampled frame index —
     explode on a JVM-generated sequence (no Python), so a billion-video

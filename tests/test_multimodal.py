@@ -211,3 +211,41 @@ def test_extract_features_stub_unchanged(spark, sf_dir):
     for r in rows:
         assert len(r["features"]) == 8
         assert sum(r["features"]) == pytest.approx(1.0)
+
+
+def test_resize_images_real(spark, sf_dir):
+    """Real nearest-neighbor resize on real PNGs: output decodes to the
+    target dims with resampled content; non-PNG rows pass through with
+    resized=false and untouched payload."""
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        resize_images,
+        synthesize_real_media,
+    )
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = synthesize_real_media(docs).withColumn(
+        "width", F.lit(0)
+    ).withColumn("height", F.lit(0))
+    out = {r["doc_id"]: r for r in resize_images(media, 8, 6).collect()}
+    originals = {r["doc_id"]: r for r in media.collect()}
+    assert len(out) == 10
+    for doc_id, row in out.items():
+        if doc_id % 2 == 0:  # PNG rows resize
+            assert row["resized"] is True
+            assert (row["width"], row["height"]) == (8, 6)
+            img = mc.decode_png(bytes(row["payload"]))
+            assert img.shape == (6, 8, 3)
+            src = mc.decode_png(bytes(originals[doc_id]["payload"]))
+            # nearest-neighbor: every output pixel exists in the source
+            # at the mapped grid position
+            sy = np.arange(6) * src.shape[0] // 6
+            sx = np.arange(8) * src.shape[1] // 8
+            np.testing.assert_array_equal(img, src[sy[:, None], sx[None, :]])
+        else:  # WAV rows pass through untouched
+            assert row["resized"] is False
+            assert bytes(row["payload"]) == bytes(
+                originals[doc_id]["payload"]
+            )
