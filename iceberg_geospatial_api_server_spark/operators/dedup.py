@@ -205,8 +205,21 @@ def dedup_minhash_lsh(
     verify_threshold: float = 0.5,
     max_bucket_size: int = 10000,
     storage_level: "StorageLevel | None" = _DEFAULT_STORAGE,
+    against: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs.
+
+    Incremental mode (``against=existing_corpus``): ``df`` is the NEW
+    batch; pairs are emitted only when at least one side is new —
+    old×old pairs (already known from previous runs) are dropped at
+    pair-emission time, BEFORE the distinct/verify stages spend
+    anything on them. This is the daily-ingest pattern at 100 TB: the
+    signature stage over the historical corpus is the natural thing to
+    persist as a table between runs (signatures are id + num_hashes
+    longs — the checkpoint is tiny next to the corpus), at which point
+    each increment pays signature compute for the new batch only.
+    Ids must be unique ACROSS the two frames (a re-ingested id belongs
+    in ``df``, not both).
 
     shingle → minhash(num_hashes) → bands of band_size → explode
     (band_idx, band_signature) → ONE shuffle groups each band bucket →
@@ -264,12 +277,24 @@ def dedup_minhash_lsh(
             (spread(src, None, id_col) if do_spread else src)
             .select(
                 F.col(id_col),
+                F.col("__new"),
                 F.array_distinct(
                     fast_shingle_hashes(F.split(F.col(text_col), " "), shingle_k)
                 ).alias("__sh"),
             )
             .filter(F.size("__sh") > 0)
         )
+
+    # incremental mode: tag rows, union, and only ever emit pairs with a
+    # new side; batch mode tags everything new (the keep filter folds)
+    if against is not None:
+        corpus = df.select(
+            id_col, text_col, F.lit(1).alias("__new")
+        ).unionByName(
+            against.select(id_col, text_col, F.lit(0).alias("__new"))
+        )
+    else:
+        corpus = df.select(id_col, text_col, F.lit(1).alias("__new"))
 
     # Minhash via explode → hash aggregate, NOT an array fold: Spark runs
     # higher-order functions interpreted, so folding num_hashes mins per
@@ -288,18 +313,20 @@ def dedup_minhash_lsh(
         for i, (a, b) in enumerate(_minhash_params(num_hashes))
     ]
     sig = _pin(
-        _shingled(df)
-        .select(id_col, F.explode("__sh").alias("__s"))
+        _shingled(corpus)
+        .select(id_col, "__new", F.explode("__sh").alias("__s"))
         .groupBy(id_col)
-        .agg(*mins)
+        .agg(*mins, F.first("__new").alias("__new"))
         .select(
             id_col,
+            "__new",
             F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("__sig"),
         )
     )
 
     bands = sig.select(
         id_col,
+        "__new",
         "__sig",
         F.explode(
             F.array(*[
@@ -315,6 +342,7 @@ def dedup_minhash_lsh(
         ).alias("__b"),
     ).select(
         id_col,
+        "__new",
         "__sig",
         F.col("__b.band").alias("band"),
         F.col("__b.bsig").alias("bsig"),
@@ -330,7 +358,13 @@ def dedup_minhash_lsh(
         bands.groupBy("band", "bsig")
         .agg(
             F.sort_array(
-                F.collect_set(F.struct(F.col(id_col).alias("id"), F.col("__sig")))
+                F.collect_set(
+                    F.struct(
+                        F.col(id_col).alias("id"),
+                        F.col("__sig"),
+                        F.col("__new"),
+                    )
+                )
             ).alias("members")
         )
         .filter(
@@ -361,15 +395,20 @@ def dedup_minhash_lsh(
                             lambda m: m,
                         )
                     ).alias("est"),
+                    F.greatest(a["__new"], b["__new"]).alias("keep"),
                 ),
             ),
         )
     )
     # pre-filtered pairs are ~linear in true duplicates — persist them:
-    # they feed both the id-set semi-join and the verify join below
+    # they feed both the id-set semi-join and the verify join below.
+    # `keep` drops old×old pairs in incremental mode (folds to 1 in
+    # batch mode) before distinct/verify spend anything on them.
     cand = _pin(
         buckets.select(F.explode(pair_structs).alias("__p"))
-        .filter(F.col("__p.est") >= F.lit(min_match))
+        .filter(
+            (F.col("__p.est") >= F.lit(min_match)) & (F.col("__p.keep") == 1)
+        )
         .select("__p.id_a", "__p.id_b")
         .distinct()
     )
@@ -384,7 +423,9 @@ def dedup_minhash_lsh(
     # pinned: consumed twice (ga/gb); size is bounded by the candidate
     # set, not the corpus
     needed = _pin(
-        _shingled(df.join(cand_ids, on=id_col, how="leftsemi"), do_spread=False)
+        _shingled(
+            corpus.join(cand_ids, on=id_col, how="leftsemi"), do_spread=False
+        )
     )
     ga = needed.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__ga"))
     gb = needed.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__gb"))

@@ -195,3 +195,35 @@ def test_ivf_with_trained_centroids_recall(spark, tables):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"IVF(kmeans) recall {recall:.2f}"
+
+
+def test_minhash_incremental_mode(spark, docs):
+    """Incremental dedup (daily-ingest pattern): dedup_minhash_lsh(new,
+    against=old) returns exactly the full-corpus pairs that involve at
+    least one new doc — old×old pairs are excluded, nothing else is."""
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    full = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup_minhash_lsh(docs, storage_level=None).collect()
+    }
+    spark.catalog.clearCache()
+
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    old_ids = {r["doc_id"] for r in old.select("doc_id").collect()}
+    inc = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup_minhash_lsh(
+            new, against=old, storage_level=None
+        ).collect()
+    }
+    expected = {
+        p for p in full if not (p[0] in old_ids and p[1] in old_ids)
+    }
+    assert inc == expected
+    assert len(expected) > 0, "vacuous: no cross/new pairs in the corpus"
