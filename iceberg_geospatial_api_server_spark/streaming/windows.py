@@ -187,3 +187,67 @@ def stream_stream_attribution(
         F.col("o.ts").alias("outcome_ts"),
         F.col("o.value").alias("outcome_value"),
     )
+
+
+def neardup_stream(
+    docs_stream: DataFrame,
+    corpus_dir: str,
+    pairs_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **minhash_params,
+):
+    """Streaming NEAR-duplicate detection — incremental minhash applied
+    per micro-batch (the continuous form of
+    ``dedup.dedup_minhash_lsh(against=...)``).
+
+    Each batch is deduped against the ACCUMULATED corpus at
+    ``corpus_dir``: emitted pairs all touch a batch doc (old-by-old pairs
+    were settled in earlier batches), matched pairs append to
+    ``pairs_dir``, and the batch itself then joins the corpus. State is
+    plain parquet — re-readable, compactable, and shared with batch jobs;
+    per-batch cost is the new batch's signatures plus bucket probes, not
+    a corpus rescan of pair space. Exactness contract (asserted in
+    tests): streaming any split of a corpus yields exactly the full-run
+    pair set, because every pair is emitted exactly once — in the batch
+    where the LATER of its two docs arrives. (One asymmetry: a bucket
+    that only exceeds ``max_bucket_size`` once the corpus has grown was
+    still mined while small — early pairs the full run would have
+    dropped stay emitted; the cap is a cost valve, not a semantic.)
+    """
+    import os
+
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.select(id_col, text_col)
+        if batch.isEmpty():
+            return
+        against = (
+            spark.read.parquet(corpus_dir)
+            if os.path.isdir(corpus_dir)
+            else None
+        )
+        pairs = dedup_minhash_lsh(
+            batch,
+            text_col=text_col,
+            id_col=id_col,
+            storage_level=None,  # streaming: never pin session caches
+            against=against,
+            **minhash_params,
+        )
+        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(pairs_dir)
+        batch.write.mode("append").parquet(corpus_dir)
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(handle)
+        .trigger(availableNow=True)
+    )

@@ -294,3 +294,56 @@ def test_epoch_of_matches_for_ltz_and_ntz(spark):
             r[0] for r in ntz.select(epoch_of(ntz, "ts")("ts", unit)).collect()
         )
         assert got_ltz == got_ntz == sorted(expect), (unit, got_ltz, got_ntz)
+
+
+def test_neardup_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Streaming near-dup (incremental minhash per micro-batch): feeding
+    the corpus in two chunks yields exactly the batch run's pair set —
+    every pair lands once, in the batch where its later doc arrives."""
+    import os
+    import time as _time
+
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+    from iceberg_geospatial_api_server_spark.streaming.windows import (
+        neardup_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    full = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup_minhash_lsh(docs, storage_level=None).collect()
+    }
+    assert full, "vacuous: corpus has no near-dup pairs"
+    spark.catalog.clearCache()
+
+    base = tmp_path_factory.mktemp("neardup_stream")
+    src = str(base / "src")
+    schema = "doc_id long, text string"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    _time.sleep(1.1)  # distinct mtimes: file source orders by mod time
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    corpus_dir = str(base / "corpus")
+    pairs_dir = str(base / "pairs")
+    q = neardup_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        corpus_dir,
+        pairs_dir,
+        str(base / "ckpt"),
+    ).start()
+    q.awaitTermination(120)
+
+    assert os.path.isdir(pairs_dir)
+    got_rows = spark.read.parquet(pairs_dir).collect()
+    got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in got_rows}
+    assert got == full
+    # two non-empty batches ran, and state accumulated the whole corpus
+    assert {r["batch_id"] for r in got_rows} <= {0, 1}
+    assert spark.read.parquet(corpus_dir).count() == docs.count()
