@@ -1980,6 +1980,64 @@ def corpus_decontaminate_q(spark, sf_dir):
     )
 
 
+# SimHash in ANSI-ish SQL: the char-fold word hash feeds 32 conditional-
+# sum majority votes; votes pack into the fingerprint; candidates share a
+# byte block; verify = bit_count(xor). Mirrors operators.dedup.dedup_simhash
+# with portable_hash=True term for term.
+_SIMHASH_VOTES = " + ".join(
+    f"(CASE WHEN SUM(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END)"
+    f" > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(32)
+)
+
+
+@_q(
+    "dedup_simhash_stats",
+    f"""
+    WITH hashed AS (
+      SELECT doc_id, {{whash}} AS h FROM (
+        SELECT doc_id,
+               unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents)
+    ),
+    fp AS (
+      SELECT doc_id, {_SIMHASH_VOTES} AS simhash
+      FROM hashed GROUP BY doc_id
+    ),
+    blocks AS (
+      SELECT doc_id, simhash, blk,
+             (simhash // CASE blk WHEN 0 THEN 1 WHEN 1 THEN 256
+                         WHEN 2 THEN 65536 ELSE 16777216 END) % 256 AS val
+      FROM fp, (VALUES (0), (1), (2), (3)) b(blk)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.simhash AS sa, b.simhash AS sb
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(hamming AS INTEGER) AS hamming, COUNT(*) AS n_pairs FROM (
+      SELECT bit_count(xor(sa, sb)) AS hamming FROM cand)
+    WHERE hamming <= 2 GROUP BY hamming ORDER BY hamming
+    """.replace("{whash}", _WHASH.format(w="w")),
+)
+def dedup_simhash_stats_q(spark, sf_dir):
+    """Hash-graded simhash: the full vote→pack→block→bit_count pipeline
+    with the SQL-portable word hash, aggregated per hamming distance so
+    DuckDB verifies the fingerprint math value-for-value."""
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        dedup_simhash,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_simhash(docs, portable_hash=True)
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
 # duplicate-occurrence ratio over a list expression, as DuckDB SQL
 _DUPR = (
     "CASE WHEN LEN({l}) > 0 THEN"
@@ -2205,6 +2263,7 @@ _ORACLED_OVERFLOW = [
     # in the round they land (ADVICE r2: don't park new ops ungraded)
     "q10_returned_items",  # driver-green r1+r2; join+agg shape shared with q3/q5
     "events_windowed_agg",  # driver-green r1+r2; window agg also stream-equiv-tested
+    "q13_customer_distribution",  # driver-green r1+r2; outer-join plan-asserted
 ]
 
 

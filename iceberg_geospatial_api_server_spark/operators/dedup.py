@@ -447,6 +447,7 @@ def dedup_simhash(
     bits: int = 32,
     hamming_threshold: int = 2,
     block_bits: int = 8,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """SimHash near-dup: per-word portable hash → bitwise majority vote →
     `bits`-bit fingerprint; candidate pairs share one of the fingerprint's
@@ -464,14 +465,21 @@ def dedup_simhash(
     tests (sf0.1: 8.3s → ~2s). The explode collapses map-side — the
     id-keyed spread exchange doubles as the groupBy partitioning, so the
     vote stage shuffles once at fingerprint volume.
+
+    ``portable_hash``: word hashes via the char-fold `_whash` (ANSI-SQL
+    reproducible: the vote/pack/bit_count(xor) pipeline then has a full
+    DuckDB oracle — the `dedup_simhash_stats` driver entry) instead of
+    the default native xxhash64 (the fast scale path).
     """
     from iceberg_geospatial_api_server_spark.util import spread
 
     toks = F.array_distinct(F.split(F.col(text_col), " "))
-    # xxhash64: simhash has no SQL oracle, so the fast native hash applies
-    whashes = F.transform(
-        toks, lambda w: F.pmod(F.xxhash64(w), F.lit(MERSENNE))
-    )
+    if portable_hash:
+        whashes = F.transform(toks, _whash)
+    else:
+        whashes = F.transform(
+            toks, lambda w: F.pmod(F.xxhash64(w), F.lit(MERSENNE))
+        )
     exploded = spread(df, None, id_col).select(
         F.col(id_col), F.explode(whashes).alias("__h")
     )
