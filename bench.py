@@ -23,14 +23,19 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
+    "q9_product_type_profit",
     "q10_returned_items",
+    "q11_important_stock",
     "q13_customer_distribution",
+    "q16_supplier_part_count",
     "q17_small_qty_revenue",
     "q18_large_volume",
     "q19_disjunctive",
+    "q20_excess_suppliers",
     "q21_waiting_suppliers",
     "top3_orders_per_priority",
     "events_windowed_agg",

@@ -2231,6 +2231,180 @@ def events_retention_q(spark, sf_dir):
     return events_retention(_t(spark, sf_dir, "events"))
 
 
+@_q(
+    "q2_min_cost_supplier",
+    """
+    WITH supp AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier, nation, region
+      WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+    ), pf AS (
+      SELECT p_partkey, p_type, p_size FROM part
+      WHERE p_type = 'ECONOMY' AND p_size >= 10
+    ), ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS supply_cost
+      FROM lineitem, pf WHERE l_partkey = p_partkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT l_partkey, supply_cost, s_name, s_acctbal, n_name,
+             MIN(supply_cost) OVER (PARTITION BY l_partkey) AS min_cost
+      FROM ps, supp WHERE l_suppkey = s_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, p_size, supply_cost
+    FROM ranked, pf WHERE l_partkey = p_partkey AND supply_cost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+)
+def q2(spark, sf_dir):
+    """Correlated-MIN supplier selection (raw-double MIN over bit-identical
+    per-row divisions — engine-exact without rounding; ties kept)."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q2_min_cost_supplier,
+    )
+
+    return q2_min_cost_supplier(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+@_q(
+    "q9_product_type_profit",
+    """
+    SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+           CAST(ROUND(SUM(
+             CAST(l_extendedprice AS DECIMAL(18,6))
+               * (1 - CAST(l_discount AS DECIMAL(18,6)))
+             - CAST(p_retailprice * l_quantity * 0.1 AS DECIMAL(18,6))
+           ), 2) AS DOUBLE) AS sum_profit
+    FROM lineitem, orders, part, supplier, nation
+    WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+      AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND p_name LIKE '%widget%'
+    GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """,
+)
+def q9(spark, sf_dir):
+    """Profit by supplier nation × year (cost term: one double product →
+    one DECIMAL cast; the oracle repeats the identical operation order)."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q9_product_type_profit,
+    )
+
+    return q9_product_type_profit(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@_q(
+    "q11_important_stock",
+    """
+    WITH v AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS value
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_19'
+      GROUP BY 1
+    )
+    SELECT l_partkey AS ps_partkey, CAST(ROUND(value, 2) AS DOUBLE) AS value
+    FROM v WHERE value * 1000 > (SELECT SUM(value) FROM v)
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def q11(spark, sf_dir):
+    """Stock-value threshold vs a scalar subquery (multiplied through in
+    exact DECIMAL on both engines)."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q11_important_stock,
+    )
+
+    return q11_important_stock(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@_q(
+    "q16_supplier_part_count",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND p_brand <> 'Brand#11' AND p_type NOT LIKE 'STANDARD%'
+      AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16(spark, sf_dir):
+    """Distinct supplier count per (brand, type, size) with brand/type and
+    complaint-supplier exclusions (NOT IN → broadcast left-anti)."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q16_supplier_part_count,
+    )
+
+    return q16_supplier_part_count(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@_q(
+    "q20_excess_suppliers",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey AND p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ), q AS (
+      SELECT DISTINCT l_suppkey FROM (
+        SELECT l_suppkey, qty,
+               SUM(qty) OVER (PARTITION BY l_partkey) AS part_total,
+               COUNT(*) OVER (PARTITION BY l_partkey) AS n_supp
+        FROM ps
+      ) WHERE 2 * qty * n_supp > part_total
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier, nation, q
+    WHERE s_nationkey = n_nationkey AND n_name = 'NATION_18'
+      AND s_suppkey = l_suppkey
+    ORDER BY s_suppkey
+    """,
+)
+def q20(spark, sf_dir):
+    """Excess-stock suppliers via a semi-join chain (per-part average
+    multiplied through to exact DECIMAL: 2·qty·n_supp > part_total)."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q20_excess_suppliers,
+    )
+
+    return q20_excess_suppliers(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
 # ===========================================================================
 # Registration order
 # ===========================================================================
@@ -2264,6 +2438,14 @@ _ORACLED_OVERFLOW = [
     "q10_returned_items",  # driver-green r1+r2; join+agg shape shared with q3/q5
     "events_windowed_agg",  # driver-green r1+r2; window agg also stream-equiv-tested
     "q13_customer_distribution",  # driver-green r1+r2; outer-join plan-asserted
+    # r3 (cont.): five more proven entries rotate out so the newly
+    # registered TPC-H analogs (q2/q9/q11/q16/q20) are driver-graded in
+    # the round they land
+    "q18_large_volume",  # driver-green r1+r2; agg-threshold join shape also in q20
+    "mm_frame_sample",  # driver-green r1+r2; sequence-explode also in graded doc_chunks
+    "text_ngram_topk",  # driver-green r1+r2; explode→agg→topk under graded ngram_jaccard
+    "sample_per_lang",  # driver-green r1+r2; hash-order sampling shared w/ graded corpus_mixture
+    "geo_grid_aggregate",  # driver-green r1+r2; grid binning also in graded fq_aggregate_mode
 ]
 
 

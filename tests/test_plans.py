@@ -399,3 +399,95 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     plan = _plan(decontaminate(docs, bench))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_q2_single_exchange_serves_groupby_and_window(tables):
+    """The partkey repartition must satisfy BOTH the (partkey, suppkey)
+    groupBy and the correlated-MIN window — one hash exchange on the fact
+    path; every dimension (part filter, region suppliers) broadcasts."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q2_min_cost_supplier,
+    )
+
+    plan = _plan(
+        q2_min_cost_supplier(
+            tables["part"], tables["supplier"], tables["lineitem"],
+            tables["nation"], tables["region"],
+        )
+    )
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_only_orderkey_shuffle_join(tables):
+    """part (LIKE-filtered) and supplier⋈nation broadcast; the only
+    shuffle join is lineitem⋈orders on orderkey."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q9_product_type_profit,
+    )
+
+    plan = _plan(
+        q9_product_type_profit(
+            tables["part"], tables["supplier"], tables["lineitem"],
+            tables["orders"], tables["nation"],
+        )
+    )
+    n_shuffle_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert n_shuffle_joins <= 1, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_q11_scalar_total_broadcasts(tables):
+    """The grand-total scalar joins back as a broadcast (1-row side);
+    the per-part aggregate is the only fact shuffle."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q11_important_stock,
+    )
+
+    plan = _plan(
+        q11_important_stock(
+            tables["supplier"], tables["lineitem"], tables["nation"]
+        )
+    )
+    assert "CartesianProduct" not in plan
+    # the total is a broadcast nested-loop over ONE row — acceptable; what
+    # must not happen is a shuffle join against the scalar
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_q16_anti_join_broadcasts(tables):
+    """Complaint suppliers and the filtered part dim both broadcast; the
+    count-distinct shuffles on the (brand, type, size) group key only."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q16_supplier_part_count,
+    )
+
+    plan = _plan(
+        q16_supplier_part_count(
+            tables["part"], tables["supplier"], tables["lineitem"]
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    # countDistinct = two-phase agg → ≤2 hash exchanges on tiny group keys
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_q20_window_shares_groupby_exchange(tables):
+    """The per-(part, supp) aggregate and the per-part window share the
+    single partkey exchange (repartition-on-prefix pattern, as in q2)."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        q20_excess_suppliers,
+    )
+
+    plan = _plan(
+        q20_excess_suppliers(
+            tables["part"], tables["supplier"], tables["lineitem"],
+            tables["nation"],
+        )
+    )
+    assert "CartesianProduct" not in plan
+    # partkey exchange + the distinct-suppkey exchange; dims broadcast
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
