@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "corpus_clean",
     "corpus_split",
     "corpus_decontaminate",
+    "pack_sequences",
+    "embed_quantize_int8",
+    "events_outliers",
     "mm_media_stats",
 ]
 

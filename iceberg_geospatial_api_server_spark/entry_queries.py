@@ -2405,6 +2405,108 @@ def q20(spark, sf_dir):
     )
 
 
+@_q(
+    "pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST({_IDHASH.format(id='doc_id')} % 32 AS INT) AS shard,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           cum - n_tokens AS stream_offset,
+           CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS pack_first,
+           CAST(FLOOR((cum - 1) / 512.0) AS BIGINT) AS pack_last,
+           CAST(FLOOR((cum - 1) / 512.0)
+                - FLOOR((cum - n_tokens) / 512.0) + 1 AS BIGINT) AS n_packs
+    FROM c ORDER BY doc_id
+    """,
+)
+def pack_sequences_q(spark, sf_dir):
+    """GPT-style context-window packing map: sharded token streams sliced
+    into fixed 512-token packs (docs straddle boundaries, like
+    pre-tokenized training packing; shard-parallel, deterministic)."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        pack_sequences,
+    )
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), max_tokens=512)
+
+
+@_q(
+    "embed_quantize_int8",
+    """
+    SELECT vec_id, CAST(LEN(embedding) AS BIGINT) AS n_dims,
+           CAST(mn AS DOUBLE) AS v_min, CAST(mx AS DOUBLE) AS v_max,
+           CASE WHEN CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE) = 0.0
+                THEN list_transform(embedding, x -> 0)
+                ELSE list_transform(embedding, x ->
+                  CAST(LEAST(FLOOR((CAST(x AS DOUBLE) - CAST(mn AS DOUBLE))
+                                   * 255.0
+                                   / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))),
+                             255) AS INT))
+           END AS codes
+    FROM (SELECT vec_id, embedding,
+                 list_min(embedding) AS mn, list_max(embedding) AS mx
+          FROM embeddings)
+    ORDER BY vec_id
+    """,
+)
+def embed_quantize_q(spark, sf_dir):
+    """Per-vector int8 scalar quantization (FLOOR-based — no rounding-mode
+    edge; codes byte-exact across engines)."""
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        quantize_embeddings,
+    )
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings")).orderBy(
+        "vec_id"
+    )
+
+
+@_q(
+    "events_outliers",
+    """
+    WITH s AS (
+      SELECT user_id, value,
+             SUM(CAST(value AS DECIMAL(18,6))) OVER w AS sx,
+             SUM(CAST(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))
+                      AS DECIMAL(38,12))) OVER w AS sxx,
+             COUNT(*) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id)
+    ), f AS (
+      SELECT user_id, value, n,
+             CAST(sx AS DOUBLE) / n AS mean,
+             (CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS var
+      FROM s WHERE n >= 2
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN (value - mean) * (value - mean) > 9.0 * var
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(MAX(mean), 6) AS avg_value,
+           ROUND(MAX(var), 6) AS var_value
+    FROM f GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_outliers_q(spark, sf_dir):
+    """Per-user z-score outlier counts (exact-DECIMAL moment sums, then an
+    identical IEEE op sequence on both engines — no float boundary)."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        events_outliers,
+    )
+
+    return events_outliers(_t(spark, sf_dir, "events"))
+
+
 # ===========================================================================
 # Registration order
 # ===========================================================================
@@ -2446,6 +2548,11 @@ _ORACLED_OVERFLOW = [
     "text_ngram_topk",  # driver-green r1+r2; explode→agg→topk under graded ngram_jaccard
     "sample_per_lang",  # driver-green r1+r2; hash-order sampling shared w/ graded corpus_mixture
     "geo_grid_aggregate",  # driver-green r1+r2; grid binning also in graded fq_aggregate_mode
+    # r3 (cont.): three more rotate out for the new pipeline operators
+    # (pack_sequences, embed_quantize_int8, events_outliers)
+    "q7_volume_shipping",  # driver-green r2; dims-broadcast fact join also in new q9
+    "q8_market_share",  # driver-green r2; scalar-share agg shape under q14/q15
+    "embed_neardup_cosine",  # driver-green r1+r2; cosine kernel graded via ann_bruteforce_topk
 ]
 
 

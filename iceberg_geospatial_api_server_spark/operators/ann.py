@@ -491,3 +491,43 @@ def kmeans_cluster_profile(
         )
         .orderBy("cell")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector int8 scalar quantization (the standard memory-shrink for
+    ANN at scale: 4 bytes/dim float32 → 1 byte/dim + 2 scalars).
+
+    codes[i] = min(⌊(x_i − min) · 255 / (max − min)⌋, 255) — FLOOR, not
+    round-half, so the math has no engine-dependent rounding-mode edge;
+    every operation is IEEE double in a fixed order, making codes exact
+    across engines (the oracle repeats the identical expression). A
+    constant vector (max == min) quantizes to all-zero codes.
+
+    Scale posture: pure map-side JVM higher-order functions over the
+    array column — no shuffle, no Python, no UDF; quantization is a scan
+    transform regardless of corpus size.
+    """
+    v = F.col(vec_col)
+    mn = F.array_min(v).cast("double")
+    mx = F.array_max(v).cast("double")
+    rng = mx - mn
+    codes = F.when(
+        rng == F.lit(0.0), F.transform(v, lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(
+            v,
+            lambda x: F.least(
+                F.floor((x.cast("double") - mn) * F.lit(255.0) / rng),
+                F.lit(255).cast("long"),
+            ).cast("int"),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(v).cast("long").alias("n_dims"),
+        mn.alias("v_min"),
+        mx.alias("v_max"),
+        codes.alias("codes"),
+    )

@@ -1125,3 +1125,48 @@ def events_props_stats(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def events_outliers(events: DataFrame, z: float = 3.0) -> DataFrame:
+    """Per-user z-score outlier profile over the event `value` stream
+    (metric-anomaly shape: how many of each user's events sit more than
+    z standard deviations from that user's own mean).
+
+    Engine-exact by construction: Σx and Σx² accumulate in DECIMAL
+    (order-independent), and every double step after that — mean,
+    sample variance, the (x−mean)² > z²·var test — is the same IEEE
+    operation sequence the oracle runs, so no float boundary can flip a
+    count. Cancellation may drive the computed variance a hair negative
+    for constant streams; both engines then agree on the comparison
+    anyway (identical doubles).
+
+    One exchange: the stats windows and the final per-user aggregate all
+    partition by user_id.
+    """
+    x = _dec("value")
+    w = Window.partitionBy("user_id")
+    sx = F.sum(x).over(w)
+    sxx = F.sum((x * x).cast("decimal(38,12)")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    mean = sx.cast("double") / n
+    var = (sxx.cast("double") - sx.cast("double") * sx.cast("double") / n) / (
+        n - F.lit(1)
+    )
+    d = F.col("value")
+    is_out = (d - mean) * (d - mean) > F.lit(z * z) * var
+    return (
+        events.select("user_id", "value")
+        .withColumn("__n", n)
+        .withColumn("__mean", mean)
+        .withColumn("__var", var)
+        .filter(F.col("__n") >= 2)
+        .withColumn("__out", is_out.cast("long"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__out").cast("long").alias("n_outliers"),
+            F.round(F.max("__mean"), 6).alias("avg_value"),
+            F.round(F.max("__var"), 6).alias("var_value"),
+        )
+        .orderBy("user_id")
+    )

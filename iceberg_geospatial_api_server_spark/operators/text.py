@@ -381,3 +381,66 @@ def decontaminate(
         .distinct()
     )
     return docs.join(contaminated, on=id_col, how="left_anti")
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int = 512,
+    n_shards: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence packing map: concatenate documents into a token
+    stream and slice fixed `max_tokens` context windows ("packs");
+    documents straddle pack boundaries, exactly like pre-tokenized
+    training-data packing (no padding waste, no first-fit heuristics).
+
+    The stream order is (shard, doc_id) where shard =
+    ``id_hash(id) % n_shards`` — each shard is an independent token
+    stream, so packing is embarrassingly parallel AND deterministic:
+    a document's pack depends only on its shard's members, never on a
+    global sequential fold. At 100 TB, n_shards scales with the cluster
+    (each shard's window is one partition — bound shard token mass, not
+    the corpus, by raising n_shards); the per-shard running total is the
+    only non-scan work (one hash exchange on the shard key).
+
+    Returns one row per document: its shard, token count, byte offset in
+    the shard stream, and the first/last pack it lands in.
+
+    (Training-pipeline adjacency; the reference has no packing analog —
+    cited for scope: its /api ingestion ends at upload, main.py:678-899.)
+    """
+    from pyspark.sql import Window
+
+    from iceberg_geospatial_api_server_spark.operators.sampling import id_hash
+
+    c = F.col(text_col)
+    shard = F.pmod(id_hash(F.col(id_col)), F.lit(n_shards)).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        token_count(c).cast("long").alias("n_tokens"),
+    )
+    cum = F.sum("n_tokens").over(w)
+    mx = F.lit(float(max_tokens))
+    return (
+        base.withColumn("__cum", cum)
+        .select(
+            id_col,
+            "shard",
+            "n_tokens",
+            (F.col("__cum") - F.col("n_tokens")).alias("stream_offset"),
+            F.floor((F.col("__cum") - F.col("n_tokens")) / mx)
+            .cast("long")
+            .alias("pack_first"),
+            F.floor((F.col("__cum") - 1) / mx).cast("long").alias("pack_last"),
+        )
+        .withColumn(
+            "n_packs", (F.col("pack_last") - F.col("pack_first") + 1).cast("long")
+        )
+    )

@@ -1,0 +1,113 @@
+"""Semantics tests for the training-pipeline operators added in round 3:
+sequence packing, int8 embedding quantization, per-user outlier profile.
+(Oracle parity for the same operators lives in test_oracle_parity.py —
+these tests pin the semantic invariants the hash compare can't express.)
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_geospatial_api_server_spark.plans import formatted_plan as _plan
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_pack_sequences_tiles_shard_streams(docs):
+    """Per shard, document token spans must tile the stream contiguously:
+    offsets are the running sum of preceding token counts, and pack ids
+    follow from integer division of the span endpoints."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        pack_sequences,
+    )
+
+    out = pack_sequences(docs, max_tokens=128).collect()
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) > 1
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            assert r.stream_offset == cum, (shard, r)
+            assert r.pack_first == r.stream_offset // 128
+            assert r.pack_last == (r.stream_offset + r.n_tokens - 1) // 128
+            assert r.n_packs == r.pack_last - r.pack_first + 1
+            cum += r.n_tokens
+    # with 128-token packs and ~150-token docs, straddles must exist
+    assert any(r.n_packs > 1 for r in out)
+
+
+def test_pack_sequences_single_shard_exchange(docs):
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        pack_sequences,
+    )
+
+    plan = _plan(pack_sequences(docs))
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_quantize_embeddings_reconstruction(spark, sf_dir):
+    """Codes stay in [0, 255] and dequantization reconstructs every
+    component to within one quantization step."""
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        quantize_embeddings,
+    )
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    orig = {r.vec_id: list(r.embedding) for r in emb.collect()}
+    for row in quantize_embeddings(emb).collect():
+        vec = orig[row.vec_id]
+        assert row.n_dims == len(vec)
+        assert all(0 <= c <= 255 for c in row.codes)
+        rng = row.v_max - row.v_min
+        step = rng / 255.0 if rng else 0.0
+        for x, c in zip(vec, row.codes):
+            assert abs((row.v_min + c * step) - x) <= step + 1e-9
+
+
+def test_quantize_embeddings_is_scan_side(spark, sf_dir):
+    """Quantization must be a pure map-side transform: no shuffle, no
+    Python (BatchEvalPython/ArrowEvalPython) in the plan."""
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        quantize_embeddings,
+    )
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+
+    plan = _plan(quantize_embeddings(load_table(spark, sf_dir, "embeddings")))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_events_outliers_flags_planted_spike(spark):
+    """A user with a flat stream plus one massive spike reports exactly
+    one outlier; a perfectly flat user reports none."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        events_outliers,
+    )
+
+    rows = [(1, float(v)) for v in [10.0] * 20 + [10000.0]] + [
+        (2, 5.0)
+    ] * 10
+    df = spark.createDataFrame(rows, "user_id LONG, value DOUBLE")
+    out = {r.user_id: r for r in events_outliers(df).collect()}
+    assert out[1].n_outliers == 1
+    assert out[1].n_events == 21
+    assert out[2].n_outliers == 0
+
+
+def test_events_outliers_single_exchange(spark, sf_dir):
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        events_outliers,
+    )
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+
+    plan = _plan(events_outliers(load_table(spark, sf_dir, "events")))
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
