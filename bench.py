@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "pack_sequences",
     "embed_quantize_int8",
     "events_outliers",
+    "corpus_source_stats",
+    "cross_source_overlap",
     "mm_media_stats",
 ]
 

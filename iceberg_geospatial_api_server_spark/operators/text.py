@@ -444,3 +444,86 @@ def pack_sequences(
             "n_packs", (F.col("pack_last") - F.col("pack_first") + 1).cast("long")
         )
     )
+
+
+def corpus_source_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Per-source data card: doc/lang counts, total tokens, and the EXACT
+    lower median of document length (rank ⌈n/2⌉ — the percentile_disc
+    definition, portable across engines, unlike approximate sketches).
+
+    One source-key exchange: the ranking window, the partition count
+    window, and the final aggregate all partition by source; the median
+    falls out of the same shuffle as the sums (no second pass, no
+    driver-side sort).
+    """
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy(source_col).orderBy(chars_col, id_col)
+    w_all = Window.partitionBy(source_col)
+    rn = F.row_number().over(w_ord)
+    cnt = F.count(F.lit(1)).over(w_all)
+    med_pos = F.floor((cnt + 1) / 2)
+    return (
+        df.select(
+            source_col,
+            lang_col,
+            F.col(chars_col),
+            token_count(F.col(text_col)).cast("long").alias("__t"),
+            F.col(id_col),
+        )
+        .withColumn("__rn", rn)
+        .withColumn("__med_pos", med_pos)
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(lang_col).cast("long").alias("n_langs"),
+            F.sum("__t").cast("long").alias("total_tokens"),
+            F.max(
+                F.when(F.col("__rn") == F.col("__med_pos"), F.col(chars_col))
+            )
+            .cast("long")
+            .alias("median_chars"),
+        )
+        .orderBy(source_col)
+    )
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    prefix_tokens: int = 20,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Content overlap between corpus sources: pairs of sources sharing
+    documents with identical `prefix_tokens`-word prefixes (the dataset-
+    curation question "which of my crawls duplicate each other" —
+    boilerplate and mirrored content show up here before full-text
+    dedup).
+
+    Scale posture: the per-(prefix-hash, source) distinct is one uniform
+    md5-key shuffle; the pair self-join is keyed on the same hash, and
+    per-key fan-out is bounded by the number of SOURCES (a dimension,
+    not the corpus), so the join can never go quadratic in documents.
+    """
+    prefix = F.concat_ws(
+        " ", F.slice(F.split(F.col(text_col), " "), 1, prefix_tokens)
+    )
+    h = df.select(
+        F.md5(prefix).alias("__m"), F.col(source_col).alias("__src")
+    ).distinct()
+    a = h.select(F.col("__m"), F.col("__src").alias("source_a"))
+    b = h.select(F.col("__m"), F.col("__src").alias("source_b"))
+    return (
+        a.join(b, "__m")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_prefixes"))
+        .orderBy("source_a", "source_b")
+    )

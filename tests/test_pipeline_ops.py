@@ -111,3 +111,65 @@ def test_events_outliers_single_exchange(spark, sf_dir):
 
     plan = _plan(events_outliers(load_table(spark, sf_dir, "events")))
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_corpus_source_stats_exact_median(spark):
+    """Lower-median definition pinned: even count → the ⌈n/2⌉-th value."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        corpus_source_stats,
+    )
+
+    rows = [
+        (1, "a b c", "en", "s1", 10),
+        (2, "a b", "en", "s1", 20),
+        (3, "a", "de", "s1", 30),
+        (4, "a b c d", "en", "s1", 40),
+        (5, "x y", "fr", "s2", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    out = {r.source: r for r in corpus_source_stats(df).collect()}
+    assert out["s1"].n_docs == 4
+    assert out["s1"].n_langs == 2
+    assert out["s1"].total_tokens == 3 + 2 + 1 + 4
+    assert out["s1"].median_chars == 20  # position ceil(4/2)=2 of 10,20,30,40
+    assert out["s2"].median_chars == 7
+
+
+def test_corpus_source_stats_shares_source_exchange(docs):
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        corpus_source_stats,
+    )
+
+    plan = _plan(corpus_source_stats(docs))
+    # windows + agg on source; countDistinct may add its expand exchange
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_cross_source_overlap_symmetric_pairs(docs):
+    """Every reported pair is ordered (a < b) and the shared-prefix count
+    agrees with a brute-force recount over collected prefixes."""
+    from collections import defaultdict
+
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        cross_source_overlap,
+    )
+
+    out = cross_source_overlap(docs, prefix_tokens=20).collect()
+    assert all(r.source_a < r.source_b for r in out)
+    import hashlib
+
+    seen = defaultdict(set)
+    for r in docs.select("text", "source").collect():
+        prefix = " ".join(r.text.split(" ")[:20])
+        seen[hashlib.md5(prefix.encode()).hexdigest()].add(r.source)
+    expect = defaultdict(int)
+    for srcs in seen.values():
+        ss = sorted(srcs)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                expect[(ss[i], ss[j])] += 1
+    got = {(r.source_a, r.source_b): r.n_shared_prefixes for r in out}
+    assert got == dict(expect)
