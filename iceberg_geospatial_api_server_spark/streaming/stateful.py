@@ -152,3 +152,83 @@ def streaming_funnel(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+PACK_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("stream_offset", T.LongType()),
+        T.StructField("pack_first", T.LongType()),
+        T.StructField("pack_last", T.LongType()),
+        T.StructField("n_packs", T.LongType()),
+    ]
+)
+
+PACK_STATE_SCHEMA = T.StructType(
+    [T.StructField("cum_tokens", T.LongType())]
+)
+
+
+def streaming_pack(
+    docs: DataFrame, max_tokens: int = 512, n_shards: int = 32
+) -> DataFrame:
+    """Incremental sequence packing: the streaming analog of
+    `operators.text.pack_sequences` for a corpus that arrives over time
+    (the daily-ingest training-data pattern — new documents extend each
+    shard's token stream without repacking history).
+
+    One state row per shard holds that stream's running token count;
+    each micro-batch appends its documents (doc_id order within the
+    batch) and emits their pack assignments. Equivalent to the batch
+    operator when batches arrive in doc_id order, asserted in
+    tests/test_streaming.py. State is n_shards longs — independent of
+    corpus size.
+    """
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.operators.sampling import id_hash
+    from iceberg_geospatial_api_server_spark.operators.text import token_count
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        cum = state.get[0] if state.exists else 0
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("doc_id")
+            ends = cum + pdf["n_tokens"].cumsum()
+            offsets = ends - pdf["n_tokens"]
+            cum = int(ends.iloc[-1])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "shard": pdf["shard"].values,
+                    "n_tokens": pdf["n_tokens"].values,
+                    "stream_offset": offsets.values,
+                    "pack_first": (offsets // max_tokens).values,
+                    "pack_last": ((ends - 1) // max_tokens).values,
+                    "n_packs": (
+                        (ends - 1) // max_tokens - offsets // max_tokens + 1
+                    ).values,
+                }
+            )
+        state.update((cum,))
+
+    base = docs.select(
+        F.col("doc_id"),
+        F.pmod(id_hash(F.col("doc_id")), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return base.groupBy("shard").applyInPandasWithState(
+        update,
+        PACK_OUTPUT_SCHEMA,
+        PACK_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -347,3 +347,63 @@ def test_neardup_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     # two non-empty batches ran, and state accumulated the whole corpus
     assert {r["batch_id"] for r in got_rows} <= {0, 1}
     assert spark.read.parquet(corpus_dir).count() == docs.count()
+
+
+def test_streaming_pack_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Incremental packing must agree with the batch pack_sequences map
+    when micro-batches arrive in doc_id order (two id-ordered files, one
+    per trigger): same offsets, same pack spans, continued — not reset —
+    across batches."""
+    import time
+
+    from pyspark.sql import types as T
+
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        pack_sequences,
+    )
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+    from iceberg_geospatial_api_server_spark.streaming.stateful import (
+        streaming_pack,
+    )
+    from iceberg_geospatial_api_server_spark.streaming.windows import (
+        run_to_memory_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cut = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    base = tmp_path_factory.mktemp("pack_stream")
+    path = str(base / "docs")
+    docs.filter(F.col("doc_id") <= cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    time.sleep(1.1)
+    docs.filter(F.col("doc_id") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    out = streaming_pack(stream, max_tokens=128)
+    run_to_memory_sink(out, "pack_out", mode="append")
+    got = {
+        r.doc_id: (r.shard, r.n_tokens, r.stream_offset, r.pack_first,
+                   r.pack_last, r.n_packs)
+        for r in spark.sql("SELECT * FROM pack_out").collect()
+    }
+
+    want = {
+        r.doc_id: (r.shard, r.n_tokens, r.stream_offset, r.pack_first,
+                   r.pack_last, r.n_packs)
+        for r in pack_sequences(docs, max_tokens=128).collect()
+    }
+    assert got == want
