@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "ann_ivfpq_topk",
     "text_profile",
     "text_ngram_topk",
     "text_repetition_profile",

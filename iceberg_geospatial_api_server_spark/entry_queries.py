@@ -2555,6 +2555,20 @@ def cross_source_overlap_q(spark, sf_dir):
     return cross_source_overlap(_t(spark, sf_dir, "documents"))
 
 
+@_q("ann_ivfpq_topk")  # rows-only: approximate by design (recall tested)
+def ann_ivfpq_q(spark, sf_dir):
+    """IVF-PQ: inverted lists bound what's scored, 8-byte PQ codes bound
+    what's read (32× scan-mass cut at dim=64), exact re-rank on the
+    shortlist."""
+    from iceberg_geospatial_api_server_spark.operators.ann import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id").isin(0, 101, 202, 303, 404)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return ivfpq_topk(emb, queries_df, k=10, nlist=8, nprobe=4)
+
+
 # ===========================================================================
 # Registration order
 # ===========================================================================

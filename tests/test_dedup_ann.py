@@ -227,3 +227,33 @@ def test_minhash_incremental_mode(spark, docs):
     }
     assert inc == expected
     assert len(expected) > 0, "vacuous: no cross/new pairs in the corpus"
+
+
+def test_ivfpq_topk_recall_and_exact_rerank(spark, tables):
+    """IVF-PQ must (a) reach brute-force recall ≥ 0.6 despite scoring
+    8-byte codes, (b) return TRUE cosines for what it returns (the
+    re-rank is exact), and (c) be deterministic."""
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    emb = tables["embeddings"]
+    q = emb.filter(F.col("vec_id").isin(0, 101, 202, 303, 404)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact_rows = brute_force_topk(emb, q, k=10).collect()
+    exact = {(r.q_id, r.vec_id) for r in exact_rows}
+    true_sim = {(r.q_id, r.vec_id): r.cos_sim for r in exact_rows}
+
+    approx_rows = ivfpq_topk(emb, q, k=10, nlist=8, nprobe=4).collect()
+    approx = {(r.q_id, r.vec_id) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF-PQ recall {recall:.2f}"
+    # exact re-rank: any overlap pair carries the brute-force cosine
+    for r in approx_rows:
+        if (r.q_id, r.vec_id) in true_sim:
+            assert abs(r.cos_sim - true_sim[(r.q_id, r.vec_id)]) < 1e-9
+    # determinism (sampled training + hash seeding, no RNG)
+    again = {(r.q_id, r.vec_id) for r in ivfpq_topk(emb, q, k=10, nlist=8, nprobe=4).collect()}
+    assert again == approx
