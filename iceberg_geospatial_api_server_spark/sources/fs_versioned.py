@@ -1,0 +1,184 @@
+"""Jar-less snapshot versioning for parquet tables: append/overwrite as
+immutable snapshots, time travel, a `.history` metadata view, and
+snapshot expiry.
+
+The reference's storage tier gets these from Iceberg (snapshots,
+`VERSION/TIMESTAMP AS OF`, `.history`, `expire_snapshots` — ref
+duckdb-init.sql:24-36, api/main.py:492-604, cookbook §1.7), which
+`sources/iceberg_io.py` maps onto the Iceberg-Spark runtime — but that
+path is config-gated on jars this container doesn't ship. This module is
+the RUNNABLE analog with the same contract on a bare filesystem, so the
+time-travel workflow can be exercised (and tested) anywhere:
+
+* every write lands in an immutable `v=N/` directory (parquet files are
+  never mutated — append copies nothing, it just adds a new snapshot
+  whose manifest unions the parents' file lists);
+* `_manifest.json` records, per snapshot: version, UTC timestamp µs,
+  operation, file list, row count, parent — the Iceberg snapshot-log
+  shape;
+* readers resolve (version | as-of timestamp | latest) → file list and
+  hand Spark exactly those paths: time travel is a manifest lookup, no
+  data copy, O(files) planning like any snapshot store;
+* `expire_snapshots(keep_last)` deletes data files only when NO retained
+  snapshot references them — the Iceberg GC rule.
+
+Scale posture: snapshots reference files, never rows; append writes only
+the new data; the manifest is O(snapshots·files) driver-side JSON (the
+same scaling as Iceberg's metadata layer, which at 100 TB lives in avro
+manifests — swap the JSON codec, keep the contract).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VersionedTable:
+    """Filesystem-backed snapshot-versioned parquet table."""
+
+    MANIFEST = "_manifest.json"
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, self.MANIFEST)
+
+    def _load_manifest(self) -> list[dict]:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return json.load(f)
+
+    def _store_manifest(self, snapshots: list[dict]) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snapshots, f, indent=1)
+        os.replace(tmp, self._manifest_path())  # atomic commit point
+
+    # -- writes ------------------------------------------------------------
+
+    def _write_snapshot(self, df: DataFrame, operation: str) -> int:
+        snaps = self._load_manifest()
+        version = (snaps[-1]["version"] + 1) if snaps else 1
+        vdir = os.path.join(self.path, f"v={version}")
+        df.write.mode("errorifexists").parquet(vdir)
+        new_files = [
+            os.path.join(vdir, f)
+            for f in sorted(os.listdir(vdir))
+            if f.endswith(".parquet")
+        ]
+        if operation == "append" and snaps:
+            files = snaps[-1]["files"] + new_files
+        else:
+            files = new_files
+        n_rows = self.spark.read.parquet(*files).count() if files else 0
+        snaps.append(
+            {
+                "version": version,
+                "ts_us": int(time.time() * 1_000_000),
+                "operation": operation,
+                "files": files,
+                "n_rows": n_rows,
+                "parent": snaps[-1]["version"] if snaps else None,
+            }
+        )
+        self._store_manifest(snaps)
+        return version
+
+    def append(self, df: DataFrame) -> int:
+        """New snapshot = parent's files ∪ newly written files."""
+        return self._write_snapshot(df, "append")
+
+    def overwrite(self, df: DataFrame) -> int:
+        """New snapshot referencing only the new files (parents keep
+        theirs — time travel still sees every old row)."""
+        return self._write_snapshot(df, "overwrite")
+
+    # -- reads -------------------------------------------------------------
+
+    def _resolve(
+        self, version: int | None, as_of_us: int | None
+    ) -> dict:
+        snaps = self._load_manifest()
+        if not snaps:
+            raise FileNotFoundError(f"no snapshots at {self.path}")
+        if version is not None:
+            for s in snaps:
+                if s["version"] == version:
+                    return s
+            raise ValueError(f"version {version} not found (expired?)")
+        if as_of_us is not None:
+            eligible = [s for s in snaps if s["ts_us"] <= as_of_us]
+            if not eligible:
+                raise ValueError("as-of timestamp precedes the first snapshot")
+            return eligible[-1]
+        return snaps[-1]
+
+    def read(
+        self,
+        version: int | None = None,
+        as_of_us: int | None = None,
+    ) -> DataFrame:
+        """Latest snapshot by default; `version=` ≡ VERSION AS OF;
+        `as_of_us=` ≡ TIMESTAMP AS OF (epoch µs)."""
+        snap = self._resolve(version, as_of_us)
+        if not snap["files"]:
+            raise ValueError(f"snapshot {snap['version']} is empty")
+        return self.spark.read.parquet(*snap["files"])
+
+    def history(self) -> DataFrame:
+        """The `.history` metadata view: one row per snapshot."""
+        snaps = self._load_manifest()
+        rows = [
+            (
+                s["version"],
+                s["ts_us"],
+                s["operation"],
+                len(s["files"]),
+                s["n_rows"],
+                s["parent"],
+            )
+            for s in snaps
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version LONG, ts_us LONG, operation STRING, "
+            "n_files LONG, n_rows LONG, parent LONG",
+        )
+
+    # -- maintenance -------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest `keep_last` snapshots; delete data
+        files only when no RETAINED snapshot references them (the
+        Iceberg expire_snapshots GC rule). Returns expired versions."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        snaps = self._load_manifest()
+        if len(snaps) <= keep_last:
+            return []
+        retained, expired = snaps[-keep_last:], snaps[:-keep_last]
+        live = {f for s in retained for f in s["files"]}
+        for s in expired:
+            for f in s["files"]:
+                if f not in live and os.path.exists(f):
+                    os.remove(f)
+        # remove now-empty snapshot dirs
+        for entry in os.listdir(self.path):
+            full = os.path.join(self.path, entry)
+            if entry.startswith("v=") and os.path.isdir(full):
+                if not any(f.endswith(".parquet") for f in os.listdir(full)):
+                    shutil.rmtree(full)
+        self._store_manifest(retained)
+        return [s["version"] for s in expired]

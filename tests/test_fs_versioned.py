@@ -1,0 +1,89 @@
+"""Snapshot-versioned parquet tables: append/overwrite lineage, version
+and as-of time travel, history view, and reference-counted expiry."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_geospatial_api_server_spark.sources.fs_versioned import (
+    VersionedTable,
+)
+
+
+@pytest.fixture()
+def vt(spark, tmp_path):
+    return VersionedTable(spark, str(tmp_path / "tbl"))
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 2).alias("val")
+    )
+
+
+def test_append_and_time_travel(spark, vt):
+    v1 = vt.append(_df(spark, 0, 10))
+    v2 = vt.append(_df(spark, 10, 15))
+    assert (v1, v2) == (1, 2)
+    assert vt.read().count() == 15  # latest
+    assert vt.read(version=1).count() == 10
+    assert vt.read(version=2).count() == 15
+    assert {r.id for r in vt.read(version=1).collect()} == set(range(10))
+
+
+def test_overwrite_keeps_old_snapshots_readable(spark, vt):
+    vt.append(_df(spark, 0, 10))
+    vt.overwrite(_df(spark, 100, 103))
+    assert vt.read().count() == 3
+    assert vt.read(version=1).count() == 10  # travel across overwrite
+
+
+def test_as_of_timestamp_resolution(spark, vt):
+    vt.append(_df(spark, 0, 5))
+    m1 = vt._load_manifest()[-1]["ts_us"]
+    vt.append(_df(spark, 5, 9))
+    assert vt.read(as_of_us=m1).count() == 5
+    assert vt.read(as_of_us=m1 + 10**12).count() == 9
+    with pytest.raises(ValueError):
+        vt.read(as_of_us=m1 - 10**12)
+
+
+def test_history_view(spark, vt):
+    vt.append(_df(spark, 0, 10))
+    vt.overwrite(_df(spark, 0, 3))
+    vt.append(_df(spark, 3, 6))
+    h = {r.version: r for r in vt.history().collect()}
+    assert [h[v].operation for v in (1, 2, 3)] == [
+        "append", "overwrite", "append"
+    ]
+    assert h[3].parent == 2 and h[2].parent == 1 and h[1].parent is None
+    assert h[3].n_rows == 6
+
+
+def test_expire_snapshots_gc_rule(spark, vt):
+    """Expiry must delete ONLY files no retained snapshot references:
+    v2 (append) shares v1's files, so expiring v1 while keeping v2 must
+    delete nothing that v2 reads."""
+    vt.append(_df(spark, 0, 10))
+    vt.append(_df(spark, 10, 15))
+    vt.overwrite(_df(spark, 50, 52))
+    expired = vt.expire_snapshots(keep_last=2)
+    assert expired == [1]
+    # retained snapshots still read fine (v2 references v1's files!)
+    assert vt.read(version=2).count() == 15
+    assert vt.read(version=3).count() == 2
+    with pytest.raises(ValueError):
+        vt.read(version=1)
+    # expire down to just the overwrite → v1/v2-only files are gone
+    assert vt.expire_snapshots(keep_last=1) == [2]
+    assert vt.read(version=3).count() == 2
+    v_dirs = [d for d in os.listdir(vt.path) if d.startswith("v=")]
+    assert v_dirs == ["v=3"]
+
+
+def test_manifest_commit_is_atomic(spark, vt):
+    """The tmp-write + rename commit leaves no partial manifest behind."""
+    vt.append(_df(spark, 0, 4))
+    assert not os.path.exists(vt._manifest_path() + ".tmp")
+    assert vt.read().count() == 4
