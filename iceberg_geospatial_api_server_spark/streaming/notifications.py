@@ -201,3 +201,57 @@ def notified_append_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def versioned_append_sink(
+    stream_df: DataFrame,
+    table,  # sources.fs_versioned.VersionedTable
+    checkpoint: str,
+    notifier: LayerNotifier,
+    session_id: str,
+    namespace: str,
+    table_name: str,
+    geom_col: str | None = None,
+    description: str = "",
+    trigger_available_now: bool = True,
+):
+    """Snapshot-per-batch ingest: each non-empty micro-batch commits ONE
+    immutable snapshot to a `VersionedTable` and the `layer_ready` event
+    carries that snapshot's VERSION in its description
+    (``version=N;<description>``) — so a consumer can time-travel to
+    exactly the data the event announced, the missing piece of a plain
+    append feed (by the time a reader scans, later batches may have
+    landed).
+
+    Composes the reference's two storage ideas — Iceberg snapshot
+    commits and the layer_ready push (ref api/main.py:938-1066) — in one
+    streaming sink; the batch is aggregated once for count+bbox, then
+    committed.
+    """
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        n, bbox = layer_summary(batch, geom_col)
+        if n == 0:
+            return
+        version = table.append(batch)
+        notifier.emit(
+            session_id,
+            LayerEvent(
+                "layer_ready",
+                namespace,
+                table_name,
+                n,
+                bbox,
+                f"version={version};{description}",
+                batch_id,
+            ),
+        )
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(handle)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

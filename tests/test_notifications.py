@@ -127,3 +127,60 @@ def test_streaming_append_notifies_per_batch(spark, tmp_path_factory):
     assert got[1].row_count == 1
     assert got[1].bbox == [-4.0, -2.0, -4.0, -2.0]
     assert spark.read.parquet(out).count() == 3
+
+
+def test_versioned_sink_snapshot_per_batch_time_travel(spark, tmp_path_factory):
+    """Each micro-batch commits one snapshot; the event names the version
+    and time-traveling to it returns EXACTLY the announced rows even
+    after later batches land."""
+    from iceberg_geospatial_api_server_spark.sources.fs_versioned import (
+        VersionedTable,
+    )
+    from iceberg_geospatial_api_server_spark.streaming.notifications import (
+        versioned_append_sink,
+    )
+
+    base = tmp_path_factory.mktemp("versioned_stream")
+    src = str(base / "src")
+    _geom_df(spark, [(0, 0), (10, 5)]).coalesce(1).write.parquet(src)
+
+    vt = VersionedTable(spark, str(base / "tbl"))
+    notifier = LayerNotifier()
+    got: list[LayerEvent] = []
+    notifier.subscribe("sess", got.append)
+
+    q = versioned_append_sink(
+        spark.readStream.schema(SCHEMA).parquet(src),
+        vt,
+        str(base / "ckpt"),
+        notifier,
+        "sess",
+        "ns",
+        "layer",
+    )
+    q.awaitTermination(60)
+    assert len(got) == 1
+    assert got[0].description.startswith("version=1;")
+    assert vt.read(version=1).count() == 2
+
+    time.sleep(1.1)
+    _geom_df(spark, [(-4, -2)]).coalesce(1).write.mode("append").parquet(src)
+    q2 = versioned_append_sink(
+        spark.readStream.schema(SCHEMA).parquet(src),
+        vt,
+        str(base / "ckpt"),
+        notifier,
+        "sess",
+        "ns",
+        "layer",
+    )
+    q2.awaitTermination(60)
+    assert len(got) == 2
+    assert got[1].description.startswith("version=2;")
+    assert got[1].row_count == 1
+    # the event's version pins the announced data forever
+    assert vt.read(version=1).count() == 2
+    assert vt.read(version=2).count() == 3
+    assert vt.read().count() == 3
+    h = {r.version: r.operation for r in vt.history().collect()}
+    assert h == {1: "append", 2: "append"}
