@@ -2555,6 +2555,27 @@ def cross_source_overlap_q(spark, sf_dir):
     return cross_source_overlap(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "events_distinct_salted",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_distinct_salted_q(spark, sf_dir):
+    """Hot-key-safe exact COUNT(DISTINCT): value-hash salting spreads a
+    skewed group key across reducers, per-salt distinct counts are
+    disjoint by construction and sum exactly (oracle = the plain
+    COUNT(DISTINCT) — same answer, skew-resistant plan)."""
+    from iceberg_geospatial_api_server_spark.operators.skew import (
+        salted_count_distinct,
+    )
+
+    return salted_count_distinct(
+        _t(spark, sf_dir, "events"), ["event_type"], "user_id", n_salts=16
+    ).orderBy("event_type")
+
+
 @_q("ann_ivfpq_topk")  # rows-only: approximate by design (recall tested)
 def ann_ivfpq_q(spark, sf_dir):
     """IVF-PQ: inverted lists bound what's scored, 8-byte PQ codes bound
@@ -2608,7 +2629,7 @@ _ORACLED_OVERFLOW = [
     "q18_large_volume",  # driver-green r1+r2; agg-threshold join shape also in q20
     "mm_frame_sample",  # driver-green r1+r2; sequence-explode also in graded doc_chunks
     "text_ngram_topk",  # driver-green r1+r2; explode→agg→topk under graded ngram_jaccard
-    "sample_per_lang",  # driver-green r1+r2; hash-order sampling shared w/ graded corpus_mixture
+    "sample_per_lang",  # driver-green r1+r2; id_hash sampling machinery graded via corpus_split
     "geo_grid_aggregate",  # driver-green r1+r2; grid binning also in graded fq_aggregate_mode
     # r3 (cont.): three more rotate out for the new pipeline operators
     # (pack_sequences, embed_quantize_int8, events_outliers)
@@ -2619,6 +2640,8 @@ _ORACLED_OVERFLOW = [
     # cross_source_overlap
     "events_sessionize",  # driver-green r1+r2; also stream≡batch equivalence-tested
     "geo_dwithin",  # driver-green r1+r2; distance kernel graded via geo_knn/geo_nearest_join
+    # r3 (cont.): one more rotates out for events_distinct_salted
+    "corpus_mixture",  # driver-green r1+r2; id_hash-threshold filter graded via corpus_split
 ]
 
 

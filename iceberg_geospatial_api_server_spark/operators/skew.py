@@ -1,0 +1,96 @@
+"""Hot-key mitigation for aggregations the engine can't fix with AQE.
+
+Spark's map-side partial aggregation already tames skew for algebraic
+aggregates (SUM/COUNT/MIN/MAX collapse hot keys inside each task), and
+AQE's skew-join splitting covers joins (execution-asserted in
+tests/test_plans.py). The remaining hot-key hazard is HOLISTIC
+aggregation — COUNT(DISTINCT v), top-k rows per key — where the classic
+plan funnels every row of a hot key through one reducer. These helpers
+apply the standard salting decomposition:
+
+* `salted_count_distinct` — salt by HASH OF THE VALUE, so each (key,
+  salt) partition sees a disjoint slice of the value space: per-slice
+  distinct counts ADD UP exactly (no overlap by construction). Stage 1
+  shuffles on (key, salt) — the hot key spreads over `n_salts` reducers;
+  stage 2 merges `n_salts` small rows per key.
+* `salted_topk_per_key` — per-(key, salt) top-k first (any salt works;
+  the row's own hash keeps it deterministic), then top-k of the
+  k·n_salts survivors per key: the final reducer sees k·n_salts rows,
+  never the hot key's full row set.
+
+Both are exact — asserted against the naive plans on planted-skew data
+(tests/test_skew.py) and against the DuckDB oracle through the driver
+registry (`events_distinct_salted`). At 100 TB, `n_salts` scales with
+the hot key's row share: a key holding 1/s of the corpus needs ~s·P/n
+salts to keep reducers balanced across P partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _salt(col: Column, n_salts: int) -> Column:
+    return F.pmod(F.xxhash64(col), F.lit(n_salts))
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    key_cols: list[str],
+    val_col: str,
+    n_salts: int = 16,
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Exact COUNT(DISTINCT val) per key, hot-key-safe.
+
+    Value-hash salting makes the per-salt value sets disjoint, so
+    summing per-salt distinct counts is exact (unlike row-salting, which
+    would double-count values straddling salts)."""
+    stage1 = (
+        df.select(*key_cols, F.col(val_col))
+        .groupBy(*key_cols, _salt(F.col(val_col), n_salts).alias("__salt"))
+        .agg(F.countDistinct(val_col).alias("__d"))
+    )
+    return (
+        stage1.groupBy(*key_cols)
+        .agg(F.sum("__d").cast("long").alias(out_col))
+    )
+
+
+def salted_topk_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    k: int,
+    n_salts: int = 16,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact top-k rows per key by `order_col` (desc), hot-key-safe: the
+    global per-key top-k is a subset of the union of per-salt top-ks, so
+    pass 1 prunes each hot key to k·n_salts candidates before the final
+    per-key ranking."""
+    tiebreak = [F.col(c) for c in (tiebreak_cols or [])]
+    w1 = Window.partitionBy(
+        *key_cols, "__salt"
+    ).orderBy(F.desc(order_col), *tiebreak)
+    w2 = Window.partitionBy(*key_cols).orderBy(F.desc(order_col), *tiebreak)
+    salted = df.withColumn(
+        "__salt",
+        _salt(
+            F.concat_ws(
+                "\x1f", F.col(order_col).cast("string"),
+                *[c.cast("string") for c in tiebreak],
+            ),
+            n_salts,
+        ),
+    )
+    pruned = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1", "__salt")
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )

@@ -13,3 +13,15 @@ __all__ = [
     "assert_broadcast_join",
     "assert_no_cartesian",
 ]
+
+from iceberg_geospatial_api_server_spark.plans.explain import (  # noqa: E402
+    hash_exchange_count,
+    range_exchange_count,
+    single_partition_exchange_count,
+)
+
+__all__ += [
+    "hash_exchange_count",
+    "range_exchange_count",
+    "single_partition_exchange_count",
+]

@@ -57,3 +57,47 @@ def assert_no_cartesian(df: DataFrame) -> None:
 def shuffle_count(df: DataFrame) -> int:
     """Number of exchanges (shuffles) in the plan — the scale currency."""
     return formatted_plan(df).count("Exchange")
+
+
+# ---------------------------------------------------------------------------
+# Exchange counting that works in BOTH explain styles.
+#
+# In `mode="formatted"` an exchange prints as a bare "(9) Exchange" tree node
+# with its partitioning on a separate "Arguments: hashpartitioning(...)"
+# line, so the simple-mode substring "Exchange hashpartitioning" NEVER
+# occurs — a `plan.count("Exchange hashpartitioning") <= N` assertion is
+# vacuously true in formatted mode (and a `>= N` one vacuously false).
+# These helpers count the partitioning kind in either rendering.
+# ---------------------------------------------------------------------------
+
+_HASH_EXCHANGE = re.compile(
+    r"Exchange hashpartitioning|Arguments: hashpartitioning"
+)
+_SINGLE_EXCHANGE = re.compile(
+    r"Exchange SinglePartition|Arguments: SinglePartition"
+)
+_RANGE_EXCHANGE = re.compile(
+    r"Exchange rangepartitioning|Arguments: rangepartitioning"
+)
+
+
+def _plan_text(df_or_plan) -> str:
+    if isinstance(df_or_plan, str):
+        return df_or_plan
+    return formatted_plan(df_or_plan)
+
+
+def hash_exchange_count(df_or_plan) -> int:
+    """Number of hash-partitioned shuffles (the scale currency)."""
+    return len(_HASH_EXCHANGE.findall(_plan_text(df_or_plan)))
+
+
+def single_partition_exchange_count(df_or_plan) -> int:
+    """Number of funnel-everything-to-one-task exchanges (scale killers
+    unless the input is a bounded aggregate)."""
+    return len(_SINGLE_EXCHANGE.findall(_plan_text(df_or_plan)))
+
+
+def range_exchange_count(df_or_plan) -> int:
+    """Number of range-partitioned shuffles (global sorts)."""
+    return len(_RANGE_EXCHANGE.findall(_plan_text(df_or_plan)))

@@ -7,7 +7,12 @@ these tests pin the semantic invariants the hash compare can't express.)
 import pytest
 from pyspark.sql import functions as F
 
-from iceberg_geospatial_api_server_spark.plans import formatted_plan as _plan
+from iceberg_geospatial_api_server_spark.plans import (
+    formatted_plan as _plan,
+    hash_exchange_count,
+    range_exchange_count,
+    single_partition_exchange_count,
+)
 
 
 @pytest.fixture(scope="module")
@@ -49,8 +54,8 @@ def test_pack_sequences_single_shard_exchange(docs):
     )
 
     plan = _plan(pack_sequences(docs))
-    assert plan.count("Exchange hashpartitioning") <= 1, plan
-    assert "Exchange SinglePartition" not in plan, plan
+    assert hash_exchange_count(plan) <= 1, plan
+    assert single_partition_exchange_count(plan) == 0, plan
 
 
 def test_quantize_embeddings_reconstruction(spark, sf_dir):
@@ -110,7 +115,7 @@ def test_events_outliers_single_exchange(spark, sf_dir):
     from iceberg_geospatial_api_server_spark.sources.tables import load_table
 
     plan = _plan(events_outliers(load_table(spark, sf_dir, "events")))
-    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert hash_exchange_count(plan) <= 1, plan
 
 
 def test_corpus_source_stats_exact_median(spark):
@@ -144,8 +149,8 @@ def test_corpus_source_stats_shares_source_exchange(docs):
 
     plan = _plan(corpus_source_stats(docs))
     # windows + agg on source; countDistinct may add its expand exchange
-    assert plan.count("Exchange hashpartitioning") <= 2, plan
-    assert "Exchange SinglePartition" not in plan, plan
+    assert hash_exchange_count(plan) <= 2, plan
+    assert single_partition_exchange_count(plan) == 0, plan
 
 
 def test_cross_source_overlap_symmetric_pairs(docs):

@@ -11,7 +11,12 @@ import pytest
 from pyspark.sql import functions as F
 
 
-from iceberg_geospatial_api_server_spark.plans import formatted_plan as _plan
+from iceberg_geospatial_api_server_spark.plans import (
+    formatted_plan as _plan,
+    hash_exchange_count,
+    range_exchange_count,
+    single_partition_exchange_count,
+)
 
 
 def test_q1_filter_pushdown_and_pruning(tables):
@@ -65,7 +70,7 @@ def test_knn_is_take_ordered(tables):
     pts = lineitem_points(tables["lineitem"])
     plan = _plan(knn(pts, "x", "y", 0.0, 0.0, 10, id_cols=["l_orderkey"]))
     assert "TakeOrderedAndProject" in plan
-    assert "Exchange rangepartitioning" not in plan  # no global sort shuffle
+    assert range_exchange_count(plan) == 0  # no global sort shuffle
 
 
 def test_pip_join_no_cartesian(tables):
@@ -103,7 +108,7 @@ def test_nearest_join_broadcast_no_shuffle_of_left(tables):
     plan = _plan(out)
     # candidates via broadcast NLJ (intended), aggregation collapses map-side
     assert "BroadcastNestedLoopJoin" in plan
-    assert plan.count("Exchange hashpartitioning") <= 1
+    assert hash_exchange_count(plan) <= 1
 
 
 def test_dedup_exact_partial_aggregation(tables):
@@ -147,7 +152,7 @@ def test_q17_window_reuses_join_partitioning(tables):
     )
 
     plan = _plan(q17_small_quantity_revenue(tables["lineitem"], tables["part"]))
-    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert hash_exchange_count(plan) <= 1, plan
     assert "CartesianProduct" not in plan
 
 
@@ -165,7 +170,7 @@ def test_q21_no_nested_loop_and_bounded_exchanges(tables):
         )
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
-    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert hash_exchange_count(plan) <= 2, plan
 
 
 def test_q13_outer_join_survives_to_plan(tables):
@@ -198,7 +203,7 @@ def test_with_oid_no_single_partition_exchange(tables):
                    "l_quantity", "l_extendedprice", "l_shipdate"],
     )
     plan = _plan(res.features)
-    assert "Exchange SinglePartition" not in plan, plan
+    assert single_partition_exchange_count(plan) == 0, plan
     assert "hashpartitioning(__bkt" in plan, plan
 
 
@@ -219,7 +224,7 @@ def test_with_oid_string_key_buckets_in_parallel(spark):
 
     out = with_oid(df, ["name"])
     plan = _plan(out)
-    assert "Exchange SinglePartition" not in plan, plan
+    assert single_partition_exchange_count(plan) == 0, plan
     assert "hashpartitioning(__bkt" in plan, plan
 
     got = {r["name"]: r["__oid"] for r in out.select("name", "__oid").collect()}
@@ -244,7 +249,7 @@ def test_with_oid_low_cardinality_string_key_still_parallel(spark):
     ).repartition(8)
     out = with_oid(df, ["source", "v"])
     plan = _plan(out)
-    assert "Exchange SinglePartition" not in plan, plan
+    assert single_partition_exchange_count(plan) == 0, plan
     assert "hashpartitioning(__bkt" in plan, plan
     got = out.select("source", "v", "__oid").collect()
     expect = {
@@ -415,7 +420,7 @@ def test_q2_single_exchange_serves_groupby_and_window(tables):
             tables["nation"], tables["region"],
         )
     )
-    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert hash_exchange_count(plan) <= 1, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
     assert "CartesianProduct" not in plan
 
@@ -440,20 +445,29 @@ def test_q9_only_orderkey_shuffle_join(tables):
 
 def test_q11_scalar_total_broadcasts(tables):
     """The grand-total scalar joins back as a broadcast (1-row side);
-    the per-part aggregate is the only fact shuffle."""
+    the per-part aggregate is the only fact shuffle. Statically the
+    per-part subtree appears twice (value rows + grand total), so the
+    pre-AQE plan shows 2 hash exchanges — the EXECUTED plan must fuse
+    them into one computed stage plus a ReusedQueryStage (one fact scan,
+    not two)."""
     from iceberg_geospatial_api_server_spark.operators.relational import (
         q11_important_stock,
     )
 
-    plan = _plan(
-        q11_important_stock(
-            tables["supplier"], tables["lineitem"], tables["nation"]
-        )
+    df = q11_important_stock(
+        tables["supplier"], tables["lineitem"], tables["nation"]
     )
+    plan = _plan(df)
     assert "CartesianProduct" not in plan
     # the total is a broadcast nested-loop over ONE row — acceptable; what
     # must not happen is a shuffle join against the scalar
-    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert hash_exchange_count(plan) <= 2, plan
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert (
+        executed.count("ReusedQueryStage") + executed.count("ReusedExchange")
+        >= 1
+    ), executed
 
 
 def test_q16_anti_join_broadcasts(tables):
@@ -471,7 +485,7 @@ def test_q16_anti_join_broadcasts(tables):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan, plan
     # countDistinct = two-phase agg → ≤2 hash exchanges on tiny group keys
-    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert hash_exchange_count(plan) <= 2, plan
 
 
 def test_q20_window_shares_groupby_exchange(tables):
@@ -489,5 +503,5 @@ def test_q20_window_shares_groupby_exchange(tables):
     )
     assert "CartesianProduct" not in plan
     # partkey exchange + the distinct-suppkey exchange; dims broadcast
-    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert hash_exchange_count(plan) <= 2, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
