@@ -1,0 +1,77 @@
+"""Engine-portability property tests for the JVM-side hash kernels.
+
+Every oracle-checked dedup/text entry relies on the SQL oracle
+reproducing these hashes bit-for-bit, so the invariant worth pinning is
+the MATH, not one engine's output: the Spark expressions must equal a
+pure-Python Horner reference on arbitrary inputs from the corpus domain
+(printable ASCII — the testdata's alphabet and the contract the DuckDB
+`ascii()`-based oracle templates assume)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from iceberg_geospatial_api_server_spark.operators.dedup import (
+    MERSENNE,
+    shingle_hashes,
+    word_hash,
+)
+
+_token = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1,
+    max_size=8,
+)
+
+
+def _ref_word_hash(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % MERSENNE
+    return h
+
+
+def _ref_shingles(tokens: list[str], k: int = 3) -> list[int]:
+    th = [_ref_word_hash(t) for t in tokens]
+    out = []
+    for i in range(max(len(th) - (k - 1), 0)):
+        acc = 0
+        for j in range(k):
+            acc = (acc * 1000003 + th[i + j]) % MERSENNE
+        out.append(acc)
+    return out
+
+
+@given(st.lists(_token, min_size=0, max_size=12))
+@settings(max_examples=25, deadline=None)
+def test_word_and_shingle_hashes_match_reference(spark, tokens):
+    text = " ".join(tokens)
+    row = (
+        spark.range(1)
+        .select(
+            word_hash(F.lit(text)).alias("wh"),
+            shingle_hashes(F.split(F.lit(text), " ")).alias("sh"),
+        )
+        .first()
+    )
+    # split(" ") of "" yields [""], mirroring the operators' real input
+    effective = text.split(" ") if text else [""]
+    assert row.wh == _ref_word_hash(text)
+    assert list(row.sh) == _ref_shingles(effective)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**40), min_size=1,
+                max_size=6))
+@settings(max_examples=15, deadline=None)
+def test_minhash_permutation_params_stay_in_range(spark, xs):
+    """The (a·x + b) mod p permutations must stay inside non-overflowing
+    long arithmetic for any shingle hash < MERSENNE — pin the bound the
+    fast path's comment claims."""
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        _minhash_params,
+    )
+
+    for a, b in _minhash_params(16):
+        assert 0 <= a < MERSENNE and 0 <= b < MERSENNE
+        for x in xs:
+            v = (x % MERSENNE) * a + b
+            assert v < 2**63  # no ANSI overflow under any 64-bit id
