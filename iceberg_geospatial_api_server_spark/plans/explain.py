@@ -55,8 +55,17 @@ def assert_no_cartesian(df: DataFrame) -> None:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of exchanges (shuffles) in the plan — the scale currency."""
-    return formatted_plan(df).count("Exchange")
+    """Number of shuffle exchanges (hash + range + single-partition) —
+    the scale currency. Counts partitioning kinds, not the raw string
+    "Exchange", which would also match BroadcastExchange (a broadcast is
+    deliberately NOT a shuffle here) and undercount in formatted mode
+    (see the counters below)."""
+    plan = formatted_plan(df)
+    return (
+        hash_exchange_count(plan)
+        + range_exchange_count(plan)
+        + single_partition_exchange_count(plan)
+    )
 
 
 # ---------------------------------------------------------------------------
