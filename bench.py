@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "events_outliers",
     "corpus_source_stats",
     "cross_source_overlap",
+    "events_distinct_salted",
     "mm_media_stats",
 ]
 
