@@ -2420,7 +2420,7 @@ def q20(spark, sf_dir):
       FROM t
     )
     SELECT doc_id, shard, n_tokens,
-           cum - n_tokens AS stream_offset,
+           CAST(cum - n_tokens AS BIGINT) AS stream_offset,
            CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS pack_first,
            CAST(FLOOR((cum - 1) / 512.0) AS BIGINT) AS pack_last,
            CAST(FLOOR((cum - 1) / 512.0)
@@ -2444,14 +2444,16 @@ def pack_sequences_q(spark, sf_dir):
     """
     SELECT vec_id, CAST(LEN(embedding) AS BIGINT) AS n_dims,
            CAST(mn AS DOUBLE) AS v_min, CAST(mx AS DOUBLE) AS v_max,
-           CASE WHEN CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE) = 0.0
-                THEN list_transform(embedding, x -> 0)
-                ELSE list_transform(embedding, x ->
-                  CAST(LEAST(FLOOR((CAST(x AS DOUBLE) - CAST(mn AS DOUBLE))
-                                   * 255.0
-                                   / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))),
-                             255) AS INT))
-           END AS codes
+           array_to_string(
+             CASE WHEN CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE) = 0.0
+                  THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding, x ->
+                    CAST(LEAST(FLOOR((CAST(x AS DOUBLE) - CAST(mn AS DOUBLE))
+                                     * 255.0
+                                     / (CAST(mx AS DOUBLE)
+                                        - CAST(mn AS DOUBLE))),
+                               255) AS INT))
+             END, '-') AS codes
     FROM (SELECT vec_id, embedding,
                  list_min(embedding) AS mn, list_max(embedding) AS mx
           FROM embeddings)
@@ -2460,14 +2462,18 @@ def pack_sequences_q(spark, sf_dir):
 )
 def embed_quantize_q(spark, sf_dir):
     """Per-vector int8 scalar quantization (FLOOR-based — no rounding-mode
-    edge; codes byte-exact across engines)."""
+    edge; codes byte-exact across engines). The graded entry string-joins
+    the codes array ('-'-separated) because the driver's pandas
+    canonicalizer cannot hash raw list cells; the operator itself keeps
+    the typed array<int> column."""
     from iceberg_geospatial_api_server_spark.operators.ann import (
         quantize_embeddings,
     )
 
-    return quantize_embeddings(_t(spark, sf_dir, "embeddings")).orderBy(
-        "vec_id"
-    )
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return q.withColumn(
+        "codes", F.array_join(F.col("codes").cast("array<string>"), "-")
+    ).orderBy("vec_id")
 
 
 @_q(
