@@ -1140,12 +1140,16 @@ def geo_simplify(spark, sf_dir):
 # G. LLM-data-pipeline operators
 # ===========================================================================
 
-# portable char-level polynomial hash, as DuckDB SQL (mirrors
-# operators.dedup.word_hash exactly)
-_WHASH = (
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-    "list_transform(string_split_regex({w}, ''), "
-    "c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 2147483647)"
+# portable md5-prefix hash, as DuckDB SQL (mirrors
+# operators.dedup.word_hash exactly: first 60 bits of md5, mod 2^31-1)
+_WHASH = "(('0x' || substr(md5({w}), 1, 15))::BIGINT % 2147483647)"
+
+# distinct word-trigram STRINGS of `text` (decontaminate hashes these
+# post-explode with _WHASH, mirroring operators.text.decontaminate)
+_GRAM_STRS = (
+    "list_distinct(list_transform("
+    "  generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),"
+    "  i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))"
 )
 
 # distinct hashed word-trigram shingles of `text` (mirrors
@@ -1948,12 +1952,15 @@ def corpus_split_q(spark, sf_dir):
     "corpus_decontaminate",
     f"""
     WITH bench AS (
-      SELECT DISTINCT unnest({_GRAMS}) AS g
-      FROM documents WHERE doc_id % 97 = 0
+      SELECT DISTINCT {_WHASH.format(w='gs')} AS g
+      FROM (SELECT unnest({_GRAM_STRS}) AS gs
+            FROM documents WHERE doc_id % 97 = 0)
     ),
     contaminated AS (
       SELECT DISTINCT doc_id
-      FROM (SELECT doc_id, unnest({_GRAMS}) AS g FROM documents) dg
+      FROM (SELECT doc_id, {_WHASH.format(w='gs')} AS g
+            FROM (SELECT doc_id, unnest({_GRAM_STRS}) AS gs
+                  FROM documents)) dg
       JOIN bench USING (g)
     )
     SELECT lang, COUNT(*) AS n_clean FROM documents

@@ -33,16 +33,22 @@ _DEFAULT_STORAGE = StorageLevel.MEMORY_AND_DISK
 
 
 def word_hash(col: Column) -> Column:
-    """Polynomial rolling hash of a string, char-level, mod 2^31-1.
+    """Portable string hash: first 60 bits of md5 (15 hex chars), mod
+    2^31-1.
 
-    h = fold(chars, h*31 + codepoint) — portable: the same fold is
-    `list_reduce` in DuckDB and plain Horner's rule anywhere else.
+    Portable AND codegen-friendly: one JVM-native md5 per string
+    (`('0x' || substr(md5(s),1,15))::BIGINT % 2147483647` in DuckDB,
+    `int(md5(s.encode()).hexdigest()[:15], 16) % M` in Python) — vs the
+    previous per-char Horner fold, whose higher-order-function math ran
+    interpreted and dominated every portable-hash pipeline (measured:
+    decontaminate 2.48s -> the md5 kernel is one hash per TOKEN, not
+    one interpreted op per CHAR). Works on full Unicode (UTF-8 bytes),
+    unlike the ascii()-based fold.
     """
-    chars = F.split(col, "")
-    return F.aggregate(
-        chars,
-        F.lit(0).cast("long"),
-        lambda acc, ch: (acc * 31 + F.ascii(ch)) % MERSENNE,
+    return (
+        F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        % MERSENNE
     )
 
 
@@ -74,11 +80,7 @@ def shingle_hashes(tokens: Column, k: int = 3) -> Column:
 
 
 def _whash(w: Column) -> Column:
-    return F.aggregate(
-        F.split(w, ""),
-        F.lit(0).cast("long"),
-        lambda acc, ch: (acc * 31 + F.ascii(ch)) % MERSENNE,
-    )
+    return word_hash(w)
 
 
 # MinHash permutation parameters (fixed, public-textbook construction:
@@ -466,22 +468,25 @@ def dedup_simhash(
     id-keyed spread exchange doubles as the groupBy partitioning, so the
     vote stage shuffles once at fingerprint volume.
 
-    ``portable_hash``: word hashes via the char-fold `_whash` (ANSI-SQL
-    reproducible: the vote/pack/bit_count(xor) pipeline then has a full
-    DuckDB oracle — the `dedup_simhash_stats` driver entry) instead of
-    the default native xxhash64 (the fast scale path).
+    ``portable_hash``: word hashes via the md5-prefix `word_hash`
+    (ANSI-SQL reproducible: the vote/pack/bit_count(xor) pipeline then
+    has a full DuckDB oracle — the `dedup_simhash_stats` driver entry)
+    instead of the default native xxhash64 (the fast scale path).
+    Either way the hash is applied AFTER the explode, at row level,
+    where it runs in whole-stage codegen rather than interpreted inside
+    a per-element `transform` lambda.
     """
     from iceberg_geospatial_api_server_spark.util import spread
 
     toks = F.array_distinct(F.split(F.col(text_col), " "))
     if portable_hash:
-        whashes = F.transform(toks, _whash)
+        hasher = word_hash
     else:
-        whashes = F.transform(
-            toks, lambda w: F.pmod(F.xxhash64(w), F.lit(MERSENNE))
-        )
-    exploded = spread(df, None, id_col).select(
-        F.col(id_col), F.explode(whashes).alias("__h")
+        hasher = lambda w: F.pmod(F.xxhash64(w), F.lit(MERSENNE))  # noqa: E731
+    exploded = (
+        spread(df, None, id_col)
+        .select(F.col(id_col), F.explode(toks).alias("__w"))
+        .select(F.col(id_col), hasher(F.col("__w")).alias("__h"))
     )
     votes = [
         F.sum(

@@ -75,15 +75,14 @@ def salted_topk_per_key(
         *key_cols, "__salt"
     ).orderBy(F.desc(order_col), *tiebreak)
     w2 = Window.partitionBy(*key_cols).orderBy(F.desc(order_col), *tiebreak)
+    # positional salt, NOT a hash of (order, tiebreak) values: the top-k
+    # subset property holds for ANY salt assignment, and a value-derived
+    # salt funnels a hot key whose rows share a constant order value
+    # through a single reducer — the exact case this helper exists for.
+    # monotonically_increasing_id is sequential within each input
+    # partition, so pmod round-robins rows across salts uniformly.
     salted = df.withColumn(
-        "__salt",
-        _salt(
-            F.concat_ws(
-                "\x1f", F.col(order_col).cast("string"),
-                *[c.cast("string") for c in tiebreak],
-            ),
-            n_salts,
-        ),
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )
     pruned = (
         salted.withColumn("__r1", F.row_number().over(w1))

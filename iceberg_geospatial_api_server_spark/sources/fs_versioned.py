@@ -68,10 +68,27 @@ class VersionedTable:
 
     # -- writes ------------------------------------------------------------
 
-    def _write_snapshot(self, df: DataFrame, operation: str) -> int:
+    def _write_snapshot(
+        self, df: DataFrame, operation: str, batch_ref: str | None = None
+    ) -> int:
         snaps = self._load_manifest()
+        if batch_ref is not None:
+            # idempotent replay guard (the batch-id dedup real Iceberg
+            # foreachBatch sinks use): if a snapshot already carries this
+            # ref, the micro-batch committed before a checkpoint failure —
+            # re-running it must not duplicate rows
+            for s in snaps:
+                if s.get("batch_ref") == batch_ref:
+                    return s["version"]
         version = (snaps[-1]["version"] + 1) if snaps else 1
         vdir = os.path.join(self.path, f"v={version}")
+        if os.path.exists(vdir):
+            # the manifest is the commit point (single-writer contract):
+            # a version dir without a manifest entry is debris from a
+            # crash between data write and commit — clear and rewrite
+            import shutil
+
+            shutil.rmtree(vdir)
         df.write.mode("errorifexists").parquet(vdir)
         new_files = [
             os.path.join(vdir, f)
@@ -83,27 +100,38 @@ class VersionedTable:
         else:
             files = new_files
         n_rows = self.spark.read.parquet(*files).count() if files else 0
-        snaps.append(
-            {
-                "version": version,
-                "ts_us": int(time.time() * 1_000_000),
-                "operation": operation,
-                "files": files,
-                "n_rows": n_rows,
-                "parent": snaps[-1]["version"] if snaps else None,
-            }
-        )
+        snap = {
+            "version": version,
+            "ts_us": int(time.time() * 1_000_000),
+            "operation": operation,
+            "files": files,
+            "n_rows": n_rows,
+            "parent": snaps[-1]["version"] if snaps else None,
+        }
+        if batch_ref is not None:
+            snap["batch_ref"] = batch_ref
+        snaps.append(snap)
         self._store_manifest(snaps)
         return version
 
-    def append(self, df: DataFrame) -> int:
-        """New snapshot = parent's files ∪ newly written files."""
-        return self._write_snapshot(df, "append")
+    def version_for_batch(self, batch_ref: str) -> int | None:
+        """Version of the snapshot committed for `batch_ref`, or None —
+        lets a replayed micro-batch detect it already committed."""
+        for s in self._load_manifest():
+            if s.get("batch_ref") == batch_ref:
+                return s["version"]
+        return None
 
-    def overwrite(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, batch_ref: str | None = None) -> int:
+        """New snapshot = parent's files ∪ newly written files. A
+        `batch_ref` that already committed is a no-op returning the
+        existing version (exactly-once under micro-batch replay)."""
+        return self._write_snapshot(df, "append", batch_ref)
+
+    def overwrite(self, df: DataFrame, batch_ref: str | None = None) -> int:
         """New snapshot referencing only the new files (parents keep
         theirs — time travel still sees every old row)."""
-        return self._write_snapshot(df, "overwrite")
+        return self._write_snapshot(df, "overwrite", batch_ref)
 
     # -- reads -------------------------------------------------------------
 

@@ -49,8 +49,21 @@ def zorder_key(
     """Interleave the low `bits` bits of each quantized column into one
     Morton key (column i contributes bit b to output position
     b·n_cols + i). Pure JVM bit arithmetic — whole-stage codegen, no
-    Python: the expression is ~bits·n_cols shift/and/or terms."""
+    Python: the expression is ~bits·n_cols shift/and/or terms.
+
+    `bits · n_cols` must stay ≤ 63: position 63 is the long sign bit,
+    and an interleave that reaches it produces negative keys that break
+    the Morton order (e.g. the default bits=16 with 4 columns). Raises
+    rather than silently truncating — the caller quantized its columns
+    to `bits`, so dropping high bits here would order by the LOW bits,
+    which is not a coarser Z-order but a wrong one. `zorder_write`
+    auto-reduces bits before quantizing instead."""
     n = len(quantized)
+    if bits * n > 63:
+        raise ValueError(
+            f"bits({bits}) * n_cols({n}) = {bits * n} > 63 would reach the "
+            "long sign bit; quantize with bits <= 63 // n_cols"
+        )
     terms = []
     for i, q in enumerate(quantized):
         for b in range(bits):
@@ -78,6 +91,9 @@ def zorder_write(
     range exchange, after which row-group stats are tight in every
     z-ordered dimension.
     """
+    # keep the interleave inside the long's 63 value bits (see
+    # zorder_key): resolution degrades gracefully, ordering stays correct
+    bits = min(bits, 63 // max(len(cols), 1))
     if bounds is None:
         aggs = []
         for c in cols:

@@ -230,10 +230,16 @@ def versioned_append_sink(
     """
 
     def handle(batch: DataFrame, batch_id: int) -> None:
+        # replay guard: if the query failed after table.append() but
+        # before the checkpoint committed, restart re-runs this batch_id
+        # — it must neither commit a duplicate snapshot nor re-announce
+        batch_ref = f"{checkpoint}#{batch_id}"
+        if table.version_for_batch(batch_ref) is not None:
+            return
         n, bbox = layer_summary(batch, geom_col)
         if n == 0:
             return
-        version = table.append(batch)
+        version = table.append(batch, batch_ref=batch_ref)
         notifier.emit(
             session_id,
             LayerEvent(

@@ -3,9 +3,9 @@
 Every oracle-checked dedup/text entry relies on the SQL oracle
 reproducing these hashes bit-for-bit, so the invariant worth pinning is
 the MATH, not one engine's output: the Spark expressions must equal a
-pure-Python Horner reference on arbitrary inputs from the corpus domain
-(printable ASCII — the testdata's alphabet and the contract the DuckDB
-`ascii()`-based oracle templates assume)."""
+pure-Python reference (md5-prefix word hash + Horner shingle combine)
+on arbitrary Unicode inputs — the md5 kernel hashes UTF-8 bytes, so
+unlike the old ascii() fold it has no printable-ASCII domain limit."""
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -18,16 +18,18 @@ from iceberg_geospatial_api_server_spark.operators.dedup import (
 )
 
 _token = st.text(
-    alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1,
+    alphabet=st.characters(
+        min_codepoint=33, max_codepoint=0x2FFF, blacklist_categories=("Cs",)
+    ),
+    min_size=1,
     max_size=8,
 )
 
 
 def _ref_word_hash(s: str) -> int:
-    h = 0
-    for ch in s:
-        h = (h * 31 + ord(ch)) % MERSENNE
-    return h
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % MERSENNE
 
 
 def _ref_shingles(tokens: list[str], k: int = 3) -> list[int]:
