@@ -7,6 +7,15 @@ Prints ONE JSON line:
 Query set = the scale-representative operators (scan-heavy agg, multi-join,
 window/sessionize, spatial grid + join + knn, dedup, ANN, text profile) —
 each exercises a distinct physical-plan shape; see SURVEY.md §6.
+
+Timing protocol (disclosed, applied to BOTH engines): each query executes
+twice and reports the MIN. Run 1 pays one-time costs that amortize to zero
+in any long-lived deployment — Spark's per-query Catalyst analysis + Janino
+whole-stage-codegen compile (~0.3-1s on a cold plan), DuckDB's cold buffer
+cache. Run 2 is the steady-state per-query cost, which is what a
+throughput comparison at scale is about. The action is a noop-format write
+(full materialization of every output column — count() would let Catalyst
+prune deterministic projections and time only the scan).
 """
 
 from __future__ import annotations
@@ -81,18 +90,31 @@ def main() -> None:
 
     qs = entry_mod.queries()
 
-    # warm the JVM/python-worker pools once (excluded from timings)
+    # warm the JVM and the Arrow/python worker pool once (excluded from
+    # timings): one JVM query plus one of each pandas-UDF execution kind,
+    # so no timed query pays the ~2-3s one-time worker spin-up
     qs["q1_pricing_summary"](spark, SF_DIR).collect()
+    from pyspark.sql.functions import pandas_udf
+
+    warm = spark.createDataFrame([(1.0,)], ["x"])
+    warm.mapInPandas(lambda it: it, "x double").collect()
+
+    @pandas_udf("double")
+    def _warm_udf(s):
+        return s
+
+    warm.select(_warm_udf("x")).collect()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        # noop-format write: full materialization of every output column
-        # (count() lets Catalyst prune deterministic projections, timing
-        # the scan instead of the work — r3 VERDICT item 2)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -134,9 +156,13 @@ def _duckdb_reference_timings() -> dict[str, float]:
     for name in BENCH_QUERIES:
         if name not in oracles:
             continue
-        t0 = time.perf_counter()
-        con.execute(oracles[name]).fetchall()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):  # same best-of-2 protocol as the Spark side
+            t0 = time.perf_counter()
+            con.execute(oracles[name]).fetchall()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
     return timings
 
 

@@ -285,8 +285,8 @@ def ev_user_stats(spark, sf_dir):
 
 _LI_PTS = """
     (SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
-            (l_partkey * 131 % 3600) / 10.0 - 180.0 AS x,
-            (l_suppkey * 241 % 1700) / 10.0 - 85.0 AS y
+            (l_partkey * 131 % 3600) / CAST(10.0 AS DOUBLE) - 180.0 AS x,
+            (l_suppkey * 241 % 1700) / CAST(10.0 AS DOUBLE) - 85.0 AS y
      FROM lineitem)
 """
 
@@ -358,13 +358,18 @@ def geo_grid_agg(spark, sf_dir):
 )
 def geo_extent(spark, sf_dir):
     """Round-trips every point through the WKB codec, then aggregates the
-    decoded bboxes (ref api/main.py:206-222)."""
+    decoded bboxes (ref api/main.py:206-222). `spread` first: the
+    single-row-group input would serialize the two Arrow codec stages
+    on one task (safe here — extent is row-set-total, order-free)."""
     from iceberg_geospatial_api_server_spark.geo.functions import extent
     from iceberg_geospatial_api_server_spark.sources.synthetic import (
         lineitem_point_geoms,
     )
+    from iceberg_geospatial_api_server_spark.util import spread
 
-    geoms = lineitem_point_geoms(_t(spark, sf_dir, "lineitem")).select("geometry")
+    geoms = lineitem_point_geoms(
+        spread(_t(spark, sf_dir, "lineitem"), None)
+    ).select("geometry")
     return extent(geoms)
 
 
@@ -376,10 +381,10 @@ def geo_extent(spark, sf_dir):
            ROUND(SUM(p.l_quantity), 2) AS sum_qty
     FROM {_LI_PTS} p
     JOIN (SELECT n_nationkey, n_name,
-                 (n_nationkey % 5) * 72.0 - 180.0 + 0.05 AS xmin,
-                 (n_nationkey % 5) * 72.0 - 180.0 + 59.95 AS xmax,
-                 ((n_nationkey - n_nationkey % 5) / 5.0) * 34.0 - 85.0 + 0.05 AS ymin,
-                 ((n_nationkey - n_nationkey % 5) / 5.0) * 34.0 - 85.0 + 29.95 AS ymax
+                 (n_nationkey % 5) * CAST(72.0 AS DOUBLE) - 180.0 + 0.05 AS xmin,
+                 (n_nationkey % 5) * CAST(72.0 AS DOUBLE) - 180.0 + 59.95 AS xmax,
+                 ((n_nationkey - n_nationkey % 5) / CAST(5.0 AS DOUBLE)) * 34.0 - 85.0 + 0.05 AS ymin,
+                 ((n_nationkey - n_nationkey % 5) / CAST(5.0 AS DOUBLE)) * 34.0 - 85.0 + 29.95 AS ymax
           FROM nation) n
       ON p.x > n.xmin AND p.x < n.xmax AND p.y > n.ymin AND p.y < n.ymax
     GROUP BY n.n_name
@@ -413,10 +418,10 @@ def geo_pip_join(spark, sf_dir):
              SQRT((s.x-c.x)*(s.x-c.x) + (s.y-c.y)*(s.y-c.y)) AS nn_dist,
              ROW_NUMBER() OVER (PARTITION BY s.s_suppkey
                ORDER BY SQRT((s.x-c.x)*(s.x-c.x) + (s.y-c.y)*(s.y-c.y)), c.c_custkey) AS rn
-      FROM (SELECT s_suppkey, (s_suppkey * 37 % 3600) / 10.0 - 180.0 AS x,
-                   (s_suppkey * 53 % 1700) / 10.0 - 85.0 AS y FROM supplier) s
-      CROSS JOIN (SELECT c_custkey, (c_custkey * 29 % 3600) / 10.0 - 180.0 AS x,
-                   (c_custkey * 41 % 1700) / 10.0 - 85.0 AS y FROM customer) c
+      FROM (SELECT s_suppkey, (s_suppkey * 37 % 3600) / CAST(10.0 AS DOUBLE) - 180.0 AS x,
+                   (s_suppkey * 53 % 1700) / CAST(10.0 AS DOUBLE) - 85.0 AS y FROM supplier) s
+      CROSS JOIN (SELECT c_custkey, (c_custkey * 29 % 3600) / CAST(10.0 AS DOUBLE) - 180.0 AS x,
+                   (c_custkey * 41 % 1700) / CAST(10.0 AS DOUBLE) - 85.0 AS y FROM customer) c
     ) WHERE rn = 1
     """,
 )
@@ -542,6 +547,69 @@ def geo_utm(spark, sf_dir):
         "l_linenumber",
         F.round(e, 3).alias("easting"),
         F.round(n, 3).alias("northing"),
+    )
+
+
+def _albers_oracle_sql() -> str:
+    """Albers Equal Area forward (EPSG:5070, Conus) as DuckDB SQL,
+    generated from the SAME stage expression texts the Spark entry runs
+    via selectExpr (geo/projections.py albers_sql_exprs) — identical
+    IEEE operation sequence, 3-dp rounding absorbs libm last-ulp
+    drift in SIN/COS/LN/SQRT."""
+    from iceberg_geospatial_api_server_spark.geo.projections import (
+        albers_sql_exprs,
+    )
+
+    ex = albers_sql_exprs(5070)
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey * 29 % 3600) / CAST(10.0 AS DOUBLE) - 180.0 AS x,
+             (c_custkey * 41 % 1700) / CAST(10.0 AS DOUBLE) - 85.0 AS y
+      FROM customer
+    ),
+    box AS (SELECT * FROM pts
+            WHERE x > -124.0 AND x < -67.0 AND y > 24.0 AND y < 49.0),
+    s1 AS (SELECT c_custkey, x, y, {ex['sp']} AS sp FROM box),
+    s2 AS (SELECT c_custkey, {ex['q']} AS q, {ex['theta']} AS theta FROM s1),
+    s3 AS (SELECT c_custkey, theta, {ex['rho']} AS rho FROM s2)
+    SELECT c_custkey,
+           ROUND({ex['easting']}, 3) AS easting,
+           ROUND({ex['northing']}, 3) AS northing
+    FROM s3 ORDER BY c_custkey
+    """
+
+
+@_q("geo_albers", _albers_oracle_sql())
+def geo_albers(spark, sf_dir):
+    """Albers Equal Area (EPSG:5070 Conus) as staged selectExpr column
+    arithmetic over the customer point cloud restricted to the CRS
+    domain — the conic half of the arbitrary-EPSG outSR surface
+    (ref query/geometry.py:85-95 reaches it via pyproj; here the Snyder
+    ellipsoidal forward runs as JVM expressions, cross-checked against
+    the numpy kernel by tests/test_projections.py)."""
+    from iceberg_geospatial_api_server_spark.geo.projections import (
+        albers_sql_exprs,
+    )
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        customer_points,
+    )
+
+    ex = albers_sql_exprs(5070)
+    pts = customer_points(_t(spark, sf_dir, "customer")).filter(
+        (F.col("x") > -124.0) & (F.col("x") < -67.0)
+        & (F.col("y") > 24.0) & (F.col("y") < 49.0)
+    )
+    return (
+        pts.selectExpr("c_custkey", "x", "y", f"{ex['sp']} AS sp")
+        .selectExpr("c_custkey", f"{ex['q']} AS q", f"{ex['theta']} AS theta")
+        .selectExpr("c_custkey", "theta", f"{ex['rho']} AS rho")
+        .selectExpr(
+            "c_custkey",
+            f"ROUND({ex['easting']}, 3) AS easting",
+            f"ROUND({ex['northing']}, 3) AS northing",
+        )
+        .orderBy("c_custkey")
     )
 
 
@@ -678,8 +746,8 @@ def fq_count(spark, sf_dir):
     FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_shipdate) - 1 AS INT)
                    AS __oid,
                  l_orderkey, l_linenumber,
-                 (l_partkey * 131 % 3600) / 10.0 - 180.0 AS x,
-                 (l_suppkey * 241 % 1700) / 10.0 - 85.0 AS y
+                 (l_partkey * 131 % 3600) / CAST(10.0 AS DOUBLE) - 180.0 AS x,
+                 (l_suppkey * 241 % 1700) / CAST(10.0 AS DOUBLE) - 85.0 AS y
           FROM lineitem) n
     WHERE x >= -49.95 AND x <= 29.95 AND y >= -39.95 AND y <= 24.95
     """,
@@ -712,8 +780,8 @@ def fq_bbox(spark, sf_dir):
     FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_shipdate) - 1 AS INT)
                    AS __oid,
                  l_orderkey, l_linenumber,
-                 (l_partkey * 131 % 3600) / 10.0 - 180.0 AS x,
-                 (l_suppkey * 241 % 1700) / 10.0 - 85.0 AS y
+                 (l_partkey * 131 % 3600) / CAST(10.0 AS DOUBLE) - 180.0 AS x,
+                 (l_suppkey * 241 % 1700) / CAST(10.0 AS DOUBLE) - 85.0 AS y
           FROM lineitem) n
     WHERE x > -60.05 AND x < 40.05 AND y > -30.05 AND y < 35.05
     """,
@@ -1012,8 +1080,8 @@ def q6(spark, sf_dir):
     SELECT (FLOOR(x / 5.0) + 0.5) * 5.0 AS x,
            (FLOOR(y / 5.0) + 0.5) * 5.0 AS y,
            COUNT(*) AS feature_count
-    FROM (SELECT (l_partkey * 131 % 3600) / 10.0 - 180.0 AS x,
-                 (l_suppkey * 241 % 1700) / 10.0 - 85.0 AS y
+    FROM (SELECT (l_partkey * 131 % 3600) / CAST(10.0 AS DOUBLE) - 180.0 AS x,
+                 (l_suppkey * 241 % 1700) / CAST(10.0 AS DOUBLE) - 85.0 AS y
           FROM lineitem) p
     GROUP BY FLOOR(x / 5.0), FLOOR(y / 5.0)
     """,
@@ -2655,6 +2723,24 @@ _ORACLED_OVERFLOW = [
     "geo_dwithin",  # driver-green r1+r2; distance kernel graded via geo_knn/geo_nearest_join
     # r3 (cont.): one more rotates out for events_distinct_salted
     "corpus_mixture",  # driver-green r1+r2; id_hash-threshold filter graded via corpus_split
+    # r4: five driver-green r3 entries rotate out so (a) the new
+    # geo_albers oracle lands graded and (b) the four never-observed
+    # rows-only entries (below) finally get driver rows+schema rows
+    "part_type_stats",  # driver-green r3; plain groupBy-agg shape under q1/q16
+    "doc_length_histogram",  # driver-green r3; width_bucket binning under text_profile
+    "fq_count_only",  # driver-green r3; count facet of graded fq_attribute_filter
+    "fq_ids_only",  # driver-green r3; projection facet of graded fq_object_ids
+    "geo_mercator",  # driver-green r3; kernel also under api outSR + extent tests
+]
+
+# rows-only entries the driver has NEVER observed (r3 VERDICT item 4):
+# placed directly after the active oracled block so they enter the
+# 50-slot window this round for at least a rows+schema check.
+_ROWS_ONLY_PRIORITY = [
+    "ann_ivfpq_topk",
+    "embed_kmeans_profile",
+    "mm_extract_features",
+    "mm_real_decode_stats",
 ]
 
 
@@ -2662,9 +2748,14 @@ def _reorder_registry() -> None:
     oracled = [
         n for n in QUERIES if n in ORACLES and n not in _ORACLED_OVERFLOW
     ]
+    priority = [n for n in _ROWS_ONLY_PRIORITY if n in QUERIES]
     overflow = [n for n in _ORACLED_OVERFLOW if n in QUERIES]
-    rows_only = [n for n in QUERIES if n not in ORACLES]
-    ordered = oracled + overflow + rows_only
+    rows_only = [
+        n
+        for n in QUERIES
+        if n not in ORACLES and n not in _ROWS_ONLY_PRIORITY
+    ]
+    ordered = oracled + priority + overflow + rows_only
     assert len(ordered) == len(QUERIES)
     reordered = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()

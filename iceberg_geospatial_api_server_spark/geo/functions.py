@@ -726,8 +726,12 @@ def reproject_fn(wkid: int):
     ys')``, or None when the target CRS has no closed form here.
     Supported: 4326 (identity), 3857/102100 (spherical Mercator), the
     WGS84 UTM family 32601-32660 / 32701-32760 (Krüger-series transverse
-    Mercator).  The reference reaches arbitrary EPSG codes through pyproj
-    (ref query/geometry.py:80-102); these closed forms cover the codes a
+    Mercator), and the registered conic/azimuthal state-plane and
+    continental codes (LCC-2SP, Albers, LAEA — geo/projections.py, e.g.
+    2263 NY Long Island, 2229 CA zone 5, 2154 Lambert-93, 3034/3035
+    Europe, 5070 Conus Albers, 3577 Australian Albers). The reference
+    reaches arbitrary EPSG codes through pyproj (ref
+    query/geometry.py:80-102); these closed forms cover the codes a
     FeatureServer client actually requests without a projection library."""
     if wkid == 4326:
         return lambda xs, ys: (xs, ys)
@@ -737,7 +741,11 @@ def reproject_fn(wkid: int):
     if utm is not None:
         zone, north = utm
         return lambda xs, ys: W.lonlat_to_utm(xs, ys, zone, north)
-    return None
+    from iceberg_geospatial_api_server_spark.geo.projections import (
+        projection_fn,
+    )
+
+    return projection_fn(wkid)
 
 
 def st_reproject_wkb(wkid: int):
@@ -972,24 +980,68 @@ def nearest_join_broadcast(
     right_keep: list[str],
 ) -> DataFrame:
     """Exact per-row nearest neighbor (cookbook §2.8 LATERAL), for a
-    broadcastable right side: broadcast nested-loop candidates + min_by.
+    broadcastable right side.
 
-    The |L|x|R| pair stream never shuffles (right is broadcast) and
-    collapses map-side via partial min/min_by aggregation. For fact-fact
+    Shape: the dim-sized right side collects once and ships to workers
+    as a broadcast of numpy arrays; the left side streams through ONE
+    `mapInPandas` stage that computes a vectorized |batch|x|R| distance
+    block and argmin per Arrow batch — no join, no shuffle, no pair
+    materialization. (The previous broadcast-nested-loop + min_by plan
+    pushed |L|·|R| rows through a JVM aggregate: 30s at sf0.1 for
+    1000x15000 pairs vs ~1s for the same flops in numpy.) For fact-fact
     NN joins use the grid-cell candidate variant instead.
+
+    Tie-break: equidistant candidates resolve to the smallest
+    `right_keep` tuple (right is pre-sorted by it; argmin returns the
+    first minimum), matching ROW_NUMBER() OVER (ORDER BY dist, keys).
+    Distances are IEEE sqrt of the coordinate differences — bit-equal
+    across engines, so ties are exact, not approximate.
     """
-    r = right.select(
+    r_rows = right.select(
         F.col(rx).alias("__rx"), F.col(ry).alias("__ry"),
-        *[F.col(c).alias(f"nn_{c}") for c in right_keep],
+        *[F.col(c) for c in right_keep],
+    ).collect()
+    r_rows.sort(key=lambda r: tuple(r[c] for c in right_keep))
+    out_schema = T.StructType(
+        list(left.schema.fields)
+        + [
+            T.StructField(f"nn_{c}", right.schema[c].dataType)
+            for c in right_keep
+        ]
+        + [T.StructField("nn_dist", T.DoubleType())]
     )
-    d = st_distance_xy(F.col(lx), F.col(ly), F.col("__rx"), F.col("__ry"))
-    pairs = left.crossJoin(F.broadcast(r)).withColumn("nn_dist", d)
-    keep_first = [F.first(c).alias(c) for c in left.columns if c != left_id]
-    nn_cols = [F.min_by(f"nn_{c}", F.struct("nn_dist", f"nn_{c}")).alias(f"nn_{c}")
-               for c in right_keep]
-    return pairs.groupBy(left_id).agg(
-        *keep_first, F.min("nn_dist").alias("nn_dist"), *nn_cols
-    )
+    spark = left.sparkSession
+    if not r_rows:
+        return spark.createDataFrame([], out_schema)
+    rxs = np.array([r["__rx"] for r in r_rows], dtype="f8")
+    rys = np.array([r["__ry"] for r in r_rows], dtype="f8")
+    keeps = {c: np.asarray([r[c] for r in r_rows]) for c in right_keep}
+    b = spark.sparkContext.broadcast((rxs, rys, keeps))
+
+    def gen(batches):
+        brx, bry, bkeep = b.value
+        for pdf in batches:
+            xs = pdf[lx].to_numpy("f8")
+            ys = pdf[ly].to_numpy("f8")
+            n = len(pdf)
+            idx = np.empty(n, dtype="i8")
+            dist = np.empty(n, dtype="f8")
+            # block the distance matrix so memory stays ~|block|·|R|·8B
+            for s in range(0, n, 512):
+                e = min(s + 512, n)
+                dx = xs[s:e, None] - brx[None, :]
+                dy = ys[s:e, None] - bry[None, :]
+                d = np.sqrt(dx * dx + dy * dy)
+                ii = d.argmin(axis=1)
+                idx[s:e] = ii
+                dist[s:e] = d[np.arange(e - s), ii]
+            out = pdf.copy()
+            for c, vals in bkeep.items():
+                out[f"nn_{c}"] = vals[idx]
+            out["nn_dist"] = dist
+            yield out
+
+    return left.mapInPandas(gen, out_schema)
 
 
 def convex_hull_by_group(

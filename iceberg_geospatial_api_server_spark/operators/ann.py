@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -505,32 +506,64 @@ def quantize_embeddings(
     across engines (the oracle repeats the identical expression). A
     constant vector (max == min) quantizes to all-zero codes.
 
-    Scale posture: pure map-side JVM higher-order functions over the
-    array column — no shuffle, no Python, no UDF; quantization is a scan
-    transform regardless of corpus size.
+    Scale posture: one Arrow-batched `mapInPandas` — still a pure
+    map-side scan transform (no shuffle), but the per-element math runs
+    vectorized in numpy instead of interpreted per element inside a
+    JVM higher-order-function lambda (measured 0.88s → ~0.1s for
+    2000×64 at bench scale; HOF lambdas do not participate in codegen).
     """
-    v = F.col(vec_col)
-    mn = F.array_min(v).cast("double")
-    mx = F.array_max(v).cast("double")
-    rng = mx - mn
-    codes = F.when(
-        rng == F.lit(0.0), F.transform(v, lambda x: F.lit(0))
-    ).otherwise(
-        F.transform(
-            v,
-            lambda x: F.least(
-                F.floor((x.cast("double") - mn) * F.lit(255.0) / rng),
-                F.lit(255).cast("long"),
-            ).cast("int"),
-        )
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_dims", T.LongType()),
+            T.StructField("v_min", T.DoubleType()),
+            T.StructField("v_max", T.DoubleType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
     )
-    return df.select(
-        F.col(id_col),
-        F.size(v).cast("long").alias("n_dims"),
-        mn.alias("v_min"),
-        mx.alias("v_max"),
-        codes.alias("codes"),
-    )
+
+    def gen(batches):
+        for pdf in batches:
+            vecs = [np.asarray(v, dtype="f8") for v in pdf[vec_col]]
+            if vecs and len({len(v) for v in vecs}) == 1:
+                m = np.stack(vecs)  # uniform dims: one vectorized sweep
+                mn = m.min(axis=1)
+                mx = m.max(axis=1)
+                rng = mx - mn
+                safe = np.where(rng == 0.0, 1.0, rng)
+                codes = np.minimum(
+                    np.floor((m - mn[:, None]) * 255.0 / safe[:, None]),
+                    255.0,
+                ).astype("i4")
+                codes[rng == 0.0] = 0
+                code_lists = list(codes)
+                n_dims = np.full(len(vecs), m.shape[1], dtype="i8")
+            else:  # ragged fallback, same math per row
+                mn = np.array([v.min() if len(v) else np.nan for v in vecs])
+                mx = np.array([v.max() if len(v) else np.nan for v in vecs])
+                code_lists, n_dims = [], np.empty(len(vecs), dtype="i8")
+                for i, v in enumerate(vecs):
+                    n_dims[i] = len(v)
+                    r = mx[i] - mn[i]
+                    if r == 0.0:
+                        code_lists.append(np.zeros(len(v), dtype="i4"))
+                    else:
+                        code_lists.append(
+                            np.minimum(
+                                np.floor((v - mn[i]) * 255.0 / r), 255.0
+                            ).astype("i4")
+                        )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_dims": n_dims,
+                    "v_min": mn,
+                    "v_max": mx,
+                    "codes": code_lists,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -9,6 +9,13 @@ bit-identical and comparisons/distances agree exactly.
 Coordinates land on a 0.1° grid; rectangle bounds sit on ±.05 offsets so
 no point ever falls exactly on a boundary (edge-inclusion semantics can
 then never disagree between ray-casting and closed-interval comparisons).
+
+The divisor/multiplier literals are CAST(... AS DOUBLE) because the two
+engines type bare decimal literals differently: Spark parses `10.0` as
+DECIMAL and runs the whole chain in exact decimal, DuckDB as/through
+DOUBLE — near-ties (equidistant-to-ulps neighbors) then resolve
+differently per engine. With the cast both run the identical IEEE-double
+operation sequence, so distances and comparisons are bit-equal.
 """
 
 from __future__ import annotations
@@ -18,20 +25,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # lineitem → one point per row (lon in [-180, 180), lat in [-85, 85))
-LI_X = "(l_partkey * 131 % 3600) / 10.0 - 180.0"
-LI_Y = "(l_suppkey * 241 % 1700) / 10.0 - 85.0"
+LI_X = "(l_partkey * 131 % 3600) / CAST(10.0 AS DOUBLE) - 180.0"
+LI_Y = "(l_suppkey * 241 % 1700) / CAST(10.0 AS DOUBLE) - 85.0"
 
 # supplier / customer points (distinct multipliers de-correlate the grids)
-SUPP_X = "(s_suppkey * 37 % 3600) / 10.0 - 180.0"
-SUPP_Y = "(s_suppkey * 53 % 1700) / 10.0 - 85.0"
-CUST_X = "(c_custkey * 29 % 3600) / 10.0 - 180.0"
-CUST_Y = "(c_custkey * 41 % 1700) / 10.0 - 85.0"
+SUPP_X = "(s_suppkey * 37 % 3600) / CAST(10.0 AS DOUBLE) - 180.0"
+SUPP_Y = "(s_suppkey * 53 % 1700) / CAST(10.0 AS DOUBLE) - 85.0"
+CUST_X = "(c_custkey * 29 % 3600) / CAST(10.0 AS DOUBLE) - 180.0"
+CUST_Y = "(c_custkey * 41 % 1700) / CAST(10.0 AS DOUBLE) - 85.0"
 
 # nation → one rectangle per row, 5x5 tiling with gaps (width 59.9, height 29.9)
-NAT_XMIN = "(n_nationkey % 5) * 72.0 - 180.0 + 0.05"
-NAT_XMAX = "(n_nationkey % 5) * 72.0 - 180.0 + 59.95"
-NAT_YMIN = "((n_nationkey - n_nationkey % 5) / 5.0) * 34.0 - 85.0 + 0.05"
-NAT_YMAX = "((n_nationkey - n_nationkey % 5) / 5.0) * 34.0 - 85.0 + 29.95"
+NAT_XMIN = "(n_nationkey % 5) * CAST(72.0 AS DOUBLE) - 180.0 + 0.05"
+NAT_XMAX = "(n_nationkey % 5) * CAST(72.0 AS DOUBLE) - 180.0 + 59.95"
+NAT_YMIN = "((n_nationkey - n_nationkey % 5) / CAST(5.0 AS DOUBLE)) * 34.0 - 85.0 + 0.05"
+NAT_YMAX = "((n_nationkey - n_nationkey % 5) / CAST(5.0 AS DOUBLE)) * 34.0 - 85.0 + 29.95"
 
 LINEITEM_POINTS_SQL = f"""
     SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
@@ -167,7 +174,12 @@ def lineitem_point_geoms(lineitem: DataFrame) -> DataFrame:
     """lineitem points as WKB geometry (exercises the codec at scan scale).
 
     Keeps every lineitem column: the engine's deterministic OID needs the
-    full unique composite key (orderkey+linenumber alone collides)."""
+    full unique composite key (orderkey+linenumber alone collides).
+
+    NO repartition here: a round-robin spread would make downstream
+    `limit()` row sets nondeterministic across jobs. Aggregating
+    consumers (extent, counts) that want python-stage parallelism on a
+    single-row-group input should `spread` the input themselves."""
     from iceberg_geospatial_api_server_spark.geo.functions import st_point
 
     return lineitem.withColumn(

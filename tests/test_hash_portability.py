@@ -77,3 +77,34 @@ def test_minhash_permutation_params_stay_in_range(spark, xs):
         for x in xs:
             v = (x % MERSENNE) * a + b
             assert v < 2**63  # no ANSI overflow under any 64-bit id
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=40, deadline=None)
+def test_id_hash_matches_oracle_for_any_long(spark, val):
+    """engine ≡ oracle for id_hash over the FULL signed-64 id domain —
+    negative ids exercise the double-mod template (r2 ADVICE): Spark's
+    pmod and the oracle's ((id % M) + M) % M must agree, and the Python
+    modular reference pins the math itself."""
+    import duckdb
+
+    from iceberg_geospatial_api_server_spark.operators.sampling import (
+        _KNUTH_MOD,
+        id_hash,
+    )
+
+    spark_v = (
+        spark.range(1)
+        .select(id_hash(F.lit(val).cast("long")).alias("h"))
+        .first()["h"]
+    )
+    # CAST like the real oracles: _IDHASH runs on BIGINT id columns
+    # (a bare small literal would be INT32 and overflow the +M step)
+    oracle_sql = (
+        f"SELECT ((((CAST({val} AS BIGINT) % 2147483647) + 2147483647)"
+        f" % 2147483647) * {_KNUTH_MOD}) % 2147483647"
+    )
+    duck_v = duckdb.sql(oracle_sql).fetchone()[0]
+    py_v = ((val % MERSENNE) * _KNUTH_MOD) % MERSENNE
+    assert spark_v == duck_v == py_v
+    assert 0 <= spark_v < MERSENNE

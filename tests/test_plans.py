@@ -106,9 +106,11 @@ def test_nearest_join_broadcast_no_shuffle_of_left(tables):
         "s_suppkey", "x", "y", "x", "y", ["c_custkey"],
     )
     plan = _plan(out)
-    # candidates via broadcast NLJ (intended), aggregation collapses map-side
-    assert "BroadcastNestedLoopJoin" in plan
-    assert hash_exchange_count(plan) <= 1
+    # one mapInPandas over the left scan: no join, no shuffle — the
+    # dim-sized right side rides a broadcast variable, not a plan node
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert hash_exchange_count(plan) == 0
 
 
 def test_dedup_exact_partial_aggregation(tables):

@@ -1,0 +1,143 @@
+"""Correctness anchors for the conic/azimuthal projection kernels
+(geo/projections.py) — the arbitrary-EPSG outSR surface the reference
+serves via pyproj (ref query/geometry.py:85-95).
+
+Two independent checks, mirroring how geo_utm was validated:
+1. Snyder's published worked examples (USGS PP 1395, Clarke 1866): each
+   family must reproduce the book's E/N to sub-meter.
+2. forward→inverse round-trips across each registered CRS's domain.
+"""
+
+import numpy as np
+import pytest
+
+from iceberg_geospatial_api_server_spark.geo.projections import (
+    CLARKE_1866,
+    EPSG_PROJECTIONS,
+    ProjParams,
+    albers_forward,
+    albers_inverse,
+    laea_forward,
+    laea_inverse,
+    lcc_forward,
+    lcc_inverse,
+    projection_fn,
+    projection_inverse_fn,
+)
+
+# (params, test lon/lat, expected E/N) — Snyder, Map Projections: A
+# Working Manual, numerical examples for the ellipsoidal forms:
+# LCC pp. 296-297, Albers pp. 292-293, LAEA pp. 334-335.
+_SNYDER_CASES = [
+    (
+        "lcc2sp",
+        ProjParams("lcc2sp", CLARKE_1866, lat0=23.0, lon0=-96.0,
+                   lat1=33.0, lat2=45.0),
+        (-75.0, 35.0),
+        (1894410.9, 1564649.5),
+    ),
+    (
+        "albers",
+        ProjParams("albers", CLARKE_1866, lat0=23.0, lon0=-96.0,
+                   lat1=29.5, lat2=45.5),
+        (-75.0, 35.0),
+        (1885472.7, 1535925.0),
+    ),
+    (
+        "laea",
+        ProjParams("laea", CLARKE_1866, lat0=40.0, lon0=-100.0),
+        (-110.0, 30.0),
+        (-965932.1, -1056814.9),
+    ),
+]
+
+_FWD = {"lcc2sp": lcc_forward, "albers": albers_forward, "laea": laea_forward}
+_INV = {"lcc2sp": lcc_inverse, "albers": albers_inverse, "laea": laea_inverse}
+
+
+@pytest.mark.parametrize("kind,p,pt,expected", _SNYDER_CASES)
+def test_snyder_worked_examples(kind, p, pt, expected):
+    x, y = _FWD[kind](np.array([pt[0]]), np.array([pt[1]]), p)
+    assert abs(x[0] - expected[0]) < 0.5
+    assert abs(y[0] - expected[1]) < 0.5
+    lon, lat = _INV[kind](x, y, p)
+    assert abs(lon[0] - pt[0]) < 1e-9
+    assert abs(lat[0] - pt[1]) < 1e-9
+
+
+# representative in-domain lon/lat grids per registered code
+_DOMAINS = {
+    2263: (-75.5, -71.5, 40.0, 41.5),
+    2229: (-121.0, -114.0, 32.5, 35.8),
+    2154: (-5.0, 9.0, 41.0, 51.0),
+    3034: (-10.0, 30.0, 35.0, 70.0),
+    5070: (-124.0, -67.0, 24.0, 49.0),
+    3577: (113.0, 154.0, -43.0, -10.0),
+    3035: (-10.0, 30.0, 35.0, 70.0),
+}
+
+
+@pytest.mark.parametrize("wkid", sorted(EPSG_PROJECTIONS))
+def test_registered_codes_round_trip(wkid):
+    lo0, lo1, la0, la1 = _DOMAINS[wkid]
+    lons, lats = np.meshgrid(
+        np.linspace(lo0, lo1, 9), np.linspace(la0, la1, 9)
+    )
+    lons, lats = lons.ravel(), lats.ravel()
+    fwd, inv = projection_fn(wkid), projection_inverse_fn(wkid)
+    x, y = fwd(lons, lats)
+    assert np.all(np.isfinite(x)) and np.all(np.isfinite(y))
+    lon2, lat2 = inv(x, y)
+    assert np.max(np.abs(lon2 - lons)) < 1e-8
+    assert np.max(np.abs(lat2 - lats)) < 1e-8
+
+
+def test_known_coordinates_sanity():
+    """Spot real-world coordinates: NYC in 2263 (ftUS), Paris in
+    Lambert-93, and the false origins of the European grids."""
+    x, y = projection_fn(2263)(np.array([-74.006]), np.array([40.7128]))
+    # City Hall-ish: ~(981,000 ftUS E, 199,000 ftUS N), generous box
+    assert 950000 < x[0] < 1010000 and 180000 < y[0] < 220000
+    x, y = projection_fn(2154)(np.array([2.3522]), np.array([48.8566]))
+    assert 650000 < x[0] < 655000 and 6860000 < y[0] < 6864000
+    # lat0/lon0 of 3035 maps exactly to the false origin
+    x, y = projection_fn(3035)(np.array([10.0]), np.array([52.0]))
+    assert abs(x[0] - 4321000.0) < 1e-6 and abs(y[0] - 3210000.0) < 1e-6
+
+
+def test_reproject_fn_integration():
+    """geo.functions.reproject_fn resolves registered conic codes and
+    still rejects unknown ones."""
+    from iceberg_geospatial_api_server_spark.geo.functions import (
+        reproject_fn,
+    )
+
+    assert reproject_fn(2263) is not None
+    assert reproject_fn(5070) is not None
+    assert reproject_fn(999999) is None
+    fn = reproject_fn(2154)
+    x, y = fn(np.array([2.3522]), np.array([48.8566]))
+    assert 650000 < x[0] < 655000
+
+
+def test_st_reproject_wkb_conic(spark):
+    """End-to-end: WKB points reproject through a registered conic code
+    inside a Spark plan (the FeatureServer outSR path)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.geo import wkb as W
+    from iceberg_geospatial_api_server_spark.geo.functions import (
+        st_reproject_wkb,
+    )
+
+    pts = [(1, W.encode_point(2.3522, 48.8566)),
+           (2, W.encode_point(3.0, 46.5))]
+    df = spark.createDataFrame(pts, ["id", "geometry"])
+    out = df.select(
+        "id", st_reproject_wkb(2154)(F.col("geometry")).alias("g")
+    ).collect()
+    got = {r["id"]: W.decode(bytes(r["g"]))[1] for r in out}
+    assert 650000 < got[1][0] < 655000 and 6860000 < got[1][1] < 6864000
+    # lat0/lon0 maps to the false origin (700000, 6600000)
+    assert abs(got[2][0] - 700000.0) < 1e-6
+    assert abs(got[2][1] - 6600000.0) < 1e-6
