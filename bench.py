@@ -114,6 +114,12 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            # drop persisted intermediates (minhash/simhash signature
+            # caches) between runs, OUTSIDE the timer: each rep pays its
+            # own persists and no cross-rep reuse, and — measured — stale
+            # CacheManager entries tax every LATER query's plan-matching
+            # (corpus_clean 0.92s -> 5.64s with two dedup caches live)
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
 

@@ -450,6 +450,7 @@ def dedup_simhash(
     hamming_threshold: int = 2,
     block_bits: int = 8,
     portable_hash: bool = False,
+    storage_level: "StorageLevel | None" = _DEFAULT_STORAGE,
 ) -> DataFrame:
     """SimHash near-dup: per-word portable hash → bitwise majority vote →
     `bits`-bit fingerprint; candidate pairs share one of the fingerprint's
@@ -488,26 +489,42 @@ def dedup_simhash(
         .select(F.col(id_col), F.explode(toks).alias("__w"))
         .select(F.col(id_col), hasher(F.col("__w")).alias("__h"))
     )
-    votes = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1),
+    # bit votes packed 3-per-aggregate: each 21-bit field accumulates one
+    # bit's ONES count (no inter-field carry while a doc has < 2^21
+    # distinct words), so the vote stage maintains ⌈bits/3⌉+1 aggregate
+    # buffers instead of `bits` (measured 0.40s → 0.27s at sf0.1). The
+    # majority vote is then ones·2 > n instead of a ±1 running sum.
+    field = 21
+    mask = (1 << field) - 1
+    groups = [list(range(i, min(i + 3, bits))) for i in range(0, bits, 3)]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for gi, g in enumerate(groups):
+        packed = None
+        for j, b in enumerate(g):
+            t = F.shiftleft(
+                F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)), j * field
             )
-            .otherwise(F.lit(-1))
-            .cast("long")
-        ).alias(f"__v{i}")
-        for i in range(bits)
-    ]
+            packed = t if packed is None else packed + t
+        aggs.append(F.sum(packed.cast("long")).alias(f"__p{gi}"))
     fp = None
-    for i in range(bits):
-        part = F.when(
-            F.col(f"__v{i}") > 0, F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        fp = part if fp is None else fp + part
+    for gi, g in enumerate(groups):
+        for j, b in enumerate(g):
+            ones = F.shiftright(F.col(f"__p{gi}"), j * field).bitwiseAND(
+                F.lit(mask)
+            )
+            part = F.when(
+                ones * 2 > F.col("__n"), F.lit(1 << b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            fp = part if fp is None else fp + part
     sigs = (
-        exploded.groupBy(id_col).agg(*votes).select(id_col, fp.alias("simhash"))
+        exploded.groupBy(id_col).agg(*aggs).select(id_col, fp.alias("simhash"))
     )
+    # both sides of the block self-join scan the signatures: persist them
+    # (1 long per doc — tiny next to the corpus) or the whole
+    # explode+hash+vote pipeline executes twice. storage_level=None runs
+    # cache-free, same contract as dedup_minhash_lsh.
+    if storage_level is not None:
+        sigs = sigs.persist(storage_level)
 
     nblocks = bits // block_bits
     mask = (1 << block_bits) - 1

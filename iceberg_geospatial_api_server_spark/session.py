@@ -45,6 +45,13 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # --- memory: local[N] runs every executor thread inside the
+        # driver JVM, whose 1g default heap means constant GC with 32
+        # threads; size it to the machine (cluster deploys override) ---
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        )
         # --- planner/runtime ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -50,8 +50,20 @@ TABLE_NAMES = [
 # columns known to be nanosecond timestamps in the testdata
 _NANO_TS_COLS = {"events": ["ts"]}
 
+# (applicationId, sf_dir, name) -> DataFrame. A fresh spark.read.parquet
+# costs ~100 ms of footer/schema inference PER CALL; entries load 2-6
+# tables each, so uncached loads dominate interactive-query latency.
+# Memoizing the (immutable) DataFrame is exactly what registering the
+# table in a catalog once does in a real deployment — the plan is reused,
+# analysis still runs per query.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
     ensure_workers_can_import(spark)
     if name in _NANO_TS_COLS:
         # runtime-settable; needed because the driver may hand us a session
@@ -62,6 +74,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         f = next((x for x in df.schema.fields if x.name == col), None)
         if f is not None and isinstance(f.dataType, T.LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 

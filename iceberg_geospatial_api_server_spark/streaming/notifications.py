@@ -203,6 +203,48 @@ def notified_append_sink(
     return writer.start()
 
 
+def make_versioned_batch_handler(
+    table,
+    checkpoint: str,
+    notifier: LayerNotifier,
+    session_id: str,
+    namespace: str,
+    table_name: str,
+    geom_col: str | None = None,
+    description: str = "",
+):
+    """The foreachBatch handler behind `versioned_append_sink`, exposed
+    so the replay contract is testable without a streaming query: a
+    batch_id whose `checkpoint#batch_id` ref already committed is a
+    no-op — no duplicate snapshot, no second layer_ready event (the
+    batch-id dedup real Iceberg foreachBatch sinks use)."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        # replay guard: if the query failed after table.append() but
+        # before the checkpoint committed, restart re-runs this batch_id
+        batch_ref = f"{checkpoint}#{batch_id}"
+        if table.version_for_batch(batch_ref) is not None:
+            return
+        n, bbox = layer_summary(batch, geom_col)
+        if n == 0:
+            return
+        version = table.append(batch, batch_ref=batch_ref)
+        notifier.emit(
+            session_id,
+            LayerEvent(
+                "layer_ready",
+                namespace,
+                table_name,
+                n,
+                bbox,
+                f"version={version};{description}",
+                batch_id,
+            ),
+        )
+
+    return handle
+
+
 def versioned_append_sink(
     stream_df: DataFrame,
     table,  # sources.fs_versioned.VersionedTable
@@ -228,30 +270,10 @@ def versioned_append_sink(
     streaming sink; the batch is aggregated once for count+bbox, then
     committed.
     """
-
-    def handle(batch: DataFrame, batch_id: int) -> None:
-        # replay guard: if the query failed after table.append() but
-        # before the checkpoint committed, restart re-runs this batch_id
-        # — it must neither commit a duplicate snapshot nor re-announce
-        batch_ref = f"{checkpoint}#{batch_id}"
-        if table.version_for_batch(batch_ref) is not None:
-            return
-        n, bbox = layer_summary(batch, geom_col)
-        if n == 0:
-            return
-        version = table.append(batch, batch_ref=batch_ref)
-        notifier.emit(
-            session_id,
-            LayerEvent(
-                "layer_ready",
-                namespace,
-                table_name,
-                n,
-                bbox,
-                f"version={version};{description}",
-                batch_id,
-            ),
-        )
+    handle = make_versioned_batch_handler(
+        table, checkpoint, notifier, session_id, namespace, table_name,
+        geom_col, description,
+    )
 
     writer = (
         stream_df.writeStream.outputMode("append")

@@ -87,3 +87,59 @@ def test_manifest_commit_is_atomic(spark, vt):
     vt.append(_df(spark, 0, 4))
     assert not os.path.exists(vt._manifest_path() + ".tmp")
     assert vt.read().count() == 4
+
+
+def test_batch_ref_replay_is_idempotent(spark, vt):
+    """Micro-batch replay guard (r3 ADVICE): re-appending an already
+    committed batch_ref is a no-op returning the existing version — no
+    duplicate snapshot, no duplicated rows."""
+    v1 = vt.append(_df(spark, 0, 10), batch_ref="ckpt#0")
+    v_again = vt.append(_df(spark, 0, 10), batch_ref="ckpt#0")
+    assert v_again == v1
+    assert vt.read().count() == 10
+    assert vt.history().count() == 1
+    assert vt.version_for_batch("ckpt#0") == v1
+    assert vt.version_for_batch("ckpt#1") is None
+    v2 = vt.append(_df(spark, 10, 15), batch_ref="ckpt#1")
+    assert v2 == v1 + 1
+    assert vt.read().count() == 15
+
+
+def test_uncommitted_version_dir_debris_is_cleared(spark, vt):
+    """A crash between the data write and the manifest commit leaves an
+    unreferenced v=N dir; the next write must clear and reuse it rather
+    than fail errorifexists."""
+    vt.append(_df(spark, 0, 5))
+    debris = os.path.join(vt.path, "v=2")
+    os.makedirs(debris)
+    with open(os.path.join(debris, "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+    v2 = vt.append(_df(spark, 5, 8))
+    assert v2 == 2
+    assert vt.read().count() == 8
+
+
+def test_versioned_sink_replayed_batch_emits_once(spark, tmp_path):
+    """End-to-end sink semantics: calling the foreachBatch handler twice
+    with the same batch_id (checkpoint replay) commits one snapshot and
+    emits one layer_ready event."""
+    from iceberg_geospatial_api_server_spark.streaming.notifications import (
+        LayerNotifier,
+        make_versioned_batch_handler,
+    )
+
+    table = VersionedTable(spark, str(tmp_path / "sink_tbl"))
+    notifier = LayerNotifier()
+    events = []
+    notifier.subscribe("s1", lambda e: events.append(e))
+    handle = make_versioned_batch_handler(
+        table, str(tmp_path / "ckpt"), notifier, "s1", "ns", "t"
+    )
+    b = _df(spark, 0, 7)
+    handle(b, 0)
+    handle(b, 0)  # checkpoint replay of the same batch_id
+    assert table.history().count() == 1
+    assert table.read().count() == 7
+    assert len(events) == 1
+    handle(_df(spark, 7, 9), 1)
+    assert len(events) == 2 and table.read().count() == 9

@@ -115,7 +115,13 @@ def test_events_outliers_single_exchange(spark, sf_dir):
     from iceberg_geospatial_api_server_spark.sources.tables import load_table
 
     plan = _plan(events_outliers(load_table(spark, sf_dir, "events")))
-    assert hash_exchange_count(plan) <= 1, plan
+    # r4 shape: per-user stats via groupBy partial agg (exchange 1),
+    # broadcast back for the z-test, final per-user agg (exchange 2) —
+    # both exchanges carry aggregated/user-sized data, never raw sorted
+    # events (the old windowed form shuffled + sorted the event stream)
+    assert hash_exchange_count(plan) <= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
 
 
 def test_corpus_source_stats_exact_median(spark):

@@ -100,3 +100,35 @@ def test_zorder_key_locality():
             | (((y >> 1) & 1) << 3)
         )
         assert z == expect, (x, y, z, expect)
+
+
+def test_zorder_key_rejects_sign_bit_overflow():
+    """bits x n_cols beyond 63 reaches the long sign bit -> negative
+    keys that break Morton order; zorder_key must refuse (r3 ADVICE)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.sources.zorder import zorder_key
+
+    cols = [F.lit(1).cast("long")] * 4
+    with pytest.raises(ValueError, match="sign bit"):
+        zorder_key(cols, bits=16)  # 64 bits total
+
+
+def test_zorder_write_auto_reduces_bits(spark, tmp_path):
+    """zorder_write quantizes AND interleaves with the reduced bit
+    width, so 4-column defaults stay correct (keys non-negative)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame({
+        "a": range(100), "b": range(100), "c": range(100), "d": range(100),
+    })
+    df = spark.createDataFrame(pdf)
+    from iceberg_geospatial_api_server_spark.sources.zorder import (
+        zorder_write,
+    )
+
+    path = str(tmp_path / "z4")
+    zorder_write(df, ["a", "b", "c", "d"], path, n_files=2, bits=16)
+    assert spark.read.parquet(path).count() == 100

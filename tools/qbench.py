@@ -30,6 +30,7 @@ for name in names:
         df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
+        spark.catalog.clearCache()  # same hygiene as bench.py
     print(f"{name:30s} {best:6.2f}s")
     if explain:
         qs[name](spark, SF_DIR).explain("formatted")
