@@ -46,11 +46,12 @@ def st_point(x: pd.Series, y: pd.Series) -> pd.Series:
 def st_rect_polygon(
     xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series
 ) -> pd.Series:
-    out = []
-    for a, b, c, d in zip(xmin, ymin, xmax, ymax):
-        ring = [(a, b), (c, b), (c, d), (a, d), (a, b)]
-        out.append(W.encode_polygon([ring]))
-    return pd.Series(out)
+    return pd.Series(
+        W.rects_to_wkb_np(
+            xmin.to_numpy("f8"), ymin.to_numpy("f8"),
+            xmax.to_numpy("f8"), ymax.to_numpy("f8"),
+        )
+    )
 
 
 @pandas_udf(_BBOX_T)
@@ -936,6 +937,118 @@ def _relate_exact(kind, paths, polys, fpolys, fverts, rel: str) -> bool:
     raise ValueError(f"unsupported spatial_rel: {rel}")
 
 
+def _decode_uniform_single_ring_polygons(vals) -> "np.ndarray | None":
+    """(n, V, 2) ring coords when EVERY buffer in the batch is the same
+    little-endian single-ring POLYGON layout (the bbox-feature /
+    parcel-grid case), else None. One frombuffer reinterpretation —
+    zero per-row parsing, the `bbox_of_wkb_series` trick generalized."""
+    import struct
+
+    n = len(vals)
+    if n == 0:
+        return None
+    first = vals[0]
+    if first is None:
+        return None
+    L = len(first)
+    if L < 13 + 4 * 16:
+        return None
+    for v in vals:
+        if v is None or len(v) != L:
+            return None
+    flat = np.frombuffer(
+        b"".join(bytes(v) for v in vals), dtype=np.uint8
+    ).reshape(n, L)
+    hdr = flat[0, 0:13]
+    if hdr[0] != 1:
+        return None
+    code, nrings, npts = struct.unpack("<xIII", hdr.tobytes())
+    if code != W.POLYGON or nrings != 1 or 13 + 16 * npts != L:
+        return None
+    if not (flat[:, 0:13] == hdr).all():
+        return None
+    return flat[:, 13:].copy().view("<f8").reshape(n, npts, 2)
+
+
+def _decode_uniform_points(vals) -> "np.ndarray | None":
+    """(n, 2) coords when every buffer is a 21-byte little-endian POINT,
+    else None (same bulk-reinterpret trick as bbox_of_wkb_series)."""
+    n = len(vals)
+    if n == 0:
+        return None
+    if any(v is None or len(v) != 21 or v[0] != 1 for v in vals):
+        return None
+    flat = np.frombuffer(
+        b"".join(bytes(v) for v in vals), dtype=np.uint8
+    ).reshape(n, 21)
+    if not (flat[:, 1:5] == flat[0, 1:5]).all():
+        return None
+    import struct
+
+    if struct.unpack("<I", flat[0, 1:5].tobytes())[0] != W.POINT:
+        return None
+    return flat[:, 5:21].copy().view("<f8").reshape(n, 2)
+
+
+def _intersects_const_rings_batch(rings, fpolys, fverts) -> np.ndarray:
+    """Vectorized closed-set `intersects` of N single-ring polygon
+    features vs the constant filter — the SAME float operation sequence
+    as `_relate_exact(rel='intersects')`, with a leading batch axis
+    (per-row python decode + predicate measured 25s for 60k features;
+    this path runs the batch in milliseconds).
+
+    The scalar path's final `_verts_on_edges` step is subsumed here:
+    the inclusive touch test already checks every ring vertex (each
+    vertex of a closed ring appears as a segment endpoint A1 or A2)
+    against every filter edge."""
+    n, V, _ = rings.shape
+    # 1. any feature vertex strictly inside the filter (shared kernel)
+    r = (
+        _rings_contain(fpolys, rings[:, :, 0].ravel(), rings[:, :, 1].ravel())
+        .reshape(n, V)
+        .any(axis=1)
+    )
+    # 2. any filter vertex inside the feature ring — the _rings_contain
+    # even-odd ray-cast with the feature-edge loop batched over features
+    # (horizontal edges contribute nothing, exactly like the scalar skip)
+    px = fverts[:, 0][None, :]
+    py = fverts[:, 1][None, :]
+    hit = np.zeros((n, fverts.shape[0]), dtype=bool)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for j in range(V - 1):
+            x0 = rings[:, j, 0][:, None]
+            y0 = rings[:, j, 1][:, None]
+            x1 = rings[:, j + 1, 0][:, None]
+            y1 = rings[:, j + 1, 1][:, None]
+            cond = ((y0 > py) != (y1 > py)) & (
+                px < (x1 - x0) * (py - y0) / (y1 - y0) + x0
+            )
+            hit ^= np.where(y0 != y1, cond, False)
+    r |= hit.any(axis=1)
+    # 3. proper crossings + inclusive boundary contact, batched
+    a1 = rings[:, :-1, None, :]  # (n, V-1, 1, 2)
+    a2 = rings[:, 1:, None, :]
+    u = a2 - a1
+    for rr in fpolys:
+        for ring in rr:
+            b1 = ring[:-1][None, None, :, :]  # (1, 1, E, 2)
+            b2 = ring[1:][None, None, :, :]
+            v = b2 - b1
+            d1 = _cross(u, b1 - a1)
+            d2 = _cross(u, b2 - a1)
+            d3 = _cross(v, a1 - b1)
+            d4 = _cross(v, a2 - b1)
+            r |= (((d1 * d2) < 0) & ((d3 * d4) < 0)).any(axis=(1, 2))
+            touch = (
+                _on_segment(a1, a2, b1, d1)
+                | _on_segment(a1, a2, b2, d2)
+                | _on_segment(b1, b2, a1, d3)
+                | _on_segment(b1, b2, a2, d4)
+            )
+            r |= touch.any(axis=(1, 2))
+    return r
+
+
 def st_relates_const(filter_wkb: bytes, rel: str):
     """pandas-UDF factory: exact `rel` test of each feature WKB against a
     CONSTANT filter polygon (decoded once, shipped in the closure — a
@@ -944,7 +1057,9 @@ def st_relates_const(filter_wkb: bytes, rel: str):
     Supports intersects / within / contains for point, line, and polygon
     features — the full exact path the reference runs per feature
     (query/engine.py:599-647); round 1 degraded non-point features to
-    bbox semantics."""
+    bbox semantics. When an Arrow batch is uniformly single-ring
+    polygons (bbox features, parcel grids), `intersects` runs the
+    fully-vectorized batch kernel instead of per-row python."""
     code, payload = W.decode(filter_wkb)
     if code == W.POLYGON:
         fpolys = [payload]
@@ -958,8 +1073,36 @@ def st_relates_const(filter_wkb: bytes, rel: str):
 
     @pandas_udf(T.BooleanType())
     def _relates(geom: pd.Series) -> pd.Series:
-        out = np.zeros(len(geom), dtype=bool)
-        for i, buf in enumerate(geom):
+        vals = list(geom)
+        if rel == "intersects":
+            rings = _decode_uniform_single_ring_polygons(vals)
+            if rings is not None:
+                return pd.Series(
+                    _intersects_const_rings_batch(rings, fpolys, fverts)
+                )
+        pts = _decode_uniform_points(vals)
+        if pts is not None:
+            # vectorized point semantics, mirroring _relate_exact for
+            # kind='point': intersects = strictly-inside OR on-boundary
+            # (single-vertex paths have no segments to cross); within =
+            # strictly inside; an areal filter is never 'contained' by
+            # a point. One ray-cast + one on-segment sweep per batch.
+            if rel == "contains":
+                return pd.Series(np.zeros(len(vals), dtype=bool))
+            inside = _rings_contain(fpolys, pts[:, 0], pts[:, 1])
+            if rel == "within":
+                return pd.Series(inside)
+            on_edge = np.zeros(len(vals), dtype=bool)
+            q = pts[:, None, :]
+            for rr in fpolys:
+                for ring in rr:
+                    p1 = ring[:-1][None, :, :]
+                    p2 = ring[1:][None, :, :]
+                    d = _cross(p2 - p1, q - p1)
+                    on_edge |= _on_segment(p1, p2, q, d).any(axis=1)
+            return pd.Series(inside | on_edge)
+        out = np.zeros(len(vals), dtype=bool)
+        for i, buf in enumerate(vals):
             if buf is None:
                 continue
             kind, paths, polys = _geom_parts(bytes(buf))
