@@ -334,6 +334,31 @@ def albers_sql_exprs(wkid: int) -> dict[str, str]:
     }
 
 
+def lcc_sql_exprs(wkid: int) -> dict[str, str]:
+    """SQL expression texts for the LCC-2SP FORWARD transform of columns
+    (x, y) in degrees — same shared-text contract as `albers_sql_exprs`
+    (Spark selectExpr stages ≡ DuckDB nested SELECTs)."""
+    p = EPSG_PROJECTIONS[wkid]
+    assert p.kind == "lcc2sp"
+    a, e, n, big_f, rho0 = _lcc_constants(p)
+    d2r = math.pi / 180.0
+    qpi = math.pi / 4.0
+    return {
+        "sp": f"SIN(y * {d2r!r})",
+        "t": (
+            f"TAN({qpi!r} - (y * {d2r!r}) / 2.0)"
+            f" / POW((1.0 - {e!r} * sp) / (1.0 + {e!r} * sp), {e / 2.0!r})"
+        ),
+        "theta": f"{n!r} * ((x - ({p.lon0!r})) * {d2r!r})",
+        # a·F folded to one literal: a bare `{a} * {big_f}` parses as
+        # DECIMAL×DECIMAL in both engines (DuckDB overflows, Spark
+        # widens) — the folded IEEE product is the identical double
+        "rho": f"{a * big_f!r} * POW(t, {n!r})",
+        "easting": f"{p.fe!r} + rho * SIN(theta) / {p.unit!r}",
+        "northing": f"{p.fn!r} + ({rho0!r} - rho * COS(theta)) / {p.unit!r}",
+    }
+
+
 def projection_fn(wkid: int):
     """Forward 4326→wkid transform ``fn(lon, lat) -> (x, y)`` for a
     registered conic/azimuthal code, else None."""

@@ -563,10 +563,19 @@ def utm_to_lonlat(easting, northing, zone: int, north: bool = True):
 
 
 def utm_wkid_params(wkid: int) -> tuple[int, bool] | None:
-    """Decode an EPSG UTM code (32601-32660 north, 32701-32760 south) to
-    (zone, north); None when the code is not a WGS84 UTM CRS."""
+    """Decode an EPSG UTM code to (zone, north); None when the code is
+    not a UTM CRS. Families: WGS84 (32601-60 N / 32701-60 S), NAD83
+    (26901-23 — US/Canada zones 1-23), ETRS89 (25828-38 — Europe zones
+    28-38). The datum ellipsoids (GRS80 vs WGS84) differ by <0.1 mm in
+    axes, so one Krüger kernel serves all three — the same
+    datum-identity assumption pyproj makes absent an explicit
+    transformation pipeline (and geo/projections.py documents)."""
     if 32601 <= wkid <= 32660:
         return wkid - 32600, True
     if 32701 <= wkid <= 32760:
         return wkid - 32700, False
+    if 26901 <= wkid <= 26923:  # NAD83 / UTM zone 1N-23N
+        return wkid - 26900, True
+    if 25828 <= wkid <= 25838:  # ETRS89 / UTM zone 28N-38N
+        return wkid - 25800, True
     return None

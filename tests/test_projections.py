@@ -141,3 +141,63 @@ def test_st_reproject_wkb_conic(spark):
     # lat0/lon0 maps to the false origin (700000, 6600000)
     assert abs(got[2][0] - 700000.0) < 1e-6
     assert abs(got[2][1] - 6600000.0) < 1e-6
+
+
+def test_nad83_etrs89_utm_wkid_families():
+    """EPSG 269xx (NAD83) and 258xx (ETRS89) UTM codes resolve to the
+    same Krüger kernel as their WGS84 twins (datum axes differ <0.1 mm);
+    out-of-family codes still reject."""
+    import numpy as np
+
+    from iceberg_geospatial_api_server_spark.geo import wkb as W
+    from iceberg_geospatial_api_server_spark.geo.functions import (
+        reproject_fn,
+    )
+
+    assert W.utm_wkid_params(26918) == (18, True)   # NAD83 18N (NYC)
+    assert W.utm_wkid_params(25832) == (32, True)   # ETRS89 32N (DE)
+    assert W.utm_wkid_params(26900) is None
+    assert W.utm_wkid_params(25827) is None
+    a = reproject_fn(26918)(np.array([-74.0]), np.array([40.7]))
+    b = reproject_fn(32618)(np.array([-74.0]), np.array([40.7]))
+    assert abs(a[0][0] - b[0][0]) < 1e-9 and abs(a[1][0] - b[1][0]) < 1e-9
+    # NYC in UTM 18N: ~(584km E, 4.506Mm N)
+    assert 580000 < a[0][0] < 590000 and 4.49e6 < a[1][0] < 4.52e6
+
+
+def test_staged_sql_exprs_match_numpy_kernels(spark):
+    """The shared Spark/DuckDB expression texts (albers_sql_exprs /
+    lcc_sql_exprs) must agree with the numpy kernels to sub-mm — two
+    independent derivations of the same Snyder forward."""
+    import pandas as pd
+
+    from iceberg_geospatial_api_server_spark.geo.projections import (
+        albers_sql_exprs,
+        lcc_sql_exprs,
+        projection_fn,
+    )
+
+    cases = [
+        (5070, albers_sql_exprs(5070), [(-96.0, 38.0), (-120.0, 45.0),
+                                        (-75.0, 30.0)]),
+        (3034, lcc_sql_exprs(3034), [(10.0, 52.0), (-5.0, 40.0),
+                                     (25.0, 60.0)]),
+    ]
+    for wkid, ex, pts in cases:
+        df = spark.createDataFrame(pd.DataFrame(pts, columns=["x", "y"]))
+        staged = (
+            df.selectExpr("x", "y", f"{ex['sp']} AS sp")
+            .selectExpr("x", "y", "sp",
+                        *( [f"{ex['t']} AS t"] if "t" in ex else
+                           [f"{ex['q']} AS q"] ))
+            .selectExpr("x", "y", f"{ex['theta']} AS theta",
+                        f"{ex['rho']} AS rho")
+            .selectExpr(f"{ex['easting']} AS e", f"{ex['northing']} AS n")
+            .collect()
+        )
+        fx, fy = projection_fn(wkid)(
+            np.array([p[0] for p in pts]), np.array([p[1] for p in pts])
+        )
+        for row, ex_x, ex_y in zip(staged, fx, fy):
+            assert abs(row["e"] - ex_x) < 1e-3
+            assert abs(row["n"] - ex_y) < 1e-3
