@@ -9,7 +9,7 @@ window/sessionize, spatial grid + join + knn, dedup, ANN, text profile) —
 each exercises a distinct physical-plan shape; see SURVEY.md §6.
 
 Timing protocol (disclosed, applied to BOTH engines): each query executes
-twice and reports the MIN. Run 1 pays one-time costs that amortize to zero
+three times and reports the MIN. Run 1 pays one-time costs that amortize to zero
 in any long-lived deployment — Spark's per-query Catalyst analysis + Janino
 whole-stage-codegen compile (~0.3-1s on a cold plan), DuckDB's cold buffer
 cache. Run 2 is the steady-state per-query cost, which is what a
@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "corpus_clean",
     "corpus_split",
     "corpus_decontaminate",
+    "corpus_pii_scrub",
     "pack_sequences",
     "embed_quantize_int8",
     "events_outliers",
@@ -108,7 +109,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
@@ -163,7 +164,7 @@ def _duckdb_reference_timings() -> dict[str, float]:
         if name not in oracles:
             continue
         best = None
-        for _ in range(2):  # same best-of-2 protocol as the Spark side
+        for _ in range(3):  # same best-of-3 protocol as the Spark side
             t0 = time.perf_counter()
             con.execute(oracles[name]).fetchall()
             dt = time.perf_counter() - t0

@@ -148,6 +148,49 @@ def chunk_documents(
     )
 
 
+# PII patterns: the RE2 ∩ java.util.regex subset (no lookaround, no
+# backreferences), so the DuckDB oracle matches the Spark scan
+# byte-for-byte. Ship as python strings through F.lit / f-string
+# embedding — NEVER through Spark SQL single-quoted literals, whose
+# backslash escaping differs from DuckDB's raw single-quote strings.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+[0-9]{1,2} \([0-9]{3}\) [0-9]{3}-[0-9]{4}", "<PHONE>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction — the standard pre-training privacy pass (C4 /
+    RefinedWeb-style pipelines scrub emails/IPs/phones before anything
+    else sees the text). Per document: occurrence counts per PII class
+    and the scrubbed text with each match replaced by its tag, classes
+    applied in the fixed PII_PATTERNS order (replacement tags contain
+    no digits, so later patterns cannot match inside earlier tags).
+
+    Scale posture: counts and replacement are JVM regexp built-ins in
+    the scan stage — map-side, no shuffle, no Python.
+
+    (Training-pipeline adjacency; the reference has no scrub analog —
+    its ingestion ends at upload, ref api/main.py:678-899.)
+    """
+    c = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        .cast("long")
+        .alias(f"n_{name}s")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = c
+    for _, pat, tag in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, tag)
+    return df.select(
+        F.col(id_col), *counts, scrubbed.alias("scrubbed")
+    )
+
+
 def clean_corpus(
     df: DataFrame,
     text_col: str = "text",

@@ -83,3 +83,28 @@ def test_token_budget_filter_budget_covers_everything(spark, tables):
 
 def test_token_budget_filter_zero_budget(spark, tables):
     assert token_budget_filter(tables["documents"], 0).count() == 0
+
+
+def test_pii_scrub_counts_and_replacement(spark):
+    """pii_scrub: counts per class and tag replacement, fixed order;
+    text without PII passes through untouched."""
+    from iceberg_geospatial_api_server_spark.operators.text import pii_scrub
+
+    rows = [
+        (1, "mail me at a.b+c@ex-am.ple.org or x@y.io thanks"),
+        (2, "server 192.168.0.1 and 10.0.0.255 up"),
+        (3, "call +1 (555) 010-1234 now"),
+        (4, "plain text no pii"),
+        (5, "mix j@d.co 8.8.8.8 +44 (020) 793-0000"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (2, 0, 0)
+    assert got[1]["scrubbed"] == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert got[2]["n_ips"] == 2
+    assert got[2]["scrubbed"] == "server <IP> and <IP> up"
+    assert got[3]["n_phones"] == 1
+    assert got[3]["scrubbed"] == "call <PHONE> now"
+    assert got[4]["scrubbed"] == "plain text no pii"
+    assert (got[5]["n_emails"], got[5]["n_ips"], got[5]["n_phones"]) == (1, 1, 1)
+    assert got[5]["scrubbed"] == "mix <EMAIL> <IP> <PHONE>"
