@@ -1324,8 +1324,11 @@ def text_profile_q(spark, sf_dir):
     from pyspark.sql import functions as FF
 
     from iceberg_geospatial_api_server_spark.operators.text import text_profile
+    from iceberg_geospatial_api_server_spark.util import spread
 
-    prof = text_profile(_t(spark, sf_dir, "documents"))
+    # spread: regex-heavy per-doc map over a single-row-group scan
+    # (0.91s -> 0.31s at sf0.1); output is per-doc and order-free
+    prof = text_profile(spread(_t(spark, sf_dir, "documents"), None))
     return prof.select(
         "doc_id",
         FF.col("n_chars").cast("long").alias("n_chars"),
@@ -2118,8 +2121,12 @@ def corpus_pii_scrub_q(spark, sf_dir):
     patterns live in operators.text.PII_PATTERNS (RE2 ∩ java.regex
     subset). All scan-stage JVM regexp built-ins — no shuffle."""
     from iceberg_geospatial_api_server_spark.operators.text import pii_scrub
+    from iceberg_geospatial_api_server_spark.util import spread
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
+    # spread: the regex pass is CPU-bound and the single-row-group scan
+    # would run it on one task (measured 1.13s -> 0.51s at sf0.1); safe
+    # here — the output is per-doc and order-free until the final sort
+    docs = spread(_t(spark, sf_dir, "documents"), None).withColumn(
         "text", F.expr(_PII_DECOR)
     )
     out = pii_scrub(docs)
@@ -2156,12 +2163,16 @@ def corpus_decontaminate_q(spark, sf_dir):
     """Benchmark decontamination: drop documents sharing any hashed word
     trigram with the 'benchmark' slice (doc_id % 97 = 0 stands in for an
     eval suite). Benchmark n-gram set broadcasts; corpus grams explode
-    map-side into the broadcast semi-join — no corpus shuffle."""
+    map-side into the broadcast semi-join — no corpus shuffle. The
+    corpus side is `spread` first: the gram regex pass is CPU-bound and
+    the single-row-group scan would serialize it (1.27s -> 0.80s at
+    sf0.1)."""
     from iceberg_geospatial_api_server_spark.operators.text import (
         decontaminate,
     )
+    from iceberg_geospatial_api_server_spark.util import spread
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"), None)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     return (
         decontaminate(docs, bench, portable_hash=True)
@@ -2262,8 +2273,11 @@ def text_repetition_profile_q(spark, sf_dir):
     from iceberg_geospatial_api_server_spark.operators.text import (
         repetition_profile,
     )
+    from iceberg_geospatial_api_server_spark.util import spread
 
-    return repetition_profile(_t(spark, sf_dir, "documents"))
+    # spread: same single-task-scan rationale as text_profile
+    # (0.98s -> 0.40s at sf0.1)
+    return repetition_profile(spread(_t(spark, sf_dir, "documents"), None))
 
 
 # quality score of `text` (mirrors operators.text.quality_score), unrounded

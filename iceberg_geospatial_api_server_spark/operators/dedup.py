@@ -544,17 +544,18 @@ def dedup_simhash(
 
     left = blocks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "val")
     right = blocks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "val")
-    cand = (
-        left.join(right, on=["blk", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-    )
+    # hamming test BEFORE the distinct: bit_count is free codegen inside
+    # the join stage, and filtering to <= threshold first means the
+    # cross-block dedup shuffles only true near-dup pairs (near-output
+    # volume) instead of every bucket-sharing pair with two signatures
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        cand.withColumn("hamming", hamming.cast("int"))
+        left.join(right, on=["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= hamming_threshold)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
