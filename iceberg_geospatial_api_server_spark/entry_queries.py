@@ -1621,6 +1621,61 @@ def mm_features_q(spark, sf_dir):
     return extract_features(media, stub=True)
 
 
+def _mm_features_oracle_sql() -> str:
+    """The stub feature kernel (8-bucket byte histogram, L1-normalized)
+    reproduced in SQL: the corpus is ASCII-only, so UTF-8 payload bytes
+    ≡ characters and bucket = ascii(c) // 32."""
+    fcols = ",\n           ".join(
+        f"ROUND(SUM(f[{i + 1}]), 6) AS f{i}" for i in range(8)
+    )
+    return f"""
+    WITH h AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             strlen(text) AS n_bytes,
+             list_transform(generate_series(0, 7), b ->
+               CAST(LEN(list_filter(string_split_regex(text, ''),
+                        c -> ascii(c) // 32 = b)) AS DOUBLE)
+               / CAST(strlen(text) AS DOUBLE)) AS f
+      FROM documents WHERE strlen(text) > 0
+    )
+    SELECT modality, COUNT(*) AS n_items,
+           CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
+           {fcols}
+    FROM h GROUP BY modality ORDER BY modality
+    """
+
+
+@_q("mm_features_stats", _mm_features_oracle_sql())
+def mm_features_stats_q(spark, sf_dir):
+    """Hash-graded companion to the rows-only mm_extract_features (r3
+    VERDICT item 4): the full synthesize→mapInPandas→stub-decode
+    pipeline aggregated per modality, so DuckDB verifies the Arrow
+    kernel's feature math value-for-value (the stub histogram is
+    SQL-expressible over the ASCII corpus; the real PNG/WAV decode
+    stays rows-only by nature)."""
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(_t(spark, sf_dir, "documents"))
+    feats = extract_features(media, stub=True)
+    return (
+        feats.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").cast("long").alias("sum_bytes"),
+            *[
+                F.round(F.sum(F.col("features")[i]), 6).alias(f"f{i}")
+                for i in range(8)
+            ],
+        )
+        .orderBy("modality")
+    )
+
+
 @_q("mm_real_decode_stats")  # rows-only: binary decode isn't SQL-expressible
 def mm_real_decode_q(spark, sf_dir):
     """REAL decode path end-to-end, distributed: encode genuine PNG/WAV
@@ -2865,6 +2920,7 @@ _ORACLED_OVERFLOW = [
     # (geo_lcc) and the PII scrub are graded in the round they land
     "events_funnel",  # driver-green r3; sequence-match also stream-equiv-tested
     "corpus_split",  # driver-green r3; id_hash CASE split pinned by hash property tests
+    "events_retention",  # driver-green r3; cohort self-join also under funnel tests
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):
