@@ -507,3 +507,27 @@ def test_q20_window_shares_groupby_exchange(tables):
     # partkey exchange + the distinct-suppkey exchange; dims broadcast
     assert hash_exchange_count(plan) <= 2, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_pii_scrub_is_jvm_scan_stage(tables):
+    """pii_scrub runs entirely as JVM regexp built-ins: no Python stage,
+    no exchange — a pure scan transform at any corpus size."""
+    from iceberg_geospatial_api_server_spark.operators.text import pii_scrub
+
+    plan = _plan(pii_scrub(tables["documents"]))
+    assert "Python" not in plan and "Arrow" not in plan
+    assert hash_exchange_count(plan) == 0
+    assert "Exchange" not in plan
+
+
+def test_conic_projection_entries_are_scan_stage(spark, sf_dir):
+    """geo_albers / geo_lcc: staged selectExpr column arithmetic — no
+    Python stage, the domain box pushed into the scan, and only the
+    final presentation sort exchanges."""
+    import __spark_entry__ as E
+
+    for name in ("geo_albers", "geo_lcc"):
+        plan = _plan(E.queries()[name](spark, sf_dir))
+        assert "Python" not in plan and "Arrow" not in plan, name
+        assert hash_exchange_count(plan) == 0, name
+        assert "PushedFilters" in plan, name
