@@ -451,6 +451,7 @@ def dedup_simhash(
     block_bits: int = 8,
     portable_hash: bool = False,
     storage_level: "StorageLevel | None" = _DEFAULT_STORAGE,
+    against: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup: per-word portable hash → bitwise majority vote →
     `bits`-bit fingerprint; candidate pairs share one of the fingerprint's
@@ -476,8 +477,25 @@ def dedup_simhash(
     Either way the hash is applied AFTER the explode, at row level,
     where it runs in whole-stage codegen rather than interpreted inside
     a per-element `transform` lambda.
+
+    Incremental mode (``against=existing_corpus``): same contract as
+    dedup_minhash_lsh — ``df`` is the NEW batch, pairs are emitted only
+    when at least one side is new (old×old pairs drop at the block join,
+    BEFORE the hamming filter and distinct spend anything on them). At
+    100 TB the per-doc fingerprints are the natural thing to persist
+    between runs; each increment then pays the vote stage for the new
+    batch only. Ids must be unique across the two frames.
     """
     from iceberg_geospatial_api_server_spark.util import spread
+
+    if against is not None:
+        corpus = df.select(
+            id_col, text_col, F.lit(1).alias("__new")
+        ).unionByName(
+            against.select(id_col, text_col, F.lit(0).alias("__new"))
+        )
+    else:
+        corpus = df.select(id_col, text_col, F.lit(1).alias("__new"))
 
     toks = F.array_distinct(F.split(F.col(text_col), " "))
     if portable_hash:
@@ -485,9 +503,11 @@ def dedup_simhash(
     else:
         hasher = lambda w: F.pmod(F.xxhash64(w), F.lit(MERSENNE))  # noqa: E731
     exploded = (
-        spread(df, None, id_col)
-        .select(F.col(id_col), F.explode(toks).alias("__w"))
-        .select(F.col(id_col), hasher(F.col("__w")).alias("__h"))
+        spread(corpus, None, id_col)
+        .select(F.col(id_col), F.col("__new"), F.explode(toks).alias("__w"))
+        .select(
+            F.col(id_col), F.col("__new"), hasher(F.col("__w")).alias("__h")
+        )
     )
     # bit votes packed 3-per-aggregate: each 21-bit field accumulates one
     # bit's ONES count (no inter-field carry while a doc has < 2^21
@@ -497,7 +517,7 @@ def dedup_simhash(
     field = 21
     mask = (1 << field) - 1
     groups = [list(range(i, min(i + 3, bits))) for i in range(0, bits, 3)]
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    aggs = [F.count(F.lit(1)).alias("__n"), F.first("__new").alias("__new")]
     for gi, g in enumerate(groups):
         packed = None
         for j, b in enumerate(g):
@@ -517,7 +537,9 @@ def dedup_simhash(
             ).otherwise(F.lit(0).cast("long"))
             fp = part if fp is None else fp + part
     sigs = (
-        exploded.groupBy(id_col).agg(*aggs).select(id_col, fp.alias("simhash"))
+        exploded.groupBy(id_col)
+        .agg(*aggs)
+        .select(id_col, F.col("__new"), fp.alias("simhash"))
     )
     # both sides of the block self-join scan the signatures: persist them
     # (1 long per doc — tiny next to the corpus) or the whole
@@ -530,6 +552,7 @@ def dedup_simhash(
     mask = (1 << block_bits) - 1
     blocks = sigs.select(
         id_col,
+        "__new",
         "simhash",
         F.explode(
             F.array(*[
@@ -540,10 +563,10 @@ def dedup_simhash(
                 for i in range(nblocks)
             ])
         ).alias("__b"),
-    ).select(id_col, "simhash", F.col("__b.blk").alias("blk"), F.col("__b.val").alias("val"))
+    ).select(id_col, "__new", "simhash", F.col("__b.blk").alias("blk"), F.col("__b.val").alias("val"))
 
-    left = blocks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "val")
-    right = blocks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "val")
+    left = blocks.select(F.col(id_col).alias("id_a"), F.col("__new").alias("new_a"), F.col("simhash").alias("sh_a"), "blk", "val")
+    right = blocks.select(F.col(id_col).alias("id_b"), F.col("__new").alias("new_b"), F.col("simhash").alias("sh_b"), "blk", "val")
     # hamming test BEFORE the distinct: bit_count is free codegen inside
     # the join stage, and filtering to <= threshold first means the
     # cross-block dedup shuffles only true near-dup pairs (near-output
@@ -552,6 +575,9 @@ def dedup_simhash(
     return (
         left.join(right, on=["blk", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
+        # incremental: only pairs touching the new batch (folds to true
+        # in batch mode, where everything is tagged new)
+        .filter(F.greatest("new_a", "new_b") == 1)
         .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= hamming_threshold)
         .select("id_a", "id_b", "hamming")

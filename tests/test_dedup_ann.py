@@ -257,3 +257,34 @@ def test_ivfpq_topk_recall_and_exact_rerank(spark, tables):
     # determinism (sampled training + hash seeding, no RNG)
     again = {(r.q_id, r.vec_id) for r in ivfpq_topk(emb, q, k=10, nlist=8, nprobe=4).collect()}
     assert again == approx
+
+
+def test_simhash_incremental_mode(spark, docs):
+    """Incremental simhash (same contract as minhash's against=): pairs
+    with at least one new-side doc, nothing else."""
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        dedup_simhash,
+    )
+
+    full = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup_simhash(docs, storage_level=None).collect()
+    }
+    spark.catalog.clearCache()
+
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    old_ids = {r["doc_id"] for r in old.select("doc_id").collect()}
+    inc = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup_simhash(
+            new, against=old, storage_level=None
+        ).collect()
+    }
+    expected = {
+        p for p in full if not (p[0] in old_ids and p[1] in old_ids)
+    }
+    assert inc == expected
+    assert len(expected) > 0, "vacuous: no cross/new pairs in the corpus"
