@@ -111,24 +111,49 @@ def embedding_neardup_pairs(
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    against: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks.
 
     Blocking bounds the pair count; within a block the self-join is an
     equi-join shuffle on the block key. (For an unblocked corpus use the
-    LSH signature as the block.)"""
-    base = df.select(
+    LSH signature as the block.)
+
+    Incremental mode (``against=existing_corpus``): same contract as
+    dedup_minhash_lsh / dedup_simhash — ``df`` is the NEW batch, pairs
+    emit only with at least one new side; old×old pairs drop at the
+    block join, before the cosine is ever computed for them."""
+    if against is not None:
+        corpus = df.select(
+            block_col, id_col, vec_col, F.lit(1).alias("__new")
+        ).unionByName(
+            against.select(
+                block_col, id_col, vec_col, F.lit(0).alias("__new")
+            )
+        )
+    else:
+        corpus = df.select(
+            block_col, id_col, vec_col, F.lit(1).alias("__new")
+        )
+    base = corpus.select(
         F.col(block_col).alias("__blk"),
         F.col(id_col),
+        F.col("__new"),
         _as_double(F.col(vec_col)).alias("__v"),
     )
     a = base.select(
-        F.col("__blk"), F.col(id_col).alias("id_a"), F.col("__v").alias("__va")
+        F.col("__blk"), F.col(id_col).alias("id_a"),
+        F.col("__new").alias("new_a"), F.col("__v").alias("__va"),
     )
     b = base.select(
-        F.col("__blk"), F.col(id_col).alias("id_b"), F.col("__v").alias("__vb")
+        F.col("__blk"), F.col(id_col).alias("id_b"),
+        F.col("__new").alias("new_b"), F.col("__v").alias("__vb"),
     )
-    pairs = a.join(b, on="__blk").filter(F.col("id_a") < F.col("id_b"))
+    pairs = (
+        a.join(b, on="__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.greatest("new_a", "new_b") == 1)
+    )
     return (
         pairs.withColumn("cos_sim", cosine(F.col("__va"), F.col("__vb")))
         .filter(F.col("cos_sim") > threshold)

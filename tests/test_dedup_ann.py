@@ -288,3 +288,43 @@ def test_simhash_incremental_mode(spark, docs):
     }
     assert inc == expected
     assert len(expected) > 0, "vacuous: no cross/new pairs in the corpus"
+
+
+def test_embedding_neardup_incremental_mode(spark):
+    """Incremental embedding near-dup: same against= contract as the
+    text dedup family."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(4, 8))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(3):  # 3 near-copies per base vector, one block
+            v = b + rng.normal(scale=0.01, size=8)
+            rows.append((vid, int(vid % 2), [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, label INT, embedding ARRAY<DOUBLE>"
+    )
+    full = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_neardup_pairs(df, 0.99).collect()
+    }
+    old = df.filter(F.col("vec_id") % 3 == 0)
+    new = df.filter(F.col("vec_id") % 3 != 0)
+    old_ids = {r["vec_id"] for r in old.select("vec_id").collect()}
+    inc = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_neardup_pairs(new, 0.99, against=old).collect()
+    }
+    expected = {
+        p for p in full if not (p[0] in old_ids and p[1] in old_ids)
+    }
+    assert inc == expected
+    assert len(expected) > 0
