@@ -3,7 +3,7 @@ dataclasses — API-agnostic query semantics, not wire formats."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame

@@ -9,7 +9,6 @@ feature by id-field. GeoJSON formatting reuses serializers.geojson.
 
 from __future__ import annotations
 
-import json
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -17,7 +16,7 @@ from pyspark.sql import functions as F
 
 from iceberg_geospatial_api_server_spark.catalog import FeatureSchema, feature_schema
 from iceberg_geospatial_api_server_spark.engine import query_features
-from iceberg_geospatial_api_server_spark.models import QueryParams, QueryResult
+from iceberg_geospatial_api_server_spark.models import QueryParams
 from iceberg_geospatial_api_server_spark.serializers import geojson
 
 
