@@ -108,3 +108,70 @@ def test_id_hash_matches_oracle_for_any_long(spark, val):
     py_v = ((val % MERSENNE) * _KNUTH_MOD) % MERSENNE
     assert spark_v == duck_v == py_v
     assert 0 <= spark_v < MERSENNE
+
+
+_WORD = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1,
+    max_size=6,
+)
+
+
+@given(st.lists(_WORD, min_size=0, max_size=10))
+@settings(max_examples=25, deadline=None)
+def test_overlapping_gram_strings_match_split_windows(spark, words):
+    """The regex gram extractor ≡ split(' ') windows on single-spaced
+    text (its documented contract) for arbitrary printable tokens —
+    including regex metacharacters inside tokens."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        overlapping_gram_strings,
+    )
+
+    text = " ".join(words)
+    row = (
+        spark.range(1)
+        .select(overlapping_gram_strings(F.lit(text), 3).alias("g"))
+        .first()
+    )
+    toks = text.split(" ") if text else [""]
+    expected = [
+        " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))
+    ]
+    assert list(row.g) == expected
+
+
+def test_pii_patterns_agree_across_engines(spark):
+    """The PII patterns live in the RE2 ∩ java.regex subset: Spark
+    (java.util.regex) and DuckDB (RE2) must agree on match counts AND
+    the scrubbed text for adversarial inputs — the exact invariant the
+    corpus_pii_scrub oracle depends on."""
+    import duckdb
+
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        PII_PATTERNS,
+        pii_scrub,
+    )
+
+    cases = [
+        "a@b.co a@b.c a@@b.co x.y+z@sub.do-main.org trailing@",
+        "1.2.3.4 999.999.999.999 1.2.3 10.0.0.255.7 .1.2.3.4",
+        "+1 (555) 010-1234 +12 (000) 000-0000 +1 (55) 010-1234 1 (555) 010-1234",
+        "mixed a@b.io at 8.8.8.8 call +9 (123) 456-7890 end",
+        "no pii here, just text with @ and . and + ( )",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id LONG, text STRING"
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(cases):
+        scrub = t
+        for name, pat, tag in PII_PATTERNS:
+            n_duck = con.execute(
+                "SELECT LEN(regexp_extract_all(?, ?))", [t, pat]
+            ).fetchone()[0]
+            assert got[i][f"n_{name}s"] == n_duck, (i, name, t)
+            scrub = con.execute(
+                "SELECT regexp_replace(?, ?, ?, 'g')", [scrub, pat, tag]
+            ).fetchone()[0]
+        assert got[i]["scrubbed"] == scrub, (i, t)
