@@ -1549,6 +1549,45 @@ def ann_bf_q(spark, sf_dir):
     return brute_force_topk(emb, queries_df, k=10)
 
 
+@_q(
+    "ann_ivfpq_exhaustive",
+    """
+    SELECT q_id, vec_id, ROUND(cos_sim, 6) AS cos_sim, CAST(rn AS INT) AS rank
+    FROM (
+      SELECT q.vec_id AS q_id, b.vec_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rn
+      FROM (SELECT * FROM embeddings WHERE vec_id IN (0, 101, 202, 303, 404)) q
+      CROSS JOIN embeddings b)
+    WHERE rn <= 10
+    """,
+)
+def ann_ivfpq_exhaustive_q(spark, sf_dir):
+    """IVF-PQ MACHINERY hash-graded (r3 VERDICT item 4's wished-for
+    companion): in the exhaustive configuration — nprobe = nlist (every
+    cell probed) and refine sized so the exact re-rank covers the whole
+    corpus — the pipeline's output must EQUAL brute-force top-k, which
+    DuckDB verifies value-for-value. Every stage still executes (coarse
+    quantizer, PQ codebook training, ADC scan, re-rank), so any stage
+    that dropped or corrupted candidates would break the hash. The
+    standard approximate configuration stays rows-only
+    (`ann_ivfpq_topk`) with recall tests."""
+    from iceberg_geospatial_api_server_spark.operators.ann import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id").isin(0, 101, 202, 303, 404)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    k = 10
+    n = emb.count()
+    return ivfpq_topk(
+        emb, queries_df, k=k, nlist=8, nprobe=8, refine=-(-n // k)
+    )
+
+
 @_q("ann_ivf_topk")  # rows-only: approximate by design (recall tested in tests/)
 def ann_ivf_q(spark, sf_dir):
     from iceberg_geospatial_api_server_spark.operators.ann import ivf_topk
@@ -2924,6 +2963,7 @@ _ORACLED_OVERFLOW = [
     "events_funnel",  # driver-green r3; sequence-match also stream-equiv-tested
     "corpus_split",  # driver-green r3; id_hash CASE split pinned by hash property tests
     "events_retention",  # driver-green r3; cohort self-join also under funnel tests
+    "events_props_stats",  # driver-green r3; map/array props agg under events_user_stats
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):
