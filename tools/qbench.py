@@ -17,7 +17,20 @@ spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as E
 
 qs = E.queries()
-qs["q1_pricing_summary"](spark, SF_DIR).collect()  # warm
+# same warmup as bench.py: one JVM query + the Arrow/python worker pool
+qs["q1_pricing_summary"](spark, SF_DIR).collect()
+from pyspark.sql.functions import pandas_udf
+
+_warm = spark.createDataFrame([(1.0,)], ["x"])
+_warm.mapInPandas(lambda it: it, "x double").collect()
+
+
+@pandas_udf("double")
+def _warm_udf(s):
+    return s
+
+
+_warm.select(_warm_udf("x")).collect()
 
 names = [a for a in sys.argv[1:] if not a.startswith("--")]
 explain = "--explain" in sys.argv
