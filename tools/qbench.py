@@ -17,12 +17,12 @@ spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as E
 
 qs = E.queries()
-# same warmup as bench.py: one JVM query + the Arrow/python worker pool
+# same warmup as bench.py: one JVM query + the FULL Arrow/python worker
+# pool (CPUS partitions so all worker slots pre-fork, not just one)
 qs["q1_pricing_summary"](spark, SF_DIR).collect()
 from pyspark.sql.functions import pandas_udf
 
-_warm = spark.createDataFrame([(1.0,)], ["x"])
-_warm.mapInPandas(lambda it: it, "x double").collect()
+spark.range(0, CPUS, 1, CPUS).mapInPandas(lambda it: it, "id long").collect()
 
 
 @pandas_udf("double")
@@ -30,6 +30,7 @@ def _warm_udf(s):
     return s
 
 
+_warm = spark.range(0, CPUS, 1, CPUS).selectExpr("CAST(id AS DOUBLE) x")
 _warm.select(_warm_udf("x")).collect()
 
 names = [a for a in sys.argv[1:] if not a.startswith("--")]
