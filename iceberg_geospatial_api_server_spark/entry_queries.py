@@ -2884,6 +2884,120 @@ def events_distinct_salted_q(spark, sf_dir):
     ).orderBy("event_type")
 
 
+@_q(
+    "text_gopher_rules",
+    """
+    WITH sig AS (
+      SELECT doc_id,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_words,
+             ROUND(LENGTH(REPLACE(text, ' ', ''))::DOUBLE
+                   / LEN(string_split(text, ' '))::DOUBLE, 4) AS mean_word_len,
+             ROUND(((LENGTH(text) - LENGTH(REPLACE(text, '#', '')))
+                    + (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) / 3)::DOUBLE
+                   / LEN(string_split(text, ' '))::DOUBLE, 6) AS symbol_ratio,
+             ROUND(LEN(list_filter(string_split(text, chr(10)),
+                       l -> starts_with(l, '- ') OR starts_with(l, '* ')
+                            OR starts_with(l, '•')))::DOUBLE
+                   / LEN(string_split(text, chr(10)))::DOUBLE, 6)
+               AS bullet_line_frac,
+             ROUND(LEN(list_filter(string_split(text, chr(10)),
+                       l -> ends_with(l, '...')))::DOUBLE
+                   / LEN(string_split(text, chr(10)))::DOUBLE, 6)
+               AS ellipsis_line_frac,
+             ROUND(LEN(list_filter(string_split(text, ' '),
+                       w -> regexp_matches(w, '^[a-zA-Z]+$')))::DOUBLE
+                   / LEN(string_split(text, ' '))::DOUBLE, 6) AS alpha_word_frac,
+             CAST(LEN(list_filter(string_split(text, ' '),
+                      w -> list_contains(['the', 'be', 'to', 'of', 'and',
+                                          'that', 'have', 'with'], w)))
+                  AS BIGINT) AS n_stop_hits
+      FROM documents
+    )
+    SELECT *,
+           CAST(n_words >= 50 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_ratio <= 0.1
+                AND bullet_line_frac <= 0.9
+                AND ellipsis_line_frac <= 0.3
+                AND alpha_word_frac >= 0.8
+                AND n_stop_hits >= 2 AS BIGINT) AS keep_flag
+    FROM sig ORDER BY doc_id
+    """,
+)
+def text_gopher_rules_q(spark, sf_dir):
+    """Gopher structural quality rules (word bounds, mean word length,
+    symbol ratio, bullet/ellipsis lines, alpha fraction, stopword
+    presence) — all scan-stage JVM built-ins, zero shuffle."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        gopher_structural_rules,
+    )
+    from iceberg_geospatial_api_server_spark.util import spread
+
+    out = gopher_structural_rules(
+        spread(_t(spark, sf_dir, "documents"), None)
+    )
+    return out.withColumn(
+        "keep_flag", F.col("keep").cast("long")
+    ).drop("keep").orderBy("doc_id")
+
+
+@_q(
+    "embed_dim_stats",
+    """
+    SELECT CAST(pos AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           ROUND(AVG(val), 4) AS mean_val,
+           ROUND(STDDEV(val), 4) AS std_val,
+           ROUND(CAST(MIN(val) AS DOUBLE), 4) AS min_val,
+           ROUND(CAST(MAX(val) AS DOUBLE), 4) AS max_val,
+           ROUND(AVG(CASE WHEN val = 0.0 THEN 1.0 ELSE 0.0 END), 4)
+             AS zero_frac
+    FROM (SELECT CAST(UNNEST(embedding) AS DOUBLE) AS val,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY pos ORDER BY dim
+    """,
+)
+def embed_dim_stats_q(spark, sf_dir):
+    """Per-dimension embedding health stats: posexplode → d-key groupBy
+    (map-side partials; output is d rows regardless of corpus size)."""
+    from iceberg_geospatial_api_server_spark.operators.ann import dim_stats
+
+    return dim_stats(_t(spark, sf_dir, "embeddings"))
+
+
+@_q("embed_pca_project")  # rows-only: eigendecomposition isn't SQL-expressible
+def embed_pca_q(spark, sf_dir):
+    """Distributed PCA: moment partial-sums (one bounded row per Arrow
+    batch), driver-side d×d eigh, map-side projection matmul. Parity vs
+    numpy PCA pinned in tests/test_dedup_ann.py."""
+    from iceberg_geospatial_api_server_spark.operators.ann import pca_project
+
+    return pca_project(_t(spark, sf_dir, "embeddings"), k=8).orderBy("vec_id")
+
+
+@_q("mm_phash_pairs")  # rows-only: DCT perceptual hash isn't SQL-expressible
+def mm_phash_pairs_q(spark, sf_dir):
+    """Near-duplicate image detection by 64-bit pHash (32×32 DCT,
+    median-threshold bits) + 16-bit-block bucket join with exact
+    bit_count(xor) verification — dedup_simhash's scale shape applied to
+    the image modality. Runs the REAL pipeline end-to-end: PNG encode
+    (distributed fixture with planted brightness-jittered near-dups) →
+    stdlib PNG decode → DCT hash → bucketed pair join."""
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        image_phash,
+        phash_dedup_pairs,
+        synthesize_image_corpus,
+    )
+    from iceberg_geospatial_api_server_spark.util import spread
+
+    media = synthesize_image_corpus(
+        spread(_t(spark, sf_dir, "documents"), None)
+    )
+    hashes = image_phash(media, stub=False)
+    return phash_dedup_pairs(hashes, max_hamming=3).orderBy("id_a", "id_b")
+
+
 @_q("ann_ivfpq_topk")  # rows-only: approximate by design (recall tested)
 def ann_ivfpq_q(spark, sf_dir):
     """IVF-PQ: inverted lists bound what's scored, 8-byte PQ codes bound
@@ -2964,6 +3078,11 @@ _ORACLED_OVERFLOW = [
     "corpus_split",  # driver-green r3; id_hash CASE split pinned by hash property tests
     "events_retention",  # driver-green r3; cohort self-join also under funnel tests
     "events_props_stats",  # driver-green r3; map/array props agg under events_user_stats
+    # r4 (cont.): two more rotate out so the new oracled entries
+    # (text_gopher_rules, embed_dim_stats) are graded in the round they
+    # land while all four never-observed rows-only entries keep their slots
+    "text_language_id",  # driver-green r1-r3; lang_pred also inside graded text_profile
+    "q22_lapsed_customers",  # driver-green r3; NOT-EXISTS anti-join shape also in graded q21
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

@@ -519,6 +519,140 @@ def kmeans_cluster_profile(
     )
 
 
+def dim_stats(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-dimension health stats of an embedding corpus (mean/std/min/
+    max/zero-fraction): the standard first check for collapsed or dead
+    dimensions before training on or indexing the vectors.
+
+    posexplode → groupBy(dim): all JVM built-ins, map-side partial
+    aggregation, one d-key shuffle whose output is d rows regardless of
+    corpus size. `dim` is 1-based (matches SQL generate_subscripts).
+    """
+    ex = df.select(F.posexplode(vec_col).alias("dim0", "val")).select(
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.col("val").cast("double").alias("val"),
+    )
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.round(F.avg("val"), 4).alias("mean_val"),
+            F.round(F.stddev("val"), 4).alias("std_val"),
+            F.round(F.min("val"), 4).alias("min_val"),
+            F.round(F.max("val"), 4).alias("max_val"),
+            F.round(
+                F.avg(F.when(F.col("val") == 0.0, 1.0).otherwise(0.0)), 4
+            ).alias("zero_frac"),
+        )
+        .orderBy("dim")
+    )
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distributed PCA fit: returns (mean[d], components[k,d],
+    explained_variance[k]).
+
+    Scale posture: the corpus never leaves the executors — each Arrow
+    batch emits ONE row of moment partial-sums (n, Σx (d), Σxxᵀ (d·d
+    flattened)), the driver sums the per-batch rows (bounded by batch
+    count, not corpus size) and eigendecomposes the d×d covariance
+    (d≤~1k: microseconds). Same driver-side-bounded pattern as
+    `kmeans_fit`'s k×d centroid sums.
+
+    Determinism: eigh of a symmetric matrix with distinct eigenvalues is
+    stable; component sign is fixed by making each component's
+    largest-|loading| coordinate positive.
+    """
+    moments_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s1", T.ArrayType(T.DoubleType())),
+            T.StructField("s2", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def moments(batches):
+        for pdf in batches:
+            vecs = [np.asarray(v, dtype="f8") for v in pdf[vec_col]]
+            if not vecs:
+                continue
+            m = np.stack(vecs)
+            yield pd.DataFrame(
+                {
+                    "n": [m.shape[0]],
+                    "s1": [m.sum(axis=0)],
+                    "s2": [(m.T @ m).ravel()],
+                }
+            )
+
+    rows = df.select(vec_col).mapInPandas(moments, moments_schema).collect()
+    if not rows:
+        raise ValueError("cannot fit PCA on an empty corpus")
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s1"])
+    s1 = np.zeros(d)
+    s2 = np.zeros(d * d)
+    for r in rows:
+        s1 += np.asarray(r["s1"])
+        s2 += np.asarray(r["s2"])
+    mean = s1 / n
+    cov = s2.reshape(d, d) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    # sign convention: largest-|loading| coordinate positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, np.maximum(evals[order], 0.0)
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+) -> DataFrame:
+    """Project each embedding onto the corpus's top-k principal
+    components (dimensionality reduction before clustering/ANN — the
+    classic 100 TB preprocessing step).
+
+    Two passes over the corpus: the moment pass in `pca_fit` (one
+    bounded row per Arrow batch) and a pure map-side projection pass
+    (one numpy matmul per batch against the broadcast (k,d) component
+    matrix). No shuffle in either pass.
+    """
+    mean, comps, _ = pca_fit(df, vec_col, k=k)
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("proj", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def project(batches):
+        for pdf in batches:
+            vecs = [np.asarray(v, dtype="f8") for v in pdf[vec_col]]
+            if not vecs:
+                continue
+            p = (np.stack(vecs) - mean) @ comps.T
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "proj": list(np.round(p, 6)),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(project, out_schema)
+
+
 def quantize_embeddings(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

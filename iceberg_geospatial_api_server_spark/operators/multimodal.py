@@ -250,3 +250,208 @@ def media_stats(media: DataFrame) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (pHash: 32×32 grayscale → 2-D DCT → 8×8
+# low-frequency block → median-threshold bits). The standard near-dup
+# detector for image corpora — robust to resize/recompress, unlike the
+# exact byte hash in dedup_exact.
+# ---------------------------------------------------------------------------
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (numpy-only; no scipy in this
+    container)."""
+    k = np.arange(n)
+    m = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    m[0] *= 1.0 / np.sqrt(2.0)
+    return m * np.sqrt(2.0 / n)
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def phash64_of_gray(gray: np.ndarray) -> int:
+    """64-bit pHash of a 2-D float grayscale array: nearest-neighbor
+    resample to 32×32, 2-D DCT (two matmuls against the precomputed
+    basis), keep the 8×8 low-frequency block, threshold at the median of
+    the 63 AC coefficients (DC excluded: it is pure brightness)."""
+    h, w = gray.shape
+    ri = (np.arange(32) * h) // 32
+    ci = (np.arange(32) * w) // 32
+    g32 = gray[np.ix_(ri, ci)].astype("f8")
+    d = _DCT32 @ g32 @ _DCT32.T
+    block = d[:8, :8].ravel()
+    med = np.median(block[1:])
+    bits = block > med
+    bits[0] = d[0, 0] > 0  # DC bit: plain sign (median excludes it)
+    out = 0
+    for i in range(64):
+        if bits[i]:
+            out |= 1 << i
+    # two's-complement into a signed 64-bit long (Spark LongType)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def synthesize_image_corpus(
+    docs: DataFrame, neardup_every: int = 10
+) -> DataFrame:
+    """Deterministic PNG image corpus with PLANTED near-duplicates — the
+    fixture for perceptual-hash dedup (`image_phash` + `phash_dedup_pairs`).
+
+    Every doc_id gets a smooth 32×32 grayscale image (an 8×8
+    RandomState(doc_id) grid nearest-upsampled — low-frequency content,
+    which is what pHash discriminates). Ids with
+    ``doc_id % neardup_every == 1`` instead re-render their predecessor's
+    image with a small brightness shift + per-pixel jitter: a true
+    near-duplicate (recompression/levels-tweak analog) that pHash should
+    catch while independent seeds stay ~32 bits apart.
+
+    mapInPandas like `synthesize_real_media`: encoding is distributed,
+    payloads never gather on the driver.
+    """
+
+    def base_image(seed: int) -> np.ndarray:
+        rng = np.random.RandomState(seed)
+        g = rng.randint(0, 256, size=(8, 8))
+        return g.repeat(4, axis=0).repeat(4, axis=1).astype(np.uint8)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from iceberg_geospatial_api_server_spark.operators import media_codecs
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % neardup_every == 1 and d > 0:
+                    img = base_image(d - 1).astype("i4")
+                    jitter = np.random.RandomState(d).randint(
+                        -2, 3, size=img.shape
+                    )
+                    img = np.clip(img + 6 + jitter, 0, 255).astype(np.uint8)
+                else:
+                    img = base_image(d)
+                rgb = np.stack([img, img, img], axis=2)
+                rows.append((d, media_codecs.encode_png(rgb), "image", "png"))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "modality", "codec"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        kernel, "doc_id long, payload binary, modality string, codec string"
+    )
+
+
+def image_phash(
+    media: DataFrame, stub: bool = True, skip_undecodable: bool = True
+) -> DataFrame:
+    """Per-image 64-bit perceptual hash, Arrow-batched.
+
+    ``stub=True`` derives a deterministic pseudo-image from the raw
+    payload bytes (cycled into 32×32) — same schema/batch shape as the
+    real path, for payloads that are not real media. ``stub=False``
+    decodes PNGs via the stdlib codec (Pillow extends coverage when
+    installed); other codecs yield null (skip_undecodable) or raise.
+
+    Map-side only: one mapInPandas pass, no shuffle; at 100 TB the hash
+    column (8 bytes/image) is what downstream dedup shuffles, never the
+    payloads.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_rows: list[tuple] = []
+        for pdf in batches:
+            for doc_id, buf, codec in zip(
+                pdf["doc_id"], pdf["payload"], pdf["codec"]
+            ):
+                if buf is None or len(buf) == 0:
+                    out_rows.append((int(doc_id), None))
+                    continue
+                if stub:
+                    arr = np.frombuffer(buf, dtype=np.uint8)
+                    gray = (
+                        np.resize(arr, 32 * 32).reshape(32, 32).astype("f8")
+                    )
+                    out_rows.append((int(doc_id), phash64_of_gray(gray)))
+                    continue
+                try:
+                    if not media_codecs.media_decode_available(str(codec)):
+                        raise NotImplementedError(codec)
+                    img = media_codecs.decode_png(bytes(buf))
+                    gray = img.astype("f8").mean(axis=2) if img.ndim == 3 else img.astype("f8")
+                    out_rows.append((int(doc_id), phash64_of_gray(gray)))
+                except (NotImplementedError, ValueError):
+                    # codec gap or corrupt payload — at corpus scale a
+                    # sweep must not die on the first broken file
+                    if not skip_undecodable:
+                        raise
+                    out_rows.append((int(doc_id), None))
+            yield pd.DataFrame(out_rows, columns=["doc_id", "phash"]).astype(
+                {"doc_id": "int64", "phash": "Int64"}
+            )
+            out_rows = []
+
+    src = media
+    if not stub:
+        src = media.filter(F.col("modality") == "image")
+    return src.select("doc_id", "payload", "codec").mapInPandas(
+        kernel, "doc_id long, phash long"
+    )
+
+
+def phash_dedup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    block_bits: int = 16,
+) -> DataFrame:
+    """Near-duplicate image pairs from a (doc_id, phash) frame: candidate
+    pairs share one of the hash's 16-bit blocks (pigeonhole: any pair
+    within hamming distance < 64/block_bits shares at least one), verify
+    with exact `bit_count(xor)`. Same scale shape as `dedup_simhash`'s
+    block join: bounded fan-out (4 blocks/image), equi-join keys, the
+    hamming test runs codegen inside the join stage before the distinct
+    so only true near-dups shuffle.
+    """
+    nblocks = 64 // block_bits
+    assert max_hamming < nblocks, (
+        "pigeonhole guarantee needs max_hamming < 64/block_bits"
+    )
+    modulus = 1 << block_bits
+    rows = hashes.filter(F.col("phash").isNotNull())
+    blocks = rows.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.pmod(
+                        F.shiftrightunsigned("phash", i * block_bits),
+                        F.lit(modulus),
+                    ).alias("val"),
+                )
+                for i in range(nblocks)
+            ])
+        ).alias("__b"),
+    ).select(
+        "doc_id", "phash",
+        F.col("__b.blk").alias("blk"), F.col("__b.val").alias("val"),
+    )
+    left = blocks.select(
+        F.col("doc_id").alias("id_a"), F.col("phash").alias("ph_a"),
+        "blk", "val",
+    )
+    right = blocks.select(
+        F.col("doc_id").alias("id_b"), F.col("phash").alias("ph_b"),
+        "blk", "val",
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        left.join(right, on=["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

@@ -224,6 +224,95 @@ def clean_corpus(
     )
 
 
+# Gopher-rule stopword markers (Rae et al. 2021 §A1.1 uses a similar
+# tiny English function-word list as a "has real prose" signal).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_structural_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style structural quality rules (Rae et al. 2021 §A1.1),
+    the standard pre-training corpus filter battery. Complements
+    `repetition_profile` (which carries the duplicate-word/-n-gram
+    rules): word-count bounds, mean word length, symbol-to-word ratio
+    (# and ellipsis), bullet-/ellipsis-line fractions, alphabetic-word
+    fraction, and a stopword-presence check.
+
+    Emits the raw signals plus a `keep` verdict so downstream filters
+    can threshold differently without recomputing. Every signal is a
+    JVM string/array built-in evaluated in the scan stage — no shuffle,
+    no Python — so the filter runs at scan speed over a 100 TB corpus.
+    Mean word length is computed arithmetically (non-space chars /
+    words) rather than with a per-word higher-order fold, which runs
+    interpreted (see `overlapping_gram_strings`).
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_words = F.size(toks)
+    nw = n_words.cast("double")
+    # non-space chars / words — avoids an interpreted per-word fold
+    mean_wl = F.length(F.replace(c, F.lit(" "), F.lit(""))).cast("double") / nw
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / nw
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.startswith("- ")
+                | l.startswith("* ")
+                | l.startswith("•"),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("double")
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda w: w.rlike("^[a-zA-Z]+$"))).cast("double")
+        / nw
+    )
+    stop_hits = F.size(F.filter(toks, lambda w: w.isin(*GOPHER_STOPWORDS)))
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("n_stop_hits"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_frac)
+        & (F.col("n_stop_hits") >= min_stop_hits)
+    )
+    return out.withColumn("keep", keep)
+
+
 def overlapping_gram_strings(col: Column, n: int = 3) -> Column:
     """Overlapping word n-gram strings ('w1 w2 w3') per document, via a
     single regexp_extract_all with a zero-width token-start anchor and a

@@ -328,3 +328,56 @@ def test_embedding_neardup_incremental_mode(spark):
     }
     assert inc == expected
     assert len(expected) > 0
+
+
+def test_dim_stats_exact(spark):
+    from iceberg_geospatial_api_server_spark.operators.ann import dim_stats
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [3.0, 4.0]), (3, [5.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["dim"]: r for r in dim_stats(df).collect()}
+    assert rows[1]["n_values"] == 3
+    assert rows[1]["mean_val"] == 3.0
+    assert rows[1]["std_val"] == 2.0
+    assert rows[1]["min_val"] == 1.0 and rows[1]["max_val"] == 5.0
+    assert rows[1]["zero_frac"] == 0.0
+    assert rows[2]["zero_frac"] == round(2 / 3, 4)
+
+
+def test_pca_matches_numpy(spark, tables):
+    import numpy as np
+
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        pca_fit,
+        pca_project,
+    )
+
+    emb = tables["embeddings"]
+    local = emb.select("vec_id", "embedding").collect()
+    m = np.array([[float(v) for v in r["embedding"]] for r in local])
+    mean, comps, evr = pca_fit(emb, k=4)
+    assert np.allclose(mean, m.mean(axis=0), atol=1e-9)
+    cov = np.cov(m.T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    ref = evecs[:, order].T
+    for i in range(4):
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    assert np.allclose(comps, ref, atol=1e-6)
+    assert np.allclose(evr, evals[order], atol=1e-9)
+
+    proj = {
+        r["vec_id"]: np.array(r["proj"])
+        for r in pca_project(emb, k=4).collect()
+    }
+    expect = (m - m.mean(axis=0)) @ ref.T
+    ids = [r["vec_id"] for r in local]
+    for idx, vid in enumerate(ids):
+        assert np.allclose(proj[vid], np.round(expect[idx], 6), atol=1e-5)
+    # projected variance along component i equals its eigenvalue
+    p = np.array([proj[v] for v in ids])
+    assert np.allclose(p.var(axis=0), evr, atol=1e-4)

@@ -249,3 +249,79 @@ def test_resize_images_real(spark, sf_dir):
             assert bytes(row["payload"]) == bytes(
                 originals[doc_id]["payload"]
             )
+
+
+def test_phash_real_decode_invariances(spark):
+    """pHash on the REAL decode path: scale- and brightness-invariant,
+    discriminative between unrelated structures."""
+    import numpy as np
+
+    from iceberg_geospatial_api_server_spark.operators import media_codecs
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        phash64_of_gray,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, size=(8, 8)).astype("f8")
+    small = base.repeat(4, axis=0).repeat(4, axis=1)  # 32x32
+    big = base.repeat(8, axis=0).repeat(8, axis=1)  # 64x64
+    h_small, h_big = phash64_of_gray(small), phash64_of_gray(big)
+    assert bin(h_small ^ h_big).count("1") <= 2  # resize-invariant
+    bright = np.clip(small + 30.0, 0, 255)
+    assert bin(h_small ^ phash64_of_gray(bright)).count("1") <= 2
+    other = rng.randint(0, 256, size=(8, 8)).astype("f8").repeat(4, 0).repeat(4, 1)
+    assert bin(h_small ^ phash64_of_gray(other)).count("1") >= 16
+    # PNG encode -> stdlib decode round-trip preserves the hash exactly
+    rgb = np.stack([small, small, small], axis=2).astype(np.uint8)
+    dec = media_codecs.decode_png(media_codecs.encode_png(rgb))
+    assert phash64_of_gray(dec.astype("f8").mean(axis=2)) == phash64_of_gray(
+        small.astype(np.uint8).astype("f8")
+    )
+
+
+def test_phash_pairs_planted_neardups(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        image_phash,
+        phash_dedup_pairs,
+        synthesize_image_corpus,
+    )
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    media = synthesize_image_corpus(docs, neardup_every=10)
+    hashes = image_phash(media, stub=False)
+    pairs = phash_dedup_pairs(hashes, max_hamming=3).collect()
+    ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    planted = {
+        (d - 1, d) for d in ids if d % 10 == 1 and d > 0 and d - 1 in ids
+    }
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert planted <= got  # every planted near-dup recovered
+    extras = got - planted
+    assert len(extras) <= len(planted) // 5  # essentially no false positives
+    assert all(r["hamming"] <= 3 for r in pairs)
+
+
+def test_image_phash_stub_and_null_paths(spark):
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        image_phash,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, b"some payload bytes", "image", "png"),
+            (2, None, "image", "png"),
+            (3, b"\x00" * 10, "video", "mp4"),
+        ],
+        "doc_id long, payload binary, modality string, codec string",
+    )
+    stub = {r["doc_id"]: r["phash"] for r in image_phash(media, stub=True).collect()}
+    assert stub[2] is None and stub[1] is not None and stub[3] is not None
+    # real path: undecodable codecs yield null with skip, raise without
+    real = {
+        r["doc_id"]: r["phash"]
+        for r in image_phash(media, stub=False, skip_undecodable=True).collect()
+    }
+    assert real.get(1) is None  # not a real PNG -> undecodable -> null

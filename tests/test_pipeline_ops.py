@@ -184,3 +184,40 @@ def test_cross_source_overlap_symmetric_pairs(docs):
                 expect[(ss[i], ss[j])] += 1
     got = {(r.source_a, r.source_b): r.n_shared_prefixes for r in out}
     assert got == dict(expect)
+
+
+def test_gopher_rules_crafted_docs(spark):
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        gopher_structural_rules,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog and then " * 10
+    docs = spark.createDataFrame(
+        [
+            (1, good.strip()),                        # passes everything
+            (2, "too short with the and of that"),    # fails min_words
+            (3, ("## " * 30 + "the of and with " * 20).strip()),  # symbols
+            (4, "\n".join("- bullet line the of and" for _ in range(10))),
+            (5, ("zz " * 60).strip()),                # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_structural_rules(docs).collect()}
+    assert rows[1]["keep"] is True
+    assert rows[2]["keep"] is False and rows[2]["n_words"] < 50
+    assert rows[3]["keep"] is False and rows[3]["symbol_ratio"] > 0.1
+    assert rows[4]["keep"] is False and rows[4]["bullet_line_frac"] == 1.0
+    assert rows[5]["keep"] is False and rows[5]["n_stop_hits"] == 0
+    # signal sanity on the passing doc
+    assert 3.0 <= rows[1]["mean_word_len"] <= 10.0
+    assert rows[1]["alpha_word_frac"] == 1.0
+
+
+def test_gopher_rules_scan_stage_only(docs):
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        gopher_structural_rules,
+    )
+    from iceberg_geospatial_api_server_spark.plans.explain import shuffle_count
+
+    out = gopher_structural_rules(docs)
+    assert shuffle_count(out) == 0  # pure map-side filter battery
