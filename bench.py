@@ -71,6 +71,10 @@ BENCH_QUERIES = [
     "corpus_split",
     "corpus_decontaminate",
     "corpus_pii_scrub",
+    "text_gopher_rules",
+    "embed_dim_stats",
+    "embed_pca_project",
+    "mm_phash_pairs",
     "pack_sequences",
     "embed_quantize_int8",
     "events_outliers",

@@ -284,11 +284,26 @@ def gopher_structural_rules(
         F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("double")
         / n_lines
     )
+    # single-pass JVM regex counts, not per-word HOF lambdas (interpreted
+    # — measured 0.30s vs 0.21s for these two signals at sf0.1). Word
+    # boundaries are EXACTLY split-on-space's: lookaround on `^| ` and
+    # ` |\z` (`\z` = absolute end — Java's `$` would also match before a
+    # trailing newline, where DuckDB's RE2 `$` would not).
     alpha_frac = (
-        F.size(F.filter(toks, lambda w: w.rlike("^[a-zA-Z]+$"))).cast("double")
+        F.size(
+            F.regexp_extract_all(c, F.lit(r"(?<=^| )[a-zA-Z]+(?= |\z)"), 0)
+        ).cast("double")
         / nw
     )
-    stop_hits = F.size(F.filter(toks, lambda w: w.isin(*GOPHER_STOPWORDS)))
+    stop_hits = F.size(
+        F.regexp_extract_all(
+            c,
+            F.lit(
+                "(?<=^| )(?:" + "|".join(GOPHER_STOPWORDS) + r")(?= |\z)"
+            ),
+            0,
+        )
+    )
     out = df.select(
         F.col(id_col),
         n_words.cast("long").alias("n_words"),
