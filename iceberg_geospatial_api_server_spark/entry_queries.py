@@ -679,6 +679,69 @@ def geo_lcc(spark, sf_dir):
     )
 
 
+def _ps_oracle_sql() -> str:
+    """Polar Stereographic variant B forward (EPSG:3413, NSIDC Arctic) as
+    DuckDB SQL from the same stage texts the Spark entry runs."""
+    from iceberg_geospatial_api_server_spark.geo.projections import (
+        ps_sql_exprs,
+    )
+
+    ex = ps_sql_exprs(3413)
+    return f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey * 29 % 3600) / CAST(10.0 AS DOUBLE) - 180.0 AS x,
+             (c_custkey * 41 % 1700) / CAST(10.0 AS DOUBLE) - 85.0 AS y
+      FROM customer
+    ),
+    box AS (SELECT * FROM pts WHERE y > 50.0),
+    s1 AS (SELECT c_custkey, x, y, {ex['sp']} AS sp FROM box),
+    s2 AS (SELECT c_custkey, x, {ex['t']} AS t FROM s1),
+    s3 AS (SELECT c_custkey, {ex['theta']} AS theta, {ex['rho']} AS rho
+           FROM s2)
+    SELECT c_custkey,
+           ROUND({ex['easting']}, 3) + 0.0 AS easting,
+           ROUND({ex['northing']}, 3) + 0.0 AS northing
+    FROM s3 ORDER BY c_custkey
+    """
+
+
+@_q("geo_ps", _ps_oracle_sql())
+def geo_ps(spark, sf_dir):
+    """Polar Stereographic (EPSG:3413, the NSIDC Arctic grid) staged
+    selectExpr forward over customer points above 50°N — third
+    oracle-graded projection family next to geo_albers/geo_lcc (the
+    reference serves polar codes through pyproj, ref
+    query/geometry.py:85-95; kernel pinned by scale-factor,
+    spherical-limit and round-trip tests in tests/test_projections.py)."""
+    from iceberg_geospatial_api_server_spark.geo.projections import (
+        ps_sql_exprs,
+    )
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        customer_points,
+    )
+
+    ex = ps_sql_exprs(3413)
+    pts = customer_points(_t(spark, sf_dir, "customer")).filter(
+        F.col("y") > 50.0
+    )
+    return (
+        pts.selectExpr("c_custkey", "x", "y", f"{ex['sp']} AS sp")
+        .selectExpr("c_custkey", "x", f"{ex['t']} AS t")
+        .selectExpr("c_custkey", f"{ex['theta']} AS theta",
+                    f"{ex['rho']} AS rho")
+        # + 0.0 folds IEEE −0.0 to 0.0 on both engines: a point exactly
+        # on θ=±90° rounds rho·cos(θ)≈∓1e-16 to a signed zero whose
+        # repr differs between them (found at c_custkey=450, sf0.01)
+        .selectExpr(
+            "c_custkey",
+            f"ROUND({ex['easting']}, 3) + 0.0 AS easting",
+            f"ROUND({ex['northing']}, 3) + 0.0 AS northing",
+        )
+        .orderBy("c_custkey")
+    )
+
+
 @_q("geo_convex_hull")  # no SQL oracle (hull not expressible without spatial ext)
 def geo_hull(spark, sf_dir):
     from iceberg_geospatial_api_server_spark.geo.functions import (
@@ -3083,6 +3146,10 @@ _ORACLED_OVERFLOW = [
     # land while all four never-observed rows-only entries keep their slots
     "text_language_id",  # driver-green r1-r3; lang_pred also inside graded text_profile
     "q22_lapsed_customers",  # driver-green r3; NOT-EXISTS anti-join shape also in graded q21
+    # lands in r4 with LOCAL grading only (window already at 50 with the
+    # never-observed rows-only block): rotate into the driver window next
+    # round in place of a proven sibling (geo_albers/geo_lcc machinery)
+    "geo_ps",
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

@@ -5,11 +5,13 @@ The reference reprojects between any CRS pair through pyproj
 covers the projected-CRS families Esri clients actually request beyond
 Web-Mercator and UTM — Lambert Conformal Conic (2SP: the US state-plane
 and European Lambert zones), Albers Equal Area (the CONUS/continental
-analysis grids), and Lambert Azimuthal Equal Area (EPSG:3035, the EU
-statistical grid) — as closed-form numpy kernels from the public Snyder
-formulas ("Map Projections — A Working Manual", USGS PP 1395, 1987:
-LCC pp. 104-110, Albers pp. 98-103, LAEA pp. 182-190), the same
-construction `geo/wkb.py` uses for the Krüger UTM series.
+analysis grids), Lambert Azimuthal Equal Area (EPSG:3035, the EU
+statistical grid), and Polar Stereographic (variant B: the NSIDC polar
+science grids 3413/3031/3976; variant A: UPS 32661/32761) — as
+closed-form numpy kernels from the public Snyder formulas ("Map
+Projections — A Working Manual", USGS PP 1395, 1987: LCC pp. 104-110,
+Albers pp. 98-103, LAEA pp. 182-190, Polar Stereographic pp. 160-163),
+the same construction `geo/wkb.py` uses for the Krüger UTM series.
 
 Datums: the registered codes use GRS80 (NAD83/ETRS89/RGF93/GDA94);
 WGS84→GRS80 is treated as identity — the axes differ by <0.1 mm and the
@@ -43,7 +45,7 @@ class ProjParams:
     """Parameters of one projected CRS (angles in DEGREES, offsets in
     the CRS's native unit; `unit` = meters per native unit)."""
 
-    kind: str  # 'lcc2sp' | 'albers' | 'laea'
+    kind: str  # 'lcc2sp' | 'albers' | 'laea' | 'ps'
     ellipsoid: tuple[float, float]
     lat0: float
     lon0: float
@@ -52,6 +54,7 @@ class ProjParams:
     fe: float = 0.0
     fn: float = 0.0
     unit: float = 1.0
+    k0: float = 0.0  # polar stereographic variant A scale factor (0 = variant B)
 
 
 def _ef(ellipsoid):
@@ -256,6 +259,56 @@ def laea_inverse(x, y, p: ProjParams):
 
 
 # ---------------------------------------------------------------------------
+# Polar Stereographic (Snyder pp. 160-163 / EPSG methods 9810 variant A,
+# 9829 variant B) — the polar-science CRS family (NSIDC grids, UPS)
+# ---------------------------------------------------------------------------
+
+
+def _ps_constants(p: ProjParams):
+    """(e, s, scale): rho = scale · t(s·phi). `s` = +1 north aspect /
+    −1 south (sign of lat0 = ±90). Variant A (k0 set): true scale k0 at
+    the pole; variant B: true scale at the standard parallel lat1."""
+    a, e2, e = _ef(p.ellipsoid)
+    s = 1.0 if p.lat0 > 0 else -1.0
+    if p.k0:
+        den = math.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+        scale = 2.0 * a * p.k0 / den
+    else:
+        phi_f = math.radians(s * p.lat1)
+        mf = _m(math.sin(phi_f), math.cos(phi_f), e2)
+        tf = _t(phi_f, math.sin(phi_f), e)
+        scale = a * mf / tf
+    return e, s, scale
+
+
+def ps_forward(lon, lat, p: ProjParams):
+    e, s, scale = _ps_constants(p)
+    theta = np.radians(np.asarray(lon, dtype="f8") - p.lon0)
+    phi_s = np.radians(s * np.asarray(lat, dtype="f8"))
+    t = _t(phi_s, np.sin(phi_s), e)
+    rho = scale * t
+    x = p.fe + rho * np.sin(theta) / p.unit
+    y = p.fn - s * rho * np.cos(theta) / p.unit
+    return x, y
+
+
+def ps_inverse(x, y, p: ProjParams):
+    e, s, scale = _ps_constants(p)
+    dx = (np.asarray(x, dtype="f8") - p.fe) * p.unit
+    dy = (np.asarray(y, dtype="f8") - p.fn) * p.unit
+    rho = np.sqrt(dx * dx + dy * dy)
+    t = rho / scale
+    theta = np.arctan2(dx, -s * dy)
+    phi = math.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):  # Snyder 7-9, converges in ~4 iterations
+        sp = np.sin(phi)
+        phi = math.pi / 2.0 - 2.0 * np.arctan(
+            t * np.power((1.0 - e * sp) / (1.0 + e * sp), e / 2.0)
+        )
+    return np.degrees(theta) + p.lon0, s * np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
 # EPSG registry — official parameter sets from the public EPSG dataset
 # ---------------------------------------------------------------------------
 
@@ -302,10 +355,45 @@ EPSG_PROJECTIONS: dict[int, ProjParams] = {
         lat0=52.0, lon0=10.0,
         fe=4321000.0, fn=3210000.0,
     ),
+    # WGS 84 / NSIDC Sea Ice Polar Stereographic North (variant B)
+    3413: ProjParams(
+        "ps", WGS84,
+        lat0=90.0, lon0=-45.0, lat1=70.0,
+    ),
+    # WGS 84 / Antarctic Polar Stereographic (variant B)
+    3031: ProjParams(
+        "ps", WGS84,
+        lat0=-90.0, lon0=0.0, lat1=-71.0,
+    ),
+    # WGS 84 / NSIDC Sea Ice Polar Stereographic South (variant B)
+    3976: ProjParams(
+        "ps", WGS84,
+        lat0=-90.0, lon0=0.0, lat1=-70.0,
+    ),
+    # WGS 84 / UPS North (variant A: k0 at the pole)
+    32661: ProjParams(
+        "ps", WGS84,
+        lat0=90.0, lon0=0.0, fe=2000000.0, fn=2000000.0, k0=0.994,
+    ),
+    # WGS 84 / UPS South (variant A)
+    32761: ProjParams(
+        "ps", WGS84,
+        lat0=-90.0, lon0=0.0, fe=2000000.0, fn=2000000.0, k0=0.994,
+    ),
 }
 
-_FORWARD = {"lcc2sp": lcc_forward, "albers": albers_forward, "laea": laea_forward}
-_INVERSE = {"lcc2sp": lcc_inverse, "albers": albers_inverse, "laea": laea_inverse}
+_FORWARD = {
+    "lcc2sp": lcc_forward,
+    "albers": albers_forward,
+    "laea": laea_forward,
+    "ps": ps_forward,
+}
+_INVERSE = {
+    "lcc2sp": lcc_inverse,
+    "albers": albers_inverse,
+    "laea": laea_inverse,
+    "ps": ps_inverse,
+}
 
 
 def albers_sql_exprs(wkid: int) -> dict[str, str]:
@@ -356,6 +444,29 @@ def lcc_sql_exprs(wkid: int) -> dict[str, str]:
         "rho": f"{a * big_f!r} * POW(t, {n!r})",
         "easting": f"{p.fe!r} + rho * SIN(theta) / {p.unit!r}",
         "northing": f"{p.fn!r} + ({rho0!r} - rho * COS(theta)) / {p.unit!r}",
+    }
+
+
+def ps_sql_exprs(wkid: int) -> dict[str, str]:
+    """SQL expression texts for the Polar Stereographic FORWARD transform
+    of columns (x, y) in degrees — same shared-text contract as
+    `albers_sql_exprs` (Spark selectExpr stages ≡ DuckDB nested SELECTs,
+    every constant folded to one repr'd double literal)."""
+    p = EPSG_PROJECTIONS[wkid]
+    assert p.kind == "ps"
+    e, s, scale = _ps_constants(p)
+    d2r = math.pi / 180.0
+    qpi = math.pi / 4.0
+    return {
+        "sp": f"SIN({s!r} * y * {d2r!r})",
+        "t": (
+            f"TAN({qpi!r} - ({s!r} * y * {d2r!r}) / 2.0)"
+            f" / POW((1.0 - {e!r} * sp) / (1.0 + {e!r} * sp), {e / 2.0!r})"
+        ),
+        "theta": f"(x - ({p.lon0!r})) * {d2r!r}",
+        "rho": f"{scale!r} * t",
+        "easting": f"{p.fe!r} + rho * SIN(theta) / {p.unit!r}",
+        "northing": f"{p.fn!r} - {s!r} * rho * COS(theta) / {p.unit!r}",
     }
 
 

@@ -404,6 +404,7 @@ def phash_dedup_pairs(
     hashes: DataFrame,
     max_hamming: int = 3,
     block_bits: int = 16,
+    against: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate image pairs from a (doc_id, phash) frame: candidate
     pairs share one of the hash's 16-bit blocks (pigeonhole: any pair
@@ -412,16 +413,31 @@ def phash_dedup_pairs(
     block join: bounded fan-out (4 blocks/image), equi-join keys, the
     hamming test runs codegen inside the join stage before the distinct
     so only true near-dups shuffle.
+
+    Incremental mode (``against=existing_hashes``): same contract as the
+    text dedup family — ``hashes`` is the NEW batch, pairs are emitted
+    only when at least one side is new (old×old pairs drop at the block
+    join, before the hamming filter and distinct spend anything on
+    them). At 100 TB the 8-byte/image hash column is the natural thing
+    to persist between ingest runs; each increment then pays the
+    decode+hash pass for the new batch only. Ids must be unique across
+    the two frames.
     """
     nblocks = 64 // block_bits
     assert max_hamming < nblocks, (
         "pigeonhole guarantee needs max_hamming < 64/block_bits"
     )
     modulus = 1 << block_bits
-    rows = hashes.filter(F.col("phash").isNotNull())
+    corpus = hashes.select("doc_id", "phash", F.lit(1).alias("__new"))
+    if against is not None:
+        corpus = corpus.unionByName(
+            against.select("doc_id", "phash", F.lit(0).alias("__new"))
+        )
+    rows = corpus.filter(F.col("phash").isNotNull())
     blocks = rows.select(
         "doc_id",
         "phash",
+        "__new",
         F.explode(
             F.array(*[
                 F.struct(
@@ -435,21 +451,24 @@ def phash_dedup_pairs(
             ])
         ).alias("__b"),
     ).select(
-        "doc_id", "phash",
+        "doc_id", "phash", "__new",
         F.col("__b.blk").alias("blk"), F.col("__b.val").alias("val"),
     )
     left = blocks.select(
         F.col("doc_id").alias("id_a"), F.col("phash").alias("ph_a"),
-        "blk", "val",
+        F.col("__new").alias("new_a"), "blk", "val",
     )
     right = blocks.select(
         F.col("doc_id").alias("id_b"), F.col("phash").alias("ph_b"),
-        "blk", "val",
+        F.col("__new").alias("new_b"), "blk", "val",
     )
     hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
     return (
         left.join(right, on=["blk", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
+        # incremental: only pairs touching the new batch (folds to true
+        # in batch mode, where everything is tagged new)
+        .filter(F.greatest("new_a", "new_b") == 1)
         .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

@@ -325,3 +325,34 @@ def test_image_phash_stub_and_null_paths(spark):
         for r in image_phash(media, stub=False, skip_undecodable=True).collect()
     }
     assert real.get(1) is None  # not a real PNG -> undecodable -> null
+
+
+def test_phash_pairs_incremental_mode(spark, sf_dir):
+    """incremental(new, against=old) ≡ the full-run pairs touching a new
+    image — same contract as the text dedup family."""
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        image_phash,
+        phash_dedup_pairs,
+        synthesize_image_corpus,
+    )
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    hashes = image_phash(
+        synthesize_image_corpus(docs, neardup_every=10), stub=False
+    )
+    old = hashes.filter(F.col("doc_id") < 60)
+    new = hashes.filter(F.col("doc_id") >= 60)
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in phash_dedup_pairs(new, against=old).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in phash_dedup_pairs(hashes).collect()
+    }
+    touching_new = {p for p in full if p[0] >= 60 or p[1] >= 60}
+    assert inc == touching_new
+    assert inc  # non-vacuous: boundary near-dup pairs exist across the split

@@ -74,6 +74,11 @@ _DOMAINS = {
     5070: (-124.0, -67.0, 24.0, 49.0),
     3577: (113.0, 154.0, -43.0, -10.0),
     3035: (-10.0, 30.0, 35.0, 70.0),
+    3413: (-180.0, 180.0, 45.0, 89.9),
+    3031: (-180.0, 180.0, -89.9, -55.0),
+    3976: (-180.0, 180.0, -89.9, -55.0),
+    32661: (-180.0, 180.0, 55.0, 89.9),
+    32761: (-180.0, 180.0, -89.9, -55.0),
 }
 
 
@@ -88,7 +93,10 @@ def test_registered_codes_round_trip(wkid):
     x, y = fwd(lons, lats)
     assert np.all(np.isfinite(x)) and np.all(np.isfinite(y))
     lon2, lat2 = inv(x, y)
-    assert np.max(np.abs(lon2 - lons)) < 1e-8
+    # longitudes compare modulo 360: ±180 name the same meridian (the
+    # polar codes' domain legitimately spans the antimeridian)
+    dlon = np.abs((lon2 - lons + 180.0) % 360.0 - 180.0)
+    assert np.max(dlon) < 1e-8
     assert np.max(np.abs(lat2 - lats)) < 1e-8
 
 
@@ -192,6 +200,119 @@ def test_staged_sql_exprs_match_numpy_kernels(spark):
                            [f"{ex['q']} AS q"] ))
             .selectExpr("x", "y", f"{ex['theta']} AS theta",
                         f"{ex['rho']} AS rho")
+            .selectExpr(f"{ex['easting']} AS e", f"{ex['northing']} AS n")
+            .collect()
+        )
+        fx, fy = projection_fn(wkid)(
+            np.array([p[0] for p in pts]), np.array([p[1] for p in pts])
+        )
+        for row, ex_x, ex_y in zip(staged, fx, fy):
+            assert abs(row["e"] - ex_x) < 1e-3
+            assert abs(row["n"] - ex_y) < 1e-3
+
+
+def test_polar_stereographic_scale_factors():
+    """Independent correctness anchors for the PS kernels, no external
+    library: (a) variant B is true-scale (k=1) at its standard parallel
+    and (b) variant A's scale at the pole is exactly k0 — both checked
+    numerically as (projected parallel arc) / (true parallel arc)."""
+    import math
+
+    from iceberg_geospatial_api_server_spark.geo.projections import (
+        EPSG_PROJECTIONS,
+        _ef,
+        _m,
+        projection_fn,
+    )
+
+    def parallel_scale(wkid, lat):
+        p = EPSG_PROJECTIONS[wkid]
+        a, e2, _ = _ef(p.ellipsoid)
+        fwd = projection_fn(wkid)
+        dlon = 1e-4
+        x0, y0 = fwd(np.array([10.0]), np.array([lat]))
+        x1, y1 = fwd(np.array([10.0 + dlon]), np.array([lat]))
+        arc = math.hypot(float(x1 - x0), float(y1 - y0)) * p.unit
+        phi = math.radians(lat)
+        true_arc = a * _m(math.sin(phi), math.cos(phi), e2) * math.radians(dlon)
+        return arc / true_arc
+
+    assert abs(parallel_scale(3413, 70.0) - 1.0) < 1e-9   # variant B north
+    assert abs(parallel_scale(3031, -71.0) - 1.0) < 1e-9  # variant B south
+    assert abs(parallel_scale(3976, -70.0) - 1.0) < 1e-9
+    # variant A: k -> k0 approaching the pole
+    assert abs(parallel_scale(32661, 89.999) - 0.994) < 1e-6
+    assert abs(parallel_scale(32761, -89.999) - 0.994) < 1e-6
+    # sanity: away from the standard parallel the scale grows
+    assert parallel_scale(3413, 50.0) > 1.01
+
+
+def test_polar_stereographic_spherical_limit():
+    """With eccentricity -> 0 the ellipsoidal kernel must reduce to the
+    exact closed-form spherical polar stereographic
+    rho = 2·a·k0·tan(pi/4 − phi/2) (Snyder 21-1): a second, independent
+    derivation of the same projection."""
+    import math
+
+    from iceberg_geospatial_api_server_spark.geo.projections import (
+        ProjParams,
+        ps_forward,
+    )
+
+    sphere = (6370000.0, 1e12)  # inverse flattening -> infinity: e ~ 0
+    p = ProjParams("ps", sphere, lat0=90.0, lon0=0.0, k0=0.994)
+    for lon, lat in [(0.0, 80.0), (45.0, 70.0), (-120.0, 60.0)]:
+        x, y = ps_forward(np.array([lon]), np.array([lat]), p)
+        rho_s = (
+            2.0 * 6370000.0 * 0.994
+            * math.tan(math.pi / 4.0 - math.radians(lat) / 2.0)
+        )
+        ex = rho_s * math.sin(math.radians(lon))
+        ey = -rho_s * math.cos(math.radians(lon))
+        assert abs(float(x) - ex) < 1e-3
+        assert abs(float(y) - ey) < 1e-3
+
+
+def test_polar_stereographic_known_geometry():
+    """Structural anchors: the pole maps to (FE, FN); the central
+    meridian maps onto the grid's N axis with the correct orientation
+    (grid north points AWAY from the pole along lon0)."""
+    from iceberg_geospatial_api_server_spark.geo.projections import (
+        projection_fn,
+    )
+
+    # north: a point on lon0=-45 at lat 70 sits below the pole (negative N)
+    x, y = projection_fn(3413)(np.array([-45.0, -45.0]), np.array([90.0, 70.0]))
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    assert abs(x[1]) < 1e-6 and y[1] < -2.0e6
+    # south: a point on lon0=0 at lat -71 sits above the pole (positive N)
+    x, y = projection_fn(3031)(np.array([0.0, 0.0]), np.array([-90.0, -71.0]))
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    assert abs(x[1]) < 1e-6 and y[1] > 2.0e6
+    # UPS north false origin
+    x, y = projection_fn(32661)(np.array([0.0]), np.array([90.0]))
+    assert abs(x[0] - 2000000.0) < 1e-6 and abs(y[0] - 2000000.0) < 1e-6
+
+
+def test_ps_staged_sql_matches_numpy(spark):
+    import pandas as pd
+
+    from iceberg_geospatial_api_server_spark.geo.projections import (
+        projection_fn,
+        ps_sql_exprs,
+    )
+
+    for wkid, pts in [
+        (3413, [(-45.0, 70.0), (100.0, 60.0), (-170.0, 85.0)]),
+        (3031, [(0.0, -71.0), (120.0, -75.0), (-60.0, -88.0)]),
+        (32661, [(44.0, 73.0), (0.0, 89.0)]),
+    ]:
+        ex = ps_sql_exprs(wkid)
+        df = spark.createDataFrame(pd.DataFrame(pts, columns=["x", "y"]))
+        staged = (
+            df.selectExpr("x", "y", f"{ex['sp']} AS sp")
+            .selectExpr("x", "y", f"{ex['t']} AS t")
+            .selectExpr("x", f"{ex['theta']} AS theta", f"{ex['rho']} AS rho")
             .selectExpr(f"{ex['easting']} AS e", f"{ex['northing']} AS n")
             .collect()
         )
