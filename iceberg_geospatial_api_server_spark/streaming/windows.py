@@ -251,3 +251,54 @@ def neardup_stream(
         .foreachBatch(handle)
         .trigger(availableNow=True)
     )
+
+
+def image_neardup_stream(
+    media_stream: DataFrame,
+    hashes_dir: str,
+    pairs_dir: str,
+    checkpoint: str,
+    stub: bool = True,
+    **phash_params,
+):
+    """Streaming near-duplicate IMAGE detection — incremental pHash per
+    micro-batch (the continuous form of
+    ``multimodal.phash_dedup_pairs(against=...)``).
+
+    The accumulated state at ``hashes_dir`` is the (doc_id, phash)
+    table — 8 bytes per image, NEVER the payloads: each batch decodes
+    and hashes only its own images, probes its hash blocks against the
+    whole history, and appends its hashes. Same exactness contract as
+    `neardup_stream`: streaming any split of a corpus yields exactly
+    the full-run pair set (each pair lands in the batch where the later
+    image arrives).
+    """
+    import os
+
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        image_phash,
+        phash_dedup_pairs,
+    )
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        hashes = image_phash(batch, stub=stub)
+        against = (
+            spark.read.parquet(hashes_dir)
+            if os.path.isdir(hashes_dir)
+            else None
+        )
+        pairs = phash_dedup_pairs(hashes, against=against, **phash_params)
+        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(pairs_dir)
+        hashes.write.mode("append").parquet(hashes_dir)
+
+    return (
+        media_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(handle)
+        .trigger(availableNow=True)
+    )

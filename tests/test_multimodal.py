@@ -356,3 +356,35 @@ def test_phash_pairs_incremental_mode(spark, sf_dir):
     touching_new = {p for p in full if p[0] >= 60 or p[1] >= 60}
     assert inc == touching_new
     assert inc  # non-vacuous: boundary near-dup pairs exist across the split
+
+
+def test_phash_property_invariances():
+    """Property-test the DCT hash's algebraic invariances: scaling all
+    intensities by c>0 scales every DCT coefficient by c and leaves the
+    median-threshold bits EXACTLY unchanged; adding a constant moves
+    only the DC coefficient (the 63 AC bits are shift-invariant)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        phash64_of_gray,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        h=st.integers(8, 64),
+        w=st.integers(8, 64),
+        scale=st.floats(0.1, 7.5),
+        shift=st.floats(-40.0, 40.0),
+    )
+    def check(seed, h, w, scale, shift):
+        rng = np.random.RandomState(seed)
+        img = rng.rand(h, w) * 255.0
+        base = phash64_of_gray(img)
+        assert phash64_of_gray(img * scale) == base
+        shifted = phash64_of_gray(img + shift)
+        assert shifted & ~1 == base & ~1  # clear the DC bit (bit 0)
+
+    check()

@@ -407,3 +407,57 @@ def test_streaming_pack_matches_batch(spark, sf_dir, tmp_path_factory):
         for r in pack_sequences(docs, max_tokens=128).collect()
     }
     assert got == want
+
+
+def test_image_neardup_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Streaming pHash image dedup: feeding the image corpus in two
+    chunks yields exactly the batch run's pair set, and the persisted
+    state is the hash table (8 bytes/image), never payloads."""
+    import os
+    import time as _time
+
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        image_phash,
+        phash_dedup_pairs,
+        synthesize_image_corpus,
+    )
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+    from iceberg_geospatial_api_server_spark.streaming.windows import (
+        image_neardup_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(100)
+    media = synthesize_image_corpus(docs, neardup_every=10)
+    full = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash_dedup_pairs(image_phash(media, stub=False)).collect()
+    }
+    assert full, "vacuous: no planted image near-dups"
+
+    base = tmp_path_factory.mktemp("image_neardup_stream")
+    src = str(base / "src")
+    media.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    _time.sleep(1.1)  # distinct mtimes: file source orders by mod time
+    media.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    schema = "doc_id long, payload binary, modality string, codec string"
+    hashes_dir, pairs_dir = str(base / "hashes"), str(base / "pairs")
+    q = image_neardup_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        hashes_dir,
+        pairs_dir,
+        str(base / "ckpt"),
+        stub=False,
+    ).start()
+    q.awaitTermination(120)
+
+    got_rows = spark.read.parquet(pairs_dir).collect()
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in got_rows}
+    assert got == full
+    state = spark.read.parquet(hashes_dir)
+    assert state.count() == 100
+    assert set(state.columns) == {"doc_id", "phash"}  # hashes, not payloads
