@@ -1651,6 +1651,59 @@ def ann_ivfpq_exhaustive_q(spark, sf_dir):
     )
 
 
+_BF_ORACLE = """
+    SELECT q_id, vec_id, ROUND(cos_sim, 6) AS cos_sim, CAST(rn AS INT) AS rank
+    FROM (
+      SELECT q.vec_id AS q_id, b.vec_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rn
+      FROM (SELECT * FROM embeddings WHERE vec_id IN (0, 101, 202, 303, 404)) q
+      CROSS JOIN embeddings b)
+    WHERE rn <= 10
+    """
+
+
+@_q("ann_ivf_exhaustive", _BF_ORACLE)
+def ann_ivf_exhaustive_q(spark, sf_dir):
+    """IVF-flat MACHINERY hash-graded (the `ann_ivfpq_exhaustive`
+    pattern): with nprobe = nlist every inverted list is probed, so the
+    candidate set is the whole corpus and the output must EQUAL
+    brute-force top-k — DuckDB verifies value-for-value. The quantizer,
+    list assignment, probe join and exact re-rank all still execute;
+    a dropped or duplicated candidate anywhere breaks the hash. The
+    approximate configuration stays rows-only (`ann_ivf_topk`)."""
+    from iceberg_geospatial_api_server_spark.operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id").isin(0, 101, 202, 303, 404)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return ivf_topk(emb, queries_df, k=10, nlist=8, nprobe=8)
+
+
+@_q("ann_lsh_exhaustive", _BF_ORACLE)
+def ann_lsh_exhaustive_q(spark, sf_dir):
+    """Hyperplane-LSH MACHINERY hash-graded: with nbits=1 and multiprobe
+    (home bucket + the single 1-bit flip) every query probes BOTH
+    buckets of the table, so the deduplicated candidate union is the
+    whole corpus and the output must EQUAL brute-force top-k. Bucket
+    hashing, the block join, candidate dedup and the exact re-rank all
+    still execute. The approximate configuration stays rows-only
+    (`ann_lsh_topk`)."""
+    from iceberg_geospatial_api_server_spark.operators.ann import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id").isin(0, 101, 202, 303, 404)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return lsh_topk(
+        emb, queries_df, k=10, nbits=1, dim=64, num_tables=1, multiprobe=True
+    )
+
+
 @_q("ann_ivf_topk")  # rows-only: approximate by design (recall tested in tests/)
 def ann_ivf_q(spark, sf_dir):
     from iceberg_geospatial_api_server_spark.operators.ann import ivf_topk
@@ -3146,10 +3199,13 @@ _ORACLED_OVERFLOW = [
     # land while all four never-observed rows-only entries keep their slots
     "text_language_id",  # driver-green r1-r3; lang_pred also inside graded text_profile
     "q22_lapsed_customers",  # driver-green r3; NOT-EXISTS anti-join shape also in graded q21
-    # lands in r4 with LOCAL grading only (window already at 50 with the
+    # land in r4 with LOCAL grading only (window already at 50 with the
     # never-observed rows-only block): rotate into the driver window next
-    # round in place of a proven sibling (geo_albers/geo_lcc machinery)
+    # round in place of proven siblings (geo_albers/geo_lcc machinery;
+    # ann_ivfpq_exhaustive covers the exhaustive-ANN grading pattern)
     "geo_ps",
+    "ann_ivf_exhaustive",
+    "ann_lsh_exhaustive",
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):
