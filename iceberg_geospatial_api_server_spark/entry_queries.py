@@ -2311,15 +2311,19 @@ def _pii_oracle_sql() -> str:
     )
 
     (_, em, _), (_, ip, _), (_, ph, _) = PII_PATTERNS
-    scrub = f"""regexp_replace(regexp_replace(regexp_replace(dt,
-              '{em}', '<EMAIL>', 'g'), '{ip}', '<IP>', 'g'),
-              '{ph}', '<PHONE>', 'g')"""
+    # each class counts on the text as scrubbed by the EARLIER classes
+    # (mirrors operators.text.pii_scrub: counts = replacements performed)
+    after_em = f"regexp_replace(dt, '{em}', '<EMAIL>', 'g')"
+    after_ip = f"regexp_replace({after_em}, '{ip}', '<IP>', 'g')"
+    scrub = f"regexp_replace({after_ip}, '{ph}', '<PHONE>', 'g')"
     return f"""
     WITH d AS (SELECT doc_id, {_PII_DECOR} AS dt FROM documents)
     SELECT doc_id,
            CAST(LEN(regexp_extract_all(dt, '{em}')) AS BIGINT) AS n_emails,
-           CAST(LEN(regexp_extract_all(dt, '{ip}')) AS BIGINT) AS n_ips,
-           CAST(LEN(regexp_extract_all(dt, '{ph}')) AS BIGINT) AS n_phones,
+           CAST(LEN(regexp_extract_all({after_em}, '{ip}')) AS BIGINT)
+             AS n_ips,
+           CAST(LEN(regexp_extract_all({after_ip}, '{ph}')) AS BIGINT)
+             AS n_phones,
            md5({scrub}) AS scrub_md5
     FROM d ORDER BY doc_id
     """

@@ -1140,11 +1140,23 @@ def nearest_join_broadcast(
     Distances are IEEE sqrt of the coordinate differences — bit-equal
     across engines, so ties are exact, not approximate.
     """
+    # drop right rows with null/NaN coordinates BEFORE the argmin: a
+    # single NaN coordinate would poison every distance column (argmin
+    # returns the first NaN index), and min_by-style semantics order
+    # NaN last. Null-safe sort key: (is-null, value) tuples keep None
+    # rows deterministic without comparing None < int.
     r_rows = right.select(
         F.col(rx).alias("__rx"), F.col(ry).alias("__ry"),
         *[F.col(c) for c in right_keep],
+    ).filter(
+        F.col("__rx").isNotNull()
+        & F.col("__ry").isNotNull()
+        & ~F.isnan(F.col("__rx").cast("double"))
+        & ~F.isnan(F.col("__ry").cast("double"))
     ).collect()
-    r_rows.sort(key=lambda r: tuple(r[c] for c in right_keep))
+    r_rows.sort(
+        key=lambda r: tuple((r[c] is None, r[c]) for c in right_keep)
+    )
     out_schema = T.StructType(
         list(left.schema.fields)
         + [

@@ -579,7 +579,13 @@ def pca_fit(
 
     def moments(batches):
         for pdf in batches:
-            vecs = [np.asarray(v, dtype="f8") for v in pdf[vec_col]]
+            # null embeddings contribute nothing to the moments (the
+            # JVM-expression analog of dropping null rows)
+            vecs = [
+                np.asarray(v, dtype="f8")
+                for v in pdf[vec_col]
+                if v is not None
+            ]
             if not vecs:
                 continue
             m = np.stack(vecs)
@@ -639,14 +645,20 @@ def pca_project(
 
     def project(batches):
         for pdf in batches:
-            vecs = [np.asarray(v, dtype="f8") for v in pdf[vec_col]]
-            if not vecs:
+            if not len(pdf):
                 continue
-            p = (np.stack(vecs) - mean) @ comps.T
+            vals = list(pdf[vec_col])
+            live = [i for i, v in enumerate(vals) if v is not None]
+            proj: list = [None] * len(vals)
+            if live:
+                m = np.stack([np.asarray(vals[i], dtype="f8") for i in live])
+                p = np.round((m - mean) @ comps.T, 6)
+                for j, i in enumerate(live):
+                    proj[i] = p[j]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
-                    "proj": list(np.round(p, 6)),
+                    "proj": pd.Series(proj, dtype=object),
                 }
             )
 
@@ -683,7 +695,11 @@ def quantize_embeddings(
 
     def gen(batches):
         for pdf in batches:
-            vecs = [np.asarray(v, dtype="f8") for v in pdf[vec_col]]
+            raw = list(pdf[vec_col])
+            null_idx = [i for i, v in enumerate(raw) if v is None]
+            vecs = [
+                np.asarray(v, dtype="f8") for v in raw if v is not None
+            ]
             if vecs and len({len(v) for v in vecs}) == 1:
                 m = np.stack(vecs)  # uniform dims: one vectorized sweep
                 mn = m.min(axis=1)
@@ -712,6 +728,22 @@ def quantize_embeddings(
                                 np.floor((v - mn[i]) * 255.0 / r), 255.0
                             ).astype("i4")
                         )
+            if null_idx:
+                # re-insert null rows as null stats/codes (the graceful
+                # behavior a JVM-expression pipeline would have)
+                nd: list = list(n_dims)
+                vmn: list = list(mn)
+                vmx: list = list(mx)
+                cl: list = list(code_lists)
+                for i in null_idx:
+                    nd.insert(i, None)
+                    vmn.insert(i, None)
+                    vmx.insert(i, None)
+                    cl.insert(i, None)
+                n_dims = pd.Series(nd, dtype=object)
+                mn = pd.Series(vmn, dtype=object)
+                mx = pd.Series(vmx, dtype=object)
+                code_lists = cl
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),

@@ -509,14 +509,18 @@ def dedup_simhash(
             F.col(id_col), F.col("__new"), hasher(F.col("__w")).alias("__h")
         )
     )
-    # bit votes packed 3-per-aggregate: each 21-bit field accumulates one
-    # bit's ONES count (no inter-field carry while a doc has < 2^21
-    # distinct words), so the vote stage maintains ⌈bits/3⌉+1 aggregate
-    # buffers instead of `bits` (measured 0.40s → 0.27s at sf0.1). The
-    # majority vote is then ones·2 > n instead of a ±1 running sum.
-    field = 21
+    # bit votes packed 2-per-aggregate: each 31-bit field accumulates one
+    # bit's ONES count, so the vote stage maintains ⌈bits/2⌉+1 aggregate
+    # buffers instead of `bits` (the packing measured 0.40s → 0.27s at
+    # sf0.1 vs per-bit sums). The majority vote is then ones·2 > n
+    # instead of a ±1 running sum. 31-bit fields cannot carry into each
+    # other: overflow would need ≥2^31 distinct tokens in ONE document,
+    # beyond any representable row (a 3×21-bit packing saved one buffer
+    # but silently corrupted neighboring votes past 2^21 ≈ 2M distinct
+    # tokens — a size an unfiltered web-crawl document can reach).
+    field = 31
     mask = (1 << field) - 1
-    groups = [list(range(i, min(i + 3, bits))) for i in range(0, bits, 3)]
+    groups = [list(range(i, min(i + 2, bits))) for i in range(0, bits, 2)]
     aggs = [F.count(F.lit(1)).alias("__n"), F.first("__new").alias("__new")]
     for gi, g in enumerate(groups):
         packed = None
@@ -544,7 +548,11 @@ def dedup_simhash(
     # both sides of the block self-join scan the signatures: persist them
     # (1 long per doc — tiny next to the corpus) or the whole
     # explode+hash+vote pipeline executes twice. storage_level=None runs
-    # cache-free, same contract as dedup_minhash_lsh.
+    # cache-free, same contract as dedup_minhash_lsh. The persist is NOT
+    # unpersisted here (the returned frame is lazy — releasing it before
+    # the caller's action would defeat it): long-lived sessions calling
+    # repeatedly should pass storage_level=None or clearCache()
+    # between calls, or stale entries tax later queries' plan-matching.
     if storage_level is not None:
         sigs = sigs.persist(storage_level)
 

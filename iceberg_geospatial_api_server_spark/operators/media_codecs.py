@@ -237,18 +237,29 @@ def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
     )
 
 
-def decode_features(buf: bytes, codec: str) -> np.ndarray:
-    """Decode one payload by codec and return its 8-d feature vector."""
+def decode_image(buf: bytes, codec: str) -> np.ndarray:
+    """Decode one image payload by codec → uint8 (h, w[, c]) array:
+    stdlib PNG path, Pillow for jpeg/bmp/gif/webp when installed."""
     codec = codec.lower()
     if codec == "png":
-        return image_features(decode_png(buf))
-    if codec == "wav":
-        return audio_features(*decode_wav(buf))
+        return decode_png(buf)
     if codec in ("jpg", "jpeg", "bmp", "gif", "webp") and pil_available():
         import PIL.Image
 
-        img = np.asarray(PIL.Image.open(io.BytesIO(buf)).convert("RGB"))
-        return image_features(img)
+        return np.asarray(PIL.Image.open(io.BytesIO(buf)).convert("RGB"))
+    raise NotImplementedError(
+        f"no image decoder for codec {codec!r} in this environment "
+        "(png is stdlib; jpeg &co need Pillow)"
+    )
+
+
+def decode_features(buf: bytes, codec: str) -> np.ndarray:
+    """Decode one payload by codec and return its 8-d feature vector."""
+    codec = codec.lower()
+    if codec == "wav":
+        return audio_features(*decode_wav(buf))
+    if codec in ("png", "jpg", "jpeg", "bmp", "gif", "webp"):
+        return image_features(decode_image(buf, codec))
     raise NotImplementedError(
         f"no decoder for codec {codec!r} in this environment "
         "(png/wav are stdlib; jpeg &co need Pillow)"

@@ -376,9 +376,7 @@ def image_phash(
                     out_rows.append((int(doc_id), phash64_of_gray(gray)))
                     continue
                 try:
-                    if not media_codecs.media_decode_available(str(codec)):
-                        raise NotImplementedError(codec)
-                    img = media_codecs.decode_png(bytes(buf))
+                    img = media_codecs.decode_image(bytes(buf), str(codec))
                     gray = img.astype("f8").mean(axis=2) if img.ndim == 3 else img.astype("f8")
                     out_rows.append((int(doc_id), phash64_of_gray(gray)))
                 except (NotImplementedError, ValueError):

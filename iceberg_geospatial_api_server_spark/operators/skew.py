@@ -75,14 +75,18 @@ def salted_topk_per_key(
         *key_cols, "__salt"
     ).orderBy(F.desc(order_col), *tiebreak)
     w2 = Window.partitionBy(*key_cols).orderBy(F.desc(order_col), *tiebreak)
-    # positional salt, NOT a hash of (order, tiebreak) values: the top-k
-    # subset property holds for ANY salt assignment, and a value-derived
-    # salt funnels a hot key whose rows share a constant order value
-    # through a single reducer — the exact case this helper exists for.
-    # monotonically_increasing_id is sequential within each input
-    # partition, so pmod round-robins rows across salts uniformly.
+    # whole-ROW hash salt: the top-k subset property holds for ANY salt
+    # assignment, so the only requirements are (a) uniformity on a hot
+    # key — hashing every column spreads rows even when the order value
+    # is constant (hashing just (order, tiebreak) funneled that case) —
+    # and (b) DETERMINISM across stage retries: this is a shuffle
+    # partition key, and a nondeterministic salt (positional ids, rand)
+    # can lose or duplicate rows when Spark re-runs a map stage after a
+    # fetch failure. Fully identical rows still co-locate (any
+    # deterministic function must), but such rows are mutual ties whose
+    # k-survivor subset is unaffected.
     salted = df.withColumn(
-        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     )
     pruned = (
         salted.withColumn("__r1", F.row_number().over(w1))

@@ -170,24 +170,30 @@ def pii_scrub(
     applied in the fixed PII_PATTERNS order (replacement tags contain
     no digits, so later patterns cannot match inside earlier tags).
 
+    Each class is COUNTED on the text as already scrubbed by the
+    earlier classes, so the count is the number of replacements
+    actually performed and per-class counts always reconcile with the
+    tags in `scrubbed` (counting every class on the raw text would
+    report an <IP>-shaped substring inside an email that the email
+    pass had already consumed).
+
     Scale posture: counts and replacement are JVM regexp built-ins in
     the scan stage — map-side, no shuffle, no Python.
 
     (Training-pipeline adjacency; the reference has no scrub analog —
     its ingestion ends at upload, ref api/main.py:678-899.)
     """
-    c = F.col(text_col)
-    counts = [
-        F.size(F.regexp_extract_all(c, F.lit(pat), 0))
-        .cast("long")
-        .alias(f"n_{name}s")
-        for name, pat, _ in PII_PATTERNS
-    ]
-    scrubbed = c
-    for _, pat, tag in PII_PATTERNS:
-        scrubbed = F.regexp_replace(scrubbed, pat, tag)
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, tag in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+            .cast("long")
+            .alias(f"n_{name}s")
+        )
+        cur = F.regexp_replace(cur, pat, tag)
     return df.select(
-        F.col(id_col), *counts, scrubbed.alias("scrubbed")
+        F.col(id_col), *counts, cur.alias("scrubbed")
     )
 
 

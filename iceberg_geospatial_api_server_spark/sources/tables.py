@@ -64,6 +64,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     hit = _TABLE_CACHE.get(key)
     if hit is not None:
         return hit
+    # evict entries from other applicationIds: plans of stopped sessions
+    # are dead weight (a suite that starts/stops sessions would otherwise
+    # leak one plan set per session). NOTE the memo also pins the file
+    # listing — rewriting a parquet dir in place mid-session serves the
+    # stale listing, the same contract as a registered catalog table.
+    for k in [k for k in _TABLE_CACHE if k[0] != key[0]]:
+        del _TABLE_CACHE[k]
     ensure_workers_can_import(spark)
     if name in _NANO_TS_COLS:
         # runtime-settable; needed because the driver may hand us a session

@@ -388,3 +388,40 @@ def test_phash_property_invariances():
         assert shifted & ~1 == base & ~1  # clear the DC bit (bit 0)
 
     check()
+
+
+@pytest.mark.skipif(not mc.pil_available(), reason="Pillow not installed")
+def test_image_phash_jpeg_via_pil(spark):
+    """The real phash path dispatches through decode_image, so jpeg
+    payloads hash when Pillow is installed (a decode_png-only gate
+    nulled every non-PNG image)."""
+    import io
+
+    import PIL.Image
+
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        image_phash,
+    )
+
+    img = (np.random.RandomState(5).rand(32, 32, 3) * 255).astype(np.uint8)
+    bio = io.BytesIO()
+    PIL.Image.fromarray(img).save(bio, format="JPEG")
+    media = spark.createDataFrame(
+        [(1, bio.getvalue(), "image", "jpeg")],
+        "doc_id long, payload binary, modality string, codec string",
+    )
+    rows = image_phash(media, stub=False).collect()
+    assert rows[0]["phash"] is not None
+
+
+def test_decode_image_dispatch():
+    """decode_image: png via the stdlib codec; unknown codecs raise
+    NotImplementedError (never silently fall through to decode_png)."""
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    dec = mc.decode_image(mc.encode_png(img), "png")
+    assert dec.shape == (4, 4, 3)
+    with pytest.raises(NotImplementedError):
+        mc.decode_image(b"\x00" * 10, "tiff")
+    if not mc.pil_available():
+        with pytest.raises(NotImplementedError):
+            mc.decode_image(b"\x00" * 10, "jpeg")

@@ -221,3 +221,49 @@ def test_gopher_rules_scan_stage_only(docs):
 
     out = gopher_structural_rules(docs)
     assert shuffle_count(out) == 0  # pure map-side filter battery
+
+
+def test_quantize_embeddings_null_vector_row(spark):
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 2.0]), (2, None), (3, [5.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert rows[1]["codes"] == [0, 255]
+    assert rows[2]["codes"] is None and rows[2]["v_min"] is None
+    assert rows[2]["n_dims"] is None
+    assert rows[3]["codes"] == [0, 0]  # constant vector
+
+
+def test_pca_null_vector_row(spark):
+    import numpy as np
+
+    from iceberg_geospatial_api_server_spark.operators.ann import pca_project
+
+    rng = np.random.RandomState(3)
+    data = [(i, rng.rand(4).tolist()) for i in range(20)]
+    data.append((99, None))
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    rows = {r["vec_id"]: r["proj"] for r in pca_project(df, k=2).collect()}
+    assert rows[99] is None          # null row projects to null
+    assert rows[0] is not None and len(rows[0]) == 2
+
+
+def test_pii_scrub_counts_match_emitted_tags(spark):
+    """Counts are of replacements PERFORMED: an IP-shaped substring
+    inside an email is consumed by the email pass and must not count."""
+    from iceberg_geospatial_api_server_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "contact a@1.2.3.4.com now"), (2, "plain 1.2.3.4 here")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert rows[1]["n_emails"] == 1
+    assert rows[1]["n_ips"] == 0            # consumed by <EMAIL>
+    assert "<IP>" not in rows[1]["scrubbed"]
+    assert rows[2]["n_ips"] == 1 and "<IP>" in rows[2]["scrubbed"]

@@ -531,3 +531,23 @@ def test_conic_projection_entries_are_scan_stage(spark, sf_dir):
         assert "Python" not in plan and "Arrow" not in plan, name
         assert hash_exchange_count(plan) == 0, name
         assert "PushedFilters" in plan, name
+
+
+def test_nearest_join_broadcast_ignores_bad_right_rows(spark):
+    """A right row with NULL keep column or NaN coordinates must not
+    poison the argmin (NaN wins every np.argmin comparison) nor crash
+    the None-unsafe tuple sort."""
+    from iceberg_geospatial_api_server_spark.geo.functions import (
+        nearest_join_broadcast,
+    )
+
+    left = spark.createDataFrame([(1, 0.0, 0.0)], "id long, x double, y double")
+    right = spark.createDataFrame(
+        [(10, 1.0, 1.0), (None, 9.0, 9.0), (30, float("nan"), 2.0)],
+        "rid long, rx double, ry double",
+    )
+    out = nearest_join_broadcast(
+        left, right, "id", "x", "y", "rx", "ry", ["rid"]
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["nn_rid"] == 10  # not the NaN row, no TypeError
