@@ -551,3 +551,44 @@ def test_nearest_join_broadcast_ignores_bad_right_rows(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["nn_rid"] == 10  # not the NaN row, no TypeError
+
+
+def test_dim_stats_single_exchange(tables):
+    """posexplode collapses map-side; the d-key groupBy is the only hash
+    exchange (plus the single-partition sort of the d-row output)."""
+    from iceberg_geospatial_api_server_spark.operators.ann import dim_stats
+    from iceberg_geospatial_api_server_spark.plans.explain import (
+        hash_exchange_count,
+    )
+
+    out = dim_stats(tables["embeddings"])
+    assert hash_exchange_count(out) == 1
+
+
+def test_pca_projection_pass_no_shuffle(tables):
+    """The projection pass is pure map-side: scan → mapInPandas, zero
+    exchanges (the moment pass's bounded collect happens at build time)."""
+    from iceberg_geospatial_api_server_spark.operators.ann import pca_project
+    from iceberg_geospatial_api_server_spark.plans.explain import shuffle_count
+
+    out = pca_project(tables["embeddings"], k=4)
+    assert shuffle_count(out) == 0
+
+
+def test_phash_pairs_no_cartesian(spark, sf_dir):
+    """The candidate join is an equi-join on (blk, val) — never a
+    cartesian product, and the phash column (8 B/image) is all that
+    shuffles."""
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        image_phash,
+        phash_dedup_pairs,
+        synthesize_image_corpus,
+    )
+    from iceberg_geospatial_api_server_spark.plans.explain import (
+        assert_no_cartesian,
+    )
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    hashes = image_phash(synthesize_image_corpus(docs), stub=False)
+    assert_no_cartesian(phash_dedup_pairs(hashes))
