@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "corpus_clean",
     "corpus_split",
     "corpus_decontaminate",
+    "corpus_segment_dedup",
+    "text_dup_spans",
     "corpus_pii_scrub",
     "text_gopher_rules",
     "embed_dim_stats",

@@ -2138,6 +2138,21 @@ def embed_kmeans_q(spark, sf_dir):
     return kmeans_cluster_profile(_t(spark, sf_dir, "embeddings"), k=8, iters=4)
 
 
+@_q("dedup_semantic")  # rows-only: k-means blocking is iterative (Lloyd's)
+# — planted-near-dup recall + blocking-miss bound asserted in tests
+def dedup_semantic_q(spark, sf_dir):
+    """SemDeDup per-cluster profile: deterministic k-means blocking
+    (hash-threshold seeds, fixed iters) + in-cluster cosine pairs at
+    0.92, reported as per-cell vector/pair/drop counts."""
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        dedup_semantic_profile,
+    )
+
+    return dedup_semantic_profile(
+        _t(spark, sf_dir, "embeddings"), threshold=0.92, k=8, iters=4
+    )
+
+
 @_q(
     "doc_chunks",
     """
@@ -2455,6 +2470,119 @@ def dedup_simhash_stats_q(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("hamming")
     )
+
+
+@_q(
+    "corpus_segment_dedup",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), segs AS (
+      SELECT doc_id,
+             unnest(list_transform(grid, i ->
+               {_WHASH.format(w="array_to_string(toks[(i*10+1):(i*10+10)], ' ')")}))
+               AS seg_hash,
+             unnest(list_transform(grid, i ->
+               LEN(toks[(i*10+1):(i*10+10)]))) AS seg_ntok
+      FROM (SELECT doc_id, toks,
+                   generate_series(0,
+                     GREATEST(CAST(CEIL(LEN(toks) / 10.0) AS INT), 1) - 1)
+                     AS grid
+            FROM t)
+    ), counts AS (
+      SELECT seg_hash, COUNT(DISTINCT doc_id) AS nd
+      FROM segs GROUP BY seg_hash
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segs,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_segs,
+           ROUND(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*)::DOUBLE, 6) AS dup_seg_frac,
+           CAST(SUM(CASE WHEN nd < 2 THEN seg_ntok ELSE 0 END) AS BIGINT)
+             AS n_tokens_kept
+    FROM segs JOIN counts USING (seg_hash)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def corpus_segment_dedup_q(spark, sf_dir):
+    """CCNet-style shared-segment stats: 10-word segments hashed
+    corpus-wide; segments in >= 2 distinct docs are boilerplate. The
+    driver hash-grades the full explode -> distinct-doc-count -> join ->
+    re-agg pipeline value-for-value."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        segment_dedup_stats,
+    )
+    from iceberg_geospatial_api_server_spark.util import spread
+
+    return segment_dedup_stats(spread(_t(spark, sf_dir, "documents"), None))
+
+
+# word-8-gram strings of `text` (mirrors operators.text.overlapping_gram_strings(n=8))
+_GRAMS8 = (
+    "list_transform(generate_series(1,"
+    " greatest(LEN(string_split(text, ' ')) - 7, 0)),"
+    " i -> array_to_string(string_split(text, ' ')[i:i+7], ' '))"
+)
+
+
+@_q(
+    "text_dup_spans",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(generate_series(0, LEN({_GRAMS8}) - 1)) AS pos,
+             unnest(list_transform({_GRAMS8}, w -> {{whash}})) AS h
+      FROM documents
+    ), c AS (
+      SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ), d AS (
+      SELECT doc_id, pos FROM g JOIN c USING (h)
+    ), m AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       > 8 THEN 1 ELSE 0 END AS brk
+      FROM d
+    ), i AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM m
+    ), s AS (
+      SELECT doc_id, COUNT(*) AS grams, MAX(pos) - MIN(pos) + 8 AS span_tokens
+      FROM i GROUP BY doc_id, isl
+    ), p AS (
+      SELECT doc_id, CAST(SUM(grams) AS BIGINT) AS n_dup_grams,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+      FROM s GROUP BY doc_id
+    ), b AS (
+      SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(GREATEST(LEN(string_split(text, ' ')) - 7, 0) AS BIGINT)
+               AS n_grams
+      FROM documents
+    )
+    SELECT b.doc_id, n_tokens, n_grams,
+           COALESCE(n_dup_grams, 0) AS n_dup_grams,
+           COALESCE(n_spans, 0) AS n_spans,
+           COALESCE(dup_tokens, 0) AS dup_tokens,
+           ROUND(COALESCE(dup_tokens, 0)::DOUBLE / n_tokens::DOUBLE, 6)
+             AS dup_token_frac
+    FROM b LEFT JOIN p USING (doc_id) ORDER BY b.doc_id
+    """.replace("{whash}", _WHASH.format(w="w")),
+)
+def text_dup_spans_q(spark, sf_dir):
+    """Duplicated-span stats (Lee-et-al exact-substring-dedup analog):
+    cross-doc 8-gram hits merged into maximal token spans per document
+    via interval union. Hash-graded: the gram hashing, the distinct-doc
+    gate, AND the lag/row_number interval merge must agree
+    value-for-value with the SQL islands-and-gaps formulation."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        dup_span_stats,
+    )
+    from iceberg_geospatial_api_server_spark.util import spread
+
+    return dup_span_stats(spread(_t(spark, sf_dir, "documents"), None))
 
 
 # duplicate-occurrence ratio over a list expression, as DuckDB SQL
@@ -3210,6 +3338,13 @@ _ORACLED_OVERFLOW = [
     "geo_ps",
     "ann_ivf_exhaustive",
     "ann_lsh_exhaustive",
+    # r4 (cont.): two multi-round-green entries rotate out so the new
+    # dedup-pipeline oracles (corpus_segment_dedup, text_dup_spans) are
+    # graded in the round they land
+    "text_profile",  # driver-green r1-r3; quality/lang/token machinery also
+    # graded via text_gopher_rules, corpus_token_budget, text_language_id
+    "dedup_exact",  # driver-green r2+r3; md5 groupBy shape also graded via
+    # dedup_keep_first_prefix and corpus_clean's shared md5 shuffle
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

@@ -161,6 +161,149 @@ def embedding_neardup_pairs(
     )
 
 
+def dedup_semantic(
+    df: DataFrame,
+    threshold: float = 0.92,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pairs via k-means blocking — cluster the embedding
+    space, then compare cosines only WITHIN a cluster.
+
+    This is the published recipe for semantic dedup at web scale: the
+    all-pairs cosine graph is quadratic in the corpus, but after
+    clustering, candidate pairs are quadratic only in the CLUSTER, and k
+    scales with the corpus so cluster sizes stay bounded. Pairs whose
+    members land in different clusters are missed by construction — the
+    paper's accepted trade-off (boundary splits are rare for genuinely
+    near-identical vectors, which cluster together by definition).
+
+    Deterministic end-to-end: `kmeans_fit` seeds by hash threshold and
+    runs a fixed iteration count, so the blocking — and therefore the
+    pair set — is reproducible across runs and cluster sizes.
+
+    Returns near-dup pairs [id_a, id_b, cos_sim, cell] (id_a < id_b;
+    cell = the shared cluster). The keep-one policy composes downstream
+    exactly like the minhash path: drop every id appearing as id_b
+    (keeps per-group minima), or feed the pairs to
+    `dedup.connected_components_smallest_id` for exact group
+    representatives.
+    """
+    _, assigned, _ = kmeans_fit(df, vec_col, id_col, k=k, iters=iters)
+    blocked = df.select(id_col, vec_col).join(
+        assigned.select(id_col, "cell"), id_col
+    )
+    return _cell_pairs_arrow(
+        blocked, threshold, id_col=id_col, vec_col=vec_col
+    )
+
+
+def _cell_pairs_arrow(
+    blocked: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    row_chunk: int = 1024,
+) -> DataFrame:
+    """Within-cell near-dup pairs as ONE Arrow matmul per cell
+    (applyInPandas), instead of a JVM self-join whose per-pair
+    higher-order-function cosine runs interpreted — measured at sf0.1
+    (10k vectors, k=8): the self-join path spent ~7s on ~6M HOF
+    cosines; the matmul is the same flops vectorized.
+
+    Memory is bounded by ``row_chunk``·cell_size similarity tiles, not
+    cell_size² — large cells stream in row blocks. At 100 TB, k scales
+    with the corpus so cells stay bounded (SemDeDup's contract); the
+    one shuffle here is the groupBy on the cell key."""
+    thr = float(threshold)
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        M = np.array([[float(x) for x in v] for v in pdf["__v"]], dtype="f8")
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        N = M / norms
+        cell = int(pdf["cell"].iloc[0])
+        out_a, out_b, out_s = [], [], []
+        for lo in range(0, len(N), row_chunk):
+            hi = min(lo + row_chunk, len(N))
+            S = N[lo:hi] @ N.T  # (chunk, n)
+            rows, cols = np.nonzero(S > thr)
+            keep = cols > rows + lo  # strict upper triangle: id_a < id_b
+            out_a.append(ids[rows[keep] + lo])
+            out_b.append(ids[cols[keep]])
+            out_s.append(S[rows[keep], cols[keep]])
+        a = np.concatenate(out_a) if out_a else np.array([], dtype="i8")
+        b = np.concatenate(out_b) if out_b else np.array([], dtype="i8")
+        s = np.concatenate(out_s) if out_s else np.array([], dtype="f8")
+        return pd.DataFrame(
+            {
+                "cell": np.full(len(a), cell, dtype="i4"),
+                "id_a": a.astype("i8"),
+                "id_b": b.astype("i8"),
+                "cos_sim": np.round(s, 6),
+            }
+        )
+
+    base = blocked.select(
+        "cell", F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+    return (
+        base.groupBy("cell")
+        .applyInPandas(_pairs, out_schema)
+        .select("id_a", "id_b", "cos_sim", "cell")
+    )
+
+
+def dedup_semantic_profile(
+    df: DataFrame,
+    threshold: float = 0.92,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reportable form of `dedup_semantic` for the query registry:
+    per-cluster vector/pair/drop counts (drops = distinct larger-id pair
+    members — what the keep-smallest policy would remove)."""
+    _, assigned, _ = kmeans_fit(df, vec_col, id_col, k=k, iters=iters)
+    blocked = df.select(id_col, vec_col).join(
+        assigned.select(id_col, "cell"), id_col
+    )
+    pairs = _cell_pairs_arrow(
+        blocked, threshold, id_col=id_col, vec_col=vec_col
+    )
+    per_cell = pairs.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("id_b").cast("long").alias("n_drops"),
+    )
+    sizes = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    return (
+        sizes.join(per_cell, "cell", "left")
+        .select(
+            "cell",
+            "n_vectors",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_drops", F.lit(0)).cast("long").alias("n_drops"),
+        )
+        .orderBy("cell")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) — coarse quantizer + probed re-rank
 # ---------------------------------------------------------------------------
@@ -457,6 +600,7 @@ def kmeans_fit(
     k: int = 16,
     iters: int = 5,
     dim: int | None = None,
+    storage_level="default",
 ):
     """Spherical k-means (Lloyd's) over an embedding column, Spark-first.
 
@@ -478,10 +622,28 @@ def kmeans_fit(
 
     Returns (centroids ndarray (k,d) L2-normalized, assignments DataFrame
     [id, cell, sim], total_inertia float = Σ(1 - cos_sim)).
+
+    ``storage_level``: Lloyd's re-reads the (id, vector) frame every
+    iteration — 2·iters jobs would each rescan the source without a
+    pin. Default persists it MEMORY_AND_DISK for the fit (measured at
+    sf0.1, k=8 × 4 iters: 10.1s → 3.9s); pass ``None`` to run
+    cache-free (same contract as dedup_minhash_lsh — e.g. a driver
+    loop over many corpora that must not grow session storage). The
+    pin is NOT released here: the returned assignments are lazy and
+    unpersisting under them would force a full recompute per consumer;
+    callers running many fits should pass None or clearCache().
     """
+    if storage_level == "default":
+        from iceberg_geospatial_api_server_spark.operators.dedup import (
+            _DEFAULT_STORAGE,
+        )
+
+        storage_level = _DEFAULT_STORAGE
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     base = df.select(id_col, _as_double(F.col(vec_col)).alias("__v"))
+    if storage_level is not None:
+        base = base.persist(storage_level)
 
     cent = _seed_vectors(df, id_col, vec_col, k)
 

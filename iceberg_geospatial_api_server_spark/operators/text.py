@@ -665,6 +665,161 @@ def corpus_source_stats(
     )
 
 
+def segment_dedup_stats(
+    df: DataFrame,
+    seg_tokens: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style shared-segment statistics (the line-dedup analog).
+
+    CCNet/RefinedWeb drop lines repeated across many documents before
+    any document-level dedup — boilerplate (headers, navbars, license
+    blurbs) dominates a crawl's duplicate mass at line granularity. The
+    corpus here is single-line, so a deterministic segmentation stands
+    in for line breaks: consecutive ``seg_tokens``-word windows (final
+    window short). A segment counts as *duplicated* when its portable
+    hash occurs in ≥ ``min_docs`` DISTINCT documents; per document we
+    report how many segments are boilerplate and how many tokens a
+    line-dedup pass would keep.
+
+    Plan (the CCNet hash-count-join shape, scale-safe at 100 TB):
+    segments explode map-side (sequence → transform, like
+    `chunk_documents`); distinct-doc counts per segment hash are a
+    two-phase aggregate keyed on (hash, doc) first — so a boilerplate
+    segment appearing in every document never funnels one reducer; the
+    join back is an equi-join on the hash and the per-doc re-agg is the
+    final exchange. Nothing corpus-sized broadcasts or collects.
+    """
+    k = int(seg_tokens)
+    toks = tokens(F.col(text_col))
+    n_segs = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(k))).cast("int"), F.lit(1)
+    )
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.struct(
+            F.slice(toks, i * k + 1, k).alias("seg"),
+        ),
+    )
+    ex = (
+        df.select(F.col(id_col), F.explode(segs).alias("__s"))
+        .select(
+            id_col,
+            F.size("__s.seg").alias("__seg_ntok"),
+            word_hash(F.concat_ws(" ", F.col("__s.seg"))).alias("__h"),
+        )
+    )
+    counts = ex.groupBy("__h").agg(
+        F.countDistinct(id_col).alias("__nd")
+    )
+    dup = F.col("__nd") >= min_docs
+    return (
+        ex.join(counts, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segs"),
+            F.sum(dup.cast("int")).cast("long").alias("n_dup_segs"),
+            F.round(
+                F.sum(dup.cast("int")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_seg_frac"),
+            F.sum(F.when(~dup, F.col("__seg_ntok")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_kept"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    gram_tokens: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicated-span statistics — the distributable approximation of
+    exact-substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better": remove any ≥50-token substring that
+    appears twice in the corpus; their exact tool is a suffix array,
+    which doesn't shard).
+
+    The Spark-native equivalent: a token ``gram_tokens``-gram occurring
+    in ≥ ``min_docs`` distinct documents marks its token window as
+    duplicated; overlapping/adjacent duplicated windows merge into
+    maximal spans (interval union, so tokens are never double-counted).
+    Reported per document: duplicated-gram/span counts, the exact number
+    of tokens inside duplicated spans, and the duplicated-token
+    fraction — the signal span-level dedup cuts on.
+
+    Plan: grams explode map-side with positions; the cross-doc gram
+    count is a two-phase (hash, doc)-keyed aggregate (hot boilerplate
+    grams don't skew a reducer); surviving positions re-shuffle once on
+    the doc key where lag/row_number windows do the interval merge.
+    Per-doc span state is bounded by document length, never corpus size.
+    """
+    from pyspark.sql import Window
+
+    n = int(gram_tokens)
+    c = F.col(text_col)
+    grams = overlapping_gram_strings(c, n)
+    ex = df.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "__g")
+    ).select(id_col, "pos", word_hash(F.col("__g")).alias("__h"))
+    dup_hashes = (
+        ex.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    dup_pos = ex.join(dup_hashes, "__h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # new span when the gap to the previous duplicated gram start
+    # exceeds n (intervals [p, p+n-1] overlap or touch iff gap <= n)
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) > F.lit(n), F.lit(1)
+    ).otherwise(F.lit(0))
+    spans = (
+        dup_pos.withColumn("__isl", F.sum(brk).over(w))
+        .groupBy(id_col, "__isl")
+        .agg(
+            F.count(F.lit(1)).alias("__grams"),
+            (F.max("pos") - F.min("pos") + n).alias("__span_tokens"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("__grams").cast("long").alias("n_dup_grams"),
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum("__span_tokens").cast("long").alias("dup_tokens"),
+        )
+    )
+    base = df.select(
+        F.col(id_col),
+        token_count(c).cast("long").alias("n_tokens"),
+        F.size(grams).cast("long").alias("n_grams"),
+    )
+    return (
+        base.join(spans, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("dup_token_frac"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def cross_source_overlap(
     df: DataFrame,
     prefix_tokens: int = 20,

@@ -381,3 +381,54 @@ def test_pca_matches_numpy(spark, tables):
     # projected variance along component i equals its eigenvalue
     p = np.array([proj[v] for v in ids])
     assert np.allclose(p.var(axis=0), evr, atol=1e-4)
+
+
+def test_dedup_semantic_planted_neardups(spark):
+    """SemDeDup: planted near-identical vectors inside a tight cluster
+    are paired; far-apart vectors never pair (k-means blocking keeps
+    same-region near-dups together by construction)."""
+    import numpy as np
+
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        dedup_semantic,
+        dedup_semantic_profile,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    # two well-separated lobes in R^8
+    for lobe, center in [(0, 2.0), (1, -2.0)]:
+        for i in range(30):
+            v = rng.normal(center, 0.05, 8)
+            rows.append((lobe * 100 + i, [float(x) for x in v]))
+    # planted near-identical pair inside lobe 0: ids 98 and 99
+    base = rng.normal(2.0, 0.05, 8)
+    rows.append((98, [float(x) for x in base]))
+    rows.append((99, [float(x) for x in base * 1.0001]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    pairs = dedup_semantic(df, threshold=0.999999, k=2, iters=3).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (98, 99) in found
+    # no pair may bridge the lobes (ids < 100 vs >= 100)
+    assert not any(a < 100 <= b for a, b in found)
+
+    prof = dedup_semantic_profile(
+        df, threshold=0.999999, k=2, iters=3
+    ).collect()
+    assert sum(r["n_vectors"] for r in prof) == len(rows)
+    assert sum(r["n_pairs"] for r in prof) == len(pairs)
+    assert sum(r["n_drops"] for r in prof) >= 1
+
+
+def test_dedup_semantic_deterministic(spark, tables):
+    """Same corpus, same params -> identical pair set (hash-threshold
+    seeding + fixed iterations; no RNG anywhere)."""
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        dedup_semantic_profile,
+    )
+
+    emb = tables["embeddings"]
+    a = dedup_semantic_profile(emb, threshold=0.92, k=4, iters=3).collect()
+    b = dedup_semantic_profile(emb, threshold=0.92, k=4, iters=3).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

@@ -267,3 +267,114 @@ def test_pii_scrub_counts_match_emitted_tags(spark):
     assert rows[1]["n_ips"] == 0            # consumed by <EMAIL>
     assert "<IP>" not in rows[1]["scrubbed"]
     assert rows[2]["n_ips"] == 1 and "<IP>" in rows[2]["scrubbed"]
+
+
+def test_segment_dedup_crafted(spark):
+    """Shared 10-word segments across docs are boilerplate; unique ones
+    are kept with their token counts."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        segment_dedup_stats,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    tail_a = " ".join(f"a{i}" for i in range(10))
+    tail_b = " ".join(f"b{i}" for i in range(10))
+    uniq = " ".join(f"u{i}" for i in range(15))
+    df = spark.createDataFrame(
+        [(0, f"{shared} {tail_a}"), (1, f"{shared} {tail_b}"), (2, uniq)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in segment_dedup_stats(df).collect()}
+    assert rows[0]["n_segs"] == 2 and rows[0]["n_dup_segs"] == 1
+    assert rows[0]["n_tokens_kept"] == 10
+    assert rows[1]["n_dup_segs"] == 1 and rows[1]["n_tokens_kept"] == 10
+    assert rows[2]["n_segs"] == 2  # 10 + short 5
+    assert rows[2]["n_dup_segs"] == 0 and rows[2]["n_tokens_kept"] == 15
+    assert rows[0]["dup_seg_frac"] == 0.5
+
+
+def test_segment_dedup_final_short_segment_not_conflated(spark):
+    """A short FINAL segment must hash as its own window — not equal a
+    full segment with the same prefix (regression guard on slicing)."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        segment_dedup_stats,
+    )
+
+    ten = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        # doc 0 ends with the 5-word prefix of doc 1's full segment
+        [(0, ten + " w0 w1 w2 w3 w4"), (1, ten + " " + ten)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in segment_dedup_stats(df).collect()}
+    # only the full 10-word segment is shared (both docs), the 5-word
+    # tail of doc 0 differs from doc 1's second full segment
+    assert rows[0]["n_dup_segs"] == 1 and rows[0]["n_tokens_kept"] == 5
+    assert rows[1]["n_dup_segs"] == 2 and rows[1]["n_tokens_kept"] == 0
+
+
+def test_dup_span_stats_planted_run(spark):
+    """A 12-token run shared by two docs yields one maximal span of 12
+    tokens in each; within-doc-only repetition does not count."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        dup_span_stats,
+    )
+
+    run = " ".join(f"s{i}" for i in range(12))
+    pre = " ".join(f"p{i}" for i in range(5))
+    post = " ".join(f"q{i}" for i in range(4))
+    tail = " ".join(f"t{i}" for i in range(6))
+    rep8 = " ".join(f"r{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [
+            (0, f"{pre} {run} {post}"),  # 21 tokens, run at 5..16
+            (1, f"{run} {tail}"),  # 18 tokens, run at 0..11
+            (2, " ".join(f"u{i}" for i in range(20))),  # unique
+            (3, f"{rep8} {rep8}"),  # internal repeat, single doc
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dup_span_stats(df).collect()}
+    assert rows[0]["n_spans"] == 1 and rows[0]["dup_tokens"] == 12
+    assert rows[0]["n_dup_grams"] == 5  # gram starts 5..9
+    assert rows[0]["dup_token_frac"] == round(12 / 21, 6)
+    assert rows[1]["n_spans"] == 1 and rows[1]["dup_tokens"] == 12
+    assert rows[2]["n_spans"] == 0 and rows[2]["dup_tokens"] == 0
+    # cross-doc gate: min_docs counts DISTINCT docs
+    assert rows[3]["n_spans"] == 0 and rows[3]["n_dup_grams"] == 0
+
+
+def test_dup_span_stats_interval_union_no_double_count(spark):
+    """Overlapping duplicated windows merge: two dup grams 3 apart cover
+    11 distinct tokens, not 16 (the Lee-et-al span semantics)."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        dup_span_stats,
+    )
+
+    w = [f"w{i}" for i in range(11)]
+    a = " ".join(w)  # grams at starts 0..3
+    b1 = "x1 x2 x3 " + " ".join(w[0:8])  # shares A's gram start 0
+    b2 = " ".join(w[3:11]) + " y1 y2 y3"  # shares A's gram start 3
+    df = spark.createDataFrame(
+        [(0, a), (1, b1), (2, b2)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in dup_span_stats(df).collect()}
+    assert rows[0]["n_dup_grams"] == 2  # starts {0, 3} only
+    assert rows[0]["n_spans"] == 1  # gap 3 <= 8 merges
+    assert rows[0]["dup_tokens"] == 11  # union, not 2*8
+    assert rows[0]["dup_token_frac"] == 1.0
+
+
+def test_segment_dedup_distinct_count_is_pair_keyed(docs):
+    """The boilerplate count aggregates on (hash, doc) before (hash):
+    a segment occurring in every document never funnels one reducer.
+    Plan must show the expanded two-key partial aggregate and no
+    corpus-side broadcast or cartesian."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        segment_dedup_stats,
+    )
+
+    plan = _plan(segment_dedup_stats(docs))
+    assert "CartesianProduct" not in plan
+    # count(distinct doc_id) per hash plans as keys=[__h, doc_id] first
+    assert "__h" in plan and "doc_id" in plan
