@@ -168,10 +168,19 @@ def dedup_semantic(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    against: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate pairs via k-means blocking — cluster the embedding
     space, then compare cosines only WITHIN a cluster.
+
+    Incremental mode (``against=existing_corpus``): the same daily-
+    ingest contract as dedup_minhash_lsh / dedup_simhash — ``df`` is
+    the NEW batch; centroids fit on the union (so blocking matches the
+    equivalent full run) and old×old pairs are skipped inside the
+    matmul kernel, before any similarity is computed for them.
+    Equivalence: incremental pairs ≡ the full run's pairs touching at
+    least one new id.
 
     This is the published recipe for semantic dedup at web scale: the
     all-pairs cosine graph is quadratic in the corpus, but after
@@ -192,12 +201,22 @@ def dedup_semantic(
     `dedup.connected_components_smallest_id` for exact group
     representatives.
     """
-    _, assigned, _ = kmeans_fit(df, vec_col, id_col, k=k, iters=iters)
-    blocked = df.select(id_col, vec_col).join(
-        assigned.select(id_col, "cell"), id_col
-    )
+    if against is not None:
+        corpus = df.select(
+            id_col, vec_col, F.lit(1).alias("__new")
+        ).unionByName(
+            against.select(id_col, vec_col, F.lit(0).alias("__new"))
+        )
+    else:
+        corpus = df.select(id_col, vec_col, F.lit(1).alias("__new"))
+    _, assigned, _ = kmeans_fit(corpus, vec_col, id_col, k=k, iters=iters)
+    blocked = corpus.join(assigned.select(id_col, "cell"), id_col)
     return _cell_pairs_arrow(
-        blocked, threshold, id_col=id_col, vec_col=vec_col
+        blocked,
+        threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        new_col="__new" if against is not None else None,
     )
 
 
@@ -207,6 +226,7 @@ def _cell_pairs_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     row_chunk: int = 1024,
+    new_col: str | None = None,
 ) -> DataFrame:
     """Within-cell near-dup pairs as ONE Arrow matmul per cell
     (applyInPandas), instead of a JVM self-join whose per-pair
@@ -217,12 +237,21 @@ def _cell_pairs_arrow(
     Memory is bounded by ``row_chunk``·cell_size similarity tiles, not
     cell_size² — large cells stream in row blocks. At 100 TB, k scales
     with the corpus so cells stay bounded (SemDeDup's contract); the
-    one shuffle here is the groupBy on the cell key."""
+    one shuffle here is the groupBy on the cell key.
+
+    ``new_col``: incremental gate — emit only pairs where at least one
+    side has the flag set (old×old pairs are masked before extraction,
+    not post-filtered)."""
     thr = float(threshold)
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         ids = pdf[id_col].to_numpy()
+        new = (
+            pdf[new_col].to_numpy().astype(bool)
+            if new_col is not None
+            else None
+        )
         M = np.array([[float(x) for x in v] for v in pdf["__v"]], dtype="f8")
         norms = np.linalg.norm(M, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
@@ -234,6 +263,8 @@ def _cell_pairs_arrow(
             S = N[lo:hi] @ N.T  # (chunk, n)
             rows, cols = np.nonzero(S > thr)
             keep = cols > rows + lo  # strict upper triangle: id_a < id_b
+            if new is not None:
+                keep &= new[rows + lo] | new[cols]
             out_a.append(ids[rows[keep] + lo])
             out_b.append(ids[cols[keep]])
             out_s.append(S[rows[keep], cols[keep]])
@@ -249,9 +280,10 @@ def _cell_pairs_arrow(
             }
         )
 
-    base = blocked.select(
-        "cell", F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
-    )
+    cols = ["cell", F.col(id_col), _as_double(F.col(vec_col)).alias("__v")]
+    if new_col is not None:
+        cols.append(F.col(new_col))
+    base = blocked.select(*cols)
     out_schema = T.StructType(
         [
             T.StructField("cell", T.IntegerType()),

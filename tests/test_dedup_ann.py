@@ -432,3 +432,47 @@ def test_dedup_semantic_deterministic(spark, tables):
     a = dedup_semantic_profile(emb, threshold=0.92, k=4, iters=3).collect()
     b = dedup_semantic_profile(emb, threshold=0.92, k=4, iters=3).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_dedup_semantic_incremental_mode(spark):
+    """against= contract: incremental pairs == full-run pairs touching
+    at least one NEW id (centroids fit on the union in both runs, so
+    the blocking is identical)."""
+    import numpy as np
+
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        dedup_semantic,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for lobe, center in [(0, 1.5), (1, -1.5)]:
+        for i in range(20):
+            v = rng.normal(center, 0.08, 6)
+            rows.append((lobe * 100 + i, [float(x) for x in v]))
+    # planted dups: old-old (3,4), old-new (7, 205), new-new (206, 207)
+    for src, dst in [(3, 4), (7, 205)]:
+        rows.append((dst, [x * 1.0001 for x in rows[src][1]]))
+    twin = rng.normal(1.5, 0.08, 6)
+    rows.append((206, [float(x) for x in twin]))
+    rows.append((207, [float(x) * 1.0001 for x in twin]))
+
+    full = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    old = full.filter(F.col("vec_id") < 200)
+    new = full.filter(F.col("vec_id") >= 200)
+
+    kw = dict(threshold=0.999999, k=2, iters=3)
+    full_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_semantic(full, **kw).collect()
+    }
+    inc_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_semantic(new, against=old, **kw).collect()
+    }
+    assert (3, 4) in full_pairs and (3, 4) not in inc_pairs  # old x old
+    expected = {(a, b) for a, b in full_pairs if a >= 200 or b >= 200}
+    assert inc_pairs == expected
+    assert (7, 205) in inc_pairs and (206, 207) in inc_pairs
