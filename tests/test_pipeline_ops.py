@@ -378,3 +378,38 @@ def test_segment_dedup_distinct_count_is_pair_keyed(docs):
     assert "CartesianProduct" not in plan
     # count(distinct doc_id) per hash plans as keys=[__h, doc_id] first
     assert "__h" in plan and "doc_id" in plan
+
+
+def test_quality_classifier_matches_reference_math(spark):
+    """Score equals the pure-Python hashed-weight mean (portable md5
+    hash), keep == (score >= 0), prob is the calibrated sigmoid."""
+    import hashlib
+    import math
+
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        quality_classifier_score,
+    )
+
+    M = 2147483647
+
+    def whash(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % M
+
+    texts = ["alpha beta gamma", "delta delta delta", "x"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in quality_classifier_score(df).collect()}
+    for i, t in enumerate(texts):
+        ws = sum(whash(w) % 2001 - 1000 for w in t.split(" "))
+        n = len(t.split(" "))
+        score = ws / (n * 1000)
+        assert rows[i]["n_tokens"] == n
+        assert rows[i]["score"] == round(score, 6)
+        assert rows[i]["prob"] == round(1 / (1 + math.exp(-4 * score)), 6)
+        assert rows[i]["keep"] == (score >= 0)
+    # repetition invariance of the mean: 'w' and 'w w w' score the same
+    assert (
+        rows[1]["score"]
+        == round(whash("delta") % 2001 / 1000 - 1.0, 6)
+    )

@@ -107,3 +107,42 @@ def test_decontaminate_removes_planted_overlap(spark):
     )
     kept = sorted(r["doc_id"] for r in decontaminate(docs, bench).collect())
     assert kept == [2, 4], kept
+
+
+def test_temperature_mixture_weights_crafted(spark):
+    """80/20 split at alpha=0.5: keep rates (0.5, 1.0) make the kept
+    corpus realize the temperature shares (2/3, 1/3) exactly."""
+    from iceberg_geospatial_api_server_spark.operators.sampling import (
+        temperature_mixture_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 80 else "small") for i in range(100)],
+        "doc_id long, source string",
+    )
+    rows = {r["source"]: r for r in
+            temperature_mixture_weights(df, alpha=0.5).collect()}
+    assert rows["big"]["p"] == 0.8 and rows["small"]["p"] == 0.2
+    assert abs(rows["big"]["q"] - 2 / 3) < 1e-6
+    assert abs(rows["small"]["q"] - 1 / 3) < 1e-6
+    assert rows["big"]["keep_rate"] == 0.5
+    assert rows["small"]["keep_rate"] == 1.0
+    assert rows["big"]["expected_docs"] == 40.0
+    assert rows["small"]["expected_docs"] == 20.0
+    # kept corpus realizes q: expected shares proportional to n*rate
+    tot = sum(r["expected_docs"] for r in rows.values())
+    assert abs(rows["big"]["expected_docs"] / tot - rows["big"]["q"]) < 1e-6
+
+
+def test_temperature_mixture_alpha_one_is_identity(spark):
+    """alpha=1 keeps the natural distribution: every rate is 1."""
+    from iceberg_geospatial_api_server_spark.operators.sampling import (
+        temperature_mixture_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(60)], "doc_id long, source string"
+    )
+    for r in temperature_mixture_weights(df, alpha=1.0).collect():
+        assert r["keep_rate"] == 1.0
+        assert r["q"] == r["p"]
