@@ -413,3 +413,38 @@ def test_quality_classifier_matches_reference_math(spark):
         rows[1]["score"]
         == round(whash("delta") % 2001 / 1000 - 1.0, 6)
     )
+
+
+def test_new_pipeline_ops_plan_shapes(docs):
+    """Pin the r4 training-pipeline plans: classifier is ONE doc-key
+    exchange; temperature's windows run on the strata-sized aggregate
+    (one stratum exchange + one single-partition window); BPE encoding
+    is pure map-side (ZERO exchanges — 100 TB encodes without a
+    shuffle); segment-dedup and dup-spans keep their designed three
+    exchanges (pair-keyed distinct, hash join-back, doc re-agg) and
+    never go cartesian."""
+    from iceberg_geospatial_api_server_spark.operators.bpe import bpe_encode
+    from iceberg_geospatial_api_server_spark.operators.sampling import (
+        temperature_mixture_weights,
+    )
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        dup_span_stats,
+        quality_classifier_score,
+        segment_dedup_stats,
+    )
+
+    p = _plan(quality_classifier_score(docs))
+    assert hash_exchange_count(p) == 1
+
+    p = _plan(temperature_mixture_weights(docs, stratum_col="lang"))
+    assert hash_exchange_count(p) == 1
+    assert single_partition_exchange_count(p) == 1
+
+    p = _plan(bpe_encode(docs, [("a", "b")]))
+    assert hash_exchange_count(p) == 0
+    assert single_partition_exchange_count(p) == 0
+
+    for op in (segment_dedup_stats, dup_span_stats):
+        p = _plan(op(docs))
+        assert hash_exchange_count(p) == 3
+        assert "CartesianProduct" not in p
