@@ -709,6 +709,34 @@ def quality_classifier_score(
     ).orderBy(id_col)
 
 
+def segment_hashes(
+    df: DataFrame,
+    seg_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document k-word segments as (id, __seg_ntok, __h) rows —
+    the deterministic line-break stand-in shared by the batch
+    `segment_dedup_stats` and the streaming boilerplate detector. Pure
+    map-side: sequence → slice → explode → portable md5 hash."""
+    k = int(seg_tokens)
+    toks = tokens(F.col(text_col))
+    n_segs = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(k))).cast("int"), F.lit(1)
+    )
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.struct(
+            F.slice(toks, i * k + 1, k).alias("seg"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(segs).alias("__s")).select(
+        id_col,
+        F.size("__s.seg").alias("__seg_ntok"),
+        word_hash(F.concat_ws(" ", F.col("__s.seg"))).alias("__h"),
+    )
+
+
 def segment_dedup_stats(
     df: DataFrame,
     seg_tokens: int = 10,
@@ -736,25 +764,7 @@ def segment_dedup_stats(
     join back is an equi-join on the hash and the per-doc re-agg is the
     final exchange. Nothing corpus-sized broadcasts or collects.
     """
-    k = int(seg_tokens)
-    toks = tokens(F.col(text_col))
-    n_segs = F.greatest(
-        F.ceil(F.size(toks) / F.lit(float(k))).cast("int"), F.lit(1)
-    )
-    segs = F.transform(
-        F.sequence(F.lit(0), n_segs - 1),
-        lambda i: F.struct(
-            F.slice(toks, i * k + 1, k).alias("seg"),
-        ),
-    )
-    ex = (
-        df.select(F.col(id_col), F.explode(segs).alias("__s"))
-        .select(
-            id_col,
-            F.size("__s.seg").alias("__seg_ntok"),
-            word_hash(F.concat_ws(" ", F.col("__s.seg"))).alias("__h"),
-        )
-    )
+    ex = segment_hashes(df, seg_tokens, text_col, id_col)
     counts = ex.groupBy("__h").agg(
         F.countDistinct(id_col).alias("__nd")
     )

@@ -14,6 +14,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -230,5 +231,66 @@ def streaming_pack(
         PACK_OUTPUT_SCHEMA,
         PACK_STATE_SCHEMA,
         "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+BOILERPLATE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("seg_hash", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+BOILERPLATE_STATE_SCHEMA = T.StructType(
+    [T.StructField("n_seen", T.LongType())]
+)
+
+
+def boilerplate_segments_stream(
+    docs_stream: DataFrame,
+    seg_tokens: int = 10,
+    min_seen: int = 2,
+) -> DataFrame:
+    """Streaming boilerplate registry — the continuous form of
+    `text.segment_dedup_stats`: as documents arrive, k-word segments
+    hash map-side (shared `segment_hashes` kernel) and one state row
+    per segment hash accumulates its occurrence count. A hash is
+    emitted exactly ONCE — in the micro-batch where its count crosses
+    ``min_seen`` — so the output stream IS the growing boilerplate set
+    a line-dedup pass would strip.
+
+    State is one long per distinct segment (bounded by content, not
+    traffic); the batch dual for the equivalence test is the occurrence-
+    count filter (the batch operator's distinct-doc gate differs only
+    for segments repeating WITHIN a document — rare boilerplate-wise,
+    and the streaming form must not keep a per-key doc set, which would
+    grow unboundedly)."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        segment_hashes,
+    )
+
+    segs = segment_hashes(docs_stream, seg_tokens).select(
+        F.col("__h").alias("seg_hash")
+    )
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n = state.get[0] if state.exists else 0
+        add = sum(len(pdf) for pdf in pdfs)
+        was_boiler = n >= min_seen
+        n += add
+        state.update((n,))
+        if not was_boiler and n >= min_seen:
+            yield pd.DataFrame({"seg_hash": [key[0]], "n_seen": [n]})
+
+    return segs.groupBy("seg_hash").applyInPandasWithState(
+        update,
+        BOILERPLATE_OUTPUT_SCHEMA,
+        BOILERPLATE_STATE_SCHEMA,
+        "update",
         GroupStateTimeout.NoTimeout,
     )

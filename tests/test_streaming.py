@@ -461,3 +461,66 @@ def test_image_neardup_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     state = spark.read.parquet(hashes_dir)
     assert state.count() == 100
     assert set(state.columns) == {"doc_id", "phash"}  # hashes, not payloads
+
+
+def test_boilerplate_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """The streaming boilerplate registry must emit exactly the segment
+    hashes whose corpus-wide occurrence count reaches the threshold —
+    each exactly once — regardless of how documents split into
+    micro-batches."""
+    import time
+
+    from pyspark.sql import types as T
+
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        segment_hashes,
+    )
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+    from iceberg_geospatial_api_server_spark.streaming.stateful import (
+        boilerplate_segments_stream,
+    )
+    from iceberg_geospatial_api_server_spark.streaming.windows import (
+        run_to_memory_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cut = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    base = tmp_path_factory.mktemp("boiler_stream")
+    path = str(base / "docs")
+    docs.filter(F.col("doc_id") <= cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    time.sleep(1.1)
+    docs.filter(F.col("doc_id") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    out = boilerplate_segments_stream(stream, min_seen=2)
+    run_to_memory_sink(out, "boiler_out", mode="update")
+    emitted = [
+        r.seg_hash for r in spark.sql("SELECT * FROM boiler_out").collect()
+    ]
+    assert len(emitted) == len(set(emitted))  # exactly-once per hash
+
+    want = {
+        r["__h"]
+        for r in segment_hashes(docs)
+        .groupBy("__h")
+        .count()
+        .filter(F.col("count") >= 2)
+        .collect()
+    }
+    assert set(emitted) == want
+    assert want  # non-vacuous: the corpus does contain boilerplate
