@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "corpus_decontaminate",
     "corpus_segment_dedup",
     "text_dup_spans",
+    "corpus_perplexity",
     "corpus_pii_scrub",
     "text_gopher_rules",
     "embed_dim_stats",

@@ -2690,6 +2690,63 @@ def corpus_quality_classifier_q(spark, sf_dir):
     )
 
 
+@_q(
+    "corpus_perplexity",
+    """
+    WITH t AS (
+      SELECT doc_id, doc_id % 7 = 0 AS train, string_split(text, ' ') AS toks
+      FROM documents
+    ), big AS (
+      SELECT doc_id, train,
+             unnest(list_transform(generate_series(1, LEN(toks) - 1),
+                                   i -> toks[i])) AS a,
+             unnest(list_transform(generate_series(1, LEN(toks) - 1),
+                                   i -> toks[i+1])) AS b
+      FROM t
+    ), tu AS (
+      SELECT w, COUNT(*) AS cu
+      FROM (SELECT unnest(toks) AS w FROM t WHERE train) GROUP BY w
+    ), tb AS (
+      SELECT a, b, COUNT(*) AS cb FROM big WHERE train GROUP BY a, b
+    ), v AS (SELECT COUNT(*) AS V FROM tu
+    ), sc AS (
+      SELECT doc_id,
+             CAST(FLOOR(LN((COALESCE(cb, 0) + 1)::DOUBLE
+                           / (COALESCE(cu, 0) + V)::DOUBLE) * 1000000)
+                  AS BIGINT) AS lpq
+      FROM big LEFT JOIN tb USING (a, b) LEFT JOIN tu ON big.a = tu.w
+           CROSS JOIN v
+    ), ag AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(lpq) AS BIGINT) AS ln_sum_q
+      FROM sc GROUP BY doc_id
+    ), d AS (
+      SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT d.doc_id, n_tokens,
+           COALESCE(n_bigrams, 0) AS n_bigrams,
+           COALESCE(ln_sum_q, 0) AS ln_sum_q,
+           CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0.0
+                ELSE ROUND(EXP(-(ln_sum_q::DOUBLE / 1000000.0
+                                 / n_bigrams::DOUBLE)), 6) END AS ppl
+    FROM d LEFT JOIN ag USING (doc_id) ORDER BY d.doc_id
+    """,
+)
+def corpus_perplexity_q(spark, sf_dir):
+    """CCNet-style LM perplexity scoring: add-one bigram model trained
+    on the doc_id%7 reference slice, every document scored by quantized
+    cross-entropy. Hash-graded down to the exact integer log-prob sums
+    (ln_sum_q), so the model counts, smoothing, joins, and quantization
+    must all agree bigram-for-bigram."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        perplexity_profile,
+    )
+    from iceberg_geospatial_api_server_spark.util import spread
+
+    return perplexity_profile(spread(_t(spark, sf_dir, "documents"), None))
+
+
 # duplicate-occurrence ratio over a list expression, as DuckDB SQL
 _DUPR = (
     "CASE WHEN LEN({l}) > 0 THEN"
@@ -3457,6 +3514,10 @@ _ORACLED_OVERFLOW = [
     # graded via q5/q10 and the q15/q21 top-k family
     "mm_media_stats",  # driver-green r2+r3; map-side explode stats shape
     # also graded via doc_chunks and overflow mm_frame_sample
+    # r4 (cont.): one more rotates out so the CCNet perplexity oracle
+    # (corpus_perplexity) is graded in the round it lands
+    "ngram_jaccard_pairs",  # driver-green r1; trigram-hash machinery also
+    # graded via corpus_decontaminate and dedup_simhash_stats
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

@@ -709,6 +709,120 @@ def quality_classifier_score(
     ).orderBy(id_col)
 
 
+def perplexity_profile(
+    df: DataFrame,
+    train_pred: Column | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """CCNet-style language-model perplexity scoring: train an add-one
+    bigram LM on a reference slice of the corpus, score every document
+    by its per-bigram cross-entropy, and report perplexity — the filter
+    CCNet buckets documents by (head/middle/tail) before training-set
+    selection. (CCNet uses a KenLM 5-gram trained on Wikipedia; the
+    bigram form keeps the same plan shape with a model the oracle can
+    rebuild in SQL.)
+
+    ``train_pred``: rows where it holds form the reference slice
+    (default: doc_id % 7 == 0 — a deterministic stand-in for the clean
+    reference corpus).
+
+    Cross-engine exactness: each bigram's log-prob quantizes to an
+    integer (FLOOR(ln·quant)) before the per-doc sum — float summation
+    order is engine- and partitioning-dependent, so summing raw
+    doubles would not hash-match; the quantized sum is exact and the
+    final exp/divide runs on identical inputs.
+
+    Plan: model counts are two (train-slice-sized) aggregates; scoring
+    joins the corpus bigram stream to the model on the bigram key (the
+    model side is reference-corpus-sized — broadcastable when the
+    reference is small, shuffle join when it isn't; Spark picks by
+    stats) and re-aggregates per doc. Vocabulary size rides along as a
+    broadcast single-row frame — never a driver scalar."""
+    if train_pred is None:
+        train_pred = F.col(id_col) % 7 == 0
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), train_pred.alias("__train"), toks.alias("__t"))
+
+    big = base.select(
+        id_col,
+        "__train",
+        F.explode(
+            F.when(
+                F.size("__t") < 2,
+                F.array().cast("array<struct<a:string,b:string>>"),
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__t") - 2),
+                    lambda i: F.struct(
+                        F.get(F.col("__t"), i).alias("a"),
+                        F.get(F.col("__t"), i + 1).alias("b"),
+                    ),
+                )
+            )
+        ).alias("__p"),
+    ).select(id_col, "__train", F.col("__p.a").alias("__a"), F.col("__p.b").alias("__b"))
+
+    train_uni = (
+        base.filter("__train")
+        .select(F.explode("__t").alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__cu"))
+    )
+    train_big = (
+        big.filter("__train")
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).alias("__cb"))
+    )
+    vocab = train_uni.agg(F.count(F.lit(1)).alias("__V"))
+
+    scored = (
+        big.join(train_big, ["__a", "__b"], "left")
+        .join(train_uni, big["__a"] == train_uni["__w"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.floor(
+                F.log(
+                    (F.coalesce("__cb", F.lit(0)) + 1).cast("double")
+                    / (F.coalesce("__cu", F.lit(0)) + F.col("__V")).cast(
+                        "double"
+                    )
+                )
+                * quant
+            )
+            .cast("long")
+            .alias("__lpq"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("__lpq").cast("long").alias("ln_sum_q"),
+    )
+    docs = df.select(F.col(id_col), F.size(toks).cast("long").alias("n_tokens"))
+    ent = (
+        F.col("ln_sum_q").cast("double")
+        / F.lit(float(quant))
+        / F.col("n_bigrams").cast("double")
+    )
+    return (
+        docs.join(agg, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("ln_sum_q", F.lit(0)).cast("long").alias("ln_sum_q"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) == 0, F.lit(0.0)
+            )
+            .otherwise(F.round(F.exp(-ent), 6))
+            .alias("ppl"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def segment_hashes(
     df: DataFrame,
     seg_tokens: int = 10,

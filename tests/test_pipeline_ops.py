@@ -448,3 +448,29 @@ def test_new_pipeline_ops_plan_shapes(docs):
         p = _plan(op(docs))
         assert hash_exchange_count(p) == 3
         assert "CartesianProduct" not in p
+
+
+def test_perplexity_crafted_smoothing_math(spark):
+    """Add-one bigram math on a two-doc corpus: train 'a b a c'
+    (V=3, cu(a)=2), score 'a b z' -> p(b|a)=2/5, p(z|b)=1/4, with the
+    quantized log-probs summed exactly."""
+    import math
+
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        perplexity_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b a c"), (1, "a b z")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in perplexity_profile(df, F.col("doc_id") == 0).collect()
+    }
+    lpq = lambda p: math.floor(math.log(p) * 1_000_000)
+    want = lpq(2 / 5) + lpq(1 / 4)
+    assert rows[1]["n_bigrams"] == 2
+    assert rows[1]["ln_sum_q"] == want
+    assert rows[1]["ppl"] == round(math.exp(-want / 1_000_000 / 2), 6)
+    # the train doc scores itself too: p(b|a)=2/5, p(a|b)=1/2, p(c|a)=2/5
+    assert rows[0]["ln_sum_q"] == 2 * lpq(2 / 5) + lpq(1 / 2)
