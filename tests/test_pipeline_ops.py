@@ -474,3 +474,122 @@ def test_perplexity_crafted_smoothing_math(spark):
     assert rows[1]["ppl"] == round(math.exp(-want / 1_000_000 / 2), 6)
     # the train doc scores itself too: p(b|a)=2/5, p(a|b)=1/2, p(c|a)=2/5
     assert rows[0]["ln_sum_q"] == 2 * lpq(2 / 5) + lpq(1 / 2)
+
+
+def _ref_dup_spans(docs: dict, n: int = 8, min_docs: int = 2):
+    """Brute-force reference for dup_span_stats: gram -> doc-set index,
+    then per-doc interval UNION (no island algebra — independently
+    validates the lag/row_number merge)."""
+    grams, gram_lists = {}, {}
+    for d, t in docs.items():
+        ws = [w for w in t.split(" ") if w]
+        gs = [" ".join(ws[i : i + n]) for i in range(max(len(ws) - n + 1, 0))]
+        gram_lists[d] = gs
+        for g in gs:
+            grams.setdefault(g, set()).add(d)
+    out = {}
+    for d, t in docs.items():
+        ws = [w for w in t.split(" ") if w]
+        dup_pos = [
+            i for i, g in enumerate(gram_lists[d]) if len(grams[g]) >= min_docs
+        ]
+        covered = set()
+        for p in dup_pos:
+            covered.update(range(p, p + n))
+        spans, prev = 0, None
+        for p in dup_pos:
+            if prev is None or p - prev > n:
+                spans += 1
+            prev = p
+        out[d] = (
+            len(ws),
+            len(gram_lists[d]),
+            len(dup_pos),
+            spans,
+            len(covered),
+            round(len(covered) / len(ws), 6) if ws else 0.0,
+        )
+    return out
+
+
+def test_dup_span_stats_random_corpora_vs_reference(spark):
+    """Seeded random corpora over a 5-word vocab (dense collisions):
+    the distributed pipeline must equal the brute-force union reference
+    on every column, including that island token sums NEVER differ from
+    the true interval union."""
+    import random
+
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        dup_span_stats,
+    )
+
+    vocab = ["v0", "v1", "v2", "v3", "v4"]
+    for seed in range(4):
+        rng = random.Random(seed)
+        docs = {
+            d: " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 30)))
+            for d in range(12)
+        }
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"], r["n_grams"], r["n_dup_grams"],
+                r["n_spans"], r["dup_tokens"], r["dup_token_frac"],
+            )
+            for r in dup_span_stats(df).collect()
+        }
+        assert got == _ref_dup_spans(docs), f"seed {seed}"
+
+
+def test_segment_dedup_random_corpora_vs_reference(spark):
+    """Same device for the segment pipeline: distinct-doc counting and
+    kept-token accounting vs a dict-based reference."""
+    import random
+
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        segment_dedup_stats,
+    )
+
+    vocab = ["v0", "v1", "v2"]
+    k, min_docs = 10, 2
+    for seed in range(4):
+        rng = random.Random(100 + seed)
+        docs = {
+            d: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 35)))
+            for d in range(10)
+        }
+        seg_docs: dict = {}
+        segs = {}
+        for d, t in docs.items():
+            ws = t.split(" ")
+            ss = [
+                " ".join(ws[i : i + k]) for i in range(0, max(len(ws), 1), k)
+            ]
+            segs[d] = ss
+            for s in ss:
+                seg_docs.setdefault(s, set()).add(d)
+        want = {}
+        for d in docs:
+            dup = [s for s in segs[d] if len(seg_docs[s]) >= min_docs]
+            kept_toks = sum(
+                len(s.split(" ")) for s in segs[d] if len(seg_docs[s]) < min_docs
+            )
+            want[d] = (
+                len(segs[d]),
+                len(dup),
+                round(len(dup) / len(segs[d]), 6),
+                kept_toks,
+            )
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (
+                r["n_segs"], r["n_dup_segs"], r["dup_seg_frac"],
+                r["n_tokens_kept"],
+            )
+            for r in segment_dedup_stats(df, seg_tokens=k).collect()
+        }
+        assert got == want, f"seed {seed}"
