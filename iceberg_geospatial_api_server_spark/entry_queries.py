@@ -2629,11 +2629,16 @@ def text_dup_spans_q(spark, sf_dir):
       SELECT lang, n_docs,
              n_docs::DOUBLE / (SUM(n_docs) OVER ())::DOUBLE AS p
       FROM c
+    ), si AS (
+      SELECT lang, n_docs, p,
+             CAST(ROUND(POWER(p, 0.5) * 1e9) AS BIGINT) AS paq,
+             CAST(ROUND(POWER(p, -0.5) * 1e9) AS BIGINT) AS rexpq
+      FROM s
     ), t AS (
       SELECT lang, n_docs, p,
-             POWER(p, 0.5) / SUM(POWER(p, 0.5)) OVER () AS q,
-             POWER(p, -0.5) / MAX(POWER(p, -0.5)) OVER () AS keep_rate
-      FROM s
+             paq::DOUBLE / (SUM(paq) OVER ())::DOUBLE AS q,
+             rexpq::DOUBLE / (MAX(rexpq) OVER ())::DOUBLE AS keep_rate
+      FROM si
     )
     SELECT lang, n_docs, ROUND(p, 6) AS p, ROUND(q, 6) AS q,
            ROUND(keep_rate, 6) AS keep_rate,

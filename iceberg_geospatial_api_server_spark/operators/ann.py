@@ -169,6 +169,7 @@ def dedup_semantic(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     against: DataFrame | None = None,
+    storage_level="default",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate pairs via k-means blocking — cluster the embedding
@@ -209,7 +210,10 @@ def dedup_semantic(
         )
     else:
         corpus = df.select(id_col, vec_col, F.lit(1).alias("__new"))
-    _, assigned, _ = kmeans_fit(corpus, vec_col, id_col, k=k, iters=iters)
+    _, assigned, _ = kmeans_fit(
+        corpus, vec_col, id_col, k=k, iters=iters,
+        storage_level=storage_level,
+    )
     blocked = corpus.join(assigned.select(id_col, "cell"), id_col)
     return _cell_pairs_arrow(
         blocked,
@@ -306,11 +310,16 @@ def dedup_semantic_profile(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    storage_level="default",
 ) -> DataFrame:
     """Reportable form of `dedup_semantic` for the query registry:
     per-cluster vector/pair/drop counts (drops = distinct larger-id pair
-    members — what the keep-smallest policy would remove)."""
-    _, assigned, _ = kmeans_fit(df, vec_col, id_col, k=k, iters=iters)
+    members — what the keep-smallest policy would remove).
+    ``storage_level`` forwards to `kmeans_fit` (None = pin nothing — the
+    many-corpora driver-loop contract shared with dedup_minhash_lsh)."""
+    _, assigned, _ = kmeans_fit(
+        df, vec_col, id_col, k=k, iters=iters, storage_level=storage_level
+    )
     blocked = df.select(id_col, vec_col).join(
         assigned.select(id_col, "cell"), id_col
     )

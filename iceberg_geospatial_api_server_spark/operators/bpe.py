@@ -91,6 +91,11 @@ def bpe_train(
     ``min_pair_count`` times (nothing left worth fusing). Driver
     traffic is one row per iteration; the vocab frame persists across
     iterations with periodic localCheckpoints to keep the plan flat.
+    Cache lifecycle: each iteration's `first()` is the action that
+    materializes the CURRENT vocab's persist, so the PREVIOUS
+    generation releases only after that action has run — unpersisting
+    eagerly would drop the only materialized cache and recompute the
+    corpus word-count shuffle every iteration.
     """
     words = _word_freqs(df, text_col, max_words)
     vocab = words.select(
@@ -101,6 +106,7 @@ def bpe_train(
     ).persist()
 
     merges: list[tuple[str, str]] = []
+    to_release = None
     try:
         for it in range(int(num_merges)):
             pairs = vocab.select(
@@ -124,6 +130,11 @@ def bpe_train(
                 .orderBy(F.desc("cnt"), "a", "b")
                 .first()
             )
+            # this first() materialized `vocab`'s persist — the
+            # generation before it is now safe to drop
+            if to_release is not None:
+                to_release.unpersist()
+                to_release = None
             if best is None or best["cnt"] < min_pair_count:
                 break
             a, b = best["a"], best["b"]
@@ -132,13 +143,17 @@ def bpe_train(
                 "freq", _merge_fold(F.col("syms"), a, b).alias("syms")
             )
             if (it + 1) % _CHECKPOINT_EVERY == 0:
+                # eager checkpoint materializes NOW: release immediately
                 nxt = nxt.localCheckpoint(eager=True)
+                vocab.unpersist()
             else:
                 nxt = nxt.persist()
-            vocab.unpersist()
+                to_release = vocab
             vocab = nxt
     finally:
         vocab.unpersist()
+        if to_release is not None:
+            to_release.unpersist()
     return merges
 
 

