@@ -2172,6 +2172,28 @@ def corpus_bpe_stats_q(spark, sf_dir):
     )
 
 
+@_q("dedup_hybrid")  # rows-only: minhash signatures are engine-internal —
+# candidate-set identity + verify semantics asserted in tests
+def dedup_hybrid_q(spark, sf_dir):
+    """Two-tier dedup: minhash-LSH lexical candidates verified by
+    embedding cosine (pairs without vectors keep the lexical verdict
+    with NULL cos_sim). The embedding tier only ever sees the ~linear
+    candidate output, never the quadratic pair space."""
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        dedup_hybrid,
+    )
+
+    return (
+        dedup_hybrid(
+            _t(spark, sf_dir, "documents"),
+            _t(spark, sf_dir, "embeddings"),
+            cosine_threshold=0.9,
+            storage_level=None,
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 @_q("dedup_semantic")  # rows-only: k-means blocking is iterative (Lloyd's)
 # — planted-near-dup recall + blocking-miss bound asserted in tests
 def dedup_semantic_q(spark, sf_dir):

@@ -401,6 +401,85 @@ def ivf_topk(
     )
 
 
+def save_ivf_index(
+    base: DataFrame,
+    path: str,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
+) -> None:
+    """Persist an IVF-flat index: `<path>/centroids` (nlist small rows)
+    plus the cell-assigned base vectors written `partitionBy("cell")` —
+    the inverted lists become parquet PARTITIONS, so a probe that scans
+    nprobe cells reads nprobe/nlist of the bytes via partition pruning.
+    Build once, query many: the 100 TB serving shape (re-assigning the
+    corpus per query batch would rescan everything)."""
+    cent = (
+        np.asarray(centroids, dtype="f8")
+        if centroids is not None
+        else _seed_vectors(base, id_col, vec_col, nlist)
+    )
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    assign1 = _ivf_assign_kernel(cent, 1)
+    b = base.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__bv"))
+    b = b.withColumn("cell", assign1(F.col("__bv"))[0])
+    b.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
+    spark = base.sparkSession
+    cent_rows = [(i, [float(x) for x in row]) for i, row in enumerate(cent)]
+    spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    query_id_col: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index. The probe-cell set (|queries|·nprobe
+    ints — bounded by the QUERY batch, never the corpus) collects to the
+    driver and becomes a STATIC `cell IN (...)` partition filter, so the
+    scan provably touches only the probed inverted lists (asserted via
+    PartitionFilters in tests); candidates re-rank with the exact cosine.
+    """
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cent = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])), "f8")
+    for r in cent_rows:
+        cent[r["cell"]] = r["centroid"]
+    assignN = _ivf_assign_kernel(cent, nprobe)
+    q = queries.select(
+        F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qv")
+    ).withColumn("cell", F.explode(assignN(F.col("__qv"))))
+    probe_cells = sorted(
+        {r["cell"] for r in q.select("cell").distinct().collect()}
+    )
+    vectors = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cell").isin(probe_cells)
+    )
+    cand = vectors.join(F.broadcast(q), on="cell")
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        cosine(F.col("__qv"), F.col("__bv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, F.round("cos_sim", 6).alias("cos_sim"), "rank"
+        )
+    )
+
+
 def _ivf_assign_kernel(centroids, top: int):
     """pandas UDF: nearest-`top` centroid ids by cosine (one matvec per
     Arrow batch)."""

@@ -649,3 +649,66 @@ def connected_components_smallest_id(
         if changed == 0:
             break
     return labels
+
+
+def dedup_hybrid(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    cosine_threshold: float = 0.9,
+    doc_id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
+    **minhash_params,
+) -> DataFrame:
+    """Two-tier dedup: lexical CANDIDATES (minhash LSH — cheap, high
+    recall) verified SEMANTICALLY (embedding cosine — precision) — the
+    production shape when both signals exist: the embedding pass never
+    sees the quadratic pair space, only minhash's ~linear candidate
+    output, and the lexical pass can't be fooled by paraphrase-level
+    rewrites slipping under the Jaccard bar alone.
+
+    Embeddings join by id (left): pairs where BOTH sides have a vector
+    carry `cos_sim` and `confirmed` = cos ≥ threshold; pairs missing a
+    vector keep `cos_sim` NULL and fall back to the lexical verdict
+    (`confirmed` = true — minhash already verified Jaccard). Joins are
+    id-equi-joins on the candidate pairs, never on the corpus."""
+    pairs = dedup_minhash_lsh(docs, id_col=doc_id_col, **minhash_params)
+    emb = embeddings.select(
+        F.col(emb_id_col).alias("__eid"),
+        F.transform(F.col(emb_vec_col), lambda v: v.cast("double")).alias(
+            "__v"
+        ),
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+    joined = (
+        pairs.join(
+            emb.select(
+                F.col("__eid").alias("id_a"), F.col("__v").alias("__va")
+            ),
+            "id_a",
+            "left",
+        )
+        .join(
+            emb.select(
+                F.col("__eid").alias("id_b"), F.col("__v").alias("__vb")
+            ),
+            "id_b",
+            "left",
+        )
+    )
+    cos = dot(F.col("__va"), F.col("__vb")) / (
+        F.sqrt(dot(F.col("__va"), F.col("__va")))
+        * F.sqrt(dot(F.col("__vb"), F.col("__vb")))
+    )
+    both = F.col("__va").isNotNull() & F.col("__vb").isNotNull()
+    return joined.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.when(both, F.round(cos, 6)).alias("cos_sim"),
+        F.when(both, cos >= F.lit(float(cosine_threshold)))
+        .otherwise(F.lit(True))
+        .alias("confirmed"),
+    )

@@ -476,3 +476,75 @@ def test_dedup_semantic_incremental_mode(spark):
     expected = {(a, b) for a, b in full_pairs if a >= 200 or b >= 200}
     assert inc_pairs == expected
     assert (7, 205) in inc_pairs and (206, 207) in inc_pairs
+
+
+def test_dedup_hybrid_semantic_verify(spark, tables):
+    """Candidate pairs from minhash carry an embedding-cosine verdict
+    when both sides have vectors; pairs missing a vector fall back to
+    the lexical verdict with a NULL cos_sim."""
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        dedup_hybrid,
+        dedup_minhash_lsh,
+    )
+
+    docs, emb = tables["documents"], tables["embeddings"]
+    out = dedup_hybrid(
+        docs, emb, cosine_threshold=-1.0, storage_level=None
+    ).collect()
+    base = dedup_minhash_lsh(docs, storage_level=None).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {
+        (r.id_a, r.id_b) for r in base
+    }  # tier 2 verifies, never adds or drops candidates
+    have_vec = {r.vec_id for r in emb.select("vec_id").collect()}
+    for r in out:
+        if r.id_a in have_vec and r.id_b in have_vec:
+            assert r.cos_sim is not None
+            assert r.confirmed  # threshold -1 confirms all scored pairs
+        else:
+            assert r.cos_sim is None and r.confirmed
+    # a strict threshold must reject SOME scored pair or confirm all,
+    # and rejections must be exactly cos < threshold
+    strict = dedup_hybrid(
+        docs, emb, cosine_threshold=0.99999, storage_level=None
+    ).collect()
+    for r in strict:
+        if r.cos_sim is not None:
+            assert r.confirmed == (r.cos_sim >= 0.99999 - 1e-6)
+
+
+def test_ivf_index_save_load_prunes_partitions(spark, tables, tmp_path):
+    """A persisted IVF index answers identically to the in-memory path
+    with the same centroids, and the probe scan carries a cell
+    partition filter (reads nprobe/nlist of the files)."""
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        _seed_vectors,
+        ivf_topk,
+        ivf_topk_from_index,
+    )
+    from iceberg_geospatial_api_server_spark.plans import formatted_plan
+
+    emb = tables["embeddings"]
+    queries = (
+        emb.limit(5)
+        .select(F.col("vec_id").alias("q_id"), "embedding")
+    )
+    cent = _seed_vectors(emb, "vec_id", "embedding", 8)
+    path = str(tmp_path / "ivf")
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        save_ivf_index,
+    )
+
+    save_ivf_index(emb, path, nlist=8, centroids=cent)
+    got = ivf_topk_from_index(
+        spark, path, queries, k=5, nprobe=2
+    )
+    want = ivf_topk(emb, queries, k=5, nprobe=2, centroids=cent).collect()
+    plan = formatted_plan(got)
+    assert "PartitionFilters" in plan and "cell" in plan
+    rows = got.collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in want]
+    # the index directory really is partitioned by cell
+    import os
+
+    parts = [d for d in os.listdir(f"{path}/vectors") if d.startswith("cell=")]
+    assert len(parts) > 1
