@@ -2718,6 +2718,71 @@ def corpus_quality_classifier_q(spark, sf_dir):
 
 
 @_q(
+    "doc_length_quantiles",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(quantile_cont(LEN(string_split(text, ' ')), 0.25), 6) AS p25,
+           ROUND(quantile_cont(LEN(string_split(text, ' ')), 0.5), 6) AS p50,
+           ROUND(quantile_cont(LEN(string_split(text, ' ')), 0.75), 6) AS p75,
+           ROUND(quantile_cont(LEN(string_split(text, ' ')), 0.95), 6) AS p95
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def doc_length_quantiles_q(spark, sf_dir):
+    """Per-language exact token-length quantiles: Spark `percentile`
+    and DuckDB `quantile_cont` share the R-7 interpolation definition
+    (verified bit-identical), so the distribution tail is hash-graded
+    exactly — no sketch tolerance."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        length_quantiles,
+    )
+
+    return length_quantiles(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "corpus_diff",
+    f"""
+    WITH old_v AS (
+      SELECT doc_id, {_WHASH.format(w="text")} AS h
+      FROM documents WHERE doc_id % 11 != 0
+    ), new_v AS (
+      SELECT doc_id,
+             {_WHASH.format(w="CASE WHEN doc_id % 17 = 0 THEN text || ' edited' ELSE text END")}
+               AS h
+      FROM documents WHERE doc_id % 13 != 0
+    )
+    SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.h = n.h THEN 'unchanged'
+                ELSE 'modified' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM old_v o FULL OUTER JOIN new_v n ON o.doc_id = n.doc_id
+    GROUP BY status ORDER BY status
+    """,
+)
+def corpus_diff_q(spark, sf_dir):
+    """Snapshot diff audit: old = docs minus the %11 slice, new = docs
+    minus the %13 slice with the %17 slice edited — yields all four
+    statuses. Hash-graded: the full-outer join and the fingerprint
+    comparison must agree document-for-document."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        corpus_diff,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 11 != 0)
+    new = docs.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 17 == 0, F.concat(F.col("text"), F.lit(" edited"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
+
+
+@_q(
     "corpus_perplexity",
     """
     WITH t AS (
@@ -3545,6 +3610,13 @@ _ORACLED_OVERFLOW = [
     # (corpus_perplexity) is graded in the round it lands
     "ngram_jaccard_pairs",  # driver-green r1; trigram-hash machinery also
     # graded via corpus_decontaminate and dedup_simhash_stats
+    # r4 (cont.): two more rotate out so the data-lineage and
+    # distribution oracles (corpus_diff, doc_length_quantiles) are
+    # graded in the round they land
+    "q5_local_supplier",  # driver-green r1+r2+r3; multi-dim join-agg shape
+    # also graded via q9/q21
+    "geo_knn",  # driver-green r1+r2+r3; distance kernel + TakeOrdered
+    # top-k also graded via geo_nearest_join and plan-asserted
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

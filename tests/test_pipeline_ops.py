@@ -593,3 +593,37 @@ def test_segment_dedup_random_corpora_vs_reference(spark):
             for r in segment_dedup_stats(df, seg_tokens=k).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_corpus_diff_crafted(spark):
+    """All four statuses from a crafted pair of snapshots, counted
+    exactly (full-outer join + fingerprint compare)."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        corpus_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "gamma CHANGED"), (4, "delta")],
+        "doc_id long, text string",
+    )
+    got = {r["status"]: r["n_docs"] for r in corpus_diff(old, new).collect()}
+    assert got == {"added": 1, "removed": 1, "modified": 1, "unchanged": 1}
+
+
+def test_length_quantiles_r7_definition(spark):
+    """Quantiles follow R-7 (rank p(n-1), linear interpolation): pinned
+    on a hand-computed stratum."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        length_quantiles,
+    )
+
+    # token counts 1,2,3,4,10 for lang 'en'
+    rows = [(i, " ".join(["w"] * c), "en") for i, c in enumerate([1, 2, 3, 4, 10])]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    r = length_quantiles(df).collect()[0]
+    assert (r["p25"], r["p50"], r["p75"]) == (2.0, 3.0, 4.0)
+    assert r["p95"] == round(4 + 0.8 * 6, 6)  # rank 3.8 between 4 and 10
+    assert r["n_docs"] == 5
