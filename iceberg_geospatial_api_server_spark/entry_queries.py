@@ -2135,7 +2135,12 @@ def embed_kmeans_q(spark, sf_dir):
         kmeans_cluster_profile,
     )
 
-    return kmeans_cluster_profile(_t(spark, sf_dir, "embeddings"), k=8, iters=4)
+    # storage_level=None: the driver session runs 100+ entries back to
+    # back — a per-entry MEMORY_AND_DISK pin would accumulate (stale
+    # CacheManager entries tax later plan-matching, r3 finding)
+    return kmeans_cluster_profile(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=4, storage_level=None
+    )
 
 
 @_q("corpus_bpe_stats")  # rows-only: BPE merge learning is iterative
@@ -2205,7 +2210,11 @@ def dedup_semantic_q(spark, sf_dir):
     )
 
     return dedup_semantic_profile(
-        _t(spark, sf_dir, "embeddings"), threshold=0.92, k=8, iters=4
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.92,
+        k=8,
+        iters=4,
+        storage_level=None,  # driver-loop hygiene: same as embed_kmeans
     )
 
 
@@ -2755,7 +2764,7 @@ def doc_length_quantiles_q(spark, sf_dir):
     )
     SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
                 WHEN n.doc_id IS NULL THEN 'removed'
-                WHEN o.h = n.h THEN 'unchanged'
+                WHEN o.h IS NOT DISTINCT FROM n.h THEN 'unchanged'
                 ELSE 'modified' END AS status,
            CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM old_v o FULL OUTER JOIN new_v n ON o.doc_id = n.doc_id

@@ -374,7 +374,9 @@ def ivf_topk(
     Cost dial: nprobe/nlist of the corpus is scored per query."""
     if centroids is not None:
         cent = np.asarray(centroids, dtype="f8")
-        cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+        norms = np.linalg.norm(cent, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0  # zero-norm centroid: keep, never NaN
+        cent = cent / norms
     else:
         cent = _seed_vectors(base, id_col, vec_col, nlist)
 
@@ -414,13 +416,20 @@ def save_ivf_index(
     the inverted lists become parquet PARTITIONS, so a probe that scans
     nprobe cells reads nprobe/nlist of the bytes via partition pruning.
     Build once, query many: the 100 TB serving shape (re-assigning the
-    corpus per query batch would rescan everything)."""
-    cent = (
-        np.asarray(centroids, dtype="f8")
-        if centroids is not None
-        else _seed_vectors(base, id_col, vec_col, nlist)
-    )
-    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    corpus per query batch would rescan everything).
+
+    Centroid handling mirrors `ivf_topk` EXACTLY (explicit centroids
+    normalize with a zero-norm guard; `_seed_vectors` output is used
+    as-is — already unit rows, and re-normalizing would perturb
+    last-ulp bits and flip near-tie cell assignments vs the in-memory
+    path the index must answer identically to)."""
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype="f8")
+        norms = np.linalg.norm(cent, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cent = cent / norms
+    else:
+        cent = _seed_vectors(base, id_col, vec_col, nlist)
     assign1 = _ivf_assign_kernel(cent, 1)
     b = base.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__bv"))
     b = b.withColumn("cell", assign1(F.col("__bv"))[0])
@@ -453,11 +462,21 @@ def ivf_topk_from_index(
     for r in cent_rows:
         cent[r["cell"]] = r["centroid"]
     assignN = _ivf_assign_kernel(cent, nprobe)
-    q = queries.select(
-        F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qv")
-    ).withColumn("cell", F.explode(assignN(F.col("__qv"))))
-    probe_cells = sorted(
-        {r["cell"] for r in q.select("cell").distinct().collect()}
+    # ONE job assigns the query batch; the (small, bounded) result comes
+    # back as local rows and re-enters as a literal frame — running the
+    # lazy assignment lineage again inside the join would execute the
+    # pandas UDF twice per batch
+    q_rows = (
+        queries.select(
+            F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qv")
+        )
+        .withColumn("cell", F.explode(assignN(F.col("__qv"))))
+        .collect()
+    )
+    probe_cells = sorted({r["cell"] for r in q_rows})
+    q = spark.createDataFrame(
+        [(r[query_id_col], list(r["__qv"]), r["cell"]) for r in q_rows],
+        f"{query_id_col} long, __qv array<double>, cell int",
     )
     vectors = spark.read.parquet(f"{path}/vectors").filter(
         F.col("cell").isin(probe_cells)
@@ -787,10 +806,14 @@ def kmeans_cluster_profile(
     id_col: str = "vec_id",
     k: int = 8,
     iters: int = 5,
+    storage_level="default",
 ) -> DataFrame:
     """Cluster-size/compactness profile of the embedding corpus (the
-    reportable form of kmeans_fit for the query registry)."""
-    _, assigned, _ = kmeans_fit(df, vec_col, id_col, k=k, iters=iters)
+    reportable form of kmeans_fit for the query registry).
+    ``storage_level`` forwards to `kmeans_fit` (None = pin nothing)."""
+    _, assigned, _ = kmeans_fit(
+        df, vec_col, id_col, k=k, iters=iters, storage_level=storage_level
+    )
     return (
         assigned.groupBy("cell")
         .agg(

@@ -672,15 +672,15 @@ def dedup_hybrid(
     vector keep `cos_sim` NULL and fall back to the lexical verdict
     (`confirmed` = true — minhash already verified Jaccard). Joins are
     id-equi-joins on the candidate pairs, never on the corpus."""
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        _as_double,
+        cosine,
+    )
+
     pairs = dedup_minhash_lsh(docs, id_col=doc_id_col, **minhash_params)
     emb = embeddings.select(
         F.col(emb_id_col).alias("__eid"),
-        F.transform(F.col(emb_vec_col), lambda v: v.cast("double")).alias(
-            "__v"
-        ),
-    )
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+        _as_double(F.col(emb_vec_col)).alias("__v"),
     )
     joined = (
         pairs.join(
@@ -698,17 +698,23 @@ def dedup_hybrid(
             "left",
         )
     )
-    cos = dot(F.col("__va"), F.col("__vb")) / (
-        F.sqrt(dot(F.col("__va"), F.col("__va")))
-        * F.sqrt(dot(F.col("__vb"), F.col("__vb")))
-    )
     both = F.col("__va").isNotNull() & F.col("__vb").isNotNull()
+
+    def _sq(col):
+        return F.aggregate(col, F.lit(0.0), lambda acc, v: acc + v * v)
+
+    # a zero-norm vector has no cosine: under ANSI mode the 0/0 divide
+    # THROWS (not NULL), so the divide must sit behind a branch that
+    # never takes it for unscorable pairs — which then keep the LEXICAL
+    # verdict with a boolean (never NULL) confirmed flag
+    scorable = both & (_sq(F.col("__va")) > 0) & (_sq(F.col("__vb")) > 0)
+    cos = F.when(scorable, cosine(F.col("__va"), F.col("__vb")))
     return joined.select(
         "id_a",
         "id_b",
         "jaccard",
-        F.when(both, F.round(cos, 6)).alias("cos_sim"),
-        F.when(both, cos >= F.lit(float(cosine_threshold)))
+        F.round(cos, 6).alias("cos_sim"),
+        F.when(scorable, cos >= F.lit(float(cosine_threshold)))
         .otherwise(F.lit(True))
         .alias("confirmed"),
     )

@@ -723,17 +723,25 @@ def corpus_diff(
 
     One full-outer equi-join on the id; content comparison is the
     portable md5-prefix fingerprint, so the verdict matches the oracle
-    hash-for-hash. Output is ≤4 rows."""
+    hash-for-hash. Presence tests use carried ID columns, never hash
+    nullability — a NULL text hashes to NULL and would misread a
+    present row as absent. Output is ≤4 rows."""
     o = old.select(
-        F.col(id_col).alias("__id"), word_hash(F.col(text_col)).alias("__ho")
+        F.col(id_col).alias("__id"),
+        F.col(id_col).alias("__oid"),
+        word_hash(F.col(text_col)).alias("__ho"),
     )
     n = new.select(
-        F.col(id_col).alias("__id"), word_hash(F.col(text_col)).alias("__hn")
+        F.col(id_col).alias("__id"),
+        F.col(id_col).alias("__nid"),
+        word_hash(F.col(text_col)).alias("__hn"),
     )
     status = (
-        F.when(F.col("__ho").isNull(), F.lit("added"))
-        .when(F.col("__hn").isNull(), F.lit("removed"))
-        .when(F.col("__ho") == F.col("__hn"), F.lit("unchanged"))
+        F.when(F.col("__oid").isNull(), F.lit("added"))
+        .when(F.col("__nid").isNull(), F.lit("removed"))
+        .when(
+            F.col("__ho").eqNullSafe(F.col("__hn")), F.lit("unchanged")
+        )
         .otherwise(F.lit("modified"))
     )
     return (

@@ -502,14 +502,56 @@ def test_dedup_hybrid_semantic_verify(spark, tables):
             assert r.confirmed  # threshold -1 confirms all scored pairs
         else:
             assert r.cos_sim is None and r.confirmed
-    # a strict threshold must reject SOME scored pair or confirm all,
-    # and rejections must be exactly cos < threshold
+    # a strict threshold's verdict must track the cosine; compare on the
+    # ROUNDED value with a two-sided dead zone (confirmed is computed
+    # from the unrounded cosine, so pairs within rounding distance of
+    # the threshold are legitimately undetermined by cos_sim alone)
     strict = dedup_hybrid(
         docs, emb, cosine_threshold=0.99999, storage_level=None
     ).collect()
     for r in strict:
-        if r.cos_sim is not None:
-            assert r.confirmed == (r.cos_sim >= 0.99999 - 1e-6)
+        if r.cos_sim is not None and abs(r.cos_sim - 0.99999) > 2e-6:
+            assert r.confirmed == (r.cos_sim >= 0.99999)
+
+
+def test_dedup_hybrid_lexical_fallback_crafted(spark):
+    """Pairs whose members lack an embedding — or whose embedding is the
+    zero vector (cosine undefined) — keep the LEXICAL verdict with a
+    boolean (never NULL) confirmed flag."""
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        dedup_hybrid,
+    )
+
+    text = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, text + " tail"), (4, text)],
+        "doc_id long, text string",
+    )
+    # doc 4 has NO embedding; doc 3's is the zero vector
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0]),
+            (2, [1.0, 2.0, 3.0]),
+            (3, [0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        (r.id_a, r.id_b): r
+        for r in dedup_hybrid(
+            docs, emb, cosine_threshold=0.99, storage_level=None
+        ).collect()
+    }
+    assert rows  # planted near-identical docs must pair up
+    for r in rows.values():
+        assert r.confirmed is not None  # boolean contract, never NULL
+    scored = [r for r in rows.values() if r.cos_sim is not None]
+    unscored = [r for r in rows.values() if r.cos_sim is None]
+    assert scored and all(r.confirmed for r in scored)  # identical vecs
+    # every pair touching doc 3 (zero vector) or doc 4 (no vector)
+    # falls back to the lexical verdict
+    assert unscored and all(r.confirmed for r in unscored)
+    assert any(3 in (r.id_a, r.id_b) or 4 in (r.id_a, r.id_b) for r in unscored)
 
 
 def test_ivf_index_save_load_prunes_partitions(spark, tables, tmp_path):
