@@ -2177,6 +2177,66 @@ def corpus_bpe_stats_q(spark, sf_dir):
     )
 
 
+@_q(
+    "events_topk_salted",
+    """
+    SELECT event_type, event_id, ROUND(value, 6) AS value,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY value DESC, event_id) AS rank
+      FROM events)
+    WHERE rank <= 3 ORDER BY event_type, rank
+    """,
+)
+def events_topk_salted_q(spark, sf_dir):
+    """Hot-key-safe top-k: the salted two-pass (per-(key, salt) prune →
+    final per-key rank) must return EXACTLY the plain window top-k —
+    the subset property is the operator's correctness claim, and the
+    oracle grades it value-for-value against the one-pass SQL."""
+    from iceberg_geospatial_api_server_spark.operators.skew import (
+        salted_topk_per_key,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    out = salted_topk_per_key(
+        ev, ["event_type"], "value", k=3, tiebreak_cols=["event_id"]
+    )
+    return out.select(
+        "event_type",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.col("rank").cast("int").alias("rank"),
+    ).orderBy("event_type", "rank")
+
+
+@_q("dedup_clusters")  # rows-only: connected components is iterative
+# (label propagation) — correctness pinned by tests/test_dedup_ann.py's
+# crafted-graph test; this entry gives the driver a rows+schema row
+def dedup_clusters_q(spark, sf_dir):
+    """Duplicate-cluster size histogram: minhash candidate pairs →
+    smallest-id connected components → (cluster_size, n_clusters).
+    The full text-dedup endgame: clusters, not pairs, are what a
+    keep-one-per-group pass consumes."""
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        connected_components_smallest_id,
+        dedup_minhash_lsh,
+    )
+
+    pairs = dedup_minhash_lsh(
+        _t(spark, sf_dir, "documents"), storage_level=None
+    )
+    comps = connected_components_smallest_id(pairs)
+    return (
+        comps.groupBy("comp")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 @_q("dedup_hybrid")  # rows-only: minhash signatures are engine-internal —
 # candidate-set identity + verify semantics asserted in tests
 def dedup_hybrid_q(spark, sf_dir):
@@ -3626,6 +3686,10 @@ _ORACLED_OVERFLOW = [
     # also graded via q9/q21
     "geo_knn",  # driver-green r1+r2+r3; distance kernel + TakeOrdered
     # top-k also graded via geo_nearest_join and plan-asserted
+    # r4 (cont.): one more rotates out so the salted-top-k oracle
+    # (events_topk_salted) is graded in the round it lands
+    "asof_join_events_orders",  # driver-green r1+r2+r3; as-of kernel also
+    # stream-equiv-tested and exercised every round in bench
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):
