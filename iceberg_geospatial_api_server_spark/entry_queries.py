@@ -3695,6 +3695,12 @@ _ORACLED_OVERFLOW = [
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):
 # placed directly after the active oracled block so they enter the
 # 50-slot window this round for at least a rows+schema check.
+# r5 NOTE: once these four have their r4 rows, swap in the late-r4
+# rows-only entries that landed with LOCAL grading only —
+# dedup_semantic, dedup_hybrid, dedup_clusters, corpus_bpe_stats,
+# mm_phash_pairs — and cede more proven oracled slots to
+# geo_ps / ann_ivf_exhaustive / ann_lsh_exhaustive from the overflow
+# tail (they carry oracles and have never been driver-graded).
 _ROWS_ONLY_PRIORITY = [
     "ann_ivfpq_topk",
     "embed_kmeans_profile",
