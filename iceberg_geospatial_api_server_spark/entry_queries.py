@@ -3569,6 +3569,29 @@ def mm_phash_pairs_q(spark, sf_dir):
     return phash_dedup_pairs(hashes, max_hamming=3).orderBy("id_a", "id_b")
 
 
+@_q("mm_audio_fp_pairs")  # rows-only: FFT band-energy fingerprint isn't
+# SQL-expressible; planted same-frequency pairs + amplitude invariance
+# pinned in tests/test_multimodal.py
+def mm_audio_fp_pairs_q(spark, sf_dir):
+    """Near-duplicate audio detection: Haitsma-Kalker-style 64-bit
+    sign-of-band-energy-delta fingerprint (amplitude-invariant) over
+    REAL stdlib-decoded WAV clips, paired through the same hash-agnostic
+    16-bit-block bucket join as image pHash. Fixture plants exact
+    repeats: sine frequency cycles every 17 odd doc ids."""
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        audio_fingerprint,
+        phash_dedup_pairs,
+        synthesize_real_media,
+    )
+    from iceberg_geospatial_api_server_spark.util import spread
+
+    media = synthesize_real_media(
+        spread(_t(spark, sf_dir, "documents"), None)
+    )
+    fps = audio_fingerprint(media, stub=False)
+    return phash_dedup_pairs(fps, max_hamming=2).orderBy("id_a", "id_b")
+
+
 @_q("ann_ivfpq_topk")  # rows-only: approximate by design (recall tested)
 def ann_ivfpq_q(spark, sf_dir):
     """IVF-PQ: inverted lists bound what's scored, 8-byte PQ codes bound

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import wave
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -471,4 +473,88 @@ def phash_dedup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .distinct()
+    )
+
+
+def afp64_of_samples(mono: np.ndarray, rate: int) -> int:
+    """64-bit audio fingerprint: Haitsma–Kalker-style sign of band-energy
+    DELTAS (the robust-hash family behind broadcast-monitoring /
+    Shazam-like matchers). The mono signal splits into 33 equal frames;
+    each frame contributes (low, high) spectral-band energies; the 32
+    inter-frame deltas × 2 bands threshold at zero into 64 bits.
+
+    Sign-of-delta is invariant to uniform amplitude scaling (gain riding
+    never flips a bit) and depends only on spectral SHAPE over time —
+    the audio analog of pHash's median-thresholded DCT block. Same
+    signed-long packing as `phash64_of_gray`, so the fingerprints feed
+    the SAME `phash_dedup_pairs` block-join machinery (it is
+    hash-agnostic: pigeonhole blocks + bit_count verify work for any
+    64-bit locality hash)."""
+    n_frames = 33
+    mono = np.asarray(mono, dtype="f8").ravel()
+    if len(mono) < n_frames:
+        mono = np.pad(mono, (0, n_frames - len(mono)))
+    bits_out = 0
+    energies = np.empty((n_frames, 2), dtype="f8")
+    for i, frame in enumerate(np.array_split(mono, n_frames)):
+        spec = np.abs(np.fft.rfft(frame))
+        half = max(1, len(spec) // 2)
+        energies[i, 0] = spec[:half].sum()
+        energies[i, 1] = spec[half:].sum()
+    deltas = np.diff(energies, axis=0)  # (32, 2)
+    bits = (deltas > 0).ravel()  # frame-major, band-minor
+    for i in range(64):
+        if bits[i]:
+            bits_out |= 1 << i
+    return bits_out - (1 << 64) if bits_out >= (1 << 63) else bits_out
+
+
+def audio_fingerprint(
+    media: DataFrame, stub: bool = True, skip_undecodable: bool = True
+) -> DataFrame:
+    """Per-clip 64-bit audio fingerprint, Arrow-batched — the audio twin
+    of `image_phash` (same output shape (doc_id, phash), so
+    `phash_dedup_pairs` consumes it unchanged, incremental mode
+    included).
+
+    ``stub=True`` derives deterministic pseudo-samples from the payload
+    bytes; ``stub=False`` decodes 16-bit PCM WAV via the stdlib codec.
+    Map-side only; downstream dedup shuffles 8 bytes per clip, never
+    payloads."""
+    from iceberg_geospatial_api_server_spark.operators import media_codecs
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_rows: list[tuple] = []
+        for pdf in batches:
+            for doc_id, buf, codec in zip(
+                pdf["doc_id"], pdf["payload"], pdf["codec"]
+            ):
+                if buf is None or len(buf) == 0:
+                    out_rows.append((int(doc_id), None))
+                    continue
+                if stub:
+                    arr = np.frombuffer(buf, dtype=np.uint8).astype("f8")
+                    mono = np.resize(arr - arr.mean() if len(arr) else arr, 330)
+                    out_rows.append((int(doc_id), afp64_of_samples(mono, 330)))
+                    continue
+                try:
+                    samples, rate = media_codecs.decode_wav(bytes(buf))
+                    mono = samples.mean(axis=1)
+                    out_rows.append((int(doc_id), afp64_of_samples(mono, rate)))
+                except (NotImplementedError, ValueError, EOFError, wave.Error):
+                    # codec gap or corrupt payload — a corpus sweep must
+                    # not die on the first broken file
+                    if not skip_undecodable:
+                        raise
+                    out_rows.append((int(doc_id), None))
+            yield pd.DataFrame(out_rows, columns=["doc_id", "phash"]).astype(
+                {"doc_id": "int64", "phash": "Int64"}
+            )
+            out_rows = []
+
+    src = media
+    if not stub:
+        src = media.filter(F.col("modality") == "audio")
+    return src.select("doc_id", "payload", "codec").mapInPandas(
+        kernel, "doc_id long, phash long"
     )

@@ -80,3 +80,64 @@ def test_bpe_greedy_overlap_semantics(spark):
     merges = bpe_train(df, num_merges=1)
     assert merges == [("a", "a")]
     assert _encode_word("aaa", {("a", "a"): 0}) == ["aa", "a", "</w>"]
+
+
+def _ref_bpe_train(word_freqs: dict, num_merges: int, min_count: int = 2):
+    """Pure-python Sennrich reference: recount all adjacent pairs each
+    round, merge the (count desc, pair lexicographic) argmax."""
+    vocab = {tuple(w) + ("</w>",): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(num_merges):
+        counts = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + f
+                )
+        if not counts:
+            break
+        # deterministic tiebreak: count desc, then lexicographically
+        # smallest (a, b) — matches bpe_train's orderBy(desc(cnt), a, b)
+        top = max(counts.values())
+        best = min(p for p, c in counts.items() if c == top)
+        if counts[best] < min_count:
+            break
+        merges.append(best)
+        a, b = best
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_random_corpora_vs_reference(spark):
+    """Seeded random corpora over a 4-letter alphabet (dense pair
+    collisions): the distributed merge learner must reproduce the
+    pure-python Sennrich reference merge-for-merge."""
+    import random
+
+    from iceberg_geospatial_api_server_spark.operators.bpe import bpe_train
+
+    for seed in range(3):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+            for _ in range(30)
+        ]
+        freqs: dict = {}
+        for w in words:
+            freqs[w] = freqs.get(w, 0) + rng.randint(1, 5)
+        text = " ".join(w for w, f in freqs.items() for _ in range(f))
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        got = bpe_train(df, num_merges=8)
+        want = _ref_bpe_train(freqs, 8)
+        assert got == want, f"seed {seed}: {got} != {want}"

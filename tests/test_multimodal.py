@@ -425,3 +425,47 @@ def test_decode_image_dispatch():
     if not mc.pil_available():
         with pytest.raises(NotImplementedError):
             mc.decode_image(b"\x00" * 10, "jpeg")
+
+
+def test_audio_fingerprint_planted_neardups(spark, tables):
+    """Same-frequency sine clips (synthesize_real_media repeats freq
+    every 17 odd ids) fingerprint identically; the block-join pair
+    machinery finds them; different frequencies differ."""
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        audio_fingerprint,
+        phash_dedup_pairs,
+        synthesize_real_media,
+    )
+
+    media = synthesize_real_media(tables["documents"].limit(120))
+    fps = audio_fingerprint(media, stub=False)
+    rows = {r.doc_id: r.phash for r in fps.collect()}
+    # only odd ids are WAV; evens filtered out by the modality gate
+    assert all(d % 2 == 1 for d in rows)
+    # ids 1 and 35 share freq (1 % 17 == 35 % 17) and duration
+    assert rows[1] == rows[35]
+    # 1 and 3 have different frequencies -> different fingerprints
+    assert rows[1] != rows[3]
+    pairs = phash_dedup_pairs(fps, max_hamming=2).collect()
+    found = {(p.id_a, p.id_b) for p in pairs}
+    assert (1, 35) in found
+    assert all(a % 2 == 1 and b % 2 == 1 for a, b in found)
+
+
+def test_audio_fingerprint_amplitude_invariance():
+    """Sign-of-band-energy-delta never flips under uniform gain — the
+    robustness property the Haitsma-Kalker family is chosen for."""
+    import numpy as np
+
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        afp64_of_samples,
+    )
+
+    rng = np.random.RandomState(3)
+    clip = rng.normal(0, 0.3, 800) + np.sin(np.arange(800) * 0.2)
+    base = afp64_of_samples(clip, 8000)
+    for gain in (0.1, 0.5, 2.0, 10.0):
+        assert afp64_of_samples(clip * gain, 8000) == base
+    # a genuinely different clip must differ
+    other = rng.normal(0, 0.3, 800)
+    assert afp64_of_samples(other, 8000) != base
