@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "corpus_token_budget",
     "doc_chunks",
     "corpus_clean",
+    "corpus_curate",
     "corpus_split",
     "corpus_decontaminate",
     "corpus_segment_dedup",

@@ -2948,6 +2948,48 @@ def text_repetition_profile_q(spark, sf_dir):
     return repetition_profile(spread(_t(spark, sf_dir, "documents"), None))
 
 
+@_q(
+    "corpus_curate",
+    f"""
+    WITH f AS (
+      SELECT doc_id, lang, text,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS nt,
+             {{q}} AS quality
+      FROM documents
+      WHERE LEN(string_split(text, ' ')) >= 20
+        AND {{q}} >= 0.5
+        AND ({_DUPR.format(l="string_split(text, ' ')")}) <= 0.30
+        AND ({_DUPR.format(l=_TRIS)}) <= 0.20
+        AND list_sum(list_transform(string_split(text, ' '),
+              w -> ({_WHASH.format(w='w')} % 2001) - 1000)) >= 0
+    ), d AS (
+      SELECT lang, nt, CAST(ROUND(quality * 1e6) AS BIGINT) AS q6,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+               AS rn
+      FROM f
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           ROUND(SUM(q6)::DOUBLE / COUNT(*)::DOUBLE / 1e6, 6)
+             AS mean_quality
+    FROM d WHERE rn = 1 GROUP BY lang ORDER BY lang
+    """.replace("{q}", _quality_sql("text")),
+)
+def corpus_curate_q(spark, sf_dir):
+    """The COMPOSED curation pass: length + quality + Gopher repetition
+    + hashed-feature classifier gates (all scan-stage), exact dedup
+    keep-first (one md5 shuffle), per-language report (one lang
+    exchange). Each stage is graded alone elsewhere; this entry
+    hash-grades the composition — stage order, survivor sets, and the
+    final aggregate at once."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        curate_corpus,
+    )
+    from iceberg_geospatial_api_server_spark.util import spread
+
+    return curate_corpus(spread(_t(spark, sf_dir, "documents"), None))
+
+
 # quality score of `text` (mirrors operators.text.quality_score), unrounded
 _QUALITY = (
     "(0.4 * (LEN(list_distinct(string_split(text, ' ')))::DOUBLE"
@@ -3713,6 +3755,10 @@ _ORACLED_OVERFLOW = [
     # (events_topk_salted) is graded in the round it lands
     "asof_join_events_orders",  # driver-green r1+r2+r3; as-of kernel also
     # stream-equiv-tested and exercised every round in bench
+    # r4 (cont.): one more rotates out so the composed-pipeline oracle
+    # (corpus_curate) is graded in the round it lands
+    "fq_bbox_filter",  # driver-green r1+r2+r3; the bbox decode+prefilter
+    # path is also graded via fq_geometry_filter(_rects) and geo_extent
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

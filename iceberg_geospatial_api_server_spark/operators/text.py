@@ -709,6 +709,78 @@ def quality_classifier_score(
     ).orderBy(id_col)
 
 
+def curate_corpus(
+    df: DataFrame,
+    min_tokens: int = 20,
+    min_quality: float = 0.5,
+    max_dup_word_ratio: float = 0.30,
+    max_dup_trigram_ratio: float = 0.20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The composed curation pass a training-data team actually runs:
+    length/quality gates → Gopher repetition gates → model-quality
+    gate (hashed-feature classifier, exact integer pooling) → exact
+    dedup keep-first → per-language report. Every stage is individually
+    graded elsewhere; THIS entry hash-grades the composition — stage
+    order, survivor sets, and the final aggregate all at once.
+
+    Plan: all four gates evaluate in the SCAN stage (JVM expressions,
+    including the classifier sum as an aggregate fold over the token
+    array — no explode, no extra exchange); survivors take exactly one
+    md5 shuffle for keep-first dedup, then one lang-key aggregate.
+    Mean quality quantizes to integers (·1e6) before summing — the
+    standard cross-engine convention here."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_w = F.size(toks).cast("double")
+    dup_w = (F.size(toks) - F.size(F.array_distinct(toks))).cast("double")
+    dup_word_ratio = F.when(n_w > 0, dup_w / n_w).otherwise(F.lit(0.0))
+    tris = trigram_strings(c)
+    n_t = F.size(tris).cast("double")
+    dup_t = (F.size(tris) - F.size(F.array_distinct(tris))).cast("double")
+    dup_tri_ratio = F.when(n_t > 0, dup_t / n_t).otherwise(F.lit(0.0))
+    cls_sum = F.aggregate(
+        F.transform(toks, lambda w: word_hash(w) % 2001 - 1000),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    filtered = df.filter(
+        (token_count(c) >= min_tokens)
+        & (quality_score(c) >= min_quality)
+        & (dup_word_ratio <= max_dup_word_ratio)
+        & (dup_tri_ratio <= max_dup_trigram_ratio)
+        & (cls_sum >= 0)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(c)).orderBy(id_col)
+    kept = (
+        filtered.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(lang_col),
+            token_count(c).cast("long").alias("__nt"),
+            F.round(quality_score(c) * 1e6).cast("long").alias("__q6"),
+        )
+    )
+    return (
+        kept.groupBy(lang_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("__q6").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 1e6,
+                6,
+            ).alias("mean_quality"),
+        )
+        .orderBy(lang_col)
+    )
+
+
 def corpus_diff(
     old: DataFrame,
     new: DataFrame,

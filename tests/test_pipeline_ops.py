@@ -627,3 +627,67 @@ def test_length_quantiles_r7_definition(spark):
     assert (r["p25"], r["p50"], r["p75"]) == (2.0, 3.0, 4.0)
     assert r["p95"] == round(4 + 0.8 * 6, 6)  # rank 3.8 between 4 and 10
     assert r["n_docs"] == 5
+
+
+def test_curate_corpus_stage_gates(spark):
+    """Each gate drops its crafted offender; the survivor set dedups
+    keep-first; the report aggregates the kept docs only."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        curate_corpus,
+    )
+
+    import hashlib
+    import itertools
+    import string
+
+    # purely-alphabetic distinct words (digits would zero the alpha
+    # ratio and fail the quality gate before the gates under test)
+    vocab = [
+        "".join(p) for p in itertools.product(string.ascii_lowercase, repeat=2)
+    ]
+    good = " ".join(vocab[:30])
+    repet = " ".join(["dup"] * 30)  # fails dup_word_ratio
+    other = " ".join(vocab[40:65])
+    rows = [
+        (1, good, "en"),
+        (2, good, "en"),  # exact duplicate of 1 -> dropped (keep-first)
+        (3, "aa bb", "en"),  # fails min_tokens
+        (4, repet, "de"),  # fails repetition gate
+        (5, other, "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["lang"]: r for r in curate_corpus(df).collect()}
+
+    def cls_keep(t):  # the classifier gate, recomputed in pure python
+        M = 2147483647
+        return (
+            sum(
+                int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % M % 2001
+                - 1000
+                for w in t.split(" ")
+            )
+            >= 0
+        )
+
+    if cls_keep(good):
+        assert got["en"]["n_docs"] == 1  # duplicate 2 dropped, 3 gated
+        assert got["en"]["total_tokens"] == 30
+    else:
+        assert "en" not in got
+    if cls_keep(other):
+        assert got["de"]["n_docs"] == 1  # repet doc 4 gated out
+        assert got["de"]["total_tokens"] == 25
+    else:
+        assert "de" not in got
+
+
+def test_curate_corpus_plan_shape(docs):
+    """All four gates evaluate in the scan stage; exactly one md5
+    exchange (dedup window) + one lang exchange; no cartesian."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        curate_corpus,
+    )
+
+    p = _plan(curate_corpus(docs))
+    assert hash_exchange_count(p) == 2, p
+    assert "CartesianProduct" not in p
