@@ -302,3 +302,94 @@ def image_neardup_stream(
         .foreachBatch(handle)
         .trigger(availableNow=True)
     )
+
+
+def curate_stream(
+    docs_stream: DataFrame,
+    seen_dir: str,
+    kept_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **curate_params,
+):
+    """Streaming corpus curation — the continuous form of
+    `text.curate_corpus`: per micro-batch, the stateless gates (length,
+    quality, repetition, classifier) run map-side exactly as in batch;
+    the EXACT-dedup stage keeps state as an md5 store at ``seen_dir``
+    (plain parquet — compactable, shared with batch jobs, the same
+    state shape as `neardup_stream`'s corpus dir). A batch's survivors
+    anti-join the store (cross-batch dedup), dedup within the batch
+    keep-first, append to ``kept_dir``, and their hashes join the store.
+
+    Exactness contract (asserted in tests): streaming an id-ordered
+    split of a corpus keeps exactly the batch pipeline's survivor set —
+    first-arrival wins ≡ smallest-id wins when batches arrive in id
+    order (the ingest pattern); under out-of-order arrival the streaming
+    semantics are first-WRITTEN wins, which no batch recomputation can
+    reproduce — the honest difference between the two modes."""
+    import os
+
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        quality_score,
+        token_count,
+        tokens,
+        trigram_strings,
+    )
+    from iceberg_geospatial_api_server_spark.operators.dedup import word_hash
+
+    min_tokens = curate_params.get("min_tokens", 20)
+    min_quality = curate_params.get("min_quality", 0.5)
+    max_dup_w = curate_params.get("max_dup_word_ratio", 0.30)
+    max_dup_t = curate_params.get("max_dup_trigram_ratio", 0.20)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        c = F.col(text_col)
+        toks = tokens(c)
+        n_w = F.size(toks).cast("double")
+        dup_w = (F.size(toks) - F.size(F.array_distinct(toks))).cast("double")
+        dupw = F.when(n_w > 0, dup_w / n_w).otherwise(F.lit(0.0))
+        tris = trigram_strings(c)
+        n_t = F.size(tris).cast("double")
+        dup_t = (F.size(tris) - F.size(F.array_distinct(tris))).cast("double")
+        dupt = F.when(n_t > 0, dup_t / n_t).otherwise(F.lit(0.0))
+        cls = F.aggregate(
+            F.transform(toks, lambda w: word_hash(w) % 2001 - 1000),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        gated = batch.filter(
+            (token_count(c) >= min_tokens)
+            & (quality_score(c) >= min_quality)
+            & (dupw <= max_dup_w)
+            & (dupt <= max_dup_t)
+            & (cls >= 0)
+        ).withColumn("__h", F.md5(c))
+        # within-batch keep-first, then cross-batch anti-join the store
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__h").orderBy(id_col)
+        firsts = (
+            gated.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if os.path.isdir(seen_dir):
+            seen = spark.read.parquet(seen_dir)
+            firsts = firsts.join(seen, "__h", "left_anti")
+        kept = firsts.persist()
+        try:
+            if kept.isEmpty():
+                return
+            kept.drop("__h").write.mode("append").parquet(kept_dir)
+            kept.select("__h").write.mode("append").parquet(seen_dir)
+        finally:
+            kept.unpersist()
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(handle)
+        .trigger(availableNow=True)
+    )

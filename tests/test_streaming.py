@@ -524,3 +524,79 @@ def test_boilerplate_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     }
     assert set(emitted) == want
     assert want  # non-vacuous: the corpus does contain boilerplate
+
+
+def test_curate_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Streaming an id-ordered split must keep exactly the batch
+    curation pipeline's survivor set (first-arrival == smallest-id when
+    batches arrive in id order), with no duplicate hashes in the store."""
+    import time
+
+    from pyspark.sql import types as T
+
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        curate_corpus,
+    )
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+    from iceberg_geospatial_api_server_spark.streaming.windows import (
+        curate_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    cut = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    base = tmp_path_factory.mktemp("curate_stream")
+    path = str(base / "docs")
+    docs.filter(F.col("doc_id") <= cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    time.sleep(1.1)
+    docs.filter(F.col("doc_id") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    q = curate_stream(
+        stream,
+        seen_dir=str(base / "seen"),
+        kept_dir=str(base / "kept"),
+        checkpoint=str(base / "ckpt"),
+    ).start()
+    q.awaitTermination(120)
+
+    kept = spark.read.parquet(str(base / "kept"))
+    # the batch report aggregates survivors; rebuild it from the stream's
+    # kept docs and compare per-language counts and token totals
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        token_count,
+    )
+
+    got = {
+        r["lang"]: (r["n"], r["t"])
+        for r in kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(token_count(F.col("text")).cast("long")).alias("t"),
+        )
+        .collect()
+    }
+    want = {
+        r["lang"]: (r["n_docs"], r["total_tokens"])
+        for r in curate_corpus(docs).collect()
+    }
+    assert got == want
+    seen = spark.read.parquet(str(base / "seen"))
+    assert seen.count() == seen.distinct().count()  # store has no dups
