@@ -306,7 +306,6 @@ def image_neardup_stream(
 
 def curate_stream(
     docs_stream: DataFrame,
-    seen_dir: str,
     kept_dir: str,
     checkpoint: str,
     text_col: str = "text",
@@ -316,11 +315,14 @@ def curate_stream(
     """Streaming corpus curation — the continuous form of
     `text.curate_corpus`: per micro-batch, the stateless gates (length,
     quality, repetition, classifier) run map-side exactly as in batch;
-    the EXACT-dedup stage keeps state as an md5 store at ``seen_dir``
-    (plain parquet — compactable, shared with batch jobs, the same
-    state shape as `neardup_stream`'s corpus dir). A batch's survivors
-    anti-join the store (cross-batch dedup), dedup within the batch
-    keep-first, append to ``kept_dir``, and their hashes join the store.
+    the EXACT-dedup state IS the output: kept rows carry their content
+    hash (`__h`), so ``kept_dir`` doubles as the seen-hash store (plain
+    parquet — compactable, shared with batch jobs). A batch's survivors
+    anti-join the store's hash column, dedup keep-first within the
+    batch, and append — ONE write per batch, so a replayed batch whose
+    append already landed anti-joins to empty and commits nothing
+    (the two-store design this replaced could duplicate documents when
+    a failure split its kept/seen writes).
 
     Exactness contract (asserted in tests): streaming an id-ordered
     split of a corpus keeps exactly the batch pipeline's survivor set —
@@ -375,17 +377,11 @@ def curate_stream(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        if os.path.isdir(seen_dir):
-            seen = spark.read.parquet(seen_dir)
+        if os.path.isdir(kept_dir):
+            seen = spark.read.parquet(kept_dir).select("__h")
             firsts = firsts.join(seen, "__h", "left_anti")
-        kept = firsts.persist()
-        try:
-            if kept.isEmpty():
-                return
-            kept.drop("__h").write.mode("append").parquet(kept_dir)
-            kept.select("__h").write.mode("append").parquet(seen_dir)
-        finally:
-            kept.unpersist()
+        if not firsts.isEmpty():
+            firsts.write.mode("append").parquet(kept_dir)
 
     return (
         docs_stream.writeStream.outputMode("append")

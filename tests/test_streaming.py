@@ -571,7 +571,6 @@ def test_curate_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     )
     q = curate_stream(
         stream,
-        seen_dir=str(base / "seen"),
         kept_dir=str(base / "kept"),
         checkpoint=str(base / "ckpt"),
     ).start()
@@ -598,5 +597,18 @@ def test_curate_stream_matches_batch(spark, sf_dir, tmp_path_factory):
         for r in curate_corpus(docs).collect()
     }
     assert got == want
-    seen = spark.read.parquet(str(base / "seen"))
-    assert seen.count() == seen.distinct().count()  # store has no dups
+    # the store's hash column (the dedup state) has no duplicates, and a
+    # REPLAYED batch commits nothing (single-store idempotency)
+    kept_hashes = spark.read.parquet(str(base / "kept")).select("__h")
+    assert kept_hashes.count() == kept_hashes.distinct().count()
+    n_before = kept_hashes.count()
+    q2 = curate_stream(
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(path),
+        kept_dir=str(base / "kept"),
+        checkpoint=str(base / "ckpt2"),  # fresh checkpoint = full replay
+    ).start()
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(base / "kept")).count() == n_before
