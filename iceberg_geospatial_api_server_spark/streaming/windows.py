@@ -189,6 +189,34 @@ def stream_stream_attribution(
     )
 
 
+def _idempotent_batch_write(df: DataFrame, path: str, batch_id: int) -> None:
+    """Exactly-once-per-batch parquet write for foreachBatch sinks: the
+    frame lands in its ``batch_id=N`` partition via dynamic partition
+    overwrite, so a REPLAYED batch overwrites its own partition with
+    identical content instead of appending duplicates — the standard
+    recovery story for file sinks fed by non-atomic multi-step handlers
+    (mirrors the batch-ref guard in `notifications.versioned_append_sink`)."""
+    (
+        df.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def _read_state_excluding(spark, path: str, batch_id: int):
+    """Read a batch_id-partitioned state dir EXCLUDING the current
+    batch's partition — on replay the batch's own earlier write must not
+    count as history, or old×old suppression would silently drop its
+    pairs."""
+    import os
+
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path).filter(F.col("batch_id") != batch_id)
+
+
 def neardup_stream(
     docs_stream: DataFrame,
     corpus_dir: str,
@@ -216,8 +244,6 @@ def neardup_stream(
     still mined while small — early pairs the full run would have
     dropped stay emitted; the cap is a cost valve, not a semantic.)
     """
-    import os
-
     from iceberg_geospatial_api_server_spark.operators.dedup import (
         dedup_minhash_lsh,
     )
@@ -227,11 +253,9 @@ def neardup_stream(
         batch = batch.select(id_col, text_col)
         if batch.isEmpty():
             return
-        against = (
-            spark.read.parquet(corpus_dir)
-            if os.path.isdir(corpus_dir)
-            else None
-        )
+        against = _read_state_excluding(spark, corpus_dir, batch_id)
+        if against is not None:
+            against = against.select(id_col, text_col)
         pairs = dedup_minhash_lsh(
             batch,
             text_col=text_col,
@@ -240,10 +264,11 @@ def neardup_stream(
             against=against,
             **minhash_params,
         )
-        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(pairs_dir)
-        batch.write.mode("append").parquet(corpus_dir)
+        # both writes overwrite their own batch_id partition: a replayed
+        # batch (after a failure between the two writes) reproduces the
+        # identical content instead of appending duplicates
+        _idempotent_batch_write(pairs, pairs_dir, batch_id)
+        _idempotent_batch_write(batch, corpus_dir, batch_id)
 
     return (
         docs_stream.writeStream.outputMode("append")
@@ -273,8 +298,6 @@ def image_neardup_stream(
     the full-run pair set (each pair lands in the batch where the later
     image arrives).
     """
-    import os
-
     from iceberg_geospatial_api_server_spark.operators.multimodal import (
         image_phash,
         phash_dedup_pairs,
@@ -285,16 +308,13 @@ def image_neardup_stream(
         if batch.isEmpty():
             return
         hashes = image_phash(batch, stub=stub)
-        against = (
-            spark.read.parquet(hashes_dir)
-            if os.path.isdir(hashes_dir)
-            else None
-        )
+        against = _read_state_excluding(spark, hashes_dir, batch_id)
+        if against is not None:
+            against = against.select("doc_id", "phash")
         pairs = phash_dedup_pairs(hashes, against=against, **phash_params)
-        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(pairs_dir)
-        hashes.write.mode("append").parquet(hashes_dir)
+        # replay-idempotent per-batch partitions (see _idempotent_batch_write)
+        _idempotent_batch_write(pairs, pairs_dir, batch_id)
+        _idempotent_batch_write(hashes, hashes_dir, batch_id)
 
     return (
         media_stream.writeStream.outputMode("append")

@@ -460,7 +460,26 @@ def test_image_neardup_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     assert got == full
     state = spark.read.parquet(hashes_dir)
     assert state.count() == 100
-    assert set(state.columns) == {"doc_id", "phash"}  # hashes, not payloads
+    # hashes + the replay-idempotency partition key, never payloads
+    assert set(state.columns) == {"doc_id", "phash", "batch_id"}
+    # failure-recovery idempotency: a REPLAYED batch id (same checkpoint
+    # lineage -> same batch content) overwrites its own partition with
+    # identical rows instead of appending — pin the mechanism directly
+    from iceberg_geospatial_api_server_spark.streaming.windows import (
+        _idempotent_batch_write,
+    )
+
+    n_hashes = spark.read.parquet(hashes_dir).count()
+    replay = spark.read.parquet(hashes_dir).filter(
+        F.col("batch_id") == 1
+    ).drop("batch_id")
+    _idempotent_batch_write(replay, hashes_dir, 1)  # the "replay"
+    assert spark.read.parquet(hashes_dir).count() == n_hashes
+    # and an untouched partition is not clobbered by dynamic overwrite
+    assert (
+        spark.read.parquet(hashes_dir).filter(F.col("batch_id") == 0).count()
+        > 0
+    )
 
 
 def test_boilerplate_stream_matches_batch(spark, sf_dir, tmp_path_factory):
