@@ -284,30 +284,42 @@ def image_neardup_stream(
     pairs_dir: str,
     checkpoint: str,
     stub: bool = True,
+    fingerprint: str = "phash",
     **phash_params,
 ):
-    """Streaming near-duplicate IMAGE detection — incremental pHash per
-    micro-batch (the continuous form of
+    """Streaming near-duplicate MEDIA detection — incremental 64-bit
+    fingerprinting per micro-batch (the continuous form of
     ``multimodal.phash_dedup_pairs(against=...)``).
+    ``fingerprint="phash"`` hashes images (DCT pHash);
+    ``fingerprint="audio"`` hashes audio clips (Haitsma-Kalker
+    band-energy delta signs) — the pair machinery downstream is
+    hash-agnostic, so the two modalities share every line after the
+    kernel choice.
 
-    The accumulated state at ``hashes_dir`` is the (doc_id, phash)
-    table — 8 bytes per image, NEVER the payloads: each batch decodes
-    and hashes only its own images, probes its hash blocks against the
-    whole history, and appends its hashes. Same exactness contract as
+    The accumulated state at ``hashes_dir`` is the (doc_id, hash)
+    table — 8 bytes per item, NEVER the payloads: each batch decodes
+    and hashes only its own media, probes its hash blocks against the
+    whole history, and commits its hashes. Same exactness contract as
     `neardup_stream`: streaming any split of a corpus yields exactly
     the full-run pair set (each pair lands in the batch where the later
-    image arrives).
+    item arrives).
     """
     from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        audio_fingerprint,
         image_phash,
         phash_dedup_pairs,
     )
+
+    kernels = {"phash": image_phash, "audio": audio_fingerprint}
+    if fingerprint not in kernels:
+        raise ValueError(f"fingerprint must be one of {sorted(kernels)}")
+    fp_kernel = kernels[fingerprint]
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         if batch.isEmpty():
             return
-        hashes = image_phash(batch, stub=stub)
+        hashes = fp_kernel(batch, stub=stub)
         against = _read_state_excluding(spark, hashes_dir, batch_id)
         if against is not None:
             against = against.select("doc_id", "phash")

@@ -631,3 +631,58 @@ def test_curate_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     ).start()
     q2.awaitTermination(120)
     assert spark.read.parquet(str(base / "kept")).count() == n_before
+
+
+def test_audio_neardup_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """The audio mode of the media near-dup stream: streaming a split of
+    the WAV corpus yields exactly the full-run fingerprint pair set."""
+    import time as _time
+
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        audio_fingerprint,
+        phash_dedup_pairs,
+        synthesize_real_media,
+    )
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+    from iceberg_geospatial_api_server_spark.streaming.windows import (
+        image_neardup_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    media = synthesize_real_media(docs).filter(F.col("modality") == "audio")
+    full = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash_dedup_pairs(
+            audio_fingerprint(media, stub=False), max_hamming=2
+        ).collect()
+    }
+    assert full, "vacuous: no planted same-frequency clips"
+
+    base = tmp_path_factory.mktemp("audio_neardup_stream")
+    src = str(base / "media")
+    media.filter(F.col("doc_id") < 60).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    _time.sleep(1.1)
+    media.filter(F.col("doc_id") >= 60).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    schema = "doc_id long, payload binary, modality string, codec string"
+    q = image_neardup_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        str(base / "hashes"),
+        str(base / "pairs"),
+        str(base / "ckpt"),
+        stub=False,
+        fingerprint="audio",
+        max_hamming=2,
+    ).start()
+    q.awaitTermination(120)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in spark.read.parquet(str(base / "pairs")).collect()
+    }
+    assert got == full
