@@ -2211,6 +2211,45 @@ def events_topk_salted_q(spark, sf_dir):
     ).orderBy("event_type", "rank")
 
 
+@_q(
+    "embed_semantic_decontaminate",
+    """
+    WITH bench AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id % 97 = 0
+    ), m AS (
+      SELECT b.vec_id,
+             MAX(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                        q.e)) AS max_sim
+      FROM embeddings b CROSS JOIN bench q
+      WHERE b.vec_id % 97 != 0
+      GROUP BY b.vec_id
+    )
+    SELECT vec_id, ROUND(max_sim, 6) AS max_sim,
+           max_sim >= 0.35 AS contaminated
+    FROM m ORDER BY vec_id
+    """,
+)
+def embed_semantic_decontaminate_q(spark, sf_dir):
+    """Semantic contamination check: per-corpus-vector MAX cosine
+    against the benchmark slice (vec_id % 97), hash-graded value-for-
+    value (threshold 0.35 calibrated to the near-random synthetic
+    embeddings so both flag values occur; a real corpus uses ~0.9).
+    The Arrow matmul must agree with DuckDB's pairwise
+    list_cosine_similarity at 6 decimals across every (corpus, bench)
+    combination."""
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        semantic_decontaminate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 97 == 0)
+    corpus = emb.filter(F.col("vec_id") % 97 != 0)
+    return semantic_decontaminate(corpus, bench, threshold=0.35).orderBy(
+        "vec_id"
+    )
+
+
 @_q("dedup_clusters")  # rows-only: connected components is iterative
 # (label propagation) — correctness pinned by tests/test_dedup_ann.py's
 # crafted-graph test; this entry gives the driver a rows+schema row
@@ -3759,6 +3798,11 @@ _ORACLED_OVERFLOW = [
     # (corpus_curate) is graded in the round it lands
     "fq_bbox_filter",  # driver-green r1+r2+r3; the bbox decode+prefilter
     # path is also graded via fq_geometry_filter(_rects) and geo_extent
+    # r4 (cont.): one more rotates out so the semantic-decontamination
+    # oracle (embed_semantic_decontaminate) is graded in the round it
+    # lands
+    "corpus_clean",  # driver-green r2+r3; its filter+md5-keep-first
+    # machinery is a strict subset of the graded corpus_curate
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

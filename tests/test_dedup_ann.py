@@ -590,3 +590,29 @@ def test_ivf_index_save_load_prunes_partitions(spark, tables, tmp_path):
 
     parts = [d for d in os.listdir(f"{path}/vectors") if d.startswith("cell=")]
     assert len(parts) > 1
+
+
+def test_semantic_decontaminate_planted(spark):
+    """A corpus vector equal to a benchmark vector scores max_sim 1.0
+    and flags contaminated; an orthogonal one does not."""
+    import numpy as np
+
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        semantic_decontaminate,
+    )
+
+    leak = [1.0, 0.0, 0.0, 0.0]
+    bench = spark.createDataFrame(
+        [(100, leak), (101, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(1, [2.0, 0.0, 0.0, 0.0]), (2, [0.0, 0.0, 3.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r.vec_id: r
+        for r in semantic_decontaminate(corpus, bench, 0.99).collect()
+    }
+    assert rows[1].max_sim == 1.0 and rows[1].contaminated
+    assert rows[2].max_sim == 0.0 and not rows[2].contaminated
