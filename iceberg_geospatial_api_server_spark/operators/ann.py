@@ -426,6 +426,10 @@ def semantic_decontaminate(
     entry calibrates its threshold to the corpus so both flag values
     occur.)"""
     bench_rows = bench.select(vec_col).collect()
+    if not bench_rows:
+        raise ValueError(
+            "benchmark slice is empty — nothing to decontaminate against"
+        )
     B = np.array(
         [[float(x) for x in r[0]] for r in bench_rows], dtype="f8"
     )

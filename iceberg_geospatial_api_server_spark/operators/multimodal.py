@@ -476,7 +476,7 @@ def phash_dedup_pairs(
     )
 
 
-def afp64_of_samples(mono: np.ndarray, rate: int) -> int:
+def afp64_of_samples(mono: np.ndarray) -> int:
     """64-bit audio fingerprint: Haitsma–Kalker-style sign of band-energy
     DELTAS (the robust-hash family behind broadcast-monitoring /
     Shazam-like matchers). The mono signal splits into 33 equal frames;
@@ -484,7 +484,9 @@ def afp64_of_samples(mono: np.ndarray, rate: int) -> int:
     inter-frame deltas × 2 bands threshold at zero into 64 bits.
 
     Sign-of-delta is invariant to uniform amplitude scaling (gain riding
-    never flips a bit) and depends only on spectral SHAPE over time —
+    never flips a bit) and — being purely positional over equal frame
+    splits — needs no sample-rate input; it depends only on spectral
+    SHAPE over time —
     the audio analog of pHash's median-thresholded DCT block. Same
     signed-long packing as `phash64_of_gray`, so the fingerprints feed
     the SAME `phash_dedup_pairs` block-join machinery (it is
@@ -535,12 +537,12 @@ def audio_fingerprint(
                 if stub:
                     arr = np.frombuffer(buf, dtype=np.uint8).astype("f8")
                     mono = np.resize(arr - arr.mean() if len(arr) else arr, 330)
-                    out_rows.append((int(doc_id), afp64_of_samples(mono, 330)))
+                    out_rows.append((int(doc_id), afp64_of_samples(mono)))
                     continue
                 try:
                     samples, rate = media_codecs.decode_wav(bytes(buf))
                     mono = samples.mean(axis=1)
-                    out_rows.append((int(doc_id), afp64_of_samples(mono, rate)))
+                    out_rows.append((int(doc_id), afp64_of_samples(mono)))
                 except (NotImplementedError, ValueError, EOFError, wave.Error):
                     # codec gap or corrupt payload — a corpus sweep must
                     # not die on the first broken file

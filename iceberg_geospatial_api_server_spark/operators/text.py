@@ -709,6 +709,40 @@ def quality_classifier_score(
     ).orderBy(id_col)
 
 
+def curation_keep_predicate(
+    c: Column,
+    min_tokens: int = 20,
+    min_quality: float = 0.5,
+    max_dup_word_ratio: float = 0.30,
+    max_dup_trigram_ratio: float = 0.20,
+) -> Column:
+    """The curation gate predicate — length, composite quality, Gopher
+    repetition ratios, and the hashed-feature classifier sign — as ONE
+    scan-stage boolean Column. Shared by `curate_corpus` and the
+    streaming `curate_stream`, whose stream ≡ batch survivor contract
+    requires the expressions to stay bit-identical."""
+    toks = tokens(c)
+    n_w = F.size(toks).cast("double")
+    dup_w = (F.size(toks) - F.size(F.array_distinct(toks))).cast("double")
+    dup_word_ratio = F.when(n_w > 0, dup_w / n_w).otherwise(F.lit(0.0))
+    tris = trigram_strings(c)
+    n_t = F.size(tris).cast("double")
+    dup_t = (F.size(tris) - F.size(F.array_distinct(tris))).cast("double")
+    dup_tri_ratio = F.when(n_t > 0, dup_t / n_t).otherwise(F.lit(0.0))
+    cls_sum = F.aggregate(
+        F.transform(toks, lambda w: word_hash(w) % 2001 - 1000),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        (token_count(c) >= min_tokens)
+        & (quality_score(c) >= min_quality)
+        & (dup_word_ratio <= max_dup_word_ratio)
+        & (dup_tri_ratio <= max_dup_trigram_ratio)
+        & (cls_sum >= 0)
+    )
+
+
 def curate_corpus(
     df: DataFrame,
     min_tokens: int = 20,
@@ -733,25 +767,14 @@ def curate_corpus(
     Mean quality quantizes to integers (·1e6) before summing — the
     standard cross-engine convention here."""
     c = F.col(text_col)
-    toks = tokens(c)
-    n_w = F.size(toks).cast("double")
-    dup_w = (F.size(toks) - F.size(F.array_distinct(toks))).cast("double")
-    dup_word_ratio = F.when(n_w > 0, dup_w / n_w).otherwise(F.lit(0.0))
-    tris = trigram_strings(c)
-    n_t = F.size(tris).cast("double")
-    dup_t = (F.size(tris) - F.size(F.array_distinct(tris))).cast("double")
-    dup_tri_ratio = F.when(n_t > 0, dup_t / n_t).otherwise(F.lit(0.0))
-    cls_sum = F.aggregate(
-        F.transform(toks, lambda w: word_hash(w) % 2001 - 1000),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
     filtered = df.filter(
-        (token_count(c) >= min_tokens)
-        & (quality_score(c) >= min_quality)
-        & (dup_word_ratio <= max_dup_word_ratio)
-        & (dup_tri_ratio <= max_dup_trigram_ratio)
-        & (cls_sum >= 0)
+        curation_keep_predicate(
+            c,
+            min_tokens=min_tokens,
+            min_quality=min_quality,
+            max_dup_word_ratio=max_dup_word_ratio,
+            max_dup_trigram_ratio=max_dup_trigram_ratio,
+        )
     )
     from pyspark.sql import Window
 

@@ -206,15 +206,27 @@ def _idempotent_batch_write(df: DataFrame, path: str, batch_id: int) -> None:
 
 
 def _read_state_excluding(spark, path: str, batch_id: int):
-    """Read a batch_id-partitioned state dir EXCLUDING the current
-    batch's partition — on replay the batch's own earlier write must not
-    count as history, or old×old suppression would silently drop its
-    pairs."""
+    """Read a state dir EXCLUDING the current batch's partition — on
+    replay the batch's own earlier write must not count as history, or
+    old×old suppression would silently drop its pairs.
+
+    Pre-seeded or compacted state (plain parquet without a batch_id
+    column — the persist-between-runs pattern the dedup docstrings
+    advertise) is all history by definition and passes through whole.
+
+    NOTE the lineage contract shared by every foreachBatch file sink
+    here: the state/output dirs are PAIRED with the checkpoint. A fresh
+    checkpoint restarts batch ids at 0 and would overwrite the previous
+    run's partitions — resume the same checkpoint, or compact the old
+    state (drop its batch_id column) before seeding a new stream."""
     import os
 
     if not os.path.isdir(path):
         return None
-    return spark.read.parquet(path).filter(F.col("batch_id") != batch_id)
+    df = spark.read.parquet(path)
+    if "batch_id" in df.columns:
+        df = df.filter(F.col("batch_id") != batch_id)
+    return df
 
 
 def neardup_stream(
@@ -342,7 +354,10 @@ def curate_stream(
     checkpoint: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    **curate_params,
+    min_tokens: int = 20,
+    min_quality: float = 0.5,
+    max_dup_word_ratio: float = 0.30,
+    max_dup_trigram_ratio: float = 0.20,
 ):
     """Streaming corpus curation — the continuous form of
     `text.curate_corpus`: per micro-batch, the stateless gates (length,
@@ -365,40 +380,22 @@ def curate_stream(
     import os
 
     from iceberg_geospatial_api_server_spark.operators.text import (
-        quality_score,
-        token_count,
-        tokens,
-        trigram_strings,
+        curation_keep_predicate,
     )
-    from iceberg_geospatial_api_server_spark.operators.dedup import word_hash
-
-    min_tokens = curate_params.get("min_tokens", 20)
-    min_quality = curate_params.get("min_quality", 0.5)
-    max_dup_w = curate_params.get("max_dup_word_ratio", 0.30)
-    max_dup_t = curate_params.get("max_dup_trigram_ratio", 0.20)
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         c = F.col(text_col)
-        toks = tokens(c)
-        n_w = F.size(toks).cast("double")
-        dup_w = (F.size(toks) - F.size(F.array_distinct(toks))).cast("double")
-        dupw = F.when(n_w > 0, dup_w / n_w).otherwise(F.lit(0.0))
-        tris = trigram_strings(c)
-        n_t = F.size(tris).cast("double")
-        dup_t = (F.size(tris) - F.size(F.array_distinct(tris))).cast("double")
-        dupt = F.when(n_t > 0, dup_t / n_t).otherwise(F.lit(0.0))
-        cls = F.aggregate(
-            F.transform(toks, lambda w: word_hash(w) % 2001 - 1000),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
+        # the SAME predicate builder curate_corpus uses — the stream ≡
+        # batch survivor contract depends on these staying identical
         gated = batch.filter(
-            (token_count(c) >= min_tokens)
-            & (quality_score(c) >= min_quality)
-            & (dupw <= max_dup_w)
-            & (dupt <= max_dup_t)
-            & (cls >= 0)
+            curation_keep_predicate(
+                c,
+                min_tokens=min_tokens,
+                min_quality=min_quality,
+                max_dup_word_ratio=max_dup_word_ratio,
+                max_dup_trigram_ratio=max_dup_trigram_ratio,
+            )
         ).withColumn("__h", F.md5(c))
         # within-batch keep-first, then cross-batch anti-join the store
         from pyspark.sql import Window
@@ -412,8 +409,10 @@ def curate_stream(
         if os.path.isdir(kept_dir):
             seen = spark.read.parquet(kept_dir).select("__h")
             firsts = firsts.join(seen, "__h", "left_anti")
-        if not firsts.isEmpty():
-            firsts.write.mode("append").parquet(kept_dir)
+        # unconditional write: an isEmpty() probe would execute the full
+        # gates+window+anti-join plan a second time, doubling per-batch
+        # cost; appending an empty frame is harmless
+        firsts.write.mode("append").parquet(kept_dir)
 
     return (
         docs_stream.writeStream.outputMode("append")

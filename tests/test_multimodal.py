@@ -463,9 +463,9 @@ def test_audio_fingerprint_amplitude_invariance():
 
     rng = np.random.RandomState(3)
     clip = rng.normal(0, 0.3, 800) + np.sin(np.arange(800) * 0.2)
-    base = afp64_of_samples(clip, 8000)
+    base = afp64_of_samples(clip)
     for gain in (0.1, 0.5, 2.0, 10.0):
-        assert afp64_of_samples(clip * gain, 8000) == base
+        assert afp64_of_samples(clip * gain) == base
     # a genuinely different clip must differ
     other = rng.normal(0, 0.3, 800)
-    assert afp64_of_samples(other, 8000) != base
+    assert afp64_of_samples(other) != base
