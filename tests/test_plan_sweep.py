@@ -26,3 +26,7 @@ def test_no_cartesian_product_anywhere(spark, sf_dir, name):
     df = E.queries()[name](spark, sf_dir)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan[:2000]}"
+    # row-at-a-time Python UDFs are banned everywhere: Python in the
+    # data path must be Arrow-batched (ArrowEvalPython / MapInPandas /
+    # FlatMapGroupsInPandas), never per-row BatchEvalPython
+    assert "BatchEvalPython" not in plan, f"{name} uses a per-row UDF:\n{plan[:2000]}"
