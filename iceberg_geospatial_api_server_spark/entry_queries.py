@@ -450,8 +450,8 @@ def geo_nearest(spark, sf_dir):
     "geo_mercator",
     f"""
     SELECT l_orderkey, l_linenumber,
-           ROUND(x * (PI() * 6378137.0 / 180.0), 4) AS mx,
-           ROUND(LN(TAN((90.0 + y) * (PI() / 360.0))) * 6378137.0, 4) AS my
+           ROUND(x * (PI() * 6378137.0 / 180.0), 4) + 0.0 AS mx,
+           ROUND(LN(TAN((90.0 + y) * (PI() / 360.0))) * 6378137.0, 4) + 0.0 AS my
     FROM {_LI_PTS} p
     """,
 )
@@ -466,8 +466,12 @@ def geo_mercator(spark, sf_dir):
     return pts.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(mercator_x(F.col("x")), 4).alias("mx"),
-        F.round(mercator_y(F.col("y")), 4).alias("my"),
+        # + 0.0 maps IEEE -0.0 to +0.0 on both engines: DuckDB ROUND
+        # preserves the sign of zero, Spark's doesn't, and the driver's
+        # repr-based hash tells them apart (surfaced at sf0.1 where 611
+        # points round to zero northing)
+        (F.round(mercator_x(F.col("x")), 4) + F.lit(0.0)).alias("mx"),
+        (F.round(mercator_y(F.col("y")), 4) + F.lit(0.0)).alias("my"),
     )
 
 
@@ -2801,7 +2805,8 @@ def corpus_temperature_mixture_q(spark, sf_dir):
       FROM ex GROUP BY doc_id
     )
     SELECT doc_id, n_tokens,
-           ROUND(ws::DOUBLE / (n_tokens * 1000)::DOUBLE, 6) AS score,
+           FLOOR(ws::DOUBLE / (n_tokens * 1000)::DOUBLE * 1000000.0 + 0.5)
+             / 1000000.0 AS score,
            ROUND(1.0 / (1.0
                  + EXP(-4.0 * (ws::DOUBLE / (n_tokens * 1000)::DOUBLE))), 6)
              AS prob,
@@ -3598,7 +3603,7 @@ def text_gopher_rules_q(spark, sf_dir):
     """
     SELECT CAST(pos AS BIGINT) AS dim,
            CAST(COUNT(*) AS BIGINT) AS n_values,
-           ROUND(AVG(val), 4) AS mean_val,
+           ROUND(AVG(val), 4) + 0.0 AS mean_val,
            ROUND(STDDEV(val), 4) AS std_val,
            ROUND(CAST(MIN(val) AS DOUBLE), 4) AS min_val,
            ROUND(CAST(MAX(val) AS DOUBLE), 4) AS max_val,

@@ -898,7 +898,9 @@ def dim_stats(
         ex.groupBy("dim")
         .agg(
             F.count(F.lit(1)).alias("n_values"),
-            F.round(F.avg("val"), 4).alias("mean_val"),
+            # + 0.0: IEEE -0.0 -> +0.0 (DuckDB ROUND keeps the sign
+            # of zero; the driver's repr-based hash tells -0.0 from 0.0)
+            (F.round(F.avg("val"), 4) + F.lit(0.0)).alias("mean_val"),
             F.round(F.stddev("val"), 4).alias("std_val"),
             F.round(F.min("val"), 4).alias("min_val"),
             F.round(F.max("val"), 4).alias("max_val"),

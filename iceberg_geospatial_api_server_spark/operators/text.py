@@ -700,10 +700,15 @@ def quality_classifier_score(
         F.col("n_tokens") * 1000
     ).cast("double")
     prob = 1.0 / (1.0 + F.exp(-F.lit(float(scale)) * score))
+    # score's value grid (1/(n·1000)) lands EXACTLY on 5e-7 rounding
+    # halves for many n (surfaced at sf0.1: 4 docs), where Spark
+    # HALF_UPs the decimal rendering and DuckDB rounds the binary —
+    # floor(x·1e6 + 0.5) is the same float op sequence on both engines
+    score6 = F.floor(score * 1e6 + F.lit(0.5)) / 1e6
     return agg.select(
         id_col,
         "n_tokens",
-        F.round(score, 6).alias("score"),
+        score6.alias("score"),
         F.round(prob, 6).alias("prob"),
         (score >= 0.0).alias("keep"),
     ).orderBy(id_col)
