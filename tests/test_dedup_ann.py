@@ -43,18 +43,30 @@ def test_minhash_storage_level_none_pins_nothing(spark, docs):
     def n_persistent():
         return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
 
+    def settle(target):
+        # unpersist/clearCache release blocks asynchronously: poll until
+        # the storage listing drains to the target (full-suite runs can
+        # otherwise observe a block mid-release and flake)
+        import time
+
+        for _ in range(50):
+            if n_persistent() <= target:
+                return n_persistent()
+            time.sleep(0.2)
+        return n_persistent()
+
     spark.catalog.clearCache()
-    before = n_persistent()
+    before = settle(0)
     for _ in range(2):
         assert dedup_minhash_lsh(docs, storage_level=None).count() > 0
-    assert n_persistent() == before, "storage_level=None must pin nothing"
+    assert settle(before) == before, "storage_level=None must pin nothing"
 
     # default level pins intermediates for the session...
     dedup_minhash_lsh(docs).count()
     assert n_persistent() > before
     # ...and clearCache() is the documented release valve
     spark.catalog.clearCache()
-    assert n_persistent() == before
+    assert settle(before) == before
 
 
 def test_simhash_pairs_are_near_dups(spark, docs):
