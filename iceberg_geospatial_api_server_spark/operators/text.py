@@ -8,7 +8,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pyspark import StorageLevel
+
 from iceberg_geospatial_api_server_spark.operators.dedup import MERSENNE, word_hash
+
+# Same multi-consumer pin convention as operators.dedup: the tokenized
+# base feeds four plan branches (model unigrams, model bigrams, scoring
+# stream, per-doc token counts) and Spark has no cross-branch common
+# subexpression reuse — uncached, each branch re-scans and re-splits the
+# corpus. MEMORY_AND_DISK spills, never OOMs; pass None to run cache-free.
+_PPL_DEFAULT_STORAGE = StorageLevel.MEMORY_AND_DISK
 
 # Small public stopword marker sets per language (enough for a ratio
 # heuristic; real corpora would use larger lists — same plan shape).
@@ -891,6 +900,7 @@ def perplexity_profile(
     text_col: str = "text",
     id_col: str = "doc_id",
     quant: int = 1_000_000,
+    storage_level: "StorageLevel | None" = _PPL_DEFAULT_STORAGE,
 ) -> DataFrame:
     """CCNet-style language-model perplexity scoring: train an add-one
     bigram LM on a reference slice of the corpus, score every document
@@ -920,6 +930,16 @@ def perplexity_profile(
         train_pred = F.col(id_col) % 7 == 0
     toks = tokens(F.col(text_col))
     base = df.select(F.col(id_col), train_pred.alias("__train"), toks.alias("__t"))
+    # Four consumers below (train unigrams/bigrams, scoring stream, doc
+    # token counts): pin the tokenized form so the corpus scan + regex
+    # split run once, not per branch. At sf0.1 this is a wash (the whole
+    # query is shuffle-floor-dominated at ~1s) — the pin is for the 100 TB
+    # posture, where four full corpus re-scans are the dominant I/O. The
+    # pinned frame is (id, bool, token array) — a fraction of the raw
+    # corpus — and spills under MEMORY_AND_DISK; storage_level=None
+    # recomputes per branch.
+    if storage_level is not None:
+        base = base.persist(storage_level)
 
     big = base.select(
         id_col,
@@ -976,7 +996,9 @@ def perplexity_profile(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum("__lpq").cast("long").alias("ln_sum_q"),
     )
-    docs = df.select(F.col(id_col), F.size(toks).cast("long").alias("n_tokens"))
+    docs = base.select(
+        F.col(id_col), F.size("__t").cast("long").alias("n_tokens")
+    )
     ent = (
         F.col("ln_sum_q").cast("double")
         / F.lit(float(quant))
