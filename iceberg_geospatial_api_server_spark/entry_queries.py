@@ -3399,6 +3399,56 @@ def pack_sequences_q(spark, sf_dir):
 
 
 @_q(
+    "pack_materialize",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST({_IDHASH.format(id='doc_id')} % 32 AS INT) AS shard,
+             string_split(text, ' ') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, shard, toks,
+             CAST(SUM(LEN(toks)) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - LEN(toks) AS BIGINT) AS off
+      FROM t
+    ), x AS (
+      SELECT shard, doc_id,
+             off + generate_subscripts(toks, 1) - 1 AS pos,
+             unnest(toks) AS tok
+      FROM c
+    )
+    SELECT shard, CAST(pos // 512 AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS first_doc_id,
+           MD5(STRING_AGG(tok, ' ' ORDER BY pos)) AS pack_md5
+    FROM x GROUP BY shard, pack_id ORDER BY shard, pack_id
+    """,
+)
+def pack_materialize_q(spark, sf_dir):
+    """Materialized training packs, hash-graded to the token level: the
+    md5 of each pack's space-joined token window must match an oracle
+    that reconstructs the identical (shard, doc_id)-ordered stream in
+    SQL — grading not just the pack arithmetic (pack_sequences does
+    that) but the actual contents `sources.shards.write_training_shards`
+    puts on disk."""
+    from iceberg_geospatial_api_server_spark.sources.shards import (
+        materialize_packs,
+    )
+
+    packs = materialize_packs(_t(spark, sf_dir, "documents"), max_tokens=512)
+    return packs.select(
+        "shard",
+        "pack_id",
+        "n_tokens",
+        "n_docs",
+        "first_doc_id",
+        F.md5(F.concat_ws(" ", "tokens")).alias("pack_md5"),
+    ).orderBy("shard", "pack_id")
+
+
+@_q(
     "embed_quantize_int8",
     """
     SELECT vec_id, CAST(LEN(embedding) AS BIGINT) AS n_dims,
@@ -3808,6 +3858,12 @@ _ORACLED_OVERFLOW = [
     # lands
     "corpus_clean",  # driver-green r2+r3; its filter+md5-keep-first
     # machinery is a strict subset of the graded corpus_curate
+    # r4 (cont.): one more rotates out so the shard-sink materialization
+    # oracle (pack_materialize — md5-of-pack-contents) is graded in the
+    # round it lands
+    "doc_chunks",  # driver-green r2+r3; sequence→slice→explode shape
+    # also graded via corpus_segment_dedup, and pack_materialize now
+    # grades the stronger token-stream contract
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

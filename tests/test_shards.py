@@ -1,0 +1,127 @@
+"""Training-shard sink: pack materialization against a pure-Python
+reference, token conservation, layout/manifest contract."""
+
+import glob
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from iceberg_geospatial_api_server_spark.sources.shards import (
+    MANIFEST,
+    materialize_packs,
+    write_training_shards,
+)
+
+KNUTH_MOD = 506952114
+MERSENNE = 2147483647
+
+
+def _shard(doc_id: int, n_shards: int) -> int:
+    return ((doc_id % MERSENNE) % MERSENNE * KNUTH_MOD) % MERSENNE % n_shards
+
+
+def _reference_packs(rows, max_tokens, n_shards):
+    """Pure-Python packing: concatenate docs per shard in doc_id order,
+    slice every max_tokens tokens."""
+    shards = {}
+    for doc_id, text in sorted(rows):
+        shards.setdefault(_shard(doc_id, n_shards), []).append(
+            (doc_id, text.split(" "))
+        )
+    out = {}
+    for s, docs in shards.items():
+        stream = [(doc_id, t) for doc_id, toks in docs for t in toks]
+        for p in range(0, len(stream), max_tokens):
+            window = stream[p : p + max_tokens]
+            out[(s, p // max_tokens)] = {
+                "tokens": [t for _, t in window],
+                "n_docs": len({d for d, _ in window}),
+                "first_doc_id": window[0][0],
+            }
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(5 + i % 7))) for i in range(60)]
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_packs_match_reference(spark, docs):
+    rows, df = docs
+    got = {
+        (r["shard"], r["pack_id"]): r
+        for r in materialize_packs(df, max_tokens=16, n_shards=4).collect()
+    }
+    want = _reference_packs(rows, max_tokens=16, n_shards=4)
+    assert set(got) == set(want)
+    for key, ref in want.items():
+        assert got[key]["tokens"] == ref["tokens"], key
+        assert got[key]["n_docs"] == ref["n_docs"], key
+        assert got[key]["first_doc_id"] == ref["first_doc_id"], key
+
+
+def test_token_conservation_and_pack_sizes(spark, docs):
+    rows, df = docs
+    packs = materialize_packs(df, max_tokens=16, n_shards=4).collect()
+    total = sum(len(t.split(" ")) for _, t in rows)
+    assert sum(r["n_tokens"] for r in packs) == total
+    last = {r["shard"]: max(p["pack_id"] for p in packs if p["shard"] == r["shard"])
+            for r in packs}
+    for r in packs:
+        assert r["n_tokens"] == len(r["tokens"])
+        if r["pack_id"] < last[r["shard"]]:
+            assert r["n_tokens"] == 16, (r["shard"], r["pack_id"])
+        else:
+            assert 1 <= r["n_tokens"] <= 16
+
+
+def test_agrees_with_pack_sequences_map(spark, docs):
+    from iceberg_geospatial_api_server_spark.operators.text import pack_sequences
+
+    _, df = docs
+    mapped = pack_sequences(df, max_tokens=16, n_shards=4).collect()
+    packs = materialize_packs(df, max_tokens=16, n_shards=4).collect()
+    n_packs_by_shard = {}
+    for r in packs:
+        n_packs_by_shard[r["shard"]] = max(
+            n_packs_by_shard.get(r["shard"], 0), r["pack_id"] + 1
+        )
+    for m in mapped:
+        # the map's pack range for each doc must exist in the materialization
+        assert m["pack_last"] < n_packs_by_shard[m["shard"]], m
+
+
+def test_write_layout_and_manifest(spark, docs, tmp_path):
+    _, df = docs
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        df, path, max_tokens=16, n_shards=4, rows_per_file=1
+    )
+    on_disk = json.load(open(os.path.join(path, MANIFEST)))
+    assert on_disk == manifest
+    assert manifest["total_tokens"] == sum(
+        s["n_tokens"] for s in manifest["shards"]
+    )
+    # one directory per shard, and rows_per_file=1 bounds every file
+    shard_dirs = sorted(glob.glob(os.path.join(path, "shard=*")))
+    assert [d.split("=")[-1] for d in shard_dirs] == [
+        str(s["shard"]) for s in manifest["shards"]
+    ]
+    for d in shard_dirs:
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            assert spark.read.parquet(f).count() <= 1
+    # read-back equals the materialization
+    back = spark.read.parquet(path)
+    assert back.count() == manifest["total_packs"]
+    ref = materialize_packs(df, max_tokens=16, n_shards=4)
+    assert (
+        back.select("shard", "pack_id", F.concat_ws(" ", "tokens").alias("s"))
+        .exceptAll(
+            ref.select("shard", "pack_id", F.concat_ws(" ", "tokens").alias("s"))
+        )
+        .count()
+        == 0
+    )
