@@ -13,10 +13,12 @@ pandas, no shard-sized memory. The token stream explodes map-side with its
 global position (the per-doc stream offset comes from one window over the
 doc-level shard exchange, doc-granular, not token-granular); packs then
 group on (shard, pack_id), so aggregation state is one ≤`max_tokens` pack
-per key, never a whole shard. Two exchanges total: the doc-level offset
-window and the token-level pack groupBy — the second is the honest cost of
-materialization and is perfectly balanced (every pack key carries exactly
-`max_tokens` tokens except each shard's last).
+per key, never a whole shard. ONE exchange total, doc-granular: the pack
+groupBy's keys are a superset of the window's shard partitioning, so
+EnsureRequirements reuses it — tokens never shuffle at token granularity
+(plan-asserted in tests/test_plans.py). Shard skew bounds the window's
+partition size; bound shard token mass by raising `n_shards`, exactly as
+in `pack_sequences`.
 
 (Training-pipeline adjacency; the reference has no packing/shard sink
 analog — its ingestion surface ends at upload, api/main.py:678-899.)

@@ -592,3 +592,23 @@ def test_phash_pairs_no_cartesian(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
     hashes = image_phash(synthesize_image_corpus(docs), stub=False)
     assert_no_cartesian(phash_dedup_pairs(hashes))
+
+
+def test_materialize_packs_single_hash_exchange(tables):
+    """The shard sink's materialization shuffles ONCE: the doc-granular
+    offset window exchanges on shard, the token posexplode is map-side,
+    and the (shard, pack_id) groupBy reuses the shard partitioning
+    (its grouping keys are a superset of the window's partition key, so
+    EnsureRequirements inserts no second exchange — the token stream
+    never shuffles at token granularity)."""
+    from iceberg_geospatial_api_server_spark.plans.explain import (
+        assert_no_cartesian,
+        hash_exchange_count,
+    )
+    from iceberg_geospatial_api_server_spark.sources.shards import (
+        materialize_packs,
+    )
+
+    out = materialize_packs(tables["documents"], max_tokens=64, n_shards=8)
+    assert_no_cartesian(out)
+    assert hash_exchange_count(out) == 1
