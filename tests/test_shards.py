@@ -125,3 +125,99 @@ def test_write_layout_and_manifest(spark, docs, tmp_path):
         .count()
         == 0
     )
+
+
+def test_shard_sink_stream_matches_batch(spark, docs, tmp_path):
+    """Streaming an id-ordered split: completed packs across batches plus
+    the final carry must equal the batch materialization exactly."""
+    import time
+
+    from pyspark.sql import types as T
+
+    from iceberg_geospatial_api_server_spark.streaming.shard_sink import (
+        read_carry,
+        read_completed_packs,
+        shard_sink_stream,
+    )
+
+    rows, df = docs
+    src = str(tmp_path / "src")
+    ids = sorted(r[0] for r in rows)
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    df.filter(F.col("doc_id") <= cuts[0]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    for lo, hi in [(cuts[0], cuts[1]), (cuts[1], 1 << 60)]:
+        time.sleep(1.1)  # distinct mtimes keep file-stream batch order
+        df.filter(
+            (F.col("doc_id") > lo) & (F.col("doc_id") <= hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    packs_dir = str(tmp_path / "packs")
+    q = shard_sink_stream(
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src),
+        packs_dir,
+        checkpoint=str(tmp_path / "ckpt"),
+        max_tokens=16,
+        n_shards=4,
+    ).start()
+    q.awaitTermination(120)
+
+    ref = materialize_packs(df, max_tokens=16, n_shards=4).collect()
+    ref_full = {
+        (r["shard"], r["pack_id"]): r["tokens"] for r in ref if r["n_tokens"] == 16
+    }
+    ref_rem = {
+        r["shard"]: (r["pack_id"] * 16, r["tokens"])
+        for r in ref
+        if r["n_tokens"] < 16
+    }
+    got_full = {
+        (r["shard"], r["pack_id"]): r["tokens"]
+        for r in read_completed_packs(spark, packs_dir).collect()
+    }
+    assert got_full == ref_full
+    carry = {
+        r["shard"]: (r["base_pos"], r["rem"])
+        for r in read_carry(spark, packs_dir).collect()
+        if len(r["rem"]) > 0
+    }
+    assert carry == ref_rem
+
+
+def test_shard_sink_replay_is_idempotent(spark, docs, tmp_path):
+    """Re-running a batch with the same batch_id (the crash-replay path)
+    must leave completed packs and carry identical."""
+    from iceberg_geospatial_api_server_spark.streaming.shard_sink import (
+        process_batch,
+        read_carry,
+        read_completed_packs,
+    )
+
+    _, df = docs
+    packs_dir = str(tmp_path / "packs")
+    b0 = df.filter(F.col("doc_id") < 30)
+    b1 = df.filter(F.col("doc_id") >= 30)
+    process_batch(b0, 0, packs_dir, max_tokens=16, n_shards=4)
+    process_batch(b1, 1, packs_dir, max_tokens=16, n_shards=4)
+
+    def snap():
+        full = sorted(
+            (r["shard"], r["pack_id"], tuple(r["tokens"]))
+            for r in read_completed_packs(spark, packs_dir).collect()
+        )
+        carry = sorted(
+            (r["shard"], r["base_pos"], tuple(r["rem"]))
+            for r in read_carry(spark, packs_dir).collect()
+        )
+        return full, carry
+
+    before = snap()
+    process_batch(b1, 1, packs_dir, max_tokens=16, n_shards=4)  # replay
+    assert snap() == before
