@@ -125,10 +125,12 @@ def _float(params: dict, key: str) -> float | None:
         return None
 
 
-# outSR handling: out_sr == the layer's srid passes through; from a
-# 4326 layer, 3857/102100 and the WGS84 UTM family reproject via closed
-# forms (geo.functions.st_reproject_wkb); any other request is an
-# explicit error, never silently-wrong output.
+# outSR handling: out_sr == the layer's srid passes through; any
+# supported src→dst pair reprojects via closed forms composed through
+# the 4326 hub (geo.functions.pair_reproject_fn — 3857/102100, the
+# WGS84 UTM family, and the registered LCC/Albers/LAEA/PS codes, in
+# EITHER position); any other request is an explicit error, never
+# silently-wrong output.
 
 
 def query_layer(
@@ -169,13 +171,13 @@ def query_layer(
         srid = schema.srid or 4326
         ext = result.extent
         if ext is not None and qp.out_sr is not None and qp.out_sr != srid:
-            if srid != 4326:
-                raise ValueError(
-                    f"cannot reproject from srid {srid} (source must be 4326)"
-                )
-            fn = G.reproject_fn(qp.out_sr)
+            # arbitrary supported pair: inverse(src)→4326→forward(dst)
+            fn = G.pair_reproject_fn(srid, qp.out_sr)
             if fn is None:
-                raise ValueError(f"unsupported outSR: {qp.out_sr}")
+                raise ValueError(
+                    f"unsupported outSR: no closed form for "
+                    f"{srid} -> {qp.out_sr}"
+                )
             import numpy as np
 
             # transform the envelope BOUNDARY, not just two corners: for
@@ -183,7 +185,9 @@ def query_layer(
             # northing can sit mid-edge (parallels/meridians map to
             # curves), so sample each edge densely and take min/max
             ymin, ymax = ext["ymin"], ext["ymax"]
-            if qp.out_sr == 3857:
+            if qp.out_sr == 3857 and srid == 4326:
+                # the clamp is a latitude-domain bound — only meaningful
+                # when the source coordinates ARE degrees
                 # web-mercator is undefined at the poles (y → ±inf, which
                 # json.dumps would emit as non-standard 'Infinity'):
                 # clamp to the projection's standard latitude domain
@@ -227,17 +231,13 @@ def query_layer(
 
         src_srid = schema.srid or 4326
         if qp.out_sr is not None and qp.out_sr != src_srid:
-            if src_srid != 4326:
-                # closed forms only reproject FROM 4326; a layer already
-                # stored in another CRS must not be double-projected
-                raise ValueError(
-                    f"cannot reproject from srid {src_srid} "
-                    "(source must be 4326)"
-                )
-            # raises ValueError on codes with no closed form (the
-            # reference rejects unknown EPSG via pyproj the same way)
+            # arbitrary supported pair (inverse(src)→4326→forward(dst) —
+            # the pyproj-hub route); raises ValueError on codes with no
+            # closed form (the reference rejects unknown EPSG via pyproj
+            # the same way)
             result.features = result.features.withColumn(
-                gcol, G.st_reproject_wkb(qp.out_sr)(F.col(gcol))
+                gcol,
+                G.st_reproject_wkb(qp.out_sr, src_wkid=src_srid)(F.col(gcol)),
             )
             schema = replace(schema, srid=qp.out_sr)
         if qp.max_allowable_offset and qp.max_allowable_offset > 0:

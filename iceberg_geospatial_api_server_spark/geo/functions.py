@@ -749,13 +749,62 @@ def reproject_fn(wkid: int):
     return projection_fn(wkid)
 
 
-def st_reproject_wkb(wkid: int):
-    """Pandas-UDF factory: WKB 4326 → WKB in `wkid` for any supported
-    code (see reproject_fn).  Raises ValueError on unsupported codes so
-    the API layer can reject bad outSR requests up front."""
-    fn = reproject_fn(wkid)
+def inverse_reproject_fn(wkid: int):
+    """Vectorized `wkid`→4326 transform ``fn(xs, ys) -> (lon, lat)``, or
+    None when the source CRS has no closed inverse here. Every family in
+    `reproject_fn` has one: spherical Mercator and Krüger-series UTM
+    (geo/wkb.py), LCC-2SP / Albers / LAEA / Polar Stereographic
+    (geo/projections.py — Snyder inverse series, round-trip < 1e-9°)."""
+    if wkid == 4326:
+        return lambda xs, ys: (xs, ys)
+    if wkid in (3857, 102100):
+        return W.mercator_to_lonlat
+    utm = W.utm_wkid_params(wkid)
+    if utm is not None:
+        zone, north = utm
+        return lambda xs, ys: W.utm_to_lonlat(xs, ys, zone, north)
+    from iceberg_geospatial_api_server_spark.geo.projections import (
+        projection_inverse_fn,
+    )
+
+    return projection_inverse_fn(wkid)
+
+
+def pair_reproject_fn(src_wkid: int, dst_wkid: int):
+    """Vectorized `src_wkid`→`dst_wkid` transform, composed as
+    inverse(src)→4326→forward(dst) — the same route pyproj takes through
+    its geographic hub for CRS pairs without a direct pipeline (the
+    reference reprojects arbitrary pairs via pyproj Transformer.from_crs,
+    ref query/geometry.py:80-102). Returns None if either leg is
+    unsupported; identity legs short-circuit."""
+    if src_wkid == dst_wkid:
+        return lambda xs, ys: (xs, ys)
+    inv = inverse_reproject_fn(src_wkid)
+    fwd = reproject_fn(dst_wkid)
+    if inv is None or fwd is None:
+        return None
+    if src_wkid == 4326:
+        return fwd
+    if dst_wkid == 4326:
+        return inv
+
+    def _pair(xs, ys):
+        lon, lat = inv(xs, ys)
+        return fwd(lon, lat)
+
+    return _pair
+
+
+def st_reproject_wkb(wkid: int, src_wkid: int = 4326):
+    """Pandas-UDF factory: WKB in `src_wkid` → WKB in `wkid` for any
+    supported pair (see pair_reproject_fn). Raises ValueError on
+    unsupported codes so the API layer can reject bad outSR requests up
+    front."""
+    fn = pair_reproject_fn(src_wkid, wkid)
     if fn is None:
-        raise ValueError(f"unsupported outSR: {wkid}")
+        raise ValueError(
+            f"unsupported outSR: no closed form for {src_wkid} -> {wkid}"
+        )
 
     @pandas_udf(T.BinaryType())
     def _reproject(geom: pd.Series) -> pd.Series:

@@ -322,3 +322,89 @@ def test_ps_staged_sql_matches_numpy(spark):
         for row, ex_x, ex_y in zip(staged, fx, fy):
             assert abs(row["e"] - ex_x) < 1e-3
             assert abs(row["n"] - ex_y) < 1e-3
+
+
+@pytest.mark.parametrize(
+    "src,dst",
+    [
+        (3857, 2263),   # web mercator -> NY Long Island state plane (LCC)
+        (2263, 3857),
+        (32618, 2263),  # UTM 18N -> LCC (both cover NYC)
+        (2263, 32618),
+        (5070, 2154),   # Conus Albers -> Lambert-93 has no shared domain;
+        (3035, 2154),   # EU LAEA -> Lambert-93 (both cover France)
+        (2154, 3035),
+        (3857, 3413),   # mercator -> NSIDC polar stereographic north
+    ],
+)
+def test_pair_reproject_matches_direct(src, dst):
+    """src→dst composed through the 4326 hub must equal projecting the
+    original lon/lat directly into dst (sub-µm agreement — the inverse
+    legs round-trip < 1e-9°)."""
+    from iceberg_geospatial_api_server_spark.geo.functions import (
+        pair_reproject_fn,
+        reproject_fn,
+    )
+
+    if (src, dst) == (5070, 2154):
+        pytest.skip("no shared domain")
+    # sample points in the DESTINATION's (and source's) shared domain
+    domains = {
+        2263: (-74.3, 40.5, -72.8, 41.1),
+        32618: (-75.0, 40.0, -73.0, 41.5),
+        3857: (-179.0, -80.0, 179.0, 80.0),
+        2154: (-4.0, 42.5, 7.5, 50.5),
+        3035: (-8.0, 36.0, 25.0, 60.0),
+        5070: (-120.0, 25.0, -75.0, 48.0),
+        3413: (-179.0, 62.0, 179.0, 89.0),
+    }
+    boxes = [domains[k] for k in (src, dst) if k in domains]
+    xmin = max(b[0] for b in boxes); ymin = max(b[1] for b in boxes)
+    xmax = min(b[2] for b in boxes); ymax = min(b[3] for b in boxes)
+    assert xmin < xmax and ymin < ymax, "bad test domain"
+    rng = np.random.default_rng(42)
+    lon = rng.uniform(xmin, xmax, 200)
+    lat = rng.uniform(ymin, ymax, 200)
+
+    sx, sy = reproject_fn(src)(lon, lat)
+    px, py = pair_reproject_fn(src, dst)(sx, sy)
+    dx, dy = reproject_fn(dst)(lon, lat)
+    assert np.allclose(px, dx, atol=1e-5), np.abs(px - dx).max()
+    assert np.allclose(py, dy, atol=1e-5), np.abs(py - dy).max()
+
+
+def test_pair_reproject_identity_and_unsupported():
+    from iceberg_geospatial_api_server_spark.geo.functions import (
+        pair_reproject_fn,
+    )
+
+    same = pair_reproject_fn(2263, 2263)
+    xs, ys = same(np.array([1.0]), np.array([2.0]))
+    assert xs[0] == 1.0 and ys[0] == 2.0
+    assert pair_reproject_fn(99999, 3857) is None
+    assert pair_reproject_fn(3857, 99999) is None
+
+
+def test_st_reproject_wkb_from_non_4326_layer(spark):
+    """A layer stored in web mercator reprojects to a state-plane code
+    through the WKB UDF pair path."""
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.geo import wkb as W
+    from iceberg_geospatial_api_server_spark.geo.functions import (
+        reproject_fn,
+        st_reproject_wkb,
+    )
+
+    lon, lat = np.array([-73.9857]), np.array([40.7484])
+    mx, my = reproject_fn(3857)(lon, lat)
+    df = spark.createDataFrame(
+        [(1, W.encode_point(float(mx[0]), float(my[0])))],
+        "id long, geometry binary",
+    )
+    out = df.withColumn(
+        "geometry", st_reproject_wkb(2263, src_wkid=3857)(F.col("geometry"))
+    ).collect()
+    code, (x, y) = W.decode(bytes(out[0]["geometry"]))
+    ex, ey = reproject_fn(2263)(lon, lat)
+    assert abs(x - ex[0]) < 1e-4 and abs(y - ey[0]) < 1e-4
