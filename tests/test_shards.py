@@ -221,3 +221,22 @@ def test_shard_sink_replay_is_idempotent(spark, docs, tmp_path):
     before = snap()
     process_batch(b1, 1, packs_dir, max_tokens=16, n_shards=4)  # replay
     assert snap() == before
+
+
+def test_materialize_packs_edge_shapes(spark):
+    """Empty-string docs (split('') == ['']), 1-token docs, and a doc
+    longer than many packs all conserve tokens and match the reference."""
+    rows = [
+        (0, ""),                                  # one empty-string token
+        (1, "a"),
+        (2, " ".join(f"t{j}" for j in range(57))),  # spans many packs
+        (3, "x y"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packs = materialize_packs(df, max_tokens=8, n_shards=2).collect()
+    want = _reference_packs(rows, max_tokens=8, n_shards=2)
+    got = {(r["shard"], r["pack_id"]): r["tokens"] for r in packs}
+    assert got == {k: v["tokens"] for k, v in want.items()}
+    total = sum(len(t.split(" ")) for _, t in rows)
+    assert sum(r["n_tokens"] for r in packs) == total
