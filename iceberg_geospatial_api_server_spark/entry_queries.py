@@ -2280,6 +2280,56 @@ def dedup_clusters_q(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_cluster_assign",
+    f"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, lang, {_GRAMS} AS grams FROM documents),
+    p AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               LEN(list_intersect(a.grams, b.grams))::DOUBLE /
+                 (LEN(a.grams) + LEN(b.grams)
+                  - LEN(list_intersect(a.grams, b.grams)))::DOUBLE AS jaccard
+        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.3
+    ),
+    -- MATERIALIZED is load-bearing: the recursive step joins e every
+    -- iteration, and an inlined e re-runs the quadratic jaccard join
+    -- per iteration (measured 169s -> sub-second at sf0.1)
+    e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+    FROM reach GROUP BY a ORDER BY doc_id
+    """,
+)
+def dedup_cluster_assign_q(spark, sf_dir):
+    """Connected-components cluster ASSIGNMENT, hash-graded: smallest-id
+    label propagation over the (already driver-green) deterministic
+    ngram-Jaccard edge set must equal a DuckDB recursive-CTE transitive
+    closure — the first value-level oracle for the clustering machinery
+    itself (dedup_clusters grades rows+schema only, its minhash edge set
+    being engine-internal). Label propagation's fixed point is the exact
+    per-component min regardless of partitioning, so the comparison is
+    deterministic."""
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        connected_components_smallest_id,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, ["lang"], n=3, threshold=0.3)
+    comps = connected_components_smallest_id(pairs)
+    return comps.select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
 @_q("dedup_hybrid")  # rows-only: minhash signatures are engine-internal —
 # candidate-set identity + verify semantics asserted in tests
 def dedup_hybrid_q(spark, sf_dir):
@@ -3864,6 +3914,11 @@ _ORACLED_OVERFLOW = [
     "doc_chunks",  # driver-green r2+r3; sequence→slice→explode shape
     # also graded via corpus_segment_dedup, and pack_materialize now
     # grades the stronger token-stream contract
+    # r4 (cont.): one more rotates out so the connected-components
+    # closure oracle (dedup_cluster_assign — recursive-CTE cross-check)
+    # is graded in the round it lands
+    "q15_top_supplier",  # driver-green r2+r3; view-over-agg top-1 shape
+    # also graded via the q2/q21 top-k family and rev-share windows
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):
