@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "embed_dim_stats",
     "embed_pca_project",
     "mm_phash_pairs",
+    "text_tfidf_topk",
+    "corpus_epoch_order",
     "pack_sequences",
     "embed_quantize_int8",
     "events_outliers",

@@ -3778,6 +3778,87 @@ def mm_audio_fp_pairs_q(spark, sf_dir):
     return phash_dedup_pairs(fps, max_hamming=2).orderBy("id_a", "id_b")
 
 
+@_q(
+    "corpus_epoch_order",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             ((((((doc_id % 2147483647) + 2147483647) % 2147483647)
+                + 323710631) % 2147483647)
+              * 506952114) % 2147483647 AS ek
+      FROM documents
+    )
+    SELECT doc_id, CAST(ek % 8 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+                  PARTITION BY ek % 8 ORDER BY ek, doc_id) - 1
+                AS BIGINT) AS pos
+    FROM t ORDER BY doc_id
+    """,
+)
+def corpus_epoch_order_q(spark, sf_dir):
+    """Epoch-3 deterministic training order: every doc's (shard, pos) is
+    a pure function of (doc_id, epoch) — the oracle recomputes the
+    epoch-mixed portable hash (offset 3·2971215073 mod M = 323710631) and
+    the within-shard rank in SQL, value-grading both the key arithmetic
+    and the rank. One shard exchange, never a global sort
+    (operators/sampling.py epoch_shuffle)."""
+    from iceberg_geospatial_api_server_spark.operators.sampling import (
+        epoch_shuffle,
+    )
+
+    return (
+        epoch_shuffle(_t(spark, sf_dir, "documents"), epoch=3, n_shards=8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    )
+
+
+@_q(
+    "text_tfidf_topk",
+    """
+    WITH base AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                w -> regexp_matches(w, '^[a-z]+$'))) AS term
+      FROM documents
+    ), c0 AS (
+      SELECT doc_id, source, term, COUNT(*) AS tf_doc
+      FROM base GROUP BY doc_id, source, term
+    ), tf AS (
+      SELECT source, term, CAST(SUM(tf_doc) AS BIGINT) AS tf
+      FROM c0 GROUP BY source, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS dfq FROM c0 GROUP BY term
+    ), n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.source, tf.term, tf.tf,
+             tf.tf * CAST(ROUND(LN(n.n_docs / CAST(dfreq.dfq AS DOUBLE))
+                                * 1000000000.0) AS BIGINT) AS score
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    )
+    SELECT source, term, tf,
+           ROUND(CAST(score AS DOUBLE) / 1000000000.0, 4) AS tfidf
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY score DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    ORDER BY source, tfidf DESC, term
+    """,
+)
+def text_tfidf_topk_q(spark, sf_dir):
+    """Top-5 TF-IDF terms per corpus source (data-card keyword summary).
+    idf quantizes to an integer grain before the ranking multiply, so the
+    top-k order is exact integer arithmetic on both engines — engine
+    ln() ulp differences cannot reorder it (operators/text.py
+    tfidf_top_terms)."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
 @_q("ann_ivfpq_topk")  # rows-only: approximate by design (recall tested)
 def ann_ivfpq_q(spark, sf_dir):
     """IVF-PQ: inverted lists bound what's scored, 8-byte PQ codes bound
@@ -3919,6 +4000,13 @@ _ORACLED_OVERFLOW = [
     # is graded in the round it lands
     "q15_top_supplier",  # driver-green r2+r3; view-over-agg top-1 shape
     # also graded via the q2/q21 top-k family and rev-share windows
+    # r4 (cont.): two more rotate out so the epoch-shuffle and TF-IDF
+    # oracles (corpus_epoch_order, text_tfidf_topk) are graded in the
+    # round they land
+    "geo_utm",  # driver-green r3; the projection-family machinery is now
+    # also graded via the geo_lcc + geo_albers conic oracles
+    "events_distinct_salted",  # driver-green r3; the salting
+    # decomposition is also graded via events_topk_salted
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

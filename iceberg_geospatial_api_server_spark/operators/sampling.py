@@ -140,6 +140,50 @@ def temperature_mixture_weights(
     ).orderBy(stratum_col)
 
 
+def epoch_key(id_col: Column, epoch: int) -> Column:
+    """Per-epoch portable permutation key: ``id_hash(id + epoch·P)`` with
+    P an odd constant, evaluated in the same overflow-safe modular form as
+    `id_hash`. Each epoch is a distinct deterministic pseudo-random
+    permutation of the corpus; epoch 0 is `id_hash` itself."""
+    m = F.lit(MERSENNE)
+    off = F.lit((int(epoch) * 2971215073) % MERSENNE)  # odd 32-bit prime
+    mixed = F.pmod(F.pmod(id_col.cast("long"), m) + off, m)
+    return F.pmod(mixed * F.lit(_KNUTH_MOD), m)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-order shuffle for epoch `epoch`: every row
+    gets a shard (`key % n_shards`) and a position within its shard
+    (rank by the epoch key). Re-running the pipeline — or running it on a
+    different engine — yields byte-identical training order, and each
+    epoch is a fresh permutation without materializing a reshuffled copy
+    of the corpus per epoch (the reference pipelines re-shuffle by
+    re-writing; here order is a pure function of (id, epoch)).
+
+    Scale shape: ONE hash exchange on `shard` plus an in-partition sort —
+    never a global total-order sort. That matches how training jobs
+    consume data (readers pull shards in parallel; global order across
+    shards is irrelevant), so the plan holds at 100 TB where a global
+    ORDER BY would range-sample and range-sort the whole corpus.
+    Parallelism within the exchange is `n_shards`; size it to the
+    cluster (shards ≫ executors) the same way `write_training_shards`
+    does."""
+    key = epoch_key(F.col(id_col), epoch)
+    w = Window.partitionBy("shard").orderBy("epoch_key", id_col)
+    return (
+        df.withColumn("epoch_key", key)
+        .withColumn(
+            "shard", F.pmod(F.col("epoch_key"), F.lit(int(n_shards))).cast("int")
+        )
+        .withColumn("pos", (F.row_number().over(w) - F.lit(1)).cast("long"))
+    )
+
+
 def hash_split(
     df: DataFrame,
     weights: dict[str, float] | None = None,

@@ -1216,3 +1216,82 @@ def cross_source_overlap(
         .agg(F.count(F.lit(1)).alias("n_shared_prefixes"))
         .orderBy("source_a", "source_b")
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source TF-IDF keyword extraction: the top-`k` terms that
+    characterize each corpus source (the data-card "what is this crawl
+    about" summary; also the classic relevance-weighting building block).
+
+    tf(source, term) = term occurrences across the source's documents;
+    df(term) = distinct documents containing the term; idf = ln(N/df).
+
+    Cross-engine exactness (same convention as temperature_mixture /
+    quality_classifier): idf QUANTIZES to an integer grain
+    (round(ln(N/df)·1e9) — a 1e-9 relative grain, invisible at the 4-dp
+    output) so the ranking key tf·idf_q is exact integer arithmetic;
+    engine float-log ulp differences can never reorder the top-k. Ties
+    break on term ascending.
+
+    Scale shape: ONE wide exchange — the (doc, source, term) partial
+    aggregate over the exploded tokens, where in-document repeats combine
+    map-side. Everything downstream runs on reduced frames: tf re-aggs
+    by (source, term); df is a COUNT per term over the SAME frame (its
+    rows are already doc-distinct, no second distinct pass); the
+    tf⋈idf join is keyed on term with AQE; the top-k window partitions
+    the (source, term) aggregate, never the corpus. N comes from a
+    broadcast 1-row count, not a driver action."""
+    base = df.select(
+        F.col(id_col).alias("__doc"),
+        F.col(group_col).alias("source"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), " "),
+                lambda w: w.rlike("^[a-z]+$"),
+            )
+        ).alias("term"),
+    )
+    # one exchange: per-document term counts (map-side combine collapses
+    # in-doc repeats before the shuffle)
+    c0 = base.groupBy("__doc", "source", "term").agg(
+        F.count(F.lit(1)).alias("tf_doc")
+    )
+    tf = c0.groupBy("source", "term").agg(
+        F.sum("tf_doc").cast("long").alias("tf")
+    )
+    # c0 rows are (doc, term)-distinct by construction: df(term) is a
+    # plain COUNT, no countDistinct shuffle
+    dfreq = c0.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    n = df.select(F.count(F.lit(1)).cast("double").alias("__n"))
+    idf_q = F.round(
+        F.log(F.col("__n") / F.col("__df").cast("double")) * F.lit(1e9)
+    ).cast("long")
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("__score", F.col("tf") * idf_q)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("__score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "source",
+            "term",
+            "tf",
+            F.round(F.col("__score").cast("double") / F.lit(1e9), 4).alias(
+                "tfidf"
+            ),
+        )
+        .orderBy("source", F.col("tfidf").desc(), "term")
+    )

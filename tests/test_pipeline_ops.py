@@ -691,3 +691,62 @@ def test_curate_corpus_plan_shape(docs):
     p = _plan(curate_corpus(docs))
     assert hash_exchange_count(p) == 2, p
     assert "CartesianProduct" not in p
+
+
+def test_tfidf_top_terms_crafted_math(spark):
+    """Crafted 4-doc corpus with hand-computable tf/df: per-source top
+    terms, quantized-idf scores, and the term-asc tiebreak."""
+    import math
+
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana", "web"),
+            (2, "apple cherry", "web"),
+            (3, "banana banana banana", "books"),
+            (4, "cherry date", "books"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = tfidf_top_terms(df, k=2)
+    rows = {(r["source"], r["term"]): r for r in out.collect()}
+    n = 4.0
+
+    def idf_q(dfreq):
+        return round(math.log(n / dfreq) * 1e9)
+
+    # books: banana tf=3 df=2, cherry tf=1 df=2, date tf=1 df=1
+    # scores: banana 3·idf(2), date 1·idf(1), cherry 1·idf(2)
+    # idf(1)=ln(4)≈1.386e9 > idf(2)=ln(2)≈0.693e9·1 → date beats cherry
+    assert set(k for k in rows if k[0] == "books") == {
+        ("books", "banana"), ("books", "date")
+    }
+    assert rows[("books", "banana")]["tf"] == 3
+    assert rows[("books", "banana")]["tfidf"] == round(3 * idf_q(2) / 1e9, 4)
+    assert rows[("books", "date")]["tfidf"] == round(1 * idf_q(1) / 1e9, 4)
+    # web: apple tf=3 df=2 → top; banana tf=1 df=2 ties cherry tf=1 df=2
+    # on score — term-asc tiebreak keeps banana
+    assert set(k for k in rows if k[0] == "web") == {
+        ("web", "apple"), ("web", "banana")
+    }
+
+
+def test_tfidf_plan_shape(docs):
+    """One wide exchange over the exploded tokens (the (doc,source,term)
+    partial agg); the N side is a broadcast single-row aggregate; the
+    top-k window partitions the reduced frame; no cartesian."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    out = tfidf_top_terms(docs, k=5)
+    p = _plan(out)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    # exchanges: token partial-agg, tf re-agg, dfreq re-agg, tf⋈idf join
+    # sides, source window — all keyed on reduced frames except the first
+    assert hash_exchange_count(out) <= 6, p
+    assert single_partition_exchange_count(out) <= 1, p

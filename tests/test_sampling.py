@@ -146,3 +146,65 @@ def test_temperature_mixture_alpha_one_is_identity(spark):
     for r in temperature_mixture_weights(df, alpha=1.0).collect():
         assert r["keep_rate"] == 1.0
         assert r["q"] == r["p"]
+
+
+def test_epoch_shuffle_is_a_permutation_and_deterministic(spark):
+    """Every row gets exactly one (shard, pos); positions are contiguous
+    0..n-1 within each shard; re-running yields the identical order."""
+    from iceberg_geospatial_api_server_spark.operators.sampling import (
+        epoch_shuffle,
+    )
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    out = epoch_shuffle(df, epoch=1, n_shards=4)
+    rows = out.select("doc_id", "shard", "pos").collect()
+    assert len(rows) == 200
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(4))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+    again = epoch_shuffle(df, epoch=1, n_shards=4).select(
+        "doc_id", "shard", "pos"
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_epoch_shuffle_epochs_are_distinct_permutations(spark):
+    """Different epochs produce different orders over the same corpus,
+    and epoch 0 matches the base id_hash order."""
+    from iceberg_geospatial_api_server_spark.operators.sampling import (
+        epoch_key, epoch_shuffle, id_hash,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    e1 = {r["doc_id"]: (r["shard"], r["pos"])
+          for r in epoch_shuffle(df, epoch=1).collect()}
+    e2 = {r["doc_id"]: (r["shard"], r["pos"])
+          for r in epoch_shuffle(df, epoch=2).collect()}
+    assert e1 != e2  # a fresh permutation per epoch
+    base = df.select(
+        (epoch_key(F.col("doc_id"), 0) - id_hash(F.col("doc_id"))).alias("d")
+    ).agg(F.max(F.abs(F.col("d")))).collect()[0][0]
+    assert base == 0
+
+
+def test_epoch_shuffle_single_exchange(spark):
+    """The permutation costs ONE hash exchange (on shard) — no global
+    range sort."""
+    from iceberg_geospatial_api_server_spark.operators.sampling import (
+        epoch_shuffle,
+    )
+    from iceberg_geospatial_api_server_spark.plans import (
+        formatted_plan, hash_exchange_count, range_exchange_count,
+    )
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = epoch_shuffle(df, epoch=2, n_shards=8)
+    plan = formatted_plan(out)
+    assert hash_exchange_count(out) == 1, plan[:1500]
+    assert range_exchange_count(out) == 0, plan[:1500]
