@@ -2330,6 +2330,61 @@ def dedup_cluster_assign_q(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@_q(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, lang, {_GRAMS} AS grams FROM documents),
+    p AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               LEN(list_intersect(a.grams, b.grams))::DOUBLE /
+                 (LEN(a.grams) + LEN(b.grams)
+                  - LEN(list_intersect(a.grams, b.grams)))::DOUBLE AS jaccard
+        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.3
+    ),
+    e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a
+    )
+    SELECT c.doc_id, c.cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+             AS cluster_size,
+           CAST(LEN(string_split(d.text, ' ')) AS BIGINT) AS score,
+           (ROW_NUMBER() OVER (
+              PARTITION BY c.cluster_id
+              ORDER BY LEN(string_split(d.text, ' ')) DESC, c.doc_id) = 1)
+             AS keep
+    FROM comp c JOIN documents d USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def dedup_keep_best_q(spark, sf_dir):
+    """Keep-one-per-cluster dedup resolution, hash-graded end to end:
+    the deterministic ngram-Jaccard edge set → smallest-id connected
+    components → keep the longest member per cluster (smallest id on
+    ties). STRICTLY SUBSUMES dedup_cluster_assign's grading (cluster_id
+    per doc is a projected column here) and adds the cluster_size and
+    keep-decision contract on top — the row a "materialize the deduped
+    corpus" pass actually consumes."""
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        dedup_keep_best,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, ["lang"], n=3, threshold=0.3)
+    return dedup_keep_best(docs, pairs).orderBy("doc_id")
+
+
 @_q("dedup_hybrid")  # rows-only: minhash signatures are engine-internal —
 # candidate-set identity + verify semantics asserted in tests
 def dedup_hybrid_q(spark, sf_dir):
@@ -4007,6 +4062,11 @@ _ORACLED_OVERFLOW = [
     # also graded via the geo_lcc + geo_albers conic oracles
     "events_distinct_salted",  # driver-green r3; the salting
     # decomposition is also graded via events_topk_salted
+    # r4 (cont.): dedup_keep_best STRICTLY SUBSUMES the cluster-assign
+    # grading (cluster_id is one of its projected columns) and adds the
+    # cluster_size + keep-decision contract, so the assign entry cedes
+    # its slot with zero machinery left ungraded
+    "dedup_cluster_assign",
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

@@ -628,3 +628,34 @@ def test_semantic_decontaminate_planted(spark):
     }
     assert rows[1].max_sim == 1.0 and rows[1].contaminated
     assert rows[2].max_sim == 0.0 and not rows[2].contaminated
+
+
+def test_dedup_keep_best_crafted_graph(spark):
+    """Two clusters + a singleton pair-free doc: the longest member of
+    each cluster keeps (smallest id on a length tie); pair-free docs
+    don't appear; cluster_size counts members."""
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        dedup_keep_best,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),          # cluster {1,2,3}: doc 2 longest
+            (2, "a b c d e"),
+            (3, "a b"),
+            (10, "x y z"),         # cluster {10, 11}: length tie → min id
+            (11, "x y q"),
+            (99, "unpaired doc"),  # no pair: absent from output
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    rows = {r["doc_id"]: r for r in dedup_keep_best(docs, pairs).collect()}
+    assert set(rows) == {1, 2, 3, 10, 11}
+    assert [rows[i]["cluster_id"] for i in (1, 2, 3)] == [1, 1, 1]
+    assert [rows[i]["cluster_size"] for i in (1, 2, 3)] == [3, 3, 3]
+    assert [rows[i]["keep"] for i in (1, 2, 3)] == [False, True, False]
+    assert rows[10]["keep"] and not rows[11]["keep"]  # tie → smaller id
+    assert rows[10]["cluster_size"] == 2
