@@ -750,3 +750,52 @@ def test_tfidf_plan_shape(docs):
     # sides, source window — all keyed on reduced frames except the first
     assert hash_exchange_count(out) <= 6, p
     assert single_partition_exchange_count(out) <= 1, p
+
+
+def test_tfidf_random_corpora_vs_reference(spark):
+    """Seeded random corpora: the distributed TF-IDF top-k must equal a
+    brute-force Python reference — same quantized-idf scores, same
+    term-asc tiebreaks — across collision-dense vocabularies."""
+    import math
+    import random
+    from collections import Counter
+
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    for seed in range(4):
+        rng = random.Random(100 + seed)
+        rows = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))),
+             rng.choice(["s0", "s1"]))
+            for d in range(10)
+        ]
+        n = float(len(rows))
+        tf = Counter()
+        docfreq = Counter()
+        for d, text, src in rows:
+            terms = Counter(text.split(" "))
+            for t, c in terms.items():
+                tf[(src, t)] += c
+                docfreq[t] += 1
+        scored = [
+            (src, t, cnt, cnt * round(math.log(n / docfreq[t]) * 1e9))
+            for (src, t), cnt in tf.items()
+        ]
+        expect = set()
+        for src in {s for s, _, _, _ in scored}:
+            group = sorted(
+                (x for x in scored if x[0] == src),
+                key=lambda x: (-x[3], x[1]),
+            )[:3]
+            expect |= {
+                (src, t, cnt, round(s / 1e9, 4)) for _, t, cnt, s in group
+            }
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {
+            (r["source"], r["term"], r["tf"], r["tfidf"])
+            for r in tfidf_top_terms(df, k=3).collect()
+        }
+        assert got == expect, f"seed {seed}"
