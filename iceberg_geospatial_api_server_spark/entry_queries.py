@@ -2385,6 +2385,65 @@ def dedup_keep_best_q(spark, sf_dir):
     return dedup_keep_best(docs, pairs).orderBy("doc_id")
 
 
+def _minhash_stats_oracle() -> str:
+    """Independent SQL evaluation of the minhash band census: the same
+    public permutation family over the portable _GRAMS shingle hashes,
+    list_min per permutation, band signatures by string join."""
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        _minhash_params,
+    )
+
+    comps = ",\n             ".join(
+        f"list_min(list_transform(grams,"
+        f" g -> (g * {a} + {b}) % 2147483647)) AS h{i}"
+        for i, (a, b) in enumerate(_minhash_params(16))
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT {band} AS band, "
+        + " || '_' || ".join(
+            f"CAST(h{band * 4 + j} AS VARCHAR)" for j in range(4)
+        )
+        + " AS bsig FROM s"
+        for band in range(4)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_GRAMS} AS grams FROM documents),
+    s AS (
+      SELECT doc_id,
+             {comps}
+      FROM t WHERE LEN(grams) > 0
+    ),
+    bands AS (
+      {band_rows}
+    ),
+    buckets AS (
+      SELECT band, bsig, COUNT(*) AS n FROM bands GROUP BY band, bsig
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_buckets_ge2,
+           CAST(CAST(SUM(n * (n - 1)) AS BIGINT) / 2 AS BIGINT)
+             AS n_candidate_pairs
+    FROM buckets GROUP BY band ORDER BY band
+    """
+
+
+@_q("dedup_minhash_stats", _minhash_stats_oracle())
+def dedup_minhash_stats_q(spark, sf_dir):
+    """Minhash/LSH bucket census, hash-graded: permutation family +
+    min-agg signatures + band grouping evaluated independently in SQL
+    (the dedup_simhash_stats grading pattern applied to minhash — the
+    last rows-only-by-nature dedup core now has a value-graded
+    companion). Production dedup_minhash_lsh runs the identical
+    downstream machinery over xxhash64 token hashes."""
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        minhash_band_stats,
+    )
+
+    return minhash_band_stats(_t(spark, sf_dir, "documents"))
+
+
 @_q("dedup_hybrid")  # rows-only: minhash signatures are engine-internal —
 # candidate-set identity + verify semantics asserted in tests
 def dedup_hybrid_q(spark, sf_dir):
@@ -4067,6 +4126,11 @@ _ORACLED_OVERFLOW = [
     # cluster_size + keep-decision contract, so the assign entry cedes
     # its slot with zero machinery left ungraded
     "dedup_cluster_assign",
+    # r4 (cont.): one more rotates out so the minhash band-census oracle
+    # (dedup_minhash_stats — the dedup_simhash_stats grading pattern
+    # applied to minhash) is graded in the round it lands
+    "q20_excess_suppliers",  # driver-green r3; agg-threshold semi-join
+    # shape also graded via q21 (in window) and overflow q18
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

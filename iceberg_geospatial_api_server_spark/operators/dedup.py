@@ -651,6 +651,79 @@ def connected_components_smallest_id(
     return labels
 
 
+def minhash_band_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """SQL-oracle-reproducible minhash/LSH bucket census: per band, the
+    bucket count, the ≥2-member bucket count, and the candidate-pair
+    mass Σ n·(n-1)/2 — the quantities that size an LSH dedup run.
+
+    This VALUE-grades the minhash machinery (the permutation family
+    h_i(x) = (aᵢ·x + bᵢ) mod p over the portable Horner-fold shingle
+    hashes, the min-aggregate signature construction, and the band
+    signature grouping) against an independent SQL evaluation — the same
+    grading upgrade dedup_simhash got. The production dedup_minhash_lsh
+    path runs the IDENTICAL downstream machinery over xxhash64 token
+    hashes (cheaper, engine-internal); only the token-hash kernel
+    differs, and that kernel is covered by the recall tests.
+
+    Shape: explode → codegen min aggregates (one id-keyed exchange),
+    band explode map-side, one (band, bsig) exchange, one band-key
+    aggregate over the bucket frame."""
+    nbands = num_hashes // band_size
+    sh = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            shingle_hashes(F.split(F.col(text_col), " "), shingle_k)
+        ).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+    mins = [
+        F.min((F.col("__s") * a + b) % MERSENNE).alias(f"__h{i}")
+        for i, (a, b) in enumerate(_minhash_params(num_hashes))
+    ]
+    sig = (
+        sh.select(id_col, F.explode("__sh").alias("__s"))
+        .groupBy(id_col)
+        .agg(*mins)
+    )
+    bands = sig.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.concat_ws(
+                        "_",
+                        *[F.col(f"__h{i * band_size + j}")
+                          for j in range(band_size)],
+                    ).alias("bsig"),
+                )
+                for i in range(nbands)
+            ])
+        ).alias("__b")
+    ).select("__b.band", "__b.bsig")
+    buckets = bands.groupBy("band", "bsig").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_buckets_ge2"),
+            # Σ n(n-1) is even; /2 in double is exact far past any real
+            # bucket census (< 2^53)
+            (F.sum(F.col("n") * (F.col("n") - 1)).cast("long") / F.lit(2))
+            .cast("long")
+            .alias("n_candidate_pairs"),
+        )
+        .orderBy("band")
+    )
+
+
 def dedup_keep_best(
     df: DataFrame,
     pairs: DataFrame,

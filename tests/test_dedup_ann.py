@@ -659,3 +659,26 @@ def test_dedup_keep_best_crafted_graph(spark):
     assert [rows[i]["keep"] for i in (1, 2, 3)] == [False, True, False]
     assert rows[10]["keep"] and not rows[11]["keep"]  # tie → smaller id
     assert rows[10]["cluster_size"] == 2
+
+
+def test_minhash_band_stats_identical_docs_collide_everywhere(spark):
+    """Two identical docs share every band bucket (1 candidate pair per
+    band); a long unrelated doc collides in none."""
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        minhash_band_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words about spark and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["band"]: r for r in minhash_band_stats(docs).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    for band, r in rows.items():
+        assert r["n_buckets_ge2"] == 1, band  # docs 1+2 share, 3 alone
+        assert r["n_candidate_pairs"] == 1, band
+        assert r["n_buckets"] == 2, band
