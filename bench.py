@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
     "top3_orders_per_priority",
+    "orders_brand_affinity",
     "events_windowed_agg",
     "events_sessionize",
     "asof_join_events_orders",
@@ -59,6 +60,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_minhash_stats",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivfpq_topk",

@@ -2385,6 +2385,47 @@ def dedup_keep_best_q(spark, sf_dir):
     return dedup_keep_best(docs, pairs).orderBy("doc_id")
 
 
+@_q(
+    "orders_brand_affinity",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ob
+    ), bc AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_brand
+      FROM ob GROUP BY p_brand
+    ), pc AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, n_both,
+           ROUND(CAST(n_both * n.n_orders AS DOUBLE)
+                 / CAST(ba.n_brand * bb.n_brand AS DOUBLE), 6) AS lift
+    FROM pc CROSS JOIN n
+    JOIN bc ba ON ba.p_brand = pc.brand_a
+    JOIN bc bb ON bb.p_brand = pc.brand_b
+    ORDER BY brand_a, brand_b
+    """,
+)
+def orders_brand_affinity_q(spark, sf_dir):
+    """Market-basket brand-pair co-occurrence with lift: broadcast dim
+    join → distinct (order, brand) → bounded self-join (fan-out ≤ brand
+    dimension) → pair counts ⋈ broadcast brand counts. Lift's inputs are
+    exact integers divided once in DOUBLE — cross-engine-identical."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        brand_affinity,
+    )
+
+    return brand_affinity(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
 def _minhash_stats_oracle() -> str:
     """Independent SQL evaluation of the minhash band census: the same
     public permutation family over the portable _GRAMS shingle hashes,
@@ -4131,6 +4172,11 @@ _ORACLED_OVERFLOW = [
     # applied to minhash) is graded in the round it lands
     "q20_excess_suppliers",  # driver-green r3; agg-threshold semi-join
     # shape also graded via q21 (in window) and overflow q18
+    # r4 (cont.): one more rotates out so the market-basket affinity
+    # oracle (orders_brand_affinity) is graded in the round it lands
+    "text_repetition_profile",  # driver-green r3; its duplicate-gram
+    # list accounting is also value-graded via text_dup_spans and
+    # corpus_segment_dedup (stronger contracts over the same machinery)
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

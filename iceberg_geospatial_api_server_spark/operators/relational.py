@@ -1190,3 +1190,64 @@ def events_outliers(events: DataFrame, z: float = 3.0) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def brand_affinity(
+    lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """Market-basket brand affinity: for every pair of part brands, the
+    number of orders containing BOTH, plus the lift
+    n_both·N / (n_a·n_b) — the classic co-occurrence/association
+    analysis over order baskets.
+
+    Scale shape: the fact table joins the part DIMENSION broadcast, then
+    collapses to distinct (order, brand) — per-order fan-out is bounded
+    by the brand dimension (≤25), so the orderkey self-join can never go
+    quadratic in lineitems; pair counts (≤ brands²/2 rows) then join the
+    broadcast per-brand counts and the broadcast 1-row total. Lift's
+    numerator and denominator are exact integers, divided once in DOUBLE
+    on both engines — cross-engine-identical before the 6-dp round."""
+    ob = (
+        lineitem.join(
+            F.broadcast(part),
+            lineitem["l_partkey"] == part["p_partkey"],
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = ob.select(
+        F.countDistinct("l_orderkey").cast("long").alias("__n_orders")
+    )
+    bc = ob.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_brand")
+    )
+    a = ob.select(
+        F.col("l_orderkey"), F.col("p_brand").alias("brand_a")
+    )
+    b = ob.select(
+        F.col("l_orderkey"), F.col("p_brand").alias("brand_b")
+    )
+    pc = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ba = bc.select(
+        F.col("p_brand").alias("brand_a"), F.col("__n_brand").alias("__na")
+    )
+    bb = bc.select(
+        F.col("p_brand").alias("brand_b"), F.col("__n_brand").alias("__nb")
+    )
+    lift = F.round(
+        (F.col("n_both") * F.col("__n_orders")).cast("double")
+        / (F.col("__na") * F.col("__nb")).cast("double"),
+        6,
+    )
+    return (
+        pc.join(F.broadcast(ba), "brand_a")
+        .join(F.broadcast(bb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select("brand_a", "brand_b", "n_both", lift.alias("lift"))
+        .orderBy("brand_a", "brand_b")
+    )

@@ -799,3 +799,48 @@ def test_tfidf_random_corpora_vs_reference(spark):
             for r in tfidf_top_terms(df, k=3).collect()
         }
         assert got == expect, f"seed {seed}"
+
+
+def test_brand_affinity_crafted_lift(spark):
+    """3 orders, 3 brands: hand-computed co-occurrence counts and lift
+    (n_both·N / (n_a·n_b)); within-order duplicate parts of one brand
+    count once."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        brand_affinity,
+    )
+
+    part = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "C")],
+        "p_partkey long, p_brand string",
+    )
+    li = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3),   # order 10: A (twice), B
+         (20, 1), (20, 4),            # order 20: A, C
+         (30, 3), (30, 4)],           # order 30: B, C
+        "l_orderkey long, l_partkey long",
+    )
+    rows = {(r["brand_a"], r["brand_b"]): r
+            for r in brand_affinity(li, part).collect()}
+    # N=3; n_A=2, n_B=2, n_C=2; each pair co-occurs once
+    assert set(rows) == {("A", "B"), ("A", "C"), ("B", "C")}
+    for r in rows.values():
+        assert r["n_both"] == 1
+        assert r["lift"] == round(1 * 3 / (2 * 2), 6)
+
+
+def test_brand_affinity_plan_shape(spark, sf_dir):
+    """The part dimension and the tiny count frames join broadcast; no
+    cartesian; the self-join runs on the distinct (order, brand) frame."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        brand_affinity,
+    )
+    from iceberg_geospatial_api_server_spark.plans import (
+        assert_broadcast_join, assert_no_cartesian,
+    )
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+
+    out = brand_affinity(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+    assert_no_cartesian(out)
+    assert_broadcast_join(out, min_count=3)
