@@ -1201,36 +1201,46 @@ def brand_affinity(
     analysis over order baskets.
 
     Scale shape: the fact table joins the part DIMENSION broadcast, then
-    collapses to distinct (order, brand) — per-order fan-out is bounded
-    by the brand dimension (≤25), so the orderkey self-join can never go
-    quadratic in lineitems; pair counts (≤ brands²/2 rows) then join the
-    broadcast per-brand counts and the broadcast 1-row total. Lift's
-    numerator and denominator are exact integers, divided once in DOUBLE
-    on both engines — cross-engine-identical before the 6-dp round."""
-    ob = (
+    ONE orderkey exchange builds each order's sorted brand set
+    (collect_set — bounded by the ≤25-brand dimension, so it is an agg
+    buffer, not a skew hazard); in-basket pairs are emitted MAP-SIDE
+    from the set array (the minhash-bucket pair-emission pattern — no
+    self-join, no second shuffle key), and the pair/brand/total counts
+    all ride partial aggregation off that one exchange. Lift's numerator
+    and denominator are exact integers, divided once in DOUBLE on both
+    engines — cross-engine-identical before the 6-dp round."""
+    baskets = (
         lineitem.join(
             F.broadcast(part),
             lineitem["l_partkey"] == part["p_partkey"],
         )
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("__brands"))
     )
-    n = ob.select(
-        F.countDistinct("l_orderkey").cast("long").alias("__n_orders")
+    n = baskets.select(F.count(F.lit(1)).cast("long").alias("__n_orders"))
+    bc = (
+        baskets.select(F.explode("__brands").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n_brand"))
     )
-    bc = ob.groupBy("p_brand").agg(
-        F.count(F.lit(1)).cast("long").alias("__n_brand")
-    )
-    a = ob.select(
-        F.col("l_orderkey"), F.col("p_brand").alias("brand_a")
-    )
-    b = ob.select(
-        F.col("l_orderkey"), F.col("p_brand").alias("brand_b")
+    # sorted members ⇒ each unordered pair emitted once as (a < b)
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("__brands"),
+            lambda a, i: F.transform(
+                F.slice(F.col("__brands"), i + 2, F.size("__brands")),
+                lambda b: F.struct(
+                    a.alias("brand_a"), b.alias("brand_b")
+                ),
+            ),
+        )
     )
     pc = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("brand_a") < F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
+        baskets.select(F.explode(pair_structs).alias("__p"))
+        .groupBy(
+            F.col("__p.brand_a").alias("brand_a"),
+            F.col("__p.brand_b").alias("brand_b"),
+        )
         .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
     )
     ba = bc.select(
