@@ -672,11 +672,15 @@ def minhash_band_stats(
     hashes (cheaper, engine-internal); only the token-hash kernel
     differs, and that kernel is covered by the recall tests.
 
-    Shape: explode → codegen min aggregates (one id-keyed exchange),
-    band explode map-side, one (band, bsig) exchange, one band-key
-    aggregate over the bucket frame."""
+    Shape: id-keyed spread parallelizes the md5-heavy shingle pass over
+    single-row-group inputs AND doubles as the min-agg groupBy exchange
+    (same convention as dedup_minhash_lsh); band explode map-side, one
+    (band, bsig) exchange, one band-key aggregate over the bucket
+    frame."""
+    from iceberg_geospatial_api_server_spark.util import spread
+
     nbands = num_hashes // band_size
-    sh = df.select(
+    sh = spread(df, None, id_col).select(
         F.col(id_col),
         F.array_distinct(
             shingle_hashes(F.split(F.col(text_col), " "), shingle_k)

@@ -1246,7 +1246,13 @@ def tfidf_top_terms(
     rows are already doc-distinct, no second distinct pass); the
     tf⋈idf join is keyed on term with AQE; the top-k window partitions
     the (source, term) aggregate, never the corpus. N comes from a
-    broadcast 1-row count, not a driver action."""
+    broadcast 1-row count, not a driver action. (No spread in front of
+    the explode: measured at sf0.1, exchanging full text payloads to
+    parallelize the token pass costs MORE than the single-task pass
+    itself — 0.96s vs 0.69s — unlike the md5-heavy shingle pipelines
+    where spread pays; the partial agg after the explode is where the
+    real reduction happens and it parallelizes on its own exchange.)"""
+    n = df.select(F.count(F.lit(1)).cast("double").alias("__n"))
     base = df.select(
         F.col(id_col).alias("__doc"),
         F.col(group_col).alias("source"),
@@ -1268,7 +1274,6 @@ def tfidf_top_terms(
     # c0 rows are (doc, term)-distinct by construction: df(term) is a
     # plain COUNT, no countDistinct shuffle
     dfreq = c0.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
-    n = df.select(F.count(F.lit(1)).cast("double").alias("__n"))
     idf_q = F.round(
         F.log(F.col("__n") / F.col("__df").cast("double")) * F.lit(1e9)
     ).cast("long")
