@@ -2280,9 +2280,17 @@ def dedup_clusters_q(spark, sf_dir):
     )
 
 
-@_q(
-    "dedup_cluster_assign",
-    f"""
+# Shared recursive-closure prelude for the cluster-grading oracles
+# (dedup_cluster_assign + dedup_keep_best): the deterministic
+# ngram-Jaccard edge set, its symmetric MATERIALIZED form, the
+# transitive closure, and the per-node smallest-reachable-id cluster.
+# ONE definition keeps dedup_keep_best's "strictly subsumes
+# dedup_cluster_assign" window-rotation claim true by construction —
+# a threshold/blocking edit can no longer desynchronize the two.
+# MATERIALIZED is load-bearing: the recursive step joins e every
+# iteration, and an inlined e re-runs the quadratic jaccard join per
+# iteration (measured 169s -> sub-second at sf0.1).
+_JACCARD_CLOSURE_CTE = f"""
     WITH RECURSIVE
     t AS (SELECT doc_id, lang, {_GRAMS} AS grams FROM documents),
     p AS (
@@ -2294,18 +2302,25 @@ def dedup_clusters_q(spark, sf_dir):
         FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
       WHERE jaccard >= 0.3
     ),
-    -- MATERIALIZED is load-bearing: the recursive step joins e every
-    -- iteration, and an inlined e re-runs the quadratic jaccard join
-    -- per iteration (measured 169s -> sub-second at sf0.1)
     e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM p
           UNION SELECT id_b, id_a FROM p),
     reach(a, b) AS (
       SELECT a, b FROM e
       UNION
       SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a
     )
-    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
-    FROM reach GROUP BY a ORDER BY doc_id
+"""
+
+
+@_q(
+    "dedup_cluster_assign",
+    _JACCARD_CLOSURE_CTE
+    + """
+    SELECT doc_id, cluster_id FROM comp ORDER BY doc_id
     """,
 )
 def dedup_cluster_assign_q(spark, sf_dir):
@@ -2332,29 +2347,8 @@ def dedup_cluster_assign_q(spark, sf_dir):
 
 @_q(
     "dedup_keep_best",
-    f"""
-    WITH RECURSIVE
-    t AS (SELECT doc_id, lang, {_GRAMS} AS grams FROM documents),
-    p AS (
-      SELECT id_a, id_b FROM (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               LEN(list_intersect(a.grams, b.grams))::DOUBLE /
-                 (LEN(a.grams) + LEN(b.grams)
-                  - LEN(list_intersect(a.grams, b.grams)))::DOUBLE AS jaccard
-        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-      WHERE jaccard >= 0.3
-    ),
-    e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM p
-          UNION SELECT id_b, id_a FROM p),
-    reach(a, b) AS (
-      SELECT a, b FROM e
-      UNION
-      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
-    ),
-    comp AS (
-      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
-      FROM reach GROUP BY a
-    )
+    _JACCARD_CLOSURE_CTE
+    + """
     SELECT c.doc_id, c.cluster_id,
            CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
              AS cluster_size,
@@ -2404,8 +2398,9 @@ def dedup_keep_best_q(spark, sf_dir):
       GROUP BY 1, 2
     )
     SELECT brand_a, brand_b, n_both,
-           ROUND(CAST(n_both * n.n_orders AS DOUBLE)
-                 / CAST(ba.n_brand * bb.n_brand AS DOUBLE), 6) AS lift
+           FLOOR(CAST(n_both * n.n_orders AS DOUBLE)
+                 / CAST(ba.n_brand * bb.n_brand AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS lift
     FROM pc CROSS JOIN n
     JOIN bc ba ON ba.p_brand = pc.brand_a
     JOIN bc bb ON bb.p_brand = pc.brand_b
@@ -3993,7 +3988,7 @@ def corpus_epoch_order_q(spark, sf_dir):
       FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
     )
     SELECT source, term, tf,
-           ROUND(CAST(score AS DOUBLE) / 1000000000.0, 4) AS tfidf
+           FLOOR(CAST(score AS DOUBLE) / 100000.0 + 0.5) / 10000.0 AS tfidf
     FROM (SELECT *, ROW_NUMBER() OVER (
             PARTITION BY source ORDER BY score DESC, term) AS rn
           FROM scored)

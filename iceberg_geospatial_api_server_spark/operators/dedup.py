@@ -90,6 +90,35 @@ def _minhash_params(num: int) -> list[tuple[int, int]]:
             for i in range(num)]
 
 
+def _minhash_min_aggs(num_hashes: int) -> list[Column]:
+    """The signature construction: one codegen min() aggregate per
+    permutation h_i(x) = (aᵢ·x + bᵢ) mod p over exploded shingle hashes
+    `__s`. SHARED by the production LSH path and the SQL-graded band
+    census (minhash_band_stats) so the graded machinery stays provably
+    identical to production — don't inline either copy."""
+    return [
+        F.min((F.col("__s") * a + b) % MERSENNE).alias(f"__h{i}")
+        for i, (a, b) in enumerate(_minhash_params(num_hashes))
+    ]
+
+
+def _band_structs(sig_col: Column, nbands: int, band_size: int) -> Column:
+    """(band, bsig) struct array from a signature array column: band
+    signatures are '_'-joined component strings. Shared by
+    dedup_minhash_lsh and minhash_band_stats (same provably-identical
+    rationale as _minhash_min_aggs)."""
+    return F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            F.concat_ws(
+                "_",
+                *[sig_col[i * band_size + j] for j in range(band_size)],
+            ).alias("bsig"),
+        )
+        for i in range(nbands)
+    ])
+
+
 def fast_shingle_hashes(tokens: Column, k: int = 3) -> Column:
     """Shingle hashes — the fast path for operators WITHOUT a SQL oracle
     (minhash, simhash). (Oracle-checked operators use `shingle_hashes`,
@@ -310,10 +339,7 @@ def dedup_minhash_lsh(
     # Cache SIGNATURES, not shingle arrays: id + num_hashes longs per doc
     # (~150 B) vs the full shingle set (~KBs) — the round-1 version cached
     # the shingled corpus, an executor-memory hazard at 100 TB.
-    mins = [
-        F.min((F.col("__s") * a + b) % MERSENNE).alias(f"__h{i}")
-        for i, (a, b) in enumerate(_minhash_params(num_hashes))
-    ]
+    mins = _minhash_min_aggs(num_hashes)
     sig = _pin(
         _shingled(corpus)
         .select(id_col, "__new", F.explode("__sh").alias("__s"))
@@ -330,18 +356,9 @@ def dedup_minhash_lsh(
         id_col,
         "__new",
         "__sig",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.concat_ws(
-                        "_", *[F.col("__sig")[i * band_size + j]
-                               for j in range(band_size)]
-                    ).alias("bsig"),
-                )
-                for i in range(nbands)
-            ])
-        ).alias("__b"),
+        F.explode(_band_structs(F.col("__sig"), nbands, band_size)).alias(
+            "__b"
+        ),
     ).select(
         id_col,
         "__new",
@@ -606,7 +623,15 @@ def connected_components_smallest_id(
     lineage/plan size stays O(check_every) instead of O(iterations), and
     convergence is tested once per block — not per round — so a
     converged graph costs at most ``check_every - 1`` extra cheap rounds
-    instead of one extra *action* per round."""
+    instead of one extra *action* per round. Each block ends with a
+    POINTER-JUMP (label looks up its own label's label), so propagation
+    distance grows geometrically across blocks — a path graph of
+    diameter d converges in O(log d) blocks, not d rounds, and
+    ``max_iters=20`` reaches any realistically-diametered dup chain.
+    If the graph still hasn't converged at the cap the function RAISES
+    instead of silently returning split clusters (a keep-one-per-group
+    pass downstream would quietly keep several members of one true
+    cluster)."""
     edges = (
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
@@ -620,6 +645,7 @@ def connected_components_smallest_id(
         .localCheckpoint()
     )
     done = 0
+    converged = False
     while done < max_iters:
         block_start = labels  # checkpointed snapshot for the batched check
         steps = min(check_every, max_iters - done)
@@ -636,6 +662,21 @@ def connected_components_smallest_id(
                     F.col("comp"), F.coalesce("comp_new", F.col("comp"))
                 ).alias("comp"),
             )
+        # pointer jump: comp <- comp's comp (labels is total over nodes
+        # and every comp IS a node id, so the self-join always resolves).
+        # One extra join per block doubles the reachable distance each
+        # block — O(log diameter) blocks overall.
+        jump = labels.select(
+            F.col("id").alias("__jid"), F.col("comp").alias("__jcomp")
+        )
+        labels = labels.join(
+            jump, labels.comp == jump.__jid, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("comp"), F.coalesce("__jcomp", F.col("comp"))
+            ).alias("comp"),
+        )
         done += steps
         labels = labels.localCheckpoint()  # truncate lineage, one action
         changed = (
@@ -647,7 +688,13 @@ def connected_components_smallest_id(
             .count()
         )
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected components did not converge in {max_iters} rounds "
+            "(pathological graph diameter); raise max_iters"
+        )
     return labels
 
 
@@ -686,29 +733,19 @@ def minhash_band_stats(
             shingle_hashes(F.split(F.col(text_col), " "), shingle_k)
         ).alias("__sh"),
     ).filter(F.size("__sh") > 0)
-    mins = [
-        F.min((F.col("__s") * a + b) % MERSENNE).alias(f"__h{i}")
-        for i, (a, b) in enumerate(_minhash_params(num_hashes))
-    ]
     sig = (
         sh.select(id_col, F.explode("__sh").alias("__s"))
         .groupBy(id_col)
-        .agg(*mins)
+        .agg(*_minhash_min_aggs(num_hashes))
+        .select(
+            id_col,
+            F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("__sig"),
+        )
     )
     bands = sig.select(
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.concat_ws(
-                        "_",
-                        *[F.col(f"__h{i * band_size + j}")
-                          for j in range(band_size)],
-                    ).alias("bsig"),
-                )
-                for i in range(nbands)
-            ])
-        ).alias("__b")
+        F.explode(_band_structs(F.col("__sig"), nbands, band_size)).alias(
+            "__b"
+        )
     ).select("__b.band", "__b.bsig")
     buckets = bands.groupBy("band", "bsig").agg(F.count(F.lit(1)).alias("n"))
     return (

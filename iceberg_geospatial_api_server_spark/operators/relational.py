@@ -1249,11 +1249,14 @@ def brand_affinity(
     bb = bc.select(
         F.col("p_brand").alias("brand_b"), F.col("__n_brand").alias("__nb")
     )
-    lift = F.round(
-        (F.col("n_both") * F.col("__n_orders")).cast("double")
-        / (F.col("__na") * F.col("__nb")).cast("double"),
-        6,
-    )
+    # half-free 6-dp rounding: the exact-integer ratio can land on a
+    # decimal half (power-of-2·5 denominators), where engine ROUND
+    # implementations split — FLOOR(x·1e6 + 0.5) runs the identical
+    # IEEE sequence on both engines
+    ratio = (F.col("n_both") * F.col("__n_orders")).cast("double") / (
+        F.col("__na") * F.col("__nb")
+    ).cast("double")
+    lift = F.floor(ratio * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
     return (
         pc.join(F.broadcast(ba), "brand_a")
         .join(F.broadcast(bb), "brand_b")

@@ -1294,9 +1294,18 @@ def tfidf_top_terms(
             "source",
             "term",
             "tf",
-            F.round(F.col("__score").cast("double") / F.lit(1e9), 4).alias(
-                "tfidf"
-            ),
+            # half-free 4-dp rounding (the SURVEY-documented convention):
+            # score lands exactly on a decimal half whenever
+            # score % 100000 == 50000, where Spark's BigDecimal HALF_UP
+            # and DuckDB's double ROUND can split — FLOOR(x/1e5 + 0.5)
+            # runs the identical IEEE ops on both engines instead
+            (
+                F.floor(
+                    F.col("__score").cast("double") / F.lit(100000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("tfidf"),
         )
         .orderBy("source", F.col("tfidf").desc(), "term")
     )

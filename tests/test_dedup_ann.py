@@ -682,3 +682,22 @@ def test_minhash_band_stats_identical_docs_collide_everywhere(spark):
         assert r["n_buckets_ge2"] == 1, band  # docs 1+2 share, 3 alone
         assert r["n_candidate_pairs"] == 1, band
         assert r["n_buckets"] == 2, band
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 60-node path graph (diameter 59 — far past max_iters=20 plain
+    rounds) must still collapse to ONE cluster: the per-block pointer
+    jump grows propagation distance geometrically."""
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        connected_components_smallest_id,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "id_a long, id_b long"
+    )
+    comps = {
+        r.id: r.comp
+        for r in connected_components_smallest_id(pairs).collect()
+    }
+    assert len(comps) == 60
+    assert set(comps.values()) == {0}
