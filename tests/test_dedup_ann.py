@@ -701,3 +701,21 @@ def test_connected_components_long_chain_converges(spark):
     }
     assert len(comps) == 60
     assert set(comps.values()) == {0}
+
+
+def test_minhash_band_stats_plan_shape(spark, tables):
+    """Exchange census: the id-keyed spread doubles as the min-agg
+    groupBy exchange, then one (band, bsig) exchange and one band
+    exchange — 3 hash exchanges total, no range sort, no cartesian."""
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        minhash_band_stats,
+    )
+    from iceberg_geospatial_api_server_spark.plans import (
+        formatted_plan, hash_exchange_count, range_exchange_count,
+    )
+
+    out = minhash_band_stats(tables["documents"])
+    p = formatted_plan(out)
+    assert hash_exchange_count(out) <= 3, p[:2000]
+    assert range_exchange_count(out) <= 1, p[:2000]  # final orderBy only
+    assert "CartesianProduct" not in p
