@@ -226,6 +226,44 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The persistable minhash signature table: (id, sig array<long>) —
+    id + num_hashes longs per doc (~150 B), the natural thing to write
+    to parquet between incremental dedup runs. Feed it back as
+    ``dedup_minhash_lsh(new, against=old, against_signatures=this)`` and
+    each daily increment skips the historical corpus's signature compute
+    entirely (signatures MUST have been built with the same num_hashes /
+    shingle_k). Same pipeline as the in-run signature stage: id-keyed
+    spread reused by the min-agg groupBy, explode → codegen min()."""
+    from iceberg_geospatial_api_server_spark.util import spread
+
+    sh = (
+        spread(df, None, id_col)
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                fast_shingle_hashes(F.split(F.col(text_col), " "), shingle_k)
+            ).alias("__sh"),
+        )
+        .filter(F.size("__sh") > 0)
+    )
+    return (
+        sh.select(id_col, F.explode("__sh").alias("__s"))
+        .groupBy(id_col)
+        .agg(*_minhash_min_aggs(num_hashes))
+        .select(
+            id_col,
+            F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("sig"),
+        )
+    )
+
+
 def dedup_minhash_lsh(
     df: DataFrame,
     text_col: str = "text",
@@ -237,6 +275,7 @@ def dedup_minhash_lsh(
     max_bucket_size: int = 10000,
     storage_level: "StorageLevel | None" = _DEFAULT_STORAGE,
     against: DataFrame | None = None,
+    against_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs.
 
@@ -249,6 +288,11 @@ def dedup_minhash_lsh(
     persist as a table between runs (signatures are id + num_hashes
     longs — the checkpoint is tiny next to the corpus), at which point
     each increment pays signature compute for the new batch only.
+    ``against_signatures=`` makes that real: pass the persisted
+    `minhash_signatures` table (same num_hashes/shingle_k) alongside
+    ``against`` and the historical side SKIPS shingling + minhash
+    entirely — its TEXT is touched only by the exact-verify stage, and
+    only for the near-output-sized candidate slice the semi-join pulls.
     Ids must be unique ACROSS the two frames (a re-ingested id belongs
     in ``df``, not both).
 
@@ -340,17 +384,46 @@ def dedup_minhash_lsh(
     # (~150 B) vs the full shingle set (~KBs) — the round-1 version cached
     # the shingled corpus, an executor-memory hazard at 100 TB.
     mins = _minhash_min_aggs(num_hashes)
-    sig = _pin(
-        _shingled(corpus)
-        .select(id_col, "__new", F.explode("__sh").alias("__s"))
-        .groupBy(id_col)
-        .agg(*mins, F.first("__new").alias("__new"))
-        .select(
-            id_col,
-            "__new",
-            F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("__sig"),
+    if against_signatures is not None:
+        if against is None:
+            raise ValueError(
+                "against_signatures requires against= (the exact-verify "
+                "stage still reads the historical TEXT for the candidate "
+                "slice)"
+            )
+        # historical side: persisted signatures, zero shingle/minhash
+        # compute; new side: the normal signature pipeline
+        sig = _pin(
+            minhash_signatures(
+                df, text_col, id_col, num_hashes, shingle_k
+            )
+            .select(
+                id_col,
+                F.lit(1).alias("__new"),
+                F.col("sig").alias("__sig"),
+            )
+            .unionByName(
+                against_signatures.select(
+                    id_col,
+                    F.lit(0).alias("__new"),
+                    F.col("sig").alias("__sig"),
+                )
+            )
         )
-    )
+    else:
+        sig = _pin(
+            _shingled(corpus)
+            .select(id_col, "__new", F.explode("__sh").alias("__s"))
+            .groupBy(id_col)
+            .agg(*mins, F.first("__new").alias("__new"))
+            .select(
+                id_col,
+                "__new",
+                F.array(*[f"__h{i}" for i in range(num_hashes)]).alias(
+                    "__sig"
+                ),
+            )
+        )
 
     bands = sig.select(
         id_col,

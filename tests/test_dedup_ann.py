@@ -719,3 +719,45 @@ def test_minhash_band_stats_plan_shape(spark, tables):
     assert hash_exchange_count(out) <= 3, p[:2000]
     assert range_exchange_count(out) <= 1, p[:2000]  # final orderBy only
     assert "CartesianProduct" not in p
+
+
+def test_minhash_incremental_with_persisted_signatures(
+    spark, docs, tmp_path
+):
+    """The 100 TB daily-ingest shape end-to-end: persist the historical
+    corpus's minhash_signatures to parquet, feed them back via
+    against_signatures= — the result must be IDENTICAL to the plain
+    incremental run (which recomputes old signatures from text)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        minhash_signatures,
+    )
+
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "sigs.parquet")
+    minhash_signatures(old).write.mode("overwrite").parquet(path)
+    sigs = spark.read.parquet(path)
+
+    plain = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup_minhash_lsh(
+            new, against=old, storage_level=None
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    persisted = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup_minhash_lsh(
+            new, against=old, against_signatures=sigs, storage_level=None
+        ).collect()
+    }
+    assert persisted == plain
+    assert len(plain) > 0, "vacuous: no cross/new pairs in the corpus"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="against_signatures requires"):
+        dedup_minhash_lsh(new, against_signatures=sigs, storage_level=None)
