@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "embed_quantize_int8",
     "events_outliers",
+    "events_outliers_mad",
     "corpus_source_stats",
     "cross_source_overlap",
     "events_distinct_salted",

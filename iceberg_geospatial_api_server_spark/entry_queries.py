@@ -2480,6 +2480,52 @@ def dedup_minhash_stats_q(spark, sf_dir):
     return minhash_band_stats(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "events_outliers_mad",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ), m AS (
+      SELECT *, MAX(CASE WHEN rn = (n + 1) // 2 THEN value END)
+                  OVER (PARTITION BY user_id) AS med
+      FROM s
+    ), d AS (
+      SELECT user_id, event_id, value, n, med,
+             ABS(value - med) AS dev
+      FROM m
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY dev, event_id) AS rn2
+      FROM d
+    ), md AS (
+      SELECT *, MAX(CASE WHEN rn2 = (n + 1) // 2 THEN dev END)
+                  OVER (PARTITION BY user_id) AS mad
+      FROM r
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(med) AS median_value, MAX(mad) AS mad,
+           CAST(SUM(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM md GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_outliers_mad_q(spark, sf_dir):
+    """Robust per-user outlier profile: EXACT lower-median + MAD (picked
+    values, no arithmetic beyond one subtraction and one
+    multiply+compare — no rounding anywhere) over one user-key exchange;
+    the robust companion to the z-score events_outliers entry
+    (operators/relational.py mad_outlier_profile)."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        mad_outlier_profile,
+    )
+
+    return mad_outlier_profile(_t(spark, sf_dir, "events"))
+
+
 @_q("dedup_hybrid")  # rows-only: minhash signatures are engine-internal —
 # candidate-set identity + verify semantics asserted in tests
 def dedup_hybrid_q(spark, sf_dir):
@@ -4172,6 +4218,11 @@ _ORACLED_OVERFLOW = [
     "text_repetition_profile",  # driver-green r3; its duplicate-gram
     # list accounting is also value-graded via text_dup_spans and
     # corpus_segment_dedup (stronger contracts over the same machinery)
+    # r4 (cont.): lands with LOCAL grading only — every remaining
+    # in-window entry carries distinct machinery, so no slot donor with
+    # an honest rationale; rotate into the driver window in r5 alongside
+    # geo_ps / ann_ivf_exhaustive / ann_lsh_exhaustive
+    "events_outliers_mad",
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

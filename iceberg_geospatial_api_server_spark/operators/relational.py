@@ -1264,3 +1264,63 @@ def brand_affinity(
         .select("brand_a", "brand_b", "n_both", lift.alias("lift"))
         .orderBy("brand_a", "brand_b")
     )
+
+
+def mad_outlier_profile(events: DataFrame, k: float = 3.0) -> DataFrame:
+    """Per-user ROBUST outlier profile: median absolute deviation
+    instead of z-scores (events_outliers' variance is itself dragged by
+    the outliers it hunts; MAD is the standard robust alternative).
+    median and MAD are EXACT lower medians (rank ⌈n/2⌉ — the
+    percentile_disc definition corpus_source_stats uses, portable
+    across engines; no interpolation, no sketch). A point is an outlier
+    when |x − median| > k·MAD.
+
+    Cross-engine exactness: medians are PICKED values (no arithmetic),
+    deviations are one double subtraction, and the outlier test is one
+    multiply+compare — identical IEEE sequences on both engines, no
+    rounding needed anywhere.
+
+    Scale shape: ONE user-key exchange; the value-rank window, the
+    median broadcast window, the deviation-rank window, the MAD window,
+    and the final aggregate all partition by user_id — later windows
+    re-sort within partitions but never re-shuffle."""
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy("user_id")
+    w_val = Window.partitionBy("user_id").orderBy("value", "event_id")
+    cnt = F.count(F.lit(1)).over(w_all)
+    med_pos = F.floor((cnt + F.lit(1)) / F.lit(2))
+    base = (
+        events.select("user_id", "event_id", "value")
+        .withColumn("__n", cnt)
+        .withColumn("__rn", F.row_number().over(w_val))
+        .withColumn("__med_pos", med_pos)
+    )
+    med = F.max(
+        F.when(F.col("__rn") == F.col("__med_pos"), F.col("value"))
+    ).over(w_all)
+    d = base.withColumn("__med", med).withColumn(
+        "__dev", F.abs(F.col("value") - F.col("__med"))
+    )
+    w_dev = Window.partitionBy("user_id").orderBy("__dev", "event_id")
+    d = d.withColumn("__rn2", F.row_number().over(w_dev))
+    mad = F.max(
+        F.when(F.col("__rn2") == F.col("__med_pos"), F.col("__dev"))
+    ).over(w_all)
+    d = d.withColumn("__mad", mad)
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("__med").alias("median_value"),
+            F.max("__mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("__dev") > F.lit(float(k)) * F.col("__mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("user_id")
+    )

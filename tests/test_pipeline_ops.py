@@ -844,3 +844,40 @@ def test_brand_affinity_plan_shape(spark, sf_dir):
     )
     assert_no_cartesian(out)
     assert_broadcast_join(out, min_count=3)
+
+
+def test_mad_outlier_profile_crafted(spark):
+    """Hand-computed lower medians and MAD on a crafted user: values
+    [1,2,3,4,100] → median 3 (pos ⌈5/2⌉=3), deviations [2,1,0,1,97] →
+    MAD 1, outliers where dev > 3·1 → exactly the 100."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        mad_outlier_profile,
+    )
+
+    events = spark.createDataFrame(
+        [(i, 7, float(v)) for i, v in enumerate([1, 2, 3, 4, 100])]
+        + [(10, 8, 5.0), (11, 8, 5.0)],  # constant user: mad 0
+        "event_id long, user_id long, value double",
+    )
+    rows = {r["user_id"]: r for r in mad_outlier_profile(events).collect()}
+    r7 = rows[7]
+    assert (r7["n_events"], r7["median_value"], r7["mad"]) == (5, 3.0, 1.0)
+    assert r7["n_outliers"] == 1
+    r8 = rows[8]  # dev 0 everywhere, mad 0: 0 > 3·0 is false → 0 outliers
+    assert (r8["mad"], r8["n_outliers"]) == (0.0, 0)
+
+
+def test_mad_outlier_profile_single_exchange(spark, sf_dir):
+    """All four windows + the final agg partition by user_id: ONE hash
+    exchange, later stages only re-sort within partitions."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        mad_outlier_profile,
+    )
+    from iceberg_geospatial_api_server_spark.plans import (
+        formatted_plan, hash_exchange_count,
+    )
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+
+    out = mad_outlier_profile(load_table(spark, sf_dir, "events"))
+    p = formatted_plan(out)
+    assert hash_exchange_count(out) == 1, p[:2000]
