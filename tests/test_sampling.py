@@ -208,3 +208,26 @@ def test_epoch_shuffle_single_exchange(spark):
     plan = formatted_plan(out)
     assert hash_exchange_count(out) == 1, plan[:1500]
     assert range_exchange_count(out) == 0, plan[:1500]
+
+
+def test_epoch_key_exact_for_any_64bit_id(spark):
+    """The epoch-mixed modular form must equal the exact bignum
+    ((id + epoch·P)·KNUTH) mod M for huge and negative ids alike (the
+    congruence the corpus_epoch_order oracle recomputes in SQL)."""
+    from iceberg_geospatial_api_server_spark.operators.sampling import (
+        KNUTH, MERSENNE, epoch_key,
+    )
+    from pyspark.sql import functions as F
+
+    ids = [2**62 + i * 9_999_999_937 for i in range(100)] + [0, -5, -2**62, 2**63 - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    for epoch in (0, 3, 7):
+        got = [
+            r.h
+            for r in df.select(
+                epoch_key(F.col("doc_id"), epoch).alias("h")
+            ).collect()
+        ]
+        expected = [((i + epoch * 2971215073) * KNUTH) % MERSENNE for i in ids]
+        assert got == expected, epoch
+        assert all(0 <= h < MERSENNE for h in got)
