@@ -542,6 +542,7 @@ def dedup_simhash(
     portable_hash: bool = False,
     storage_level: "StorageLevel | None" = _DEFAULT_STORAGE,
     against: DataFrame | None = None,
+    against_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup: per-word portable hash → bitwise majority vote →
     `bits`-bit fingerprint; candidate pairs share one of the fingerprint's
@@ -575,8 +576,33 @@ def dedup_simhash(
     100 TB the per-doc fingerprints are the natural thing to persist
     between runs; each increment then pays the vote stage for the new
     batch only. Ids must be unique across the two frames.
+
+    ``against_signatures=`` (a persisted `simhash_signatures` table,
+    same bits/portable_hash) REPLACES ``against`` outright: unlike
+    minhash — whose exact verify must re-read old text — simhash
+    verifies on fingerprints alone (bit_count(xor)), so the historical
+    corpus contributes 8 bytes/doc and ZERO compute per increment.
     """
-    from iceberg_geospatial_api_server_spark.util import spread
+    if against_signatures is not None:
+        if against is not None:
+            raise ValueError(
+                "pass against= OR against_signatures=, not both — simhash "
+                "verifies on fingerprints alone, so old TEXT is never "
+                "needed once signatures are persisted"
+            )
+        sigs = _simhash_fingerprints(
+            df.select(id_col, text_col, F.lit(1).alias("__new")),
+            text_col, id_col, bits, portable_hash,
+        ).unionByName(
+            against_signatures.select(
+                id_col, F.lit(0).alias("__new"), "simhash"
+            )
+        )
+        if storage_level is not None:
+            sigs = sigs.persist(storage_level)
+        return _simhash_block_pairs(
+            sigs, id_col, bits, block_bits, hamming_threshold
+        )
 
     if against is not None:
         corpus = df.select(
@@ -586,6 +612,52 @@ def dedup_simhash(
         )
     else:
         corpus = df.select(id_col, text_col, F.lit(1).alias("__new"))
+
+    sigs = _simhash_fingerprints(corpus, text_col, id_col, bits, portable_hash)
+    # both sides of the block self-join scan the signatures: persist them
+    # (1 long per doc — tiny next to the corpus) or the whole
+    # explode+hash+vote pipeline executes twice. storage_level=None runs
+    # cache-free, same contract as dedup_minhash_lsh. The persist is NOT
+    # unpersisted here (the returned frame is lazy — releasing it before
+    # the caller's action would defeat it): long-lived sessions calling
+    # repeatedly should pass storage_level=None or clearCache()
+    # between calls, or stale entries tax later queries' plan-matching.
+    if storage_level is not None:
+        sigs = sigs.persist(storage_level)
+    return _simhash_block_pairs(
+        sigs, id_col, bits, block_bits, hamming_threshold
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """The persistable simhash table: (id, simhash) — ONE long per doc.
+    Feed it back as ``dedup_simhash(new, against_signatures=this)`` and
+    each increment pays the vote stage for the new batch only, with the
+    historical corpus never re-read at all (fingerprints carry the exact
+    hamming verify). Must be built with the same bits/portable_hash."""
+    return _simhash_fingerprints(
+        df.select(id_col, text_col, F.lit(1).alias("__new")),
+        text_col, id_col, bits, portable_hash,
+    ).select(id_col, "simhash")
+
+
+def _simhash_fingerprints(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int,
+    portable_hash: bool,
+) -> DataFrame:
+    """(id, __new, simhash) fingerprints for a __new-tagged corpus —
+    shared by the batch, incremental, and persisted-signature paths so
+    all three provably run the same vote machinery."""
+    from iceberg_geospatial_api_server_spark.util import spread
 
     toks = F.array_distinct(F.split(F.col(text_col), " "))
     if portable_hash:
@@ -630,22 +702,23 @@ def dedup_simhash(
                 ones * 2 > F.col("__n"), F.lit(1 << b).cast("long")
             ).otherwise(F.lit(0).cast("long"))
             fp = part if fp is None else fp + part
-    sigs = (
+    return (
         exploded.groupBy(id_col)
         .agg(*aggs)
         .select(id_col, F.col("__new"), fp.alias("simhash"))
     )
-    # both sides of the block self-join scan the signatures: persist them
-    # (1 long per doc — tiny next to the corpus) or the whole
-    # explode+hash+vote pipeline executes twice. storage_level=None runs
-    # cache-free, same contract as dedup_minhash_lsh. The persist is NOT
-    # unpersisted here (the returned frame is lazy — releasing it before
-    # the caller's action would defeat it): long-lived sessions calling
-    # repeatedly should pass storage_level=None or clearCache()
-    # between calls, or stale entries tax later queries' plan-matching.
-    if storage_level is not None:
-        sigs = sigs.persist(storage_level)
 
+
+def _simhash_block_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    bits: int,
+    block_bits: int,
+    hamming_threshold: int,
+) -> DataFrame:
+    """Byte-block bucket join + exact hamming verify over a
+    (id, __new, simhash) frame — the candidate/verify half shared by all
+    dedup_simhash modes."""
     nblocks = bits // block_bits
     mask = (1 << block_bits) - 1
     blocks = sigs.select(

@@ -761,3 +761,42 @@ def test_minhash_incremental_with_persisted_signatures(
 
     with pytest.raises(ValueError, match="against_signatures requires"):
         dedup_minhash_lsh(new, against_signatures=sigs, storage_level=None)
+
+
+def test_simhash_incremental_with_persisted_signatures(
+    spark, docs, tmp_path
+):
+    """Persisted fingerprints replace the old corpus outright (simhash
+    verifies on fingerprints alone): against_signatures= must equal the
+    against= run pair-for-pair, through parquet."""
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        dedup_simhash,
+        simhash_signatures,
+    )
+
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "simhash_sigs.parquet")
+    simhash_signatures(old).write.mode("overwrite").parquet(path)
+    sigs = spark.read.parquet(path)
+
+    plain = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup_simhash(new, against=old, storage_level=None).collect()
+    }
+    spark.catalog.clearCache()
+    persisted = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup_simhash(
+            new, against_signatures=sigs, storage_level=None
+        ).collect()
+    }
+    assert persisted == plain
+    assert len(plain) > 0, "vacuous: no cross/new pairs in the corpus"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not both"):
+        dedup_simhash(new, against=old, against_signatures=sigs)
