@@ -236,6 +236,7 @@ def neardup_stream(
     checkpoint: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sigs_dir: str | None = None,
     **minhash_params,
 ):
     """Streaming NEAR-duplicate detection — incremental minhash applied
@@ -255,10 +256,23 @@ def neardup_stream(
     that only exceeds ``max_bucket_size`` once the corpus has grown was
     still mined while small — early pairs the full run would have
     dropped stay emitted; the cap is a cost valve, not a semantic.)
+
+    ``sigs_dir``: when set, each batch ALSO appends its
+    `minhash_signatures` (id + num_hashes longs/doc) and later batches
+    feed the accumulated store via ``against_signatures=`` — the
+    historical corpus then pays ZERO shingle/minhash compute per batch
+    (its text is read only for the exact-verify candidate slice). Same
+    output either way (persisted ≡ recompute equivalence is asserted in
+    the batch tests); without it, each batch recomputes historical
+    signatures from ``corpus_dir``.
     """
     from iceberg_geospatial_api_server_spark.operators.dedup import (
         dedup_minhash_lsh,
+        minhash_signatures,
     )
+
+    num_hashes = minhash_params.get("num_hashes", 16)
+    shingle_k = minhash_params.get("shingle_k", 3)
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -268,19 +282,49 @@ def neardup_stream(
         against = _read_state_excluding(spark, corpus_dir, batch_id)
         if against is not None:
             against = against.select(id_col, text_col)
+        against_sigs = None
+        if sigs_dir is not None and against is not None:
+            against_sigs = _read_state_excluding(spark, sigs_dir, batch_id)
+            # coverage guard: a sigs store enabled MID-stream covers only
+            # part of the corpus, and the signatures path would silently
+            # skip the uncovered docs. Signatures exist exactly for docs
+            # with ≥ shingle_k tokens (shorter docs produce no shingles
+            # and are ignored by both paths), so compare against that
+            # eligible count and fall back to recompute when behind. Two
+            # cheap counts per batch — no md5/minhash work.
+            if against_sigs is not None:
+                eligible = against.filter(
+                    F.size(F.split(F.col(text_col), " "))
+                    >= F.lit(int(shingle_k))
+                ).count()
+                if against_sigs.count() < eligible:
+                    against_sigs = None
         pairs = dedup_minhash_lsh(
             batch,
             text_col=text_col,
             id_col=id_col,
             storage_level=None,  # streaming: never pin session caches
             against=against,
+            against_signatures=(
+                against_sigs.select(id_col, "sig")
+                if against_sigs is not None
+                else None
+            ),
             **minhash_params,
         )
-        # both writes overwrite their own batch_id partition: a replayed
-        # batch (after a failure between the two writes) reproduces the
+        # all writes overwrite their own batch_id partition: a replayed
+        # batch (after a failure between the writes) reproduces the
         # identical content instead of appending duplicates
         _idempotent_batch_write(pairs, pairs_dir, batch_id)
         _idempotent_batch_write(batch, corpus_dir, batch_id)
+        if sigs_dir is not None:
+            _idempotent_batch_write(
+                minhash_signatures(
+                    batch, text_col, id_col, num_hashes, shingle_k
+                ),
+                sigs_dir,
+                batch_id,
+            )
 
     return (
         docs_stream.writeStream.outputMode("append")

@@ -686,3 +686,60 @@ def test_audio_neardup_stream_matches_batch(spark, sf_dir, tmp_path_factory):
         for r in spark.read.parquet(str(base / "pairs")).collect()
     }
     assert got == full
+
+
+def test_neardup_stream_with_signature_store_matches_batch(
+    spark, sf_dir, tmp_path_factory
+):
+    """sigs_dir mode: the signature store replaces historical recompute,
+    and the streamed pair set still equals the batch run exactly; the
+    store accumulates one signature row per eligible doc."""
+    import os
+    import time as _time
+
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+    from iceberg_geospatial_api_server_spark.streaming.windows import (
+        neardup_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    full = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup_minhash_lsh(docs, storage_level=None).collect()
+    }
+    spark.catalog.clearCache()
+
+    base = tmp_path_factory.mktemp("neardup_sigs_stream")
+    src = str(base / "src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    _time.sleep(1.1)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    corpus_dir, pairs_dir = str(base / "corpus"), str(base / "pairs")
+    sigs_dir = str(base / "sigs")
+    q = neardup_stream(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        corpus_dir,
+        pairs_dir,
+        str(base / "ckpt"),
+        sigs_dir=sigs_dir,
+    ).start()
+    q.awaitTermination(120)
+
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert got == full
+    assert os.path.isdir(sigs_dir)
+    n_eligible = docs.filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    ).count()
+    assert spark.read.parquet(sigs_dir).count() == n_eligible
