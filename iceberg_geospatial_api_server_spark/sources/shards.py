@@ -158,3 +158,53 @@ def write_training_shards(
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
+
+
+def read_training_shards(
+    spark,
+    path: str,
+    shards: list[int] | None = None,
+    validate: bool = False,
+) -> DataFrame:
+    """Read the training-shard layout back — the data-loader half of the
+    loop `write_training_shards` starts.
+
+    ``shards=``: a worker's claimed subset. The filter lands on the
+    PARTITION column, so Spark prunes unclaimed shard directories at
+    planning time — a reader asking for shard 7 scans ONLY shard=7/
+    files (plan-asserted in tests), which is what lets N data-loader
+    workers share one layout without N full scans.
+
+    ``validate=True`` recounts packs per shard against the manifest
+    (one count job over the claimed subset) and raises on drift —
+    off by default because the manifest already certifies the write
+    by construction."""
+    with open(os.path.join(path, MANIFEST)) as f:
+        manifest = json.load(f)
+    if manifest.get("format") != "training-shards/v1":
+        raise ValueError(
+            f"not a training-shard layout: {manifest.get('format')!r}"
+        )
+    df = spark.read.parquet(path)
+    claimed = manifest["shards"]
+    if shards is not None:
+        want = sorted(int(s) for s in shards)
+        known = {s["shard"] for s in claimed}
+        missing = [s for s in want if s not in known]
+        if missing:
+            raise ValueError(f"shards not in manifest: {missing}")
+        df = df.filter(F.col("shard").isin(want))
+        claimed = [s for s in claimed if s["shard"] in set(want)]
+    if validate:
+        got = {
+            r["shard"]: r["n"]
+            for r in df.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        expect = {s["shard"]: s["n_packs"] for s in claimed}
+        if got != expect:
+            raise ValueError(
+                f"shard layout drifted from manifest: {got} != {expect}"
+            )
+    return df

@@ -240,3 +240,40 @@ def test_materialize_packs_edge_shapes(spark):
     assert got == {k: v["tokens"] for k, v in want.items()}
     total = sum(len(t.split(" ")) for _, t in rows)
     assert sum(r["n_tokens"] for r in packs) == total
+
+
+def test_read_training_shards_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    """The loader half of the loop: full read matches the manifest, a
+    claimed shard subset PRUNES unclaimed partitions at planning time
+    (PartitionFilters on shard), validate=True passes on an intact
+    layout, and unknown shard claims raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.plans import formatted_plan
+    from iceberg_geospatial_api_server_spark.sources.shards import (
+        read_training_shards,
+        write_training_shards,
+    )
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, path, n_shards=8)
+
+    full = read_training_shards(spark, path, validate=True)
+    assert full.count() == manifest["total_packs"]
+
+    sub = read_training_shards(spark, path, shards=[3, 5], validate=True)
+    expect = sum(
+        s["n_packs"] for s in manifest["shards"] if s["shard"] in (3, 5)
+    )
+    assert sub.count() == expect
+    assert sub.select(F.countDistinct("shard")).collect()[0][0] <= 2
+    plan = formatted_plan(sub)
+    assert "PartitionFilters" in plan and "shard" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200], plan[:2000]
+
+    with pytest.raises(ValueError, match="not in manifest"):
+        read_training_shards(spark, path, shards=[99])
