@@ -243,23 +243,59 @@ def minhash_signatures(
     spread reused by the min-agg groupBy, explode → codegen min()."""
     from iceberg_geospatial_api_server_spark.util import spread
 
+    tagged = df.select(id_col, text_col, F.lit(1).alias("__new"))
+    return _minhash_sig_frame(
+        tagged, text_col, id_col, num_hashes, shingle_k
+    ).select(id_col, F.col("__sig").alias("sig"))
+
+
+def _shingle_expr(text_col: str, shingle_k: int):
+    """The shingle-set column — ONE definition shared by the signature
+    kernel and the exact-verify slice, so persisted-path ≡ recompute ≡
+    verify all hash the same shingles by construction."""
+    return F.array_distinct(
+        fast_shingle_hashes(F.split(F.col(text_col), " "), shingle_k)
+    )
+
+
+def _minhash_sig_frame(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_k: int,
+) -> DataFrame:
+    """(id, __new, __sig) signatures for a __new-tagged corpus — the ONE
+    minhash signature kernel (batch, incremental, persisted-signature,
+    and standalone-persist paths all call this; same rationale as
+    simhash's _simhash_fingerprints). The id-keyed spread parallelizes
+    single-row-group scans AND is reused by the min-agg groupBy: one
+    exchange for the whole signature stage. Minhash runs as explode →
+    codegen min() aggregates, never an interpreted array fold; only
+    signatures (id + num_hashes longs) flow out — shingle arrays die
+    map-side."""
+    from iceberg_geospatial_api_server_spark.util import spread
+
     sh = (
-        spread(df, None, id_col)
+        spread(corpus, None, id_col)
         .select(
             F.col(id_col),
-            F.array_distinct(
-                fast_shingle_hashes(F.split(F.col(text_col), " "), shingle_k)
-            ).alias("__sh"),
+            F.col("__new"),
+            _shingle_expr(text_col, shingle_k).alias("__sh"),
         )
         .filter(F.size("__sh") > 0)
     )
     return (
-        sh.select(id_col, F.explode("__sh").alias("__s"))
+        sh.select(id_col, "__new", F.explode("__sh").alias("__s"))
         .groupBy(id_col)
-        .agg(*_minhash_min_aggs(num_hashes))
+        .agg(
+            *_minhash_min_aggs(num_hashes),
+            F.first("__new").alias("__new"),
+        )
         .select(
             id_col,
-            F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("sig"),
+            "__new",
+            F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("__sig"),
         )
     )
 
@@ -353,9 +389,7 @@ def dedup_minhash_lsh(
             .select(
                 F.col(id_col),
                 F.col("__new"),
-                F.array_distinct(
-                    fast_shingle_hashes(F.split(F.col(text_col), " "), shingle_k)
-                ).alias("__sh"),
+                _shingle_expr(text_col, shingle_k).alias("__sh"),
             )
             .filter(F.size("__sh") > 0)
         )
@@ -371,19 +405,11 @@ def dedup_minhash_lsh(
     else:
         corpus = df.select(id_col, text_col, F.lit(1).alias("__new"))
 
-    # Minhash via explode → hash aggregate, NOT an array fold: Spark runs
-    # higher-order functions interpreted, so folding num_hashes mins per
-    # shingle element costs num_hashes interpreted ops + an array alloc
-    # per element. min() aggregates run in whole-stage codegen over
-    # exploded (id, shingle) longs — measured 2.5× faster on the corpus
-    # pass. Shuffle posture is unchanged: the explode stays map-side,
-    # partial agg collapses it back to one row per doc per partition
-    # before any exchange — and since _shingled hash-partitioned by id,
-    # the groupBy needs no exchange at all.
     # Cache SIGNATURES, not shingle arrays: id + num_hashes longs per doc
     # (~150 B) vs the full shingle set (~KBs) — the round-1 version cached
-    # the shingled corpus, an executor-memory hazard at 100 TB.
-    mins = _minhash_min_aggs(num_hashes)
+    # the shingled corpus, an executor-memory hazard at 100 TB. The
+    # signature pipeline itself lives in _minhash_sig_frame (one kernel
+    # for every mode — see its docstring for the codegen/exchange story).
     if against_signatures is not None:
         if against is None:
             raise ValueError(
@@ -391,18 +417,29 @@ def dedup_minhash_lsh(
                 "stage still reads the historical TEXT for the candidate "
                 "slice)"
             )
+        # cheap shape guard: a store built with a different num_hashes
+        # would NULL-pad or truncate band indexing and silently produce
+        # wrong pairs — probe one row instead (tiny scan, fails loud)
+        bad = (
+            against_signatures.filter(
+                F.size(F.col("sig")) != F.lit(int(num_hashes))
+            )
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"against_signatures was built with a different "
+                f"num_hashes than {num_hashes} (signature length "
+                "mismatch) — rebuild the store or pass matching params"
+            )
         # historical side: persisted signatures, zero shingle/minhash
-        # compute; new side: the normal signature pipeline
+        # compute; new side: the normal signature kernel
         sig = _pin(
-            minhash_signatures(
-                df, text_col, id_col, num_hashes, shingle_k
-            )
-            .select(
-                id_col,
-                F.lit(1).alias("__new"),
-                F.col("sig").alias("__sig"),
-            )
-            .unionByName(
+            _minhash_sig_frame(
+                df.select(id_col, text_col, F.lit(1).alias("__new")),
+                text_col, id_col, num_hashes, shingle_k,
+            ).unionByName(
                 against_signatures.select(
                     id_col,
                     F.lit(0).alias("__new"),
@@ -412,16 +449,8 @@ def dedup_minhash_lsh(
         )
     else:
         sig = _pin(
-            _shingled(corpus)
-            .select(id_col, "__new", F.explode("__sh").alias("__s"))
-            .groupBy(id_col)
-            .agg(*mins, F.first("__new").alias("__new"))
-            .select(
-                id_col,
-                "__new",
-                F.array(*[f"__h{i}" for i in range(num_hashes)]).alias(
-                    "__sig"
-                ),
+            _minhash_sig_frame(
+                corpus, text_col, id_col, num_hashes, shingle_k
             )
         )
 
@@ -589,6 +618,24 @@ def dedup_simhash(
                 "pass against= OR against_signatures=, not both — simhash "
                 "verifies on fingerprints alone, so old TEXT is never "
                 "needed once signatures are persisted"
+            )
+        # shape guard: a store built at larger `bits` carries set bits
+        # above position bits-1 — block indexing would then compare
+        # truncated fingerprints and silently emit wrong pairs. (A
+        # smaller-bits store is indistinguishable by value; only the
+        # docstring contract covers it.) One-row probe, fails loud.
+        bad = (
+            against_signatures.filter(
+                F.shiftright(F.col("simhash"), int(bits)) != 0
+            )
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"against_signatures carries bits above {bits} — the "
+                "store was built with larger `bits`; rebuild it or pass "
+                "matching params"
             )
         sigs = _simhash_fingerprints(
             df.select(id_col, text_col, F.lit(1).alias("__new")),

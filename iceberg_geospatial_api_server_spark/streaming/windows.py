@@ -205,6 +205,16 @@ def _idempotent_batch_write(df: DataFrame, path: str, batch_id: int) -> None:
     )
 
 
+def _state_partitions(path: str) -> set:
+    """batch_id=N partition names of a state dir (empty set if absent) —
+    the metadata-only coverage probe for paired state stores."""
+    import os
+
+    if not os.path.isdir(path):
+        return set()
+    return {d for d in os.listdir(path) if d.startswith("batch_id=")}
+
+
 def _read_state_excluding(spark, path: str, batch_id: int):
     """Read a state dir EXCLUDING the current batch's partition — on
     replay the batch's own earlier write must not count as history, or
@@ -264,7 +274,11 @@ def neardup_stream(
     (its text is read only for the exact-verify candidate slice). Same
     output either way (persisted ≡ recompute equivalence is asserted in
     the batch tests); without it, each batch recomputes historical
-    signatures from ``corpus_dir``.
+    signatures from ``corpus_dir``. A METADATA-ONLY coverage guard
+    (batch_id partition listing, no data reads) falls back to recompute
+    whenever the sigs store is missing corpus partitions — i.e. it was
+    enabled mid-stream; enable it from the first batch (or backfill
+    `minhash_signatures` per missing partition) to get the fast path.
     """
     from iceberg_geospatial_api_server_spark.operators.dedup import (
         dedup_minhash_lsh,
@@ -284,21 +298,18 @@ def neardup_stream(
             against = against.select(id_col, text_col)
         against_sigs = None
         if sigs_dir is not None and against is not None:
-            against_sigs = _read_state_excluding(spark, sigs_dir, batch_id)
-            # coverage guard: a sigs store enabled MID-stream covers only
-            # part of the corpus, and the signatures path would silently
-            # skip the uncovered docs. Signatures exist exactly for docs
-            # with ≥ shingle_k tokens (shorter docs produce no shingles
-            # and are ignored by both paths), so compare against that
-            # eligible count and fall back to recompute when behind. Two
-            # cheap counts per batch — no md5/minhash work.
-            if against_sigs is not None:
-                eligible = against.filter(
-                    F.size(F.split(F.col(text_col), " "))
-                    >= F.lit(int(shingle_k))
-                ).count()
-                if against_sigs.count() < eligible:
-                    against_sigs = None
+            # coverage guard, METADATA-ONLY: both stores are partitioned
+            # batch_id=N, and corpus/sigs partitions are written by the
+            # same handler — so the sigs store covers the corpus iff its
+            # partition set does (a store enabled MID-stream is missing
+            # the early corpus partitions and would silently skip those
+            # docs). Directory listing only; scanning the corpus text to
+            # count eligible docs here would re-read per batch the very
+            # data the signature store exists to avoid.
+            if _state_partitions(sigs_dir) >= _state_partitions(corpus_dir):
+                against_sigs = _read_state_excluding(
+                    spark, sigs_dir, batch_id
+                )
         pairs = dedup_minhash_lsh(
             batch,
             text_col=text_col,

@@ -12,7 +12,11 @@ OFF = {  # per-replica key strides (>= max key + 1, round)
     "l_partkey": 20000, "p_partkey": 20000,
     "l_suppkey": 1000, "s_suppkey": 1000,
     "o_custkey": 20000, "c_custkey": 20000,
-    "event_id": 100000, "user_id": 2000,
+    # user_id ≡ custkey in this testdata (the as-of join's key), so it
+    # MUST stride with o_custkey/c_custkey — an independent stride sends
+    # replica i's events at replica 0's customers and leaves most orders
+    # eventless (the r4-continuation review caught exactly that)
+    "event_id": 100000, "user_id": 20000,
     "doc_id": 5000, "vec_id": 2000,
 }
 spark = get_spark(app_name="sfx", master="local[32]", shuffle_partitions=32)
