@@ -743,3 +743,22 @@ def test_neardup_stream_with_signature_store_matches_batch(
         F.size(F.split(F.col("text"), " ")) >= 3
     ).count()
     assert spark.read.parquet(sigs_dir).count() == n_eligible
+
+
+def test_neardup_sigs_guard_skips_partial_store(spark, tmp_path):
+    """The metadata-only coverage probe: a sigs store missing corpus
+    partitions (enabled mid-stream) must NOT be treated as covering."""
+    from iceberg_geospatial_api_server_spark.streaming.windows import (
+        _state_partitions,
+    )
+
+    corpus = tmp_path / "corpus"
+    sigs = tmp_path / "sigs"
+    for b in (0, 1):
+        (corpus / f"batch_id={b}").mkdir(parents=True)
+    (sigs / "batch_id=1").mkdir(parents=True)
+
+    assert not _state_partitions(str(sigs)) >= _state_partitions(str(corpus))
+    (sigs / "batch_id=0").mkdir()
+    assert _state_partitions(str(sigs)) >= _state_partitions(str(corpus))
+    assert _state_partitions(str(tmp_path / "absent")) == set()
