@@ -207,6 +207,75 @@ def ev_sessions(spark, sf_dir):
 
 
 @_q(
+    "events_session_overlap",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM g
+    ), sess AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch_us(MIN(ts)) / 1000000) AS BIGINT) AS st,
+             CAST(FLOOR(epoch_us(MAX(ts)) / 1000000) AS BIGINT) AS en
+      FROM s GROUP BY user_id, session_seq
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(LEAST(a.en, b.en) - GREATEST(a.st, b.st)) AS BIGINT)
+             AS overlap_seconds
+    FROM sess a JOIN sess b
+      ON a.st <= b.en AND b.st <= a.en AND a.user_id < b.user_id
+    GROUP BY a.user_id, b.user_id
+    ORDER BY user_a, user_b
+    """,
+)
+def events_session_overlap_q(spark, sf_dir):
+    """Concurrent-session detection: which user pairs had overlapping
+    sessions, how many, for how long — an INTERVAL OVERLAP JOIN (the
+    range-join shape Spark lacks natively), bucketed on a time grid so
+    it can never go cartesian; the oracle runs DuckDB's native range
+    self-join over identically-derived sessions. All-integer outputs
+    (epoch-second picks/sums)."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        interval_overlap_join,
+        sessionize,
+    )
+
+    sess = sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+    a = sess.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_start").alias("st_a"),
+        F.col("session_end").alias("en_a"),
+    )
+    b = sess.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_start").alias("st_b"),
+        F.col("session_end").alias("en_b"),
+    )
+    return (
+        interval_overlap_join(a, b, "st_a", "en_a", "st_b", "en_b")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_overlaps"),
+            F.sum(
+                F.least("en_a", "en_b") - F.greatest("st_a", "st_b")
+            )
+            .cast("long")
+            .alias("overlap_seconds"),
+        )
+        .orderBy("user_a", "user_b")
+    )
+
+
+@_q(
     "asof_join_events_orders",
     """
     SELECT e.event_id, e.user_id,
@@ -4223,6 +4292,9 @@ _ORACLED_OVERFLOW = [
     # an honest rationale; rotate into the driver window in r5 alongside
     # geo_ps / ann_ivf_exhaustive / ann_lsh_exhaustive
     "events_outliers_mad",
+    # r4 (cont.): same story — interval-overlap join entry lands with
+    # LOCAL grading, queued for the r5 rotation
+    "events_session_overlap",
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

@@ -1324,3 +1324,56 @@ def mad_outlier_profile(events: DataFrame, k: float = 3.0) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval overlap join (inclusive endpoints) — the range-join shape
+    Spark has no native operator for, built so it can never go
+    cartesian: each interval explodes to the time-grid cells it touches
+    (fan-out = duration/bucket, bounded), candidates meet on a cell
+    EQUI-join, the exact overlap predicate runs codegen inside the join
+    stage, and each matched pair is emitted exactly ONCE — in the first
+    cell both intervals touch (cell == greatest(floor(start)) — the
+    same report-once trick as the spatial grid join, so no distinct
+    pass over the matches.
+
+    Column names must already be disjoint across the two sides. Size
+    `bucket_seconds` to the typical interval length: cells much smaller
+    than an interval inflate the map-side fan-out, much larger ones
+    inflate candidate pairs per cell (exactly the spatial grid-size
+    trade-off, time-flavored)."""
+    b = float(bucket_seconds)
+
+    def cells(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__cell",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / F.lit(b)).cast("long"),
+                    F.floor(F.col(e) / F.lit(b)).cast("long"),
+                )
+            ),
+        )
+
+    first_shared = F.greatest(
+        F.floor(F.col(l_start) / F.lit(b)).cast("long"),
+        F.floor(F.col(r_start) / F.lit(b)).cast("long"),
+    )
+    return (
+        cells(left, l_start, l_end)
+        .join(cells(right, r_start, r_end), "__cell")
+        .filter(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("__cell") == first_shared)
+        )
+        .drop("__cell")
+    )

@@ -881,3 +881,67 @@ def test_mad_outlier_profile_single_exchange(spark, sf_dir):
     out = mad_outlier_profile(load_table(spark, sf_dir, "events"))
     p = formatted_plan(out)
     assert hash_exchange_count(out) == 1, p[:2000]
+
+
+def test_interval_overlap_join_crafted(spark):
+    """Exactly-once emission (a pair sharing MANY grid cells appears
+    once), inclusive endpoints (touching intervals match), disjoint
+    intervals don't, and cross-bucket overlaps are found."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 0, 10_000), (2, 50, 60), (3, 100, 200)],
+        "lid long, st_a long, en_a long",
+    )
+    right = spark.createDataFrame(
+        [(10, 5_000, 12_000),   # overlaps 1 across ~7 shared 1000s cells
+         (20, 60, 70),          # touches 2 at t=60 (inclusive) and 1
+         (30, 20_000, 20_100)],  # disjoint from everything
+        "rid long, st_b long, en_b long",
+    )
+    rows = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "st_a", "en_a", "st_b", "en_b",
+            bucket_seconds=1000,
+        ).collect()
+    )
+    assert rows == [(1, 10), (1, 20), (2, 20)]
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Seeded random intervals: grid-bucketed result ≡ the brute-force
+    cross-check, across bucket sizes straddling the interval lengths."""
+    import random
+
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(7)
+    lrows = []
+    for i in range(40):
+        s = rng.randint(0, 5000)
+        lrows.append((i, s, s + rng.randint(0, 800)))
+    rrows = []
+    for i in range(40):
+        s = rng.randint(0, 5000)
+        rrows.append((100 + i, s, s + rng.randint(0, 800)))
+    expect = sorted(
+        (l[0], r[0])
+        for l in lrows for r in rrows
+        if l[1] <= r[2] and r[1] <= l[2]
+    )
+    left = spark.createDataFrame(lrows, "lid long, st_a long, en_a long")
+    right = spark.createDataFrame(rrows, "rid long, st_b long, en_b long")
+    for bucket in (100, 1000, 10000):
+        got = sorted(
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join(
+                left, right, "st_a", "en_a", "st_b", "en_b",
+                bucket_seconds=bucket,
+            ).collect()
+        )
+        assert got == expect, bucket
