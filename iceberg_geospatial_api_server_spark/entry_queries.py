@@ -4139,6 +4139,79 @@ def ann_ivfpq_q(spark, sf_dir):
 
 
 # ===========================================================================
+# Web-map binning: XYZ slippy tiles + HexagonLayer hexes (geo/tiles.py)
+# ===========================================================================
+
+from iceberg_geospatial_api_server_spark.geo.tiles import (  # noqa: E402
+    hex_oracle_cte as _hex_oracle_cte,
+    tile_expr_sql as _tile_expr_sql,
+)
+
+_TILE_X4, _TILE_Y4 = _tile_expr_sql("x", "y", 4)
+
+
+@_q(
+    "geo_tile_aggregate",
+    f"""
+    SELECT {_TILE_X4} AS tile_x, {_TILE_Y4} AS tile_y,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM {_LI_PTS} p
+    GROUP BY 1, 2
+    """,
+)
+def geo_tile_aggregate_q(spark, sf_dir):
+    """XYZ (slippy-map) tile binning at zoom 4 — the tiled form of the
+    reference's mode=aggregate grid binning (ref api/main.py:410-443; OSM
+    tile scheme). Bin assignment is shared Spark/DuckDB expression text
+    (geo/tiles.py tile_expr_sql), so integer tile ids hash-match exactly;
+    one uniform hash exchange aggregates."""
+    from iceberg_geospatial_api_server_spark.geo.tiles import tile_aggregate
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        lineitem_points,
+    )
+
+    pts = lineitem_points(_t(spark, sf_dir, "lineitem"))
+    return tile_aggregate(
+        pts,
+        "x",
+        "y",
+        4,
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        ],
+    )
+
+
+_HEX_CTE = _hex_oracle_cte(f"SELECT x, y FROM {_LI_PTS} p", "x", "y", 5.0)
+
+
+@_q(
+    "geo_hex_aggregate",
+    f"""
+    WITH hexed AS ({_HEX_CTE})
+    SELECT hex_q, hex_r, hex_cx, hex_cy, COUNT(*) AS n
+    FROM hexed GROUP BY 1, 2, 3, 4
+    """,
+)
+def geo_hex_aggregate_q(spark, sf_dir):
+    """Hexagon binning (deck.gl HexagonLayer server-side analog):
+    pointy-top axial assignment with cube rounding, every step shared
+    expression text between the Spark withColumn chain and the oracle's
+    chained CTEs (geo/tiles.py hex_steps_sql) — bin ids AND float hex
+    centers hash-match with no tolerance. Map-side assignment, one
+    uniform (hex_q, hex_r) exchange."""
+    from iceberg_geospatial_api_server_spark.geo.tiles import hex_aggregate
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        lineitem_points,
+    )
+
+    pts = lineitem_points(_t(spark, sf_dir, "lineitem"))
+    return hex_aggregate(pts, "x", "y", 5.0)
+
+
+# ===========================================================================
 # Registration order
 # ===========================================================================
 # The driver grades only the first 50 registered entries, so ordering is
@@ -4295,6 +4368,10 @@ _ORACLED_OVERFLOW = [
     # r4 (cont.): same story — interval-overlap join entry lands with
     # LOCAL grading, queued for the r5 rotation
     "events_session_overlap",
+    # r4 (cont. 2): web-map binning entries land with LOCAL grading
+    # (window full, no honest donor left), queued for the r5 rotation
+    "geo_tile_aggregate",
+    "geo_hex_aggregate",
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

@@ -1,0 +1,187 @@
+"""Web-map tile and hexagon binning — the XYZ / HexagonLayer aggregation
+analogs of the reference's server-side grid-aggregate mode.
+
+The reference's webmap is a deck.gl client fed by the API's
+``mode=aggregate`` grid binning (ref api/main.py:410-443); production map
+stacks bin the same features into slippy-map XYZ tiles (OSM tile scheme)
+and deck.gl ``HexagonLayer`` hexagons. Both assignments are closed-form
+arithmetic on (lon, lat), so they compile to whole-stage-codegen JVM
+expressions with no UDF and ONE hash exchange for the aggregation —
+at 100 TB the bin key is uniform by construction (tiles/hexes partition
+the plane), so the shuffle has no hot key.
+
+Cross-engine contract (the geo_mercator / geo_utm pattern): every bin
+expression is built ONCE as SQL text and used verbatim on both sides —
+``F.expr`` in the Spark plan and string-substituted into the DuckDB
+oracle — so the two engines execute an identical IEEE operation sequence
+and integer bin ids match exactly (no rounding tolerance needed).
+
+Hex rounding uses FLOOR(v + 0.5) instead of ROUND: the engines disagree
+on ROUND's half mode (DuckDB half-away vs Spark HALF_UP on decimals) and
+on the sign of a rounded zero, while FLOOR(v + 0.5) is one deterministic
+IEEE sequence on both.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tile_expr_sql",
+    "tile_cols",
+    "tile_aggregate",
+    "hex_steps_sql",
+    "hex_bin",
+    "hex_aggregate",
+    "hex_oracle_cte",
+]
+
+
+# ---------------------------------------------------------------------------
+# XYZ (slippy-map) tiles
+# ---------------------------------------------------------------------------
+
+
+def tile_expr_sql(x: str, y: str, zoom: int) -> tuple[str, str]:
+    """(tile_x, tile_y) SQL expression text for the OSM XYZ tile scheme at
+    ``zoom``: tx = floor((lon+180)/360 * 2^z), ty from the Web-Mercator
+    latitude transform, both clamped to [0, 2^z - 1] (the poles clamp to
+    the edge tile exactly as web map servers do).
+
+    The text is valid — and IEEE-identical — in both Spark SQL and DuckDB:
+    RADIANS/TAN/COS/LN/PI/FLOOR/LEAST/GREATEST all exist in both dialects.
+    """
+    n = repr(float(1 << zoom))
+    top = repr(float((1 << zoom) - 1))
+    tx = (
+        f"CAST(LEAST(GREATEST(FLOOR((({x}) + 180.0) / CAST(360.0 AS DOUBLE)"
+        f" * {n}), 0.0), {top}) AS BIGINT)"
+    )
+    ty = (
+        f"CAST(LEAST(GREATEST(FLOOR((1.0 - LN(TAN(RADIANS({y}))"
+        f" + 1.0 / COS(RADIANS({y}))) / PI()) / CAST(2.0 AS DOUBLE)"
+        f" * {n}), 0.0), {top}) AS BIGINT)"
+    )
+    return tx, ty
+
+
+def tile_cols(x_col: str, y_col: str, zoom: int) -> tuple[Column, Column]:
+    tx, ty = tile_expr_sql(x_col, y_col, zoom)
+    return F.expr(tx), F.expr(ty)
+
+
+def tile_aggregate(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    zoom: int,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Per-tile aggregation at ``zoom``. Map-side arithmetic assigns the
+    tile, then ONE hash exchange on (tile_x, tile_y) — partial aggregation
+    is free via groupBy built-ins, and the tile grid is a uniform key
+    space, so no salting is ever needed."""
+    tx, ty = tile_cols(x_col, y_col, zoom)
+    if aggs is None:
+        aggs = [F.count(F.lit(1)).alias("n")]
+    return (
+        df.withColumn("tile_x", tx)
+        .withColumn("tile_y", ty)
+        .groupBy("tile_x", "tile_y")
+        .agg(*aggs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hexagon binning (pointy-top axial grid, deck.gl HexagonLayer semantics)
+# ---------------------------------------------------------------------------
+
+_SQRT3_3 = repr(math.sqrt(3.0) / 3.0)  # sqrt(3)/3
+_SQRT3 = repr(math.sqrt(3.0))
+_TWO_3 = repr(2.0 / 3.0)
+
+
+def hex_steps_sql(x: str, y: str, size: float) -> list[tuple[str, str]]:
+    """The hex-bin computation as an ordered list of (column, SQL text)
+    steps, each referencing only input columns and earlier steps. Spark
+    applies them as a withColumn chain; the oracle nests them as CTEs —
+    identical text, identical IEEE sequence.
+
+    Pointy-top axial coordinates (q, r) with cube rounding (the standard
+    hex-grid assignment deck.gl's HexagonLayer uses): fractional axial
+    coords, round each cube coordinate, then repair the one with the
+    largest rounding error so q + r + s == 0 holds.
+    """
+    s = repr(float(size))
+    return [
+        ("hq_f", f"(({x}) * {_SQRT3_3} - ({y}) / CAST(3.0 AS DOUBLE)) / CAST({s} AS DOUBLE)"),
+        ("hr_f", f"(({y}) * {_TWO_3}) / CAST({s} AS DOUBLE)"),
+        ("hs_f", "-hq_f - hr_f"),
+        ("rq", "FLOOR(hq_f + 0.5)"),
+        ("rr", "FLOOR(hr_f + 0.5)"),
+        ("rs", "FLOOR(hs_f + 0.5)"),
+        ("dq", "ABS(rq - hq_f)"),
+        ("dr", "ABS(rr - hr_f)"),
+        ("ds", "ABS(rs - hs_f)"),
+        (
+            "hex_q",
+            "CAST(CASE WHEN dq > dr AND dq > ds THEN -rr - rs ELSE rq END"
+            " AS BIGINT)",
+        ),
+        (
+            "hex_r",
+            "CAST(CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds"
+            " THEN -rq - rs ELSE rr END AS BIGINT)",
+        ),
+        # hex centers back in data coordinates (for rendering): the +0.0
+        # normalizes IEEE -0.0, whose repr differs between engines
+        ("hex_cx", f"CAST({s} AS DOUBLE) * {_SQRT3} * (hex_q + hex_r / CAST(2.0 AS DOUBLE)) + 0.0"),
+        ("hex_cy", f"CAST({s} AS DOUBLE) * 1.5 * hex_r + 0.0"),
+    ]
+
+
+def hex_bin(df: DataFrame, x_col: str, y_col: str, size: float) -> DataFrame:
+    """Append hex_q/hex_r/hex_cx/hex_cy bin columns — pure map-side JVM
+    arithmetic (every step is an F.expr over prior columns; Catalyst
+    collapses the chain into one projection)."""
+    out = df
+    for name, sql in hex_steps_sql(x_col, y_col, size):
+        out = out.withColumn(name, F.expr(sql))
+    return out.drop(
+        "hq_f", "hr_f", "hs_f", "rq", "rr", "rs", "dq", "dr", "ds"
+    )
+
+
+def hex_aggregate(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    size: float,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Per-hexagon aggregation (HexagonLayer server-side analog): map-side
+    bin assignment, one uniform hash exchange on (hex_q, hex_r)."""
+    if aggs is None:
+        aggs = [F.count(F.lit(1)).alias("n")]
+    return (
+        hex_bin(df, x_col, y_col, size)
+        .groupBy("hex_q", "hex_r", "hex_cx", "hex_cy")
+        .agg(*aggs)
+    )
+
+
+def hex_oracle_cte(base_sql: str, x: str, y: str, size: float) -> str:
+    """Wrap ``base_sql`` (a SELECT producing at least ``x``/``y``) in the
+    chained-CTE form of hex_steps_sql, exposing every step column —
+    the DuckDB half of the shared-expression contract."""
+    steps = hex_steps_sql(x, y, size)
+    sql = f"WITH hx0 AS ({base_sql})"
+    prev = "hx0"
+    for i, (name, expr) in enumerate(steps, start=1):
+        cur = f"hx{i}"
+        sql += f", {cur} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        prev = cur
+    return sql + f" SELECT * FROM {prev}"

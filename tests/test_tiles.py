@@ -1,0 +1,113 @@
+"""Web-map binning kernels (geo/tiles.py): XYZ tile assignment vs the
+reference OSM formula, polar clamping, hex binning's nearest-center
+property and cube-coordinate invariant, and plan shape (map-side
+assignment, one exchange)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_geospatial_api_server_spark.geo.tiles import (
+    hex_aggregate,
+    hex_bin,
+    tile_aggregate,
+    tile_cols,
+)
+from iceberg_geospatial_api_server_spark.plans.explain import (
+    hash_exchange_count,
+)
+
+
+def _deg2num(lon: float, lat: float, zoom: int) -> tuple[int, int]:
+    """The published OSM slippy-map reference formula (pure Python)."""
+    n = 2.0**zoom
+    xt = int(math.floor((lon + 180.0) / 360.0 * n))
+    lat_rad = math.radians(lat)
+    yt = int(
+        math.floor(
+            (1.0 - math.log(math.tan(lat_rad) + 1.0 / math.cos(lat_rad)) / math.pi)
+            / 2.0
+            * n
+        )
+    )
+    return max(0, min(int(n) - 1, xt)), max(0, min(int(n) - 1, yt))
+
+
+@pytest.fixture(scope="module")
+def coord_grid(spark):
+    pts = [
+        (float(lon), float(lat))
+        for lon in range(-180, 180, 23)
+        for lat in range(-84, 85, 17)
+    ] + [(0.0, 0.0), (-180.0, -84.9), (179.9, 84.9)]
+    return spark.createDataFrame(pts, "x double, y double")
+
+
+@pytest.mark.parametrize("zoom", [0, 1, 4, 9])
+def test_tile_assignment_matches_osm_reference(coord_grid, zoom):
+    tx, ty = tile_cols("x", "y", zoom)
+    got = coord_grid.select("x", "y", tx.alias("tx"), ty.alias("ty")).collect()
+    for r in got:
+        assert (r.tx, r.ty) == _deg2num(r.x, r.y, zoom), (r.x, r.y, zoom)
+
+
+def test_tile_origin_and_bounds(spark):
+    """(0,0) at z=1 sits in the southeast quadrant tile (1,1); extreme
+    latitudes clamp to the edge row instead of running off the grid."""
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (10.0, 84.99), (10.0, -84.99)], "x double, y double"
+    )
+    tx, ty = tile_cols("x", "y", 1)
+    rows = df.select(tx.alias("tx"), ty.alias("ty")).collect()
+    assert (rows[0].tx, rows[0].ty) == (1, 1)
+    assert {r.ty for r in rows} <= {0, 1}
+
+
+def test_tile_aggregate_counts(coord_grid):
+    out = tile_aggregate(coord_grid, "x", "y", 2)
+    total = out.agg(F.sum("n")).collect()[0][0]
+    assert total == coord_grid.count()
+    rows = out.collect()
+    assert all(0 <= r.tile_x < 4 and 0 <= r.tile_y < 4 for r in rows)
+
+
+def _hex_center(q: int, r: int, size: float) -> tuple[float, float]:
+    return (size * math.sqrt(3.0) * (q + r / 2.0), size * 1.5 * r)
+
+
+def test_hex_bin_assigns_nearest_center(coord_grid):
+    """Cube rounding must pick the hexagon whose center is nearest (the
+    defining property of hex binning): check the assigned center against
+    the 7-cell neighborhood for every grid point."""
+    size = 20.0
+    rows = hex_bin(coord_grid, "x", "y", size).collect()
+    for row in rows:
+        d_assigned = math.hypot(row.x - row.hex_cx, row.y - row.hex_cy)
+        for dq, dr in [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)]:
+            cx, cy = _hex_center(row.hex_q + dq, row.hex_r + dr, size)
+            d_other = math.hypot(row.x - cx, row.y - cy)
+            assert d_assigned <= d_other + 1e-9, (row.x, row.y)
+
+
+def test_hex_centers_consistent_with_ids(coord_grid):
+    size = 7.5
+    for row in hex_bin(coord_grid, "x", "y", size).collect():
+        cx, cy = _hex_center(row.hex_q, row.hex_r, size)
+        assert abs(cx - row.hex_cx) < 1e-9 and abs(cy - row.hex_cy) < 1e-9
+
+
+def test_binning_is_map_side_single_exchange(coord_grid):
+    """Both aggregations: bin assignment is pure projection arithmetic
+    (no UDF), and the whole query carries exactly ONE hash exchange."""
+    for out in (
+        tile_aggregate(coord_grid, "x", "y", 5),
+        hex_aggregate(coord_grid, "x", "y", 3.0),
+    ):
+        from iceberg_geospatial_api_server_spark.plans.explain import (
+            formatted_plan,
+        )
+
+        plan = formatted_plan(out)
+        assert hash_exchange_count(plan) == 1, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
