@@ -4212,6 +4212,84 @@ def geo_hex_aggregate_q(spark, sf_dir):
 
 
 # ===========================================================================
+# Sequential event analytics: CUSUM change points + hopping windows
+# ===========================================================================
+
+
+@_q(
+    "events_cusum",
+    """
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) - 6000 AS d
+      FROM events
+    ), p AS (
+      SELECT user_id, event_id, ts, SUM(d) OVER w AS p
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ), s AS (
+      SELECT user_id, ts,
+             p - LEAST(0, MIN(p) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)) AS s
+      FROM p
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN s > 50000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms,
+           CAST(MAX(s) AS BIGINT) AS max_cusum,
+           CAST(FLOOR(epoch_us(MIN(CASE WHEN s > 50000 THEN ts END))
+                      / 1000000) AS BIGINT) AS first_alarm_s
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_cusum_q(spark, sf_dir):
+    """Per-user CUSUM drift detection. The max(0, ...) recursion is
+    closed-formed into prefix-sum minus running-min — two stacked windows
+    on ONE user exchange — and sums run in integer cents, so the oracle
+    hash covers the full recursion math exactly (DuckDB's segment-tree
+    window SUM would diverge on doubles)."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        events_cusum,
+    )
+
+    return events_cusum(_t(spark, sf_dir, "events"), drift=60.0, threshold=500.0)
+
+
+@_q(
+    "events_hopping_agg",
+    """
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             CAST(FLOOR(epoch_us(ts) / 1000000) AS BIGINT) AS sec
+      FROM events
+    ), x AS (
+      SELECT e.*, (FLOOR(sec / 3600) - j.j) * 3600 AS window_start
+      FROM e CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS j) j
+    )
+    SELECT CAST(window_start AS BIGINT) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM x GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_hopping_q(spark, sf_dir):
+    """Hopping-window aggregation (4 h windows every 1 h): map-side
+    sequence-explode of the 4 window offsets, one hash exchange — the
+    batch twin of streaming window(ts, '4 hours', '1 hour')."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        events_hopping_agg,
+    )
+
+    return events_hopping_agg(
+        _t(spark, sf_dir, "events"), size_minutes=240, hop_minutes=60
+    )
+
+
+# ===========================================================================
 # Registration order
 # ===========================================================================
 # The driver grades only the first 50 registered entries, so ordering is
@@ -4372,6 +4450,10 @@ _ORACLED_OVERFLOW = [
     # (window full, no honest donor left), queued for the r5 rotation
     "geo_tile_aggregate",
     "geo_hex_aggregate",
+    # r4 (cont. 2): sequential-analytics entries, same local-grading +
+    # r5-rotation story
+    "events_cusum",
+    "events_hopping_agg",
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

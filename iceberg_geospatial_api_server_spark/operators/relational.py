@@ -1377,3 +1377,95 @@ def interval_overlap_join(
         )
         .drop("__cell")
     )
+
+
+def events_cusum(
+    events: DataFrame,
+    drift: float = 60.0,
+    threshold: float = 500.0,
+) -> DataFrame:
+    """Per-user CUSUM change-point detection (Page 1954): one-sided upper
+    CUSUM S_i = max(0, S_{i-1} + (x_i - drift)), alarm where S_i exceeds
+    ``threshold`` — the standard sequential drift detector a metrics
+    pipeline runs per entity.
+
+    Scale design: the recursion is NOT computed recursively — with prefix
+    sums P_i of (x_i - drift), S_i = P_i - min(0, min_{j<=i} P_j), so two
+    stacked window passes over ONE user_id exchange (same partitioning +
+    ordering → one sort) replace any iterative loop. Values quantize to
+    integer cents BEFORE summation (the corpus_perplexity pattern):
+    running double sums are summation-order-exact per engine but DuckDB's
+    segment-tree window SUM adds in a different order than Spark's running
+    accumulation, so only integer sums hash-match cross-engine.
+
+    Returns one row per user: n_events, n_alarms, max_cusum (cents),
+    first_alarm_s (epoch seconds of the first alarming event, NULL when
+    the user never alarms).
+    """
+    us = epoch_of(events, "ts")
+    drift_cents = int(round(drift * 100))
+    threshold_cents = int(round(threshold * 100))
+    # FLOOR(v*100 + 0.5): half-free cents quantization, identical IEEE
+    # sequence on both engines (ROUND's half mode differs per engine)
+    cents = F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_p = events.withColumn(
+        "__p", F.sum(cents - F.lit(drift_cents)).over(w)
+    )
+    with_s = with_p.withColumn(
+        "__s", F.col("__p") - F.least(F.lit(0).cast("long"), F.min("__p").over(w))
+    )
+    alarm = F.col("__s") > threshold_cents
+    return (
+        with_s.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(alarm.cast("long")).alias("n_alarms"),
+            F.max("__s").alias("max_cusum"),
+            us(F.min(F.when(alarm, F.col("ts"))), "SECOND").alias(
+                "first_alarm_s"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+def events_hopping_agg(
+    events: DataFrame, size_minutes: int = 240, hop_minutes: int = 60
+) -> DataFrame:
+    """Hopping (sliding) window aggregation — the batch form of a
+    Structured Streaming ``window(ts, '4 hours', '1 hour')``: each event
+    lands in size/hop overlapping windows.
+
+    Scale design: windows fan out MAP-SIDE (a sequence-explode of the
+    size/hop window offsets — no self-join, no range join), then ONE hash
+    exchange on (window_start, event_type) aggregates. The fan-out factor
+    is the constant size/hop, never data-dependent.
+    """
+    if size_minutes % hop_minutes:
+        raise ValueError("size_minutes must be a multiple of hop_minutes")
+    k = size_minutes // hop_minutes
+    hop_s = hop_minutes * 60
+    sec = epoch_of(events, "ts")
+    exploded = events.withColumn(
+        "__j", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+    ).withColumn(
+        "window_start",
+        (
+            (F.floor(sec("ts", "SECOND") / hop_s) - F.col("__j")) * hop_s
+        ).cast("long"),
+    )
+    cents = F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)")
+    return (
+        exploded.groupBy("window_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).alias("sum_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("window_start", "event_type")
+    )

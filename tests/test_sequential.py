@@ -1,0 +1,97 @@
+"""Sequential event analytics: the CUSUM prefix-sum closed form must
+equal the textbook max(0, ...) recursion, and hopping windows must cover
+each event exactly size/hop times."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from iceberg_geospatial_api_server_spark.operators.relational import (
+    events_cusum,
+    events_hopping_agg,
+)
+from iceberg_geospatial_api_server_spark.plans.explain import (
+    hash_exchange_count,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), uid, "e", v, "{}")
+            for i, (uid, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _ref_cusum(values, drift, threshold):
+    """The textbook recursion, in cents."""
+    s, n_alarms, mx, first = 0, 0, 0, None
+    for i, v in enumerate(values):
+        s = max(0, s + int(v * 100 + 0.5) - int(drift * 100))
+        mx = max(mx, s)
+        if s > threshold * 100:
+            n_alarms += 1
+            if first is None:
+                first = i
+    return n_alarms, mx, first
+
+
+def test_cusum_matches_textbook_recursion(spark):
+    """A spike-then-recover sequence: the closed form (prefix sum minus
+    running min) must reproduce the recursion's resets exactly."""
+    seqs = {
+        1: [10.0, 10.0, 95.0, 90.0, 5.0, 5.0, 80.0, 85.0, 90.0],
+        2: [50.0] * 8,
+        3: [5.0, 200.0, 5.0, 5.0, 5.0, 190.0, 180.0],
+    }
+    rows = [(uid, v) for uid, vs in seqs.items() for v in vs]
+    out = {
+        r.user_id: r
+        for r in events_cusum(_events(spark, rows), drift=50.0, threshold=1.5).collect()
+    }
+    for uid, vs in seqs.items():
+        n_alarms, mx, _ = _ref_cusum(vs, 50.0, 1.5)
+        assert out[uid].n_alarms == n_alarms, uid
+        assert out[uid].max_cusum == mx, uid
+
+
+def test_cusum_reset_clamps_at_zero(spark):
+    """Long negative drift then a spike: S must restart from 0 at the
+    spike, not from the accumulated negative sum."""
+    vs = [1.0] * 20 + [300.0]
+    out = events_cusum(_events(spark, [(7, v) for v in vs]), drift=50.0, threshold=1.0).collect()[0]
+    # last value alone: max(0, 0 + 30000 - 5000) = 25000 cents
+    assert out.max_cusum == 25000
+    assert out.n_alarms == 1
+    assert out.first_alarm_s is not None
+
+
+def test_cusum_no_alarm_below_threshold(spark):
+    out = events_cusum(
+        _events(spark, [(1, 10.0), (1, 12.0), (1, 9.0)]), drift=50.0, threshold=100.0
+    ).collect()[0]
+    assert out.n_alarms == 0 and out.first_alarm_s is None
+    assert out.max_cusum == 0
+
+
+def test_hopping_conservation_and_fanout(spark):
+    rows = [(u, float(u * 10 + j)) for u in range(1, 4) for j in range(5)]
+    df = _events(spark, rows)
+    out = events_hopping_agg(df, size_minutes=240, hop_minutes=60)
+    # every event appears in exactly size/hop = 4 windows
+    assert out.agg(F.sum("n_events")).collect()[0][0] == len(rows) * 4
+    # each window_start aligns to the hop and spans ascending hops
+    starts = sorted({r.window_start for r in out.collect()})
+    assert all(s % 3600 == 0 for s in starts)
+    assert len(starts) == 4  # 15 one-minute events → 1 hop bucket, 4 offsets
+
+
+def test_single_exchange_plans(spark):
+    df = _events(spark, [(u, 1.0 * u) for u in range(20)])
+    assert hash_exchange_count(events_cusum(df)) == 1
+    # hopping: one exchange for the (window, type) agg; countDistinct
+    # adds its expand within the same key grouping
+    assert hash_exchange_count(events_hopping_agg(df)) <= 2
