@@ -4289,6 +4289,52 @@ def events_hopping_q(spark, sf_dir):
     )
 
 
+@_q(
+    "text_winnow_fingerprints",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), docg AS (
+      SELECT doc_id, greatest(len(ws) - 2, 0) AS m, ws FROM d
+    ), grams AS (
+      SELECT doc_id, m, u.i - 1 AS pos,
+             (('0x' || substr(md5(array_to_string(ws[u.i:u.i+2], ' ')),
+                             1, 15))::BIGINT % 2147483647) AS h
+      FROM docg, UNNEST(generate_series(1, m)) AS u(i)
+    ), fan AS (
+      SELECT doc_id, m, pos, h, v.j AS j
+      FROM grams,
+           UNNEST(generate_series(greatest(pos - 3, 0),
+                                  least(pos, greatest(m - 3, 1) - 1)))
+             AS v(j)
+    ), wmin AS (
+      SELECT doc_id, j,
+             MIN(h * 4294967296 + (4294967295 - pos)) AS sel,
+             MAX(m) AS m
+      FROM fan GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(MAX(m) AS BIGINT) AS n_grams,
+           CAST(GREATEST(MAX(m) - 3, 1) AS BIGINT) AS n_windows,
+           COUNT(DISTINCT sel) AS n_fingerprints,
+           COUNT(DISTINCT sel // 4294967296) AS n_distinct_hashes,
+           CAST(MIN(sel) // 4294967296 AS BIGINT) AS min_fp
+    FROM wmin GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_winnow_q(spark, sf_dir):
+    """Winnowing (MOSS) fingerprint selection, k=3-gram / w=4 windows:
+    per-window rightmost-min selection runs as one packed-BIGINT MIN
+    (integer-exact on both engines), so the driver hash grades the full
+    selection rule — window fan-out, tie-breaking, dedup of selections —
+    value-for-value (operators/text.py winnow_fingerprints)."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=3, w=4)
+
+
 # ===========================================================================
 # Registration order
 # ===========================================================================
@@ -4454,6 +4500,8 @@ _ORACLED_OVERFLOW = [
     # r5-rotation story
     "events_cusum",
     "events_hopping_agg",
+    # r4 (cont. 2): winnowing fingerprints, same story
+    "text_winnow_fingerprints",
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

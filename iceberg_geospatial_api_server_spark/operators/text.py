@@ -1309,3 +1309,100 @@ def tfidf_top_terms(
         )
         .orderBy("source", F.col("tfidf").desc(), "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD 2003, MOSS)
+# ---------------------------------------------------------------------------
+
+_POS_BASE = 4294967296  # 2^32: packs (hash, pos) into one exact BIGINT
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    detailed: bool = False,
+) -> DataFrame:
+    """Winnowing document fingerprints: in every window of ``w``
+    consecutive word-``k``-gram hashes, select the minimum hash
+    (rightmost position on ties) — the MOSS fingerprinting scheme, whose
+    selected-set guarantee (any shared substring of length w+k-1 shares a
+    fingerprint) makes it the local-fingerprint complement of minhash.
+
+    Distributed shape: grams posexplode map-side; each position fans out
+    to the ≤``w`` windows containing it (constant factor, never
+    data-dependent); per-window argmin runs as one packed-BIGINT MIN —
+    ``h·2^32 + (2^32−1−pos)`` makes (min hash, max pos) the integer
+    minimum, so the rightmost-tie rule costs no struct ordering — then a
+    per-doc aggregate. All keys (doc, window) are uniform; the whole
+    pipeline is exact integer arithmetic on the portable md5-prefix
+    `word_hash`, so a DuckDB oracle grades it value-for-value.
+
+    ``detailed=True`` returns (id, fp_pos, fp_hash) rows; default returns
+    the per-doc summary (n_grams, n_windows, n_fingerprints,
+    n_distinct_hashes, min_fp). Documents with no full k-gram emit
+    nothing (same on both engines).
+    """
+    c = F.col(text_col)
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(overlapping_gram_strings(c, k)).alias("pos", "gram"),
+        F.greatest(
+            F.size(F.split(c, " ")) - F.lit(k - 1), F.lit(0)
+        ).alias("m"),
+    ).withColumn("h", word_hash(F.col("gram")))
+    nw = F.greatest(F.col("m") - F.lit(w - 1), F.lit(1))
+    fan = grams.withColumn(
+        "j",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("pos") - F.lit(w - 1), F.lit(0)),
+                F.least(F.col("pos"), nw - F.lit(1)),
+            )
+        ),
+    )
+    packed = (
+        F.col("h").cast("long") * F.lit(_POS_BASE)
+        + (F.lit(_POS_BASE - 1) - F.col("pos"))
+    )
+    wmin = (
+        fan.groupBy(id_col, "j")
+        .agg(
+            F.min(packed).alias("sel"),
+            F.first("m").alias("m"),
+        )
+    )
+    # decode with integer DIV, never `/`: long/long promotes to DOUBLE,
+    # whose 53-bit mantissa rounds a 63-bit packed key across the hash
+    # boundary for small positions
+    unpack_hash = F.expr(f"CAST(sel DIV {_POS_BASE} AS BIGINT)")
+    if detailed:
+        return (
+            wmin.select(
+                id_col,
+                (F.lit(_POS_BASE - 1) - F.col("sel") % _POS_BASE)
+                .cast("long")
+                .alias("fp_pos"),
+                unpack_hash.alias("fp_hash"),
+            )
+            .distinct()
+            .orderBy(id_col, "fp_pos")
+        )
+    return (
+        wmin.groupBy(id_col)
+        .agg(
+            F.first("m").cast("long").alias("n_grams"),
+            F.greatest(F.first("m") - F.lit(w - 1), F.lit(1))
+            .cast("long")
+            .alias("n_windows"),
+            F.countDistinct("sel").alias("n_fingerprints"),
+            F.countDistinct(unpack_hash).alias("n_distinct_hashes"),
+            F.expr(f"CAST(MIN(sel) DIV {_POS_BASE} AS BIGINT)").alias(
+                "min_fp"
+            ),
+        )
+        .orderBy(id_col)
+    )

@@ -1,0 +1,98 @@
+"""Winnowing fingerprints: exact selected-set equality with a pure-Python
+reference (rightmost-min per window), the winnowing coverage guarantee
+(every window contributes a selection; max gap between selected positions
+< w), and the shared-substring detection property that motivates the
+scheme."""
+
+import hashlib
+import random
+
+from iceberg_geospatial_api_server_spark.operators.text import (
+    winnow_fingerprints,
+)
+
+
+def _word_hash(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 2147483647
+
+
+def _ref_winnow(words, k=3, w=4):
+    """Direct implementation of the Schleimer et al. selection rule."""
+    grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    hs = [_word_hash(g) for g in grams]
+    m = len(hs)
+    if m == 0:
+        return set()
+    nw = max(1, m - w + 1)
+    selected = set()
+    for i in range(nw):
+        window = hs[i : i + w]
+        mn = min(window)
+        # rightmost minimal position
+        pos = max(j for j in range(i, min(i + w, m)) if hs[j] == mn)
+        selected.add((pos, hs[pos]))
+    return selected
+
+
+def _docs_df(spark, docs):
+    return spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+
+
+def test_selected_set_matches_reference(spark):
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    docs = [
+        [rng.choice(vocab) for _ in range(n)] for n in [3, 4, 5, 9, 30, 80]
+    ]
+    out = winnow_fingerprints(_docs_df(spark, docs), k=3, w=4, detailed=True)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, set()).add((r.fp_pos, r.fp_hash))
+    for i, ws in enumerate(docs):
+        assert got.get(i, set()) == _ref_winnow(ws), f"doc {i}"
+
+
+def test_coverage_guarantee(spark):
+    """Winnowing's defining guarantee: selected positions are at most w
+    apart, so any window of w consecutive grams contains a fingerprint."""
+    rng = random.Random(11)
+    words = [f"w{rng.randrange(50)}" for _ in range(300)]
+    out = winnow_fingerprints(_docs_df(spark, [words]), k=3, w=4, detailed=True)
+    poss = sorted(r.fp_pos for r in out.collect())
+    assert poss[0] < 4
+    gaps = [b - a for a, b in zip(poss, poss[1:])]
+    assert max(gaps) <= 4
+    # density ~ 2/(w+1) on random data (loose band)
+    density = len(poss) / (len(words) - 2)
+    assert 0.2 < density < 0.6
+
+
+def test_shared_substring_shares_fingerprint(spark):
+    """Two documents sharing a run of w+k-1 = 6 identical words must share
+    at least one (hash) fingerprint — the plagiarism-detection property."""
+    rng = random.Random(3)
+    shared = ["the", "quick", "brown", "fox", "jumps", "over"]
+    a = [f"a{rng.randrange(1000)}" for _ in range(40)] + shared + [
+        f"b{rng.randrange(1000)}" for _ in range(40)
+    ]
+    b = [f"c{rng.randrange(1000)}" for _ in range(25)] + shared + [
+        f"d{rng.randrange(1000)}" for _ in range(25)
+    ]
+    out = winnow_fingerprints(_docs_df(spark, [a, b]), k=3, w=4, detailed=True)
+    fps = {}
+    for r in out.collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert fps[0] & fps[1]
+
+
+def test_short_documents(spark):
+    """m < w: one window over all grams; m == 0: no output row."""
+    docs = [["a", "b", "c"], ["x", "y"]]
+    out = winnow_fingerprints(_docs_df(spark, docs), k=3, w=4)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {0}
+    assert rows[0].n_grams == 1 and rows[0].n_windows == 1
+    assert rows[0].n_fingerprints == 1
