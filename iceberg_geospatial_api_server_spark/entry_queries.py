@@ -4335,6 +4335,52 @@ def text_winnow_q(spark, sf_dir):
     return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=3, w=4)
 
 
+@_q(
+    "geo_clip_rects",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           GREATEST(rxmin, -60.0) AS clip_xmin,
+           GREATEST(rymin, -30.0) AS clip_ymin,
+           LEAST(rxmax, 40.0) AS clip_xmax,
+           LEAST(rymax, 35.0) AS clip_ymax,
+           ROUND((LEAST(rxmax, 40.0) - GREATEST(rxmin, -60.0))
+                 * (LEAST(rymax, 35.0) - GREATEST(rymin, -30.0)), 4)
+             AS clip_area
+    FROM (SELECT l_orderkey, l_linenumber,
+                 ({_SYN_LI_X}) - 1.95 AS rxmin, ({_SYN_LI_X}) + 1.95 AS rxmax,
+                 ({_SYN_LI_Y}) - 1.45 AS rymin, ({_SYN_LI_Y}) + 1.45 AS rymax
+          FROM lineitem) r
+    WHERE rxmin < 40.0 AND rxmax > -60.0 AND rymin < 35.0 AND rymax > -30.0
+    """,
+)
+def geo_clip_rects_q(spark, sf_dir):
+    """Viewport clipping graded end-to-end: the REAL Sutherland–Hodgman
+    kernel (geo/clip.py) clips 60k rect polygons through the WKB
+    decode→clip→re-encode path, and the oracle is the closed-form
+    rect∩rect arithmetic the kernel must reproduce exactly — clipped
+    bounds compare as raw doubles (no tolerance), area at the 4-dp grid
+    the 0.05-aligned inputs guarantee. Boundary-touch features (zero-area
+    intersection) drop on both sides: the kernel's degenerate-ring
+    shoelace is an exact float zero, the oracle's inequalities are
+    strict."""
+    from iceberg_geospatial_api_server_spark.geo.clip import clip_features
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        lineitem_rect_geoms,
+    )
+
+    rects = lineitem_rect_geoms(_t(spark, sf_dir, "lineitem"))
+    out = clip_features(rects, (-60.0, -30.0, 40.0, 35.0))
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "clip_xmin",
+        "clip_ymin",
+        "clip_xmax",
+        "clip_ymax",
+        F.round("clip_area", 4).alias("clip_area"),
+    )
+
+
 # ===========================================================================
 # Registration order
 # ===========================================================================
@@ -4502,6 +4548,8 @@ _ORACLED_OVERFLOW = [
     "events_hopping_agg",
     # r4 (cont. 2): winnowing fingerprints, same story
     "text_winnow_fingerprints",
+    # r4 (cont. 2): Sutherland–Hodgman viewport clip, same story
+    "geo_clip_rects",
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):
