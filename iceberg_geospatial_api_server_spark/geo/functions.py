@@ -163,6 +163,52 @@ def bbox_intersects(xmin: float, ymin: float, xmax: float, ymax: float) -> Colum
     )
 
 
+_EARTH_R = repr(6371008.8)  # IUGG mean radius, meters
+
+
+def haversine_expr_sql(x1: str, y1: str, x2: str, y2: str) -> str:
+    """Great-circle distance (meters) as SQL text valid — and
+    IEEE-identical — in both Spark SQL and DuckDB (the shared-expression
+    oracle pattern of geo_mercator/geo_utm). The sin² terms are spelled
+    as explicit SIN(u)*SIN(u) products: POWER routes through pow(), whose
+    result for exponent 2 is not guaranteed to equal the product on every
+    libm."""
+    dlat = f"RADIANS(({y2}) - ({y1})) / CAST(2.0 AS DOUBLE)"
+    dlon = f"RADIANS(({x2}) - ({x1})) / CAST(2.0 AS DOUBLE)"
+    h = (
+        f"SIN({dlat}) * SIN({dlat})"
+        f" + COS(RADIANS({y1})) * COS(RADIANS({y2}))"
+        f" * SIN({dlon}) * SIN({dlon})"
+    )
+    return f"2.0 * {_EARTH_R} * ASIN(SQRT({h}))"
+
+
+def haversine_meters(x1: str, y1: str, x2: str, y2: str) -> Column:
+    """Column form of haversine_expr_sql over column names / SQL
+    fragments (pure JVM trig, whole-stage codegen)."""
+    return F.expr(haversine_expr_sql(x1, y1, x2, y2))
+
+
+def haversine_knn(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    lon: float,
+    lat: float,
+    k: int,
+    id_cols: list[str],
+) -> DataFrame:
+    """k nearest by GREAT-CIRCLE distance (the geodesic analog of knn):
+    same TakeOrderedAndProject shape — per-partition top-k, no global
+    sort — with the haversine kernel in codegen."""
+    d = haversine_meters(x_col, y_col, repr(float(lon)), repr(float(lat)))
+    return (
+        df.withColumn("dist_m", d)
+        .orderBy(F.col("dist_m").asc(), *[F.col(c) for c in id_cols])
+        .limit(k)
+    )
+
+
 def mercator_x(lon: Column) -> Column:
     return lon * F.lit(6378137.0 * np.pi / 180.0)
 
