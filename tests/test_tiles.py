@@ -111,3 +111,33 @@ def test_binning_is_map_side_single_exchange(coord_grid):
         plan = formatted_plan(out)
         assert hash_exchange_count(plan) == 1, plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tile_pyramid_rollup_equals_direct(coord_grid):
+    """Every pyramid level must equal direct binning at that zoom, and
+    per-level totals conserve the corpus."""
+    from iceberg_geospatial_api_server_spark.geo.tiles import tile_pyramid
+
+    total = coord_grid.count()
+    pyr = tile_pyramid(coord_grid, "x", "y", zmax=5, zmin=0)
+    rows = pyr.collect()
+    by_zoom = {}
+    for r in rows:
+        by_zoom.setdefault(r.zoom, {})[(r.tile_x, r.tile_y)] = r.n
+    assert set(by_zoom) == set(range(6))
+    for z in range(6):
+        assert sum(by_zoom[z].values()) == total, z
+        direct = {
+            (r.tile_x, r.tile_y): r.n
+            for r in tile_aggregate(coord_grid, "x", "y", z).collect()
+        }
+        assert by_zoom[z] == direct, z
+    # parent-child integrity: each parent's count = sum of its children
+    for z in range(1, 6):
+        for (px, py), n in by_zoom[z - 1].items():
+            kids = sum(
+                v
+                for (cx, cy), v in by_zoom[z].items()
+                if cx // 2 == px and cy // 2 == py
+            )
+            assert kids == n
