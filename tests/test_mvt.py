@@ -1,0 +1,178 @@
+"""Mapbox Vector Tile writer (serializers/mvt.py): command-stream
+round-trip through the test-side decoder, winding rules, key/value
+tables, quantization, and the end-to-end distributed tile build."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from iceberg_geospatial_api_server_spark.geo import wkb as W
+from iceberg_geospatial_api_server_spark.serializers.mvt import (
+    MVT_LINESTRING,
+    MVT_POINT,
+    MVT_POLYGON,
+    build_layer,
+    decode_tile,
+    encode_geometry_commands,
+    serialize_tile,
+    tile_bbox,
+)
+
+
+def test_tile_bbox_inverts_tile_assignment():
+    from iceberg_geospatial_api_server_spark.geo.tiles import tile_expr_sql  # noqa: F401
+
+    xmin, ymin, xmax, ymax = tile_bbox(0, 0, 0)
+    assert xmin == -180.0 and xmax == 180.0
+    assert abs(ymax - 85.0511287798066) < 1e-9
+    # z=1 x=1 y=1 is the SE quadrant
+    xmin, ymin, xmax, ymax = tile_bbox(1, 1, 1)
+    assert xmin == 0.0 and ymax == 0.0 and xmax == 180.0
+
+
+def _roundtrip(buf, z=0, x=0, y=0):
+    res = encode_geometry_commands(buf, z, x, y)
+    assert res is not None
+    gtype, cmds = res
+    layer = build_layer("t", [(None, {}, gtype, cmds)])
+    tile = decode_tile(layer)
+    return gtype, tile[0]["features"][0]["paths"]
+
+
+def test_point_roundtrip_center_of_tile():
+    gtype, paths = _roundtrip(W.encode_point(0.0, 0.0))
+    assert gtype == MVT_POINT
+    assert paths == [[(2048, 2048)]]
+
+
+def test_linestring_roundtrip_and_delta_encoding():
+    line = W.encode_linestring(
+        np.array([[-90.0, 0.0], [0.0, 0.0], [90.0, 0.0]])
+    )
+    gtype, paths = _roundtrip(line)
+    assert gtype == MVT_LINESTRING
+    assert paths == [[(1024, 2048), (2048, 2048), (3072, 2048)]]
+
+
+def test_polygon_winding_v2():
+    """Exterior must decode clockwise in screen coords (positive
+    surveyor area with y down), holes counter-clockwise."""
+    outer = np.array(
+        [[-90.0, -66.0], [90.0, -66.0], [90.0, 66.0], [-90.0, 66.0], [-90.0, -66.0]]
+    )
+    hole = np.array(
+        [[-45.0, -40.0], [-45.0, 40.0], [45.0, 40.0], [45.0, -40.0], [-45.0, -40.0]]
+    )
+    gtype, paths = _roundtrip(W.encode_polygon([outer, hole]))
+    assert gtype == MVT_POLYGON
+    assert len(paths) == 2
+
+    def area2(p):
+        s = 0
+        for (x1, y1), (x2, y2) in zip(p[:-1], p[1:]):
+            s += x1 * y2 - x2 * y1
+        return -s
+
+    assert area2(paths[0]) > 0  # exterior CW (screen coords)
+    assert area2(paths[1]) < 0  # hole CCW
+
+
+def test_degenerate_geometries_dropped():
+    # a polygon far below pixel size at z0 collapses → None
+    tiny = np.array(
+        [[0.0, 0.0], [1e-6, 0.0], [1e-6, 1e-6], [0.0, 1e-6], [0.0, 0.0]]
+    )
+    assert encode_geometry_commands(W.encode_polygon([tiny]), 0, 0, 0) is None
+    # but survives at high zoom (tile 2^20 … use z=22 over tile containing it)
+    n = 1 << 22
+    assert (
+        encode_geometry_commands(W.encode_polygon([tiny * 40.0]), 22, n // 2, n // 2)
+        is not None
+    )
+
+
+def test_layer_key_value_tables_dedup():
+    feats = [
+        (1, {"kind": "road", "lanes": 2}, MVT_POINT, [9, 0, 0]),
+        (2, {"kind": "road", "lanes": 4}, MVT_POINT, [9, 2, 2]),
+        (3, {"kind": "river"}, MVT_POINT, [9, 4, 4]),
+    ]
+    tile = decode_tile(build_layer("base", feats))
+    layer = tile[0]
+    assert layer["name"] == "base" and layer["version"] == 2
+    assert layer["keys"] == ["kind", "lanes"]
+    assert layer["values"] == ["road", 2, 4, "river"]
+    f0, f1, f2 = layer["features"]
+    assert f0["tags"] == [0, 0, 1, 1]
+    assert f1["tags"] == [0, 0, 1, 2]
+    assert f2["tags"] == [0, 3]
+    assert [f["id"] for f in (f0, f1, f2)] == [1, 2, 3]
+
+
+def test_value_types():
+    feats = [
+        (None, {"s": "x", "i": 7, "neg": -3, "f": 1.5, "b": True}, MVT_POINT, [9, 0, 0])
+    ]
+    layer = decode_tile(build_layer("v", feats))[0]
+    assert set(layer["values"]) == {"x", 7, -3, 1.5, True}
+
+
+def test_serialize_tile_end_to_end(spark):
+    """Distributed build: points across two tiles at z=1; each tile gets
+    only its own features, attributes round-trip, coords land inside the
+    extent."""
+    pts = [
+        (1, -90.0, 40.0, "a"),  # NW tile (0,0)
+        (2, -45.0, 20.0, "b"),  # NW tile
+        (3, 90.0, -40.0, "c"),  # SE tile (1,1)
+    ]
+    rows = [
+        {"fid": fid, "geometry": W.encode_point(x, y), "name": nm}
+        for fid, x, y, nm in pts
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    t_nw = serialize_tile(
+        df, 1, 0, 0, layer_name="pts", out_fields=["name"], id_col="fid"
+    )
+    layer = decode_tile(t_nw)[0]
+    got = {f["id"] for f in layer["features"]}
+    assert got == {1, 2}
+    assert set(layer["values"]) == {"a", "b"}
+    for f in layer["features"]:
+        (x, y) = f["paths"][0][0]
+        assert 0 <= x <= 4096 and 0 <= y <= 4096
+    t_se = serialize_tile(
+        df, 1, 1, 1, layer_name="pts", out_fields=["name"], id_col="fid"
+    )
+    assert {f["id"] for f in decode_tile(t_se)[0]["features"]} == {3}
+    # empty tile
+    assert serialize_tile(df, 1, 1, 0, out_fields=["name"]) == b""
+
+
+def test_serialize_tile_clips_polygons(spark):
+    """A polygon spanning both hemispheres is clipped to the requested
+    tile (plus buffer): every decoded vertex stays within the buffered
+    extent."""
+    poly = W.encode_polygon(
+        [
+            np.array(
+                [
+                    [-120.0, -50.0],
+                    [120.0, -50.0],
+                    [120.0, 50.0],
+                    [-120.0, 50.0],
+                    [-120.0, -50.0],
+                ]
+            )
+        ]
+    )
+    df = spark.createDataFrame(pd.DataFrame([{"fid": 1, "geometry": poly}]))
+    t = serialize_tile(df, 1, 0, 1, id_col="fid")  # SW tile
+    layer = decode_tile(t)[0]
+    assert len(layer["features"]) == 1
+    for path in layer["features"][0]["paths"]:
+        for x, y in path:
+            assert -64 <= x <= 4096 + 64
+            assert -64 <= y <= 4096 + 64
