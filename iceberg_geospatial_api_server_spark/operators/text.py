@@ -1332,20 +1332,32 @@ def winnow_fingerprints(
     selected-set guarantee (any shared substring of length w+k-1 shares a
     fingerprint) makes it the local-fingerprint complement of minhash.
 
-    Distributed shape: grams posexplode map-side; each position fans out
-    to the ≤``w`` windows containing it (constant factor, never
-    data-dependent); per-window argmin runs as one packed-BIGINT MIN —
-    ``h·2^32 + (2^32−1−pos)`` makes (min hash, max pos) the integer
-    minimum, so the rightmost-tie rule costs no struct ordering — then a
-    per-doc aggregate. All keys (doc, window) are uniform; the whole
-    pipeline is exact integer arithmetic on the portable md5-prefix
-    `word_hash`, so a DuckDB oracle grades it value-for-value.
+    Distributed shape: grams posexplode map-side; the per-window
+    rightmost-argmin is ONE sliding-frame window function — MIN of the
+    packed key ``h·2^32 + (2^32−1−pos)`` over ``ROWS BETWEEN CURRENT ROW
+    AND w-1 FOLLOWING`` (the packing makes (min hash, max pos) the
+    integer minimum, so the rightmost-tie rule costs no struct
+    ordering). No fan-out, no (doc, window) shuffle: the window pass and
+    the per-doc aggregate share ONE doc-key exchange (an earlier
+    explode-each-position-into-its-w-windows formulation shuffled w×
+    the gram count and ran 2.8× slower at sf0.1). Exact integer
+    arithmetic on the portable md5-prefix `word_hash` end-to-end, so a
+    DuckDB oracle grades it value-for-value.
 
     ``detailed=True`` returns (id, fp_pos, fp_hash) rows; default returns
     the per-doc summary (n_grams, n_windows, n_fingerprints,
     n_distinct_hashes, min_fp). Documents with no full k-gram emit
     nothing (same on both engines).
     """
+    from pyspark.sql import Window
+
+    from iceberg_geospatial_api_server_spark.util import spread
+
+    # id-keyed spread BEFORE the gram explode: the md5-per-gram pass is
+    # the dominant cost and the sf-scale documents file is a single row
+    # group (one task without it); partitioning on the doc id IS the
+    # window's partitioning, so the exchange is paid once, not added
+    df = spread(df, None, id_col)
     c = F.col(text_col)
     grams = df.select(
         F.col(id_col),
@@ -1355,25 +1367,20 @@ def winnow_fingerprints(
         ).alias("m"),
     ).withColumn("h", word_hash(F.col("gram")))
     nw = F.greatest(F.col("m") - F.lit(w - 1), F.lit(1))
-    fan = grams.withColumn(
-        "j",
-        F.explode(
-            F.sequence(
-                F.greatest(F.col("pos") - F.lit(w - 1), F.lit(0)),
-                F.least(F.col("pos"), nw - F.lit(1)),
-            )
-        ),
-    )
     packed = (
         F.col("h").cast("long") * F.lit(_POS_BASE)
         + (F.lit(_POS_BASE - 1) - F.col("pos"))
     )
+    frame = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    )
+    # one row per WINDOW START (pos < n_windows); the frame truncates at
+    # partition end, which for m < w makes window 0 span all m grams —
+    # exactly the short-document semantics
     wmin = (
-        fan.groupBy(id_col, "j")
-        .agg(
-            F.min(packed).alias("sel"),
-            F.first("m").alias("m"),
-        )
+        grams.withColumn("sel", F.min(packed).over(frame))
+        .filter(F.col("pos") < nw)
+        .select(id_col, F.col("pos").alias("j"), "sel", "m")
     )
     # decode with integer DIV, never `/`: long/long promotes to DOUBLE,
     # whose 53-bit mantissa rounds a 63-bit packed key across the hash
@@ -1391,14 +1398,27 @@ def winnow_fingerprints(
             .distinct()
             .orderBy(id_col, "fp_pos")
         )
+    # dedup selections FIRST — and on the SAME doc exchange: a position
+    # selected by several windows is always selected by a CONSECUTIVE
+    # run of them (any window between two selectors contains the
+    # position, and a better candidate there would beat it in one of the
+    # endpoints too), so "new fingerprint" ⟺ sel ≠ lag(sel) — one more
+    # window function instead of a distinct (which would re-shuffle the
+    # full window-row set on (id, sel))
+    run = Window.partitionBy(id_col).orderBy("j")
+    fps = (
+        wmin.withColumn("__prev", F.lag("sel").over(run))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("sel")))
+        .select(id_col, "sel", "m")
+    )
     return (
-        wmin.groupBy(id_col)
+        fps.groupBy(id_col)
         .agg(
             F.first("m").cast("long").alias("n_grams"),
             F.greatest(F.first("m") - F.lit(w - 1), F.lit(1))
             .cast("long")
             .alias("n_windows"),
-            F.countDistinct("sel").alias("n_fingerprints"),
+            F.count(F.lit(1)).alias("n_fingerprints"),
             F.countDistinct(unpack_hash).alias("n_distinct_hashes"),
             F.expr(f"CAST(MIN(sel) DIV {_POS_BASE} AS BIGINT)").alias(
                 "min_fp"
