@@ -91,6 +91,13 @@ BENCH_QUERIES = [
     "cross_source_overlap",
     "events_distinct_salted",
     "mm_media_stats",
+    # r4 (cont. 2) additions — each a NEW physical-plan shape: iterative
+    # level-rollup, sliding-frame window + lag run-dedup, stacked
+    # running-sum/min windows (tile/hex/hopping binning shapes are
+    # already represented by geo_grid_aggregate / doc_chunks)
+    "geo_tile_pyramid",
+    "text_winnow_fingerprints",
+    "events_cusum",
 ]
 
 

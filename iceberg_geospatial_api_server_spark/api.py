@@ -250,3 +250,52 @@ def query_layer(
     if fmt == "geojson":
         return geojson.serialize(result), "application/geo+json"
     return esri_json.serialize(result, schema), "application/json"
+
+
+def get_tile(
+    df,
+    z: int,
+    x: int,
+    y: int,
+    layer_name: str = "layer",
+    out_fields: list[str] | None = None,
+    max_record_count: int = 10000,
+    extent: int = 4096,
+    buffer_px: int = 64,
+):
+    """The /{layer}/tiles/{z}/{x}/{y}.mvt handler, HTTP-free — the tile
+    sibling of `query_layer`: feature schema supplies the id/geometry
+    columns, the engine's WHERE surface is bypassed (a tile request IS a
+    bbox query), and the serializer is the Mapbox Vector Tile writer.
+
+    Returns (payload bytes, media_type). Empty tiles return b'' so a
+    server can 204 them.
+    """
+    from iceberg_geospatial_api_server_spark.catalog import feature_schema
+    from iceberg_geospatial_api_server_spark.serializers.mvt import (
+        serialize_tile,
+    )
+
+    schema = feature_schema(df)
+    fields = out_fields
+    if fields is None:
+        fields = [
+            f["name"]
+            for f in schema.fields
+            if f["name"] not in (schema.geometry_column, schema.id_field)
+        ][:8]
+    id_col = schema.id_field if schema.id_field in df.columns else None
+    payload = serialize_tile(
+        df,
+        z,
+        x,
+        y,
+        layer_name=layer_name,
+        out_fields=fields,
+        id_col=id_col,
+        geom_col=schema.geometry_column or "geometry",
+        extent=extent,
+        buffer_px=buffer_px,
+        max_features=schema.max_record_count or max_record_count,
+    )
+    return payload, "application/vnd.mapbox-vector-tile"

@@ -475,3 +475,38 @@ def curate_stream(
         .foreachBatch(handle)
         .trigger(availableNow=True)
     )
+
+
+def tile_stream(
+    points: DataFrame,
+    zoom: int,
+    x_col: str = "x",
+    y_col: str = "y",
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Live-map tile aggregation: per-(event window, XYZ tile) counts
+    over a point stream — the continuously-updating feed behind a
+    deck.gl tile/heat layer. The tile assignment (geo.tiles.tile_cols)
+    is deterministic closed-form arithmetic, so it runs map-side inside
+    the stream with no UDF and no extra state; the state store holds one
+    row per (open window, touched tile) — bounded by the tile grid, not
+    the event rate."""
+    from iceberg_geospatial_api_server_spark.geo.tiles import tile_cols
+
+    tx, ty = tile_cols(x_col, y_col, zoom)
+    return (
+        points.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            tx.alias("tile_x"),
+            ty.alias("tile_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "tile_x",
+            "tile_y",
+            "n",
+        )
+    )

@@ -176,3 +176,23 @@ def test_serialize_tile_clips_polygons(spark):
         for x, y in path:
             assert -64 <= x <= 4096 + 64
             assert -64 <= y <= 4096 + 64
+
+
+def test_get_tile_api_route(spark):
+    """The HTTP-free tile route: schema-driven fields/id, MVT media
+    type, empty tile → b''."""
+    from iceberg_geospatial_api_server_spark.api import get_tile
+
+    rows = [
+        {"fid": 10, "geometry": W.encode_point(-90.0, 40.0), "kind": "a"},
+        {"fid": 11, "geometry": W.encode_point(95.0, -41.0), "kind": "b"},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    payload, media = get_tile(df, 1, 0, 0, layer_name="docs")
+    assert media == "application/vnd.mapbox-vector-tile"
+    layer = decode_tile(payload)[0]
+    assert layer["name"] == "docs"
+    assert len(layer["features"]) == 1
+    assert "a" in layer["values"]
+    empty, _ = get_tile(df, 4, 0, 0)
+    assert empty == b""

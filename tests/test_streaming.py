@@ -762,3 +762,59 @@ def test_neardup_sigs_guard_skips_partial_store(spark, tmp_path):
     (sigs / "batch_id=0").mkdir()
     assert _state_partitions(str(sigs)) >= _state_partitions(str(corpus))
     assert _state_partitions(str(tmp_path / "absent")) == set()
+
+
+def test_tile_stream_matches_batch(spark, tmp_path):
+    """Streaming per-tile counts ≡ batch tile_aggregate per window: the
+    live-map feed is the same deterministic binning."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from iceberg_geospatial_api_server_spark.geo.tiles import tile_cols
+    from iceberg_geospatial_api_server_spark.streaming.windows import (
+        run_to_memory_sink,
+        tile_stream,
+    )
+
+    rng = __import__("random").Random(9)
+    rows = [
+        {
+            "ts": dt.datetime(2024, 3, 1) + dt.timedelta(minutes=i),
+            "x": rng.uniform(-179, 179),
+            "y": rng.uniform(-80, 80),
+        }
+        for i in range(300)
+    ]
+    src = str(tmp_path / "pts")
+    spark.createDataFrame(pd.DataFrame(rows)).repartition(5).write.parquet(src)
+
+    schema = "ts timestamp, x double, y double"
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .load(src)
+    )
+    agg = tile_stream(stream, zoom=3, window="60 minutes")
+    run_to_memory_sink(agg, "tiles_out", mode="complete")
+    got = {
+        (r.window_start, r.tile_x, r.tile_y): r.n
+        for r in spark.sql("SELECT * FROM tiles_out").collect()
+    }
+
+    tx, ty = tile_cols("x", "y", 3)
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(
+            F.window("ts", "60 minutes").alias("w"),
+            tx.alias("tile_x"),
+            ty.alias("tile_y"),
+        )
+        .count()
+    )
+    want = {
+        (r["w"]["start"], r.tile_x, r.tile_y): r["count"]
+        for r in batch.collect()
+    }
+    assert got == want and got
