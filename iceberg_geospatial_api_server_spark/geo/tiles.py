@@ -227,3 +227,55 @@ def hex_oracle_cte(base_sql: str, x: str, y: str, size: float) -> str:
         sql += f", {cur} AS (SELECT *, {expr} AS {name} FROM {prev})"
         prev = cur
     return sql + f" SELECT * FROM {prev}"
+
+
+def heatmap_grid(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    cell: float,
+    sigma_cells: float = 1.0,
+    reach: int = 2,
+    weight_quant: int = 1_000_000,
+) -> DataFrame:
+    """Gaussian kernel-density heat grid (deck.gl HeatmapLayer semantics):
+    every point splats exp(-d²/2σ²) onto the grid cells within ``reach``
+    cells of its own — a constant (2·reach+1)² map-side fan-out, then ONE
+    uniform (gx, gy) exchange sums the splats.
+
+    Cross-engine exactness: the kernel weight quantizes to an integer
+    (FLOOR(w·weight_quant)) BEFORE summation, so cell totals are exact
+    integer sums on any partitioning/engine (the corpus_perplexity
+    pattern); d² is measured point-to-CELL-CENTER in cell units — the
+    same closed-form double arithmetic the DuckDB oracle runs.
+    """
+    inv2s2 = 1.0 / (2.0 * sigma_cells * sigma_cells)
+    gx0 = F.floor(F.col(x_col) / F.lit(cell)).cast("long")
+    gy0 = F.floor(F.col(y_col) / F.lit(cell)).cast("long")
+    fx = F.col(x_col) / F.lit(cell)  # position in cell units
+    fy = F.col(y_col) / F.lit(cell)
+    off = F.sequence(F.lit(-reach), F.lit(reach))
+    out = (
+        df.withColumn("__gx0", gx0)
+        .withColumn("__gy0", gy0)
+        .withColumn("__fx", fx)
+        .withColumn("__fy", fy)
+        .withColumn("__dx", F.explode(off))
+        .withColumn("__dy", F.explode(off))
+    )
+    cxc = (F.col("__gx0") + F.col("__dx")).cast("double") + F.lit(0.5)
+    cyc = (F.col("__gy0") + F.col("__dy")).cast("double") + F.lit(0.5)
+    d2 = (F.col("__fx") - cxc) * (F.col("__fx") - cxc) + (
+        F.col("__fy") - cyc
+    ) * (F.col("__fy") - cyc)
+    w = F.floor(
+        F.exp(-d2 * F.lit(inv2s2)) * F.lit(float(weight_quant))
+    ).cast("long")
+    return (
+        out.groupBy(
+            (F.col("__gx0") + F.col("__dx")).alias("gx"),
+            (F.col("__gy0") + F.col("__dy")).alias("gy"),
+        )
+        .agg(F.sum(w).alias("heat"), F.count(F.lit(1)).alias("n_splats"))
+        .filter(F.col("heat") > 0)
+    )

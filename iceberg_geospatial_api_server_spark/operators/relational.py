@@ -1502,3 +1502,37 @@ def events_hopping_agg(
         )
         .orderBy("window_start", "event_type")
     )
+
+
+def events_transitions(events: DataFrame) -> DataFrame:
+    """Per-user event-type transition matrix (first-order Markov
+    estimate): lag over each user's time-ordered stream pairs every
+    event with its predecessor, then ONE tiny (prev, next) aggregation
+    counts transitions; the row-conditional probability attaches via a
+    window over that |types|²-sized aggregate (the brand_affinity
+    pattern — no self-join, no re-shuffle of the event stream).
+
+    Cross-engine exactness: the probability is emitted at a fixed
+    integer grain — (n·1,000,000) DIV row_total — pure integer
+    arithmetic on both engines.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.withColumn("__prev", F.lag("event_type").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    w_row = Window.partitionBy("prev_type")
+    total = F.sum("n_trans").over(w_row)
+    return (
+        trans.withColumn("row_total", total)
+        .withColumn(
+            "p_micro",
+            F.expr("CAST((n_trans * 1000000) DIV row_total AS BIGINT)"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -95,3 +95,53 @@ def test_single_exchange_plans(spark):
     # hopping: one exchange for the (window, type) agg; countDistinct
     # adds its expand within the same key grouping
     assert hash_exchange_count(events_hopping_agg(df)) <= 2
+
+
+def test_transitions_crafted_matrix(spark):
+    """a→b→a→c→a chain: hand-computed counts and integer-grain rows."""
+    seq = ["a", "b", "a", "c", "a", "b"]
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), 1, t, 1.0, "{}")
+            for i, t in enumerate(seq)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        events_transitions,
+    )
+
+    rows = {
+        (r.prev_type, r.next_type): (r.n_trans, r.row_total, r.p_micro)
+        for r in events_transitions(df).collect()
+    }
+    # transitions: a→b (x2), b→a, a→c, c→a
+    assert rows[("a", "b")] == (2, 3, 666666)
+    assert rows[("a", "c")] == (1, 3, 333333)
+    assert rows[("b", "a")] == (1, 1, 1000000)
+    assert rows[("c", "a")] == (1, 1, 1000000)
+
+
+def test_transitions_independent_users(spark):
+    """Transitions never cross user boundaries."""
+    import datetime as dt
+
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 0, 0), 1, "a", 1.0, "{}"),
+        (1, dt.datetime(2024, 1, 1, 0, 1), 2, "b", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 0, 2), 1, "c", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        events_transitions,
+    )
+
+    got = {(r.prev_type, r.next_type) for r in events_transitions(df).collect()}
+    assert got == {("a", "c")}

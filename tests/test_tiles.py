@@ -141,3 +141,43 @@ def test_tile_pyramid_rollup_equals_direct(coord_grid):
                 if cx // 2 == px and cy // 2 == py
             )
             assert kids == n
+
+
+def test_heatmap_grid_kernel_shape(spark):
+    """One point at a cell center: the own-cell weight is the quantized
+    kernel peak; the 4-neighbors share one ring value; total splats =
+    (2·reach+1)²."""
+    import math
+
+    from iceberg_geospatial_api_server_spark.geo.tiles import heatmap_grid
+
+    df = spark.createDataFrame([(5.0, 5.0)], "x double, y double")
+    rows = {
+        (r.gx, r.gy): r.heat
+        for r in heatmap_grid(df, "x", "y", cell=10.0, sigma_cells=1.0, reach=2).collect()
+    }
+    assert rows[(0, 0)] == int(math.exp(0.0) * 1e6)
+    ring = int(math.floor(math.exp(-0.5) * 1e6))
+    for c in [(1, 0), (-1, 0), (0, 1), (0, -1)]:
+        assert rows[c] == ring
+    diag = int(math.floor(math.exp(-1.0) * 1e6))
+    assert rows[(1, 1)] == diag
+    from pyspark.sql import functions as F
+
+    out = heatmap_grid(df, "x", "y", cell=10.0, sigma_cells=1.0, reach=2)
+    assert out.agg(F.sum("n_splats")).collect()[0][0] == 25
+
+
+def test_heatmap_additivity(spark):
+    """Two points: every cell's heat is the sum of the single-point
+    splats (integer quantization before summation makes this exact)."""
+    from iceberg_geospatial_api_server_spark.geo.tiles import heatmap_grid
+
+    one = spark.createDataFrame([(5.0, 5.0)], "x double, y double")
+    two = spark.createDataFrame([(17.0, 3.0)], "x double, y double")
+    both = spark.createDataFrame([(5.0, 5.0), (17.0, 3.0)], "x double, y double")
+    h1 = {(r.gx, r.gy): r.heat for r in heatmap_grid(one, "x", "y", 10.0).collect()}
+    h2 = {(r.gx, r.gy): r.heat for r in heatmap_grid(two, "x", "y", 10.0).collect()}
+    hb = {(r.gx, r.gy): r.heat for r in heatmap_grid(both, "x", "y", 10.0).collect()}
+    for cell in set(h1) | set(h2):
+        assert hb.get(cell, 0) == h1.get(cell, 0) + h2.get(cell, 0)
