@@ -4402,9 +4402,10 @@ def events_transitions_q(spark, sf_dir):
     return events_transitions(_t(spark, sf_dir, "events"))
 
 
-@_q(
-    "text_winnow_fingerprints",
-    """
+# shared winnowing CTE prefix (k=3, w=4): gram hashes → per-window
+# packed rightmost-min selections — reused by the fingerprint-summary
+# and the pair-generation oracles
+_WINNOW_WMIN_CTE = """
     WITH d AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
     ), docg AS (
@@ -4426,6 +4427,13 @@ def events_transitions_q(spark, sf_dir):
              MAX(m) AS m
       FROM fan GROUP BY doc_id, j
     )
+"""
+
+
+@_q(
+    "text_winnow_fingerprints",
+    _WINNOW_WMIN_CTE
+    + """
     SELECT doc_id,
            CAST(MAX(m) AS BIGINT) AS n_grams,
            CAST(GREATEST(MAX(m) - 3, 1) AS BIGINT) AS n_windows,
@@ -4446,6 +4454,47 @@ def text_winnow_q(spark, sf_dir):
     )
 
     return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=3, w=4)
+
+
+@_q(
+    "text_winnow_pairs",
+    _WINNOW_WMIN_CTE
+    + """
+    , fps AS (
+      SELECT DISTINCT doc_id, CAST(sel // 4294967296 AS BIGINT) AS fp_hash
+      FROM wmin
+    ), sizes AS (
+      SELECT fp_hash, COUNT(*) AS bs FROM fps GROUP BY fp_hash
+    ), elig AS (
+      SELECT f.doc_id, f.fp_hash
+      FROM fps f JOIN sizes USING (fp_hash) WHERE bs <= 50
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared
+    FROM elig a JOIN elig b
+      ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ORDER BY 1, 2
+    """,
+)
+def text_winnow_pairs_q(spark, sf_dir):
+    """MOSS's document-comparison step: pairs ranked by shared winnowing
+    fingerprints, bucketed on the fingerprint hash (minhash-LSH shape:
+    hash equi-join, hot buckets dropped at O(bucket) cost). Fully
+    deterministic, so — unlike minhash — the ENTIRE candidate
+    generation hash-grades against the oracle with no recall argument
+    (operators/text.py winnow_pairs)."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        winnow_pairs,
+    )
+
+    return winnow_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=3,
+        w=4,
+        min_shared=2,
+        max_bucket_size=50,
+    )
 
 
 from iceberg_geospatial_api_server_spark.geo.functions import (  # noqa: E402
@@ -4709,6 +4758,8 @@ _ORACLED_OVERFLOW = [
     # r4 (cont. 2): KDE heat grid + Markov transition matrix, same story
     "geo_heatmap",
     "events_transitions",
+    # r4 (cont. 2): deterministic winnowing pair generation, same story
+    "text_winnow_pairs",
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

@@ -294,3 +294,93 @@ def boilerplate_segments_stream(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_alarms", T.LongType()),
+        T.StructField("max_cusum", T.LongType()),
+        T.StructField("first_alarm_s", T.LongType()),
+    ]
+)
+
+CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("s", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_alarms", T.LongType()),
+        T.StructField("max_cusum", T.LongType()),
+        T.StructField("first_alarm_us", T.LongType()),
+    ]
+)
+
+
+def streaming_cusum(
+    events: DataFrame, drift: float = 60.0, threshold: float = 500.0
+) -> DataFrame:
+    """Real-time CUSUM drift alarms — the continuous form of
+    `relational.events_cusum`: one state row per user carries the
+    running CUSUM value (plus alarm stats), so each micro-batch extends
+    the detector without reprocessing history. State is 5 longs per
+    user, independent of event volume.
+
+    Within a batch the recursion runs VECTORIZED via the same closed
+    form the batch operator uses, generalized to a nonzero carry-in:
+    with P = s_prev + cumsum(d), S = P − min(0, running_min(P)) — no
+    per-event Python loop. Stream ≡ batch equivalence holds for
+    ts-ordered arrival per user (the ingest pattern; asserted in
+    tests/test_streaming.py)."""
+    import numpy as np
+
+    drift_c = int(round(drift * 100))
+    thr_c = int(round(threshold * 100))
+
+    def update(key, pdfs, state):
+        if state.exists:
+            s, n, na, mx, first = state.get
+        else:
+            s, n, na, mx, first = 0, 0, 0, 0, None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            cents = np.floor(
+                pdf["value"].to_numpy(dtype="f8") * 100.0 + 0.5
+            ).astype(np.int64)
+            p = s + np.cumsum(cents - drift_c)
+            m = np.minimum(np.minimum.accumulate(p), 0)
+            sv = p - m
+            n += len(sv)
+            mx = max(mx, int(sv.max()))
+            alarms = sv > thr_c
+            na += int(alarms.sum())
+            if first is None and alarms.any():
+                ts_ns = pdf["ts"].to_numpy("datetime64[ns]").astype(np.int64)
+                first = int(ts_ns[np.argmax(alarms)] // 1_000)
+            s = int(sv[-1])
+        state.update((s, n, na, mx, first))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "n_alarms": [na],
+                "max_cusum": [mx],
+                "first_alarm_s": [
+                    None if first is None else first // 1_000_000
+                ],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            CUSUM_OUTPUT_SCHEMA,
+            CUSUM_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -818,3 +818,55 @@ def test_tile_stream_matches_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want and got
+
+
+def test_streaming_cusum_matches_batch(spark, sf_dir, tmp_path_factory):
+    """The stateful CUSUM detector must reproduce the batch closed form
+    exactly — per-user alarm counts, max statistic, and first-alarm
+    time — when micro-batches arrive in ts order."""
+    import time
+
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        events_cusum,
+    )
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+    from iceberg_geospatial_api_server_spark.streaming.stateful import (
+        streaming_cusum,
+    )
+    from iceberg_geospatial_api_server_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory_sink,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    us = epoch_of(events, "ts")
+    cut = events.agg(F.percentile_approx(us("ts"), 0.5)).first()[0]
+    base = tmp_path_factory.mktemp("cusum_stream")
+    path = str(base / "events")
+    events.filter(us("ts") <= cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    time.sleep(1.1)
+    events.filter(us("ts") > cut).coalesce(1).write.mode("append").parquet(
+        path
+    )
+
+    stream = read_event_stream(spark, path, max_files_per_trigger=1)
+    # threshold low enough that alarms occur at the test SF
+    out = streaming_cusum(stream, drift=60.0, threshold=120.0)
+    run_to_memory_sink(out, "cusum_out", mode="update")
+    got = {
+        r.user_id: (r.n_events, r.n_alarms, r.max_cusum, r.first_alarm_s)
+        for r in spark.sql(
+            """SELECT user_id, n_events, n_alarms, max_cusum, first_alarm_s
+               FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                                  ORDER BY n_events DESC) rn
+                     FROM cusum_out) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.n_alarms, r.max_cusum, r.first_alarm_s)
+        for r in events_cusum(events, drift=60.0, threshold=120.0).collect()
+    }
+    assert got == want
+    assert any(v[1] > 0 for v in want.values())  # alarms actually occur

@@ -96,3 +96,42 @@ def test_short_documents(spark):
     assert set(rows) == {0}
     assert rows[0].n_grams == 1 and rows[0].n_windows == 1
     assert rows[0].n_fingerprints == 1
+
+
+def test_winnow_pairs_finds_planted_overlap(spark):
+    """Docs sharing a long common substring must pair with high
+    n_shared; unrelated docs must not pair."""
+    import random
+
+    from iceberg_geospatial_api_server_spark.operators.text import winnow_pairs
+
+    rng = random.Random(21)
+    shared = [f"s{i}" for i in range(30)]
+    docs = [
+        [f"a{rng.randrange(10**6)}" for _ in range(20)] + shared,
+        shared + [f"b{rng.randrange(10**6)}" for _ in range(20)],
+        [f"c{rng.randrange(10**6)}" for _ in range(50)],
+    ]
+    df = _docs_df(spark, docs)
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnow_pairs(df, min_shared=2, max_bucket_size=50).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 5
+    assert all(2 not in p for p in pairs)
+
+
+def test_winnow_pairs_bucket_cap_drops_boilerplate(spark):
+    """A fingerprint present in EVERY doc is boilerplate: with the cap
+    below the corpus size it contributes no pairs."""
+    from iceberg_geospatial_api_server_spark.operators.text import winnow_pairs
+
+    boiler = ["x", "y", "z", "w", "v", "u"]
+    docs = [[f"d{i}{j}" for j in range(10)] + boiler for i in range(8)]
+    df = _docs_df(spark, docs)
+    capped = winnow_pairs(df, min_shared=1, max_bucket_size=4).collect()
+    uncapped = winnow_pairs(df, min_shared=1, max_bucket_size=100).collect()
+    assert len(uncapped) > len(capped)
+    # the all-docs boilerplate fingerprints alone produce the full
+    # 8-choose-2 clique uncapped
+    assert len(uncapped) == 28
