@@ -4498,6 +4498,108 @@ def text_winnow_pairs_q(spark, sf_dir):
 
 
 @_q(
+    "geo_knn_join",
+    """
+    WITH s AS (
+      SELECT s_suppkey,
+             (s_suppkey * 37 % 3600) / CAST(10.0 AS DOUBLE) - 180.0 AS x,
+             (s_suppkey * 53 % 1700) / CAST(10.0 AS DOUBLE) - 85.0 AS y
+      FROM supplier
+    ), c AS (
+      SELECT c_custkey,
+             (c_custkey * 29 % 3600) / CAST(10.0 AS DOUBLE) - 180.0 AS x,
+             (c_custkey * 41 % 1700) / CAST(10.0 AS DOUBLE) - 85.0 AS y
+      FROM customer
+    )
+    SELECT s_suppkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY s_suppkey
+                                   ORDER BY nn_dist, nn_c_custkey) AS INT)
+             AS nn_rank,
+           nn_c_custkey,
+           ROUND(nn_dist, 6) AS nn_dist
+    FROM (
+      SELECT s.s_suppkey, t.nn_c_custkey, t.nn_dist
+      FROM s, LATERAL (
+        SELECT c.c_custkey AS nn_c_custkey,
+               SQRT((s.x - c.x) * (s.x - c.x)
+                    + (s.y - c.y) * (s.y - c.y)) AS nn_dist
+        FROM c
+        ORDER BY nn_dist, c.c_custkey LIMIT 3
+      ) t
+    )
+    ORDER BY s_suppkey, nn_rank
+    """,
+)
+def geo_knn_join_q(spark, sf_dir):
+    """kNN JOIN (k=3): every supplier's 3 nearest customers, ranked —
+    the k>1 LATERAL the reference cookbook runs (§2.8) and Spark lacks
+    natively. Broadcast numpy argpartition per Arrow batch (no join, no
+    pair materialization); tie-break matches ROW_NUMBER(dist, custkey)
+    because distances are bit-equal IEEE on both engines
+    (geo/functions.py knn_join_broadcast)."""
+    from iceberg_geospatial_api_server_spark.geo.functions import (
+        knn_join_broadcast,
+    )
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        customer_points,
+        supplier_points,
+    )
+
+    supp = supplier_points(_t(spark, sf_dir, "supplier"))
+    cust = customer_points(_t(spark, sf_dir, "customer"))
+    out = knn_join_broadcast(
+        supp, cust, "s_suppkey", "x", "y", "x", "y", ["c_custkey"], k=3
+    )
+    return out.select(
+        "s_suppkey",
+        "nn_rank",
+        "nn_c_custkey",
+        F.round("nn_dist", 6).alias("nn_dist"),
+    )
+
+
+@_q(
+    "events_rfm",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_us,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM events GROUP BY user_id
+    ), rec AS (
+      SELECT user_id, frequency, monetary_cents,
+             CAST(FLOOR((MAX(last_us) OVER () - last_us) / 1000000.0)
+                  AS BIGINT) AS recency_s
+      FROM per_user
+    ), scored AS (
+      SELECT user_id, recency_s, frequency, monetary_cents,
+             CAST(NTILE(5) OVER (ORDER BY recency_s DESC, user_id) AS INT)
+               AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY frequency ASC, user_id) AS INT)
+               AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY monetary_cents ASC, user_id) AS INT)
+               AS m_score
+      FROM rec
+    )
+    SELECT *, CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_cell
+    FROM scored ORDER BY user_id
+    """,
+)
+def events_rfm_q(spark, sf_dir):
+    """RFM segmentation: per-user recency/frequency/monetary + NTILE(5)
+    scores with explicit user_id tiebreaks (deterministic bucketing —
+    the hash grades NTILE's cut points); single-partition windows only
+    over the user-sized aggregate."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        events_rfm,
+    )
+
+    return events_rfm(_t(spark, sf_dir, "events"), n_tiles=5)
+
+
+@_q(
     "geo_dbscan_core",
     """
     WITH pts AS (
@@ -4826,6 +4928,9 @@ _ORACLED_OVERFLOW = [
     "text_winnow_pairs",
     # r4 (cont. 2): DBSCAN neighbor-kernel oracle, same story
     "geo_dbscan_core",
+    # r4 (cont. 2): kNN join + RFM segmentation, same story
+    "geo_knn_join",
+    "events_rfm",
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

@@ -1326,3 +1326,89 @@ def convex_hull_by_group(
     schema = f"{group_col} string, hull_vertices long, hull_area double"
     hulls = slim.groupBy(group_col).applyInPandas(_hull, schema)
     return hulls.join(n_pts, group_col)
+
+
+def knn_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    lx: str,
+    ly: str,
+    rx: str,
+    ry: str,
+    right_keep: list[str],
+    k: int,
+) -> DataFrame:
+    """k-nearest-neighbor JOIN (each left row → its k nearest right
+    rows, ranked) — the k>1 generalization of `nearest_join_broadcast`
+    and the operator Spark lacks natively (cookbook §2.8's LATERAL with
+    LIMIT k).
+
+    Same shape as the k=1 version: the dim-sized right side broadcasts
+    as numpy arrays; ONE mapInPandas stage per-batch argpartitions the
+    distance block to k candidates and orders them (dist, then the
+    right sort order) — no join, no shuffle, no |L|·|R| pair
+    materialization. Tie-break matches ROW_NUMBER() OVER (ORDER BY
+    dist, right_keep): the right side is pre-sorted and stable argsort
+    keeps index order on equal distances.
+    """
+    r_rows = right.select(
+        F.col(rx).alias("__rx"), F.col(ry).alias("__ry"),
+        *[F.col(c) for c in right_keep],
+    ).filter(
+        F.col("__rx").isNotNull()
+        & F.col("__ry").isNotNull()
+        & ~F.isnan(F.col("__rx").cast("double"))
+        & ~F.isnan(F.col("__ry").cast("double"))
+    ).collect()
+    r_rows.sort(
+        key=lambda r: tuple((r[c] is None, r[c]) for c in right_keep)
+    )
+    out_schema = T.StructType(
+        list(left.schema.fields)
+        + [T.StructField("nn_rank", T.IntegerType())]
+        + [
+            T.StructField(f"nn_{c}", right.schema[c].dataType)
+            for c in right_keep
+        ]
+        + [T.StructField("nn_dist", T.DoubleType())]
+    )
+    spark = left.sparkSession
+    if not r_rows:
+        return spark.createDataFrame([], out_schema)
+    kk = min(k, len(r_rows))
+    rxs = np.array([r["__rx"] for r in r_rows], dtype="f8")
+    rys = np.array([r["__ry"] for r in r_rows], dtype="f8")
+    keeps = {c: np.asarray([r[c] for r in r_rows]) for c in right_keep}
+    b = spark.sparkContext.broadcast((rxs, rys, keeps))
+
+    def gen(batches):
+        brx, bry, bkeep = b.value
+        for pdf in batches:
+            xs = pdf[lx].to_numpy("f8")
+            ys = pdf[ly].to_numpy("f8")
+            n = len(pdf)
+            sel = np.empty((n, kk), dtype="i8")
+            sdist = np.empty((n, kk), dtype="f8")
+            for s in range(0, n, 512):
+                e = min(s + 512, n)
+                dx = xs[s:e, None] - brx[None, :]
+                dy = ys[s:e, None] - bry[None, :]
+                d = np.sqrt(dx * dx + dy * dy)
+                # k smallest, then order by (dist, index) — stable
+                # argsort of the k-candidate slice keeps index order on
+                # ties, matching ORDER BY dist, right_keep
+                part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+                pd_ = np.take_along_axis(d, part, axis=1)
+                inner = np.lexsort((part, pd_), axis=1)
+                sel[s:e] = np.take_along_axis(part, inner, axis=1)
+                sdist[s:e] = np.take_along_axis(pd_, inner, axis=1)
+            rep = pdf.loc[pdf.index.repeat(kk)].reset_index(drop=True)
+            rep["nn_rank"] = np.tile(np.arange(1, kk + 1), n).astype("i4")
+            flat = sel.reshape(-1)
+            for c, vals in bkeep.items():
+                rep[f"nn_{c}"] = vals[flat]
+            rep["nn_dist"] = sdist.reshape(-1)
+            yield rep
+
+    return left.mapInPandas(gen, out_schema)

@@ -1536,3 +1536,67 @@ def events_transitions(events: DataFrame) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+def events_rfm(events: DataFrame, n_tiles: int = 5) -> DataFrame:
+    """RFM customer segmentation: per-user Recency (seconds since the
+    user's last event, measured from the corpus max — deterministic, no
+    wall clock), Frequency (event count), Monetary (sum of value in
+    integer cents), each scored 1..n by NTILE over the USER-level
+    aggregate with explicit user_id tiebreaks (NTILE is deterministic
+    given a total order, so the oracle hash covers the bucketing).
+
+    Scale shape: one user-key exchange for the aggregate; the NTILE
+    windows are global-order over the USER-sized frame (one row per
+    user) — the corpus_token_budget convention: single-partition
+    windows only ever over bounded aggregates. Higher score = better
+    (more recent / more frequent / more spend); rfm_cell = r·100+f·10+m.
+    """
+    us = epoch_of(events, "ts")
+    cents = F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)")
+    per_user = events.groupBy("user_id").agg(
+        us(F.max("ts")).alias("__last_us"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents).alias("monetary_cents"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    # FLOOR, not a bare cast: Spark's double→long cast truncates while
+    # DuckDB's rounds — FLOOR is one deterministic IEEE step on both
+    with_rec = per_user.withColumn(
+        "recency_s",
+        F.floor(
+            (F.max("__last_us").over(w_all) - F.col("__last_us"))
+            / F.lit(1_000_000.0)
+        ).cast("long"),
+    )
+    r_w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("recency_s").desc(), "user_id"
+    )
+    f_w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("frequency").asc(), "user_id"
+    )
+    m_w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("monetary_cents").asc(), "user_id"
+    )
+    return (
+        with_rec.withColumn("r_score", F.ntile(n_tiles).over(r_w))
+        .withColumn("f_score", F.ntile(n_tiles).over(f_w))
+        .withColumn("m_score", F.ntile(n_tiles).over(m_w))
+        .withColumn(
+            "rfm_cell",
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+            ).cast("int"),
+        )
+        .select(
+            "user_id",
+            "recency_s",
+            "frequency",
+            "monetary_cents",
+            "r_score",
+            "f_score",
+            "m_score",
+            "rfm_cell",
+        )
+        .orderBy("user_id")
+    )

@@ -66,3 +66,53 @@ def test_knn_plan_is_take_ordered(spark):
     rows = out.collect()
     assert len(rows) == 5
     assert rows == sorted(rows, key=lambda r: (r.dist_m, r.fid))
+
+
+def test_knn_join_matches_bruteforce(spark):
+    """k=3 join vs a pure-Python lateral: ids, ranks, and tie order."""
+    import itertools
+    import math
+    import random
+
+    from iceberg_geospatial_api_server_spark.geo.functions import (
+        knn_join_broadcast,
+    )
+
+    rng = random.Random(13)
+    left = [(i, rng.uniform(-50, 50), rng.uniform(-50, 50)) for i in range(40)]
+    right = [(j, rng.uniform(-50, 50), rng.uniform(-50, 50)) for j in range(25)]
+    ldf = spark.createDataFrame(left, "lid long, x double, y double")
+    rdf = spark.createDataFrame(right, "rid long, x double, y double")
+    out = knn_join_broadcast(ldf, rdf, "lid", "x", "y", "x", "y", ["rid"], k=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.lid, []).append((r.nn_rank, r.nn_rid, r.nn_dist))
+    for lid, lx, ly in left:
+        want = sorted(
+            (
+                (math.sqrt((lx - rx) ** 2 + (ly - ry) ** 2), rid)
+                for rid, rx, ry in right
+            )
+        )[:3]
+        rows = sorted(got[lid])
+        assert [w[1] for w in want] == [r[1] for r in rows], lid
+        for (rank, rid, dist), (wd, wrid) in zip(rows, want):
+            assert abs(dist - wd) < 1e-12
+
+
+def test_knn_join_k_exceeds_right(spark):
+    from iceberg_geospatial_api_server_spark.geo.functions import (
+        knn_join_broadcast,
+    )
+
+    ldf = spark.createDataFrame([(1, 0.0, 0.0)], "lid long, x double, y double")
+    rdf = spark.createDataFrame(
+        [(7, 1.0, 0.0), (8, 2.0, 0.0)], "rid long, x double, y double"
+    )
+    rows = knn_join_broadcast(
+        ldf, rdf, "lid", "x", "y", "x", "y", ["rid"], k=5
+    ).collect()
+    assert [(r.nn_rank, r.nn_rid) for r in sorted(rows, key=lambda r: r.nn_rank)] == [
+        (1, 7),
+        (2, 8),
+    ]

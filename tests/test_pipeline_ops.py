@@ -829,13 +829,20 @@ def test_brand_affinity_crafted_lift(spark):
 
 
 def test_brand_affinity_plan_shape(spark, sf_dir):
-    """The part dimension and the tiny count frames join broadcast; no
-    cartesian; the self-join runs on the distinct (order, brand) frame."""
+    """Single-pass shape: the part dimension joins broadcast, no
+    cartesian, and — the point of the sentinel-emission rewrite — the
+    lineitem fact table is SCANNED EXACTLY ONCE (the old
+    three-consumer formulation recomputed the basket build per
+    consumer; the lift inputs now attach via windows over the
+    brand²-sized aggregate)."""
     from iceberg_geospatial_api_server_spark.operators.relational import (
         brand_affinity,
     )
     from iceberg_geospatial_api_server_spark.plans import (
         assert_broadcast_join, assert_no_cartesian,
+    )
+    from iceberg_geospatial_api_server_spark.plans.explain import (
+        formatted_plan,
     )
     from iceberg_geospatial_api_server_spark.sources.tables import load_table
 
@@ -843,7 +850,12 @@ def test_brand_affinity_plan_shape(spark, sf_dir):
         load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
     )
     assert_no_cartesian(out)
-    assert_broadcast_join(out, min_count=3)
+    assert_broadcast_join(out, min_count=1)
+    plan = formatted_plan(out)
+    fact_scans = len(
+        [ln for ln in plan.splitlines() if "Scan parquet" in ln and "lineitem" in ln]
+    )
+    assert fact_scans == 1, plan
 
 
 def test_mad_outlier_profile_crafted(spark):

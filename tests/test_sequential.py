@@ -145,3 +145,35 @@ def test_transitions_independent_users(spark):
 
     got = {(r.prev_type, r.next_type) for r in events_transitions(df).collect()}
     assert got == {("a", "c")}
+
+
+def test_rfm_scores_and_cells(spark):
+    """Crafted spend/recency pattern: NTILE cut points and rfm_cell
+    composition, higher score = better."""
+    import datetime as dt
+
+    rows = []
+    eid = 0
+    # user u has u events of value 10·u, last event at minute u
+    for u in range(1, 6):
+        for j in range(u):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=u), u, "e", 10.0 * u, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        events_rfm,
+    )
+
+    got = {r.user_id: r for r in events_rfm(df, n_tiles=5).collect()}
+    # user 5: most recent, most frequent, highest spend → 555
+    assert got[5].rfm_cell == 555
+    assert got[1].rfm_cell == 111
+    assert got[3].r_score == 3 and got[3].f_score == 3 and got[3].m_score == 3
+    assert got[5].recency_s == 0 and got[1].recency_s == 4 * 60
+    assert got[4].monetary_cents == 4 * 4000
