@@ -852,10 +852,13 @@ def test_brand_affinity_plan_shape(spark, sf_dir):
     assert_no_cartesian(out)
     assert_broadcast_join(out, min_count=1)
     plan = formatted_plan(out)
-    fact_scans = len(
-        [ln for ln in plan.splitlines() if "Scan parquet" in ln and "lineitem" in ln]
-    )
-    assert fact_scans == 1, plan
+    # exactly two scans in the whole plan: lineitem once, part once
+    # (formatted-mode node lines don't carry the table name; the old
+    # shape had 16 scans)
+    import re
+
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 2, plan
 
 
 def test_mad_outlier_profile_crafted(spark):
