@@ -4600,6 +4600,111 @@ def events_rfm_q(spark, sf_dir):
 
 
 @_q(
+    "geo_dwithin_join",
+    """
+    WITH s AS (
+      SELECT s_suppkey,
+             (s_suppkey * 37 % 3600) / CAST(10.0 AS DOUBLE) - 180.0 AS x,
+             (s_suppkey * 53 % 1700) / CAST(10.0 AS DOUBLE) - 85.0 AS y
+      FROM supplier
+    ), c AS (
+      SELECT c_custkey,
+             (c_custkey * 29 % 3600) / CAST(10.0 AS DOUBLE) - 180.0 AS x,
+             (c_custkey * 41 % 1700) / CAST(10.0 AS DOUBLE) - 85.0 AS y
+      FROM customer
+    )
+    SELECT s_suppkey, c_custkey, ROUND(SQRT(d2), 6) AS dist
+    FROM (
+      SELECT s.s_suppkey, c.c_custkey,
+             (s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y) AS d2
+      FROM s JOIN c
+        ON abs(s.x - c.x) <= 4.0 AND abs(s.y - c.y) <= 4.0
+    )
+    WHERE d2 <= 16.0
+    ORDER BY s_suppkey, c_custkey
+    """,
+)
+def geo_dwithin_join_q(spark, sf_dir):
+    """Within-distance JOIN (ST_DWithin as a bipartite join predicate):
+    suppliers × customers within 4°, via the grid-bucketed cell
+    equi-join (3×3 probe cells, exact d² in codegen — never cartesian;
+    geo/cluster.py distance_join). The fact-fact analog of the
+    point-to-constant geo_dwithin."""
+    from iceberg_geospatial_api_server_spark.geo.cluster import distance_join
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        customer_points,
+        supplier_points,
+    )
+
+    supp = supplier_points(_t(spark, sf_dir, "supplier")).select(
+        "s_suppkey", F.col("x").alias("sx"), F.col("y").alias("sy")
+    )
+    cust = customer_points(_t(spark, sf_dir, "customer")).select(
+        "c_custkey", F.col("x").alias("cx2"), F.col("y").alias("cy2")
+    )
+    out = distance_join(supp, cust, "sx", "sy", "cx2", "cy2", 4.0)
+    return out.select(
+        "s_suppkey", "c_custkey", F.round("dist", 6).alias("dist")
+    ).orderBy("s_suppkey", "c_custkey")
+
+
+def _gi_oracle(cell: float) -> str:
+    from iceberg_geospatial_api_server_spark.geo.tiles import GI_STEPS
+
+    c = repr(float(cell))
+    sql = f"""
+    WITH pts AS (
+      SELECT (l_partkey * 131 % 3600) / CAST(10.0 AS DOUBLE) - 180.0 AS x,
+             (l_suppkey * 241 % 1700) / CAST(10.0 AS DOUBLE) - 85.0 AS y
+      FROM lineitem
+    ), cells AS (
+      SELECT CAST(FLOOR(x / CAST({c} AS DOUBLE)) AS BIGINT) AS gx,
+             CAST(FLOOR(y / CAST({c} AS DOUBLE)) AS BIGINT) AS gy,
+             COUNT(*) AS n_points
+      FROM pts GROUP BY 1, 2
+    ), splat AS (
+      SELECT c.gx + dx.j AS gx, c.gy + dy.k AS gy,
+             SUM(n_points) AS wx, COUNT(*) AS w
+      FROM cells c, UNNEST(generate_series(-1, 1)) dx(j),
+                    UNNEST(generate_series(-1, 1)) dy(k)
+      GROUP BY 1, 2
+    ), j0 AS (
+      SELECT c.gx, c.gy, c.n_points, s.wx, s.w,
+             COUNT(*) OVER () AS n_cells,
+             SUM(c.n_points) OVER () AS sx,
+             SUM(c.n_points * c.n_points) OVER () AS sxx
+      FROM cells c JOIN splat s USING (gx, gy)
+    )"""
+    prev = "j0"
+    for i, (name, expr) in enumerate(GI_STEPS):
+        sql += f", g{i} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        prev = f"g{i}"
+    sql += f"""
+    SELECT gx, gy, CAST(n_points AS BIGINT) AS n_points,
+           CAST(wx AS BIGINT) AS wx, CAST(w AS BIGINT) AS w,
+           ROUND(gi_z, 6) + 0.0 AS gi_z
+    FROM {prev} ORDER BY gx, gy
+    """
+    return sql
+
+
+@_q("geo_hotspot_gi", _gi_oracle(10.0))
+def geo_hotspot_gi_q(spark, sf_dir):
+    """Getis-Ord Gi* hotspot z-scores over the binned lineitem grid —
+    the ArcGIS Hot Spot Analysis tool as one corpus exchange + a 3×3
+    splat and windows over the bounded cell frame; every Gi* input is
+    an exact integer and the z formula is shared expression text
+    (geo/tiles.py GI_STEPS), so the 6-dp z hash-matches."""
+    from iceberg_geospatial_api_server_spark.geo.tiles import hotspot_gi_star
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        lineitem_points,
+    )
+
+    pts = lineitem_points(_t(spark, sf_dir, "lineitem"))
+    return hotspot_gi_star(pts, "x", "y", 10.0)
+
+
+@_q(
     "geo_dbscan_core",
     """
     WITH pts AS (
@@ -4931,6 +5036,9 @@ _ORACLED_OVERFLOW = [
     # r4 (cont. 2): kNN join + RFM segmentation, same story
     "geo_knn_join",
     "events_rfm",
+    # r4 (cont. 2): within-distance join + Gi* hotspots, same story
+    "geo_dwithin_join",
+    "geo_hotspot_gi",
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

@@ -188,3 +188,42 @@ def dbscan(
         )
         .orderBy(id_col)
     )
+
+
+def distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    lx: str,
+    ly: str,
+    rx: str,
+    ry: str,
+    max_dist: float,
+) -> DataFrame:
+    """Bipartite within-distance JOIN (ST_DWithin as a join predicate,
+    fact×fact): left rows probe their 3×3 max_dist-cell neighborhood,
+    right rows sit in their home cell, the exact d² ≤ r² test runs in
+    codegen inside the cell equi-join — never a cartesian, and each
+    qualifying pair emits exactly once (one home cell per right row).
+    Returns left.* + right.* + dist."""
+    eps = float(max_dist)
+    lcx = F.floor(F.col(lx) / F.lit(eps)).cast("long")
+    lcy = F.floor(F.col(ly) / F.lit(eps)).cast("long")
+    rcx = F.floor(F.col(rx) / F.lit(eps)).cast("long")
+    rcy = F.floor(F.col(ry) / F.lit(eps)).cast("long")
+    probe = (
+        left.withColumn("__lcx", lcx)
+        .withColumn("__lcy", lcy)
+        .withColumn("__dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("__dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("__cx", F.col("__lcx") + F.col("__dx"))
+        .withColumn("__cy", F.col("__lcy") + F.col("__dy"))
+        .drop("__lcx", "__lcy", "__dx", "__dy")
+    )
+    cand = right.withColumn("__cx", rcx).withColumn("__cy", rcy)
+    d2 = _d2(F.col(lx), F.col(ly), F.col(rx), F.col(ry))
+    return (
+        probe.join(cand, ["__cx", "__cy"])
+        .filter(d2 <= F.lit(eps * eps))
+        .withColumn("dist", F.sqrt(d2))
+        .drop("__cx", "__cy")
+    )

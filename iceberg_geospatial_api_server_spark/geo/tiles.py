@@ -279,3 +279,89 @@ def heatmap_grid(
         .agg(F.sum(w).alias("heat"), F.count(F.lit(1)).alias("n_splats"))
         .filter(F.col("heat") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Getis-Ord Gi* hotspot analysis (the ArcGIS "Hot Spot Analysis" tool)
+# ---------------------------------------------------------------------------
+
+GI_STEPS: list[tuple[str, str]] = [
+    # shared Spark/DuckDB expression steps over (n_cells, sx, sxx, wx, w):
+    # identical text ⇒ identical IEEE sequence ⇒ the 6-dp-rounded z
+    # hash-matches (inputs are exact integers, z's ties have measure 0)
+    ("n_d", "CAST(n_cells AS DOUBLE)"),
+    ("w_d", "CAST(w AS DOUBLE)"),
+    ("xbar", "CAST(sx AS DOUBLE) / n_d"),
+    ("s_dev", "SQRT(CAST(sxx AS DOUBLE) / n_d - xbar * xbar)"),
+    (
+        "gi_z",
+        "(CAST(wx AS DOUBLE) - xbar * w_d)"
+        " / (s_dev * SQRT((n_d * w_d - w_d * w_d) / (n_d - 1.0)))",
+    ),
+]
+
+
+def hotspot_gi_star(
+    df: DataFrame, x_col: str, y_col: str, cell: float
+) -> DataFrame:
+    """Getis-Ord Gi* hotspot z-scores over a binned grid (Getis & Ord
+    1992; the ArcGIS Hot Spot Analysis tool, a first-class capability
+    of any Esri-compatible analytics server). Universe = cells holding
+    ≥1 point; weights are binary over the 3×3 neighborhood including
+    self; x = per-cell point count.
+
+    Scale shape: ONE corpus-sized exchange (the cell binning); the
+    neighbor sums are a constant 3×3 map-side splat over the CELL frame
+    joined back to universe cells, and the global moments ride a
+    single-partition window over that bounded cell frame (the
+    corpus_token_budget convention). All Gi* inputs (Σwx, W, n, Σx,
+    Σx²) are exact integers; the z formula is shared expression text.
+    gi_z is undefined for a degenerate universe (n ≤ 1 or zero
+    variance): the NaN/±inf of the shared formula propagates identically
+    on both engines.
+    """
+    gx = F.floor(F.col(x_col) / F.lit(cell)).cast("long")
+    gy = F.floor(F.col(y_col) / F.lit(cell)).cast("long")
+    cells = (
+        df.withColumn("gx", gx)
+        .withColumn("gy", gy)
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    off = F.sequence(F.lit(-1), F.lit(1))
+    splat = (
+        cells.withColumn("__dx", F.explode(off))
+        .withColumn("__dy", F.explode(off))
+        .select(
+            (F.col("gx") + F.col("__dx")).alias("gx"),
+            (F.col("gy") + F.col("__dy")).alias("gy"),
+            F.col("n_points").alias("__contrib"),
+        )
+        .groupBy("gx", "gy")
+        .agg(
+            F.sum("__contrib").alias("wx"),
+            F.count(F.lit(1)).alias("w"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy(F.lit(1))
+    out = (
+        cells.join(splat, ["gx", "gy"])
+        .withColumn("n_cells", F.count(F.lit(1)).over(w_all))
+        .withColumn("sx", F.sum("n_points").over(w_all))
+        .withColumn(
+            "sxx", F.sum(F.col("n_points") * F.col("n_points")).over(w_all)
+        )
+    )
+    for name, sql in GI_STEPS:
+        out = out.withColumn(name, F.expr(sql))
+    return out.select(
+        "gx",
+        "gy",
+        F.col("n_points").cast("long").alias("n_points"),
+        F.col("wx").cast("long").alias("wx"),
+        F.col("w").cast("long").alias("w"),
+        # + 0.0 maps a rounded -0.0 to +0.0 (engine reprs differ)
+        (F.round(F.col("gi_z"), 6) + F.lit(0.0)).alias("gi_z"),
+    ).orderBy("gx", "gy")

@@ -144,3 +144,29 @@ def test_neighbor_join_no_cartesian(spark, crafted):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_distance_join_matches_bruteforce(spark):
+    import math
+    import random
+
+    from iceberg_geospatial_api_server_spark.geo.cluster import distance_join
+
+    rng = random.Random(31)
+    left = [(i, rng.uniform(-30, 30), rng.uniform(-30, 30)) for i in range(60)]
+    right = [(j, rng.uniform(-30, 30), rng.uniform(-30, 30)) for j in range(80)]
+    ldf = spark.createDataFrame(left, "lid long, lx double, ly double")
+    rdf = spark.createDataFrame(right, "rid long, rx double, ry double")
+    got = {
+        (r.lid, r.rid): r.dist
+        for r in distance_join(ldf, rdf, "lx", "ly", "rx", "ry", 5.0).collect()
+    }
+    want = {}
+    for lid, lx, ly in left:
+        for rid, rx, ry in right:
+            d = math.sqrt((lx - rx) ** 2 + (ly - ry) ** 2)
+            if d * d <= 25.0:
+                want[(lid, rid)] = d
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12

@@ -181,3 +181,48 @@ def test_heatmap_additivity(spark):
     hb = {(r.gx, r.gy): r.heat for r in heatmap_grid(both, "x", "y", 10.0).collect()}
     for cell in set(h1) | set(h2):
         assert hb.get(cell, 0) == h1.get(cell, 0) + h2.get(cell, 0)
+
+
+def test_hotspot_gi_star_reference(spark):
+    """Crafted grid: one hot 3×3 block inside a uniform field; z must
+    match the textbook Gi* formula computed in pure Python, and the hot
+    center must dominate."""
+    import math
+
+    from iceberg_geospatial_api_server_spark.geo.tiles import hotspot_gi_star
+
+    pts = []
+    # uniform field: 1 point per cell over a 9x9 grid (cells 0..8)
+    for cx in range(9):
+        for cy in range(9):
+            pts.append((cx + 0.5, cy + 0.5))
+    # hot block: +8 extra points in the centre cell (4,4)
+    pts += [(4.5, 4.5)] * 8
+    df = spark.createDataFrame([(float(x), float(y)) for x, y in pts], "x double, y double")
+    rows = {(r.gx, r.gy): r for r in hotspot_gi_star(df, "x", "y", 1.0).collect()}
+    cells = {(cx, cy): 1 for cx in range(9) for cy in range(9)}
+    cells[(4, 4)] += 8
+    n = len(cells)
+    sx = sum(cells.values())
+    sxx = sum(v * v for v in cells.values())
+    xbar = sx / n
+    s = math.sqrt(sxx / n - xbar * xbar)
+
+    def ref_z(cx, cy):
+        nbrs = [
+            (cx + dx, cy + dy)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (cx + dx, cy + dy) in cells
+        ]
+        wx = sum(cells[c] for c in nbrs)
+        w = len(nbrs)
+        return (wx - xbar * w) / (s * math.sqrt((n * w - w * w) / (n - 1)))
+
+    for c in [(4, 4), (0, 0), (8, 8), (4, 5)]:
+        assert abs(rows[c].gi_z - round(ref_z(*c), 6)) < 2e-6, c
+    zmax = max(r.gi_z for r in rows.values())
+    assert rows[(4, 4)].gi_z == zmax and zmax > 2.0
+    # far-from-hotspot uniform cells sit below zero (their neighborhoods
+    # are below the inflated global mean)
+    assert rows[(0, 0)].gi_z < 0
