@@ -4704,6 +4704,120 @@ def geo_hotspot_gi_q(spark, sf_dir):
     return hotspot_gi_star(pts, "x", "y", 10.0)
 
 
+def _moran_oracle(cell: float) -> str:
+    from iceberg_geospatial_api_server_spark.geo.tiles import MORAN_STEPS
+
+    c = repr(float(cell))
+    sql = f"""
+    WITH pts AS (
+      SELECT (l_partkey * 131 % 3600) / CAST(10.0 AS DOUBLE) - 180.0 AS x,
+             (l_suppkey * 241 % 1700) / CAST(10.0 AS DOUBLE) - 85.0 AS y
+      FROM lineitem
+    ), cells AS (
+      SELECT CAST(FLOOR(x / CAST({c} AS DOUBLE)) AS BIGINT) AS gx,
+             CAST(FLOOR(y / CAST({c} AS DOUBLE)) AS BIGINT) AS gy,
+             COUNT(*) AS xv
+      FROM pts GROUP BY 1, 2
+    ), probe AS (
+      SELECT c.gx + dx.j AS gx, c.gy + dy.k AS gy, c.xv AS xi
+      FROM cells c, UNNEST(generate_series(-1, 1)) dx(j),
+                    UNNEST(generate_series(-1, 1)) dy(k)
+      WHERE NOT (dx.j = 0 AND dy.k = 0)
+    ), prs AS (
+      SELECT p.xi, c2.xv AS xj, p.gx, p.gy
+      FROM probe p JOIN cells c2 USING (gx, gy)
+    ), pa AS (
+      SELECT CAST(SUM(xi * xj) AS BIGINT) AS s_cross,
+             CAST(SUM(xi + xj) AS BIGINT) AS s_pairsum,
+             COUNT(*) AS w_sum
+      FROM prs
+    ), da AS (
+      SELECT CAST(SUM(dg * dg) AS BIGINT) AS s_deg2
+      FROM (SELECT gx, gy, COUNT(*) AS dg FROM prs GROUP BY 1, 2)
+    ), ca AS (
+      SELECT COUNT(*) AS n_cells, CAST(SUM(xv) AS BIGINT) AS sx,
+             CAST(SUM(xv * xv) AS BIGINT) AS sxx
+      FROM cells
+    ), j0 AS (SELECT * FROM ca, pa, da)"""
+    prev = "j0"
+    for i, (name, expr) in enumerate(MORAN_STEPS):
+        sql += f", m{i} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        prev = f"m{i}"
+    sql += f"""
+    SELECT CAST(n_cells AS BIGINT) AS n_cells, CAST(w_sum AS BIGINT) AS w_sum,
+           ROUND(i_moran, 6) + 0.0 AS i_moran,
+           ROUND(e_i, 6) + 0.0 AS e_i,
+           ROUND(z_i, 6) + 0.0 AS z_i
+    FROM {prev}
+    """
+    return sql
+
+
+@_q("geo_moran_i", _moran_oracle(10.0))
+def geo_moran_i_q(spark, sf_dir):
+    """Global Moran's I + normality z-score over the binned lineitem
+    grid — the global spatial-autocorrelation complement of the local
+    Gi* tool. All formula inputs are exact integer sums; the
+    I/E[I]/Var/z chain is shared expression text (geo/tiles.py
+    MORAN_STEPS)."""
+    from iceberg_geospatial_api_server_spark.geo.tiles import moran_i
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        lineitem_points,
+    )
+
+    pts = lineitem_points(_t(spark, sf_dir, "lineitem"))
+    return moran_i(pts, "x", "y", 10.0)
+
+
+def _zipf_oracle(top_n: int, quant: int) -> str:
+    from iceberg_geospatial_api_server_spark.operators.text import ZIPF_STEPS
+
+    q = repr(float(quant))
+    sql = f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), vocab AS (
+      SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok
+      ORDER BY freq DESC, tok LIMIT {top_n}
+    ), pts AS (
+      SELECT CAST(FLOOR(LN(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok)
+                               AS DOUBLE)) * {q} + 0.5) AS BIGINT) AS lx,
+             CAST(FLOOR(LN(CAST(freq AS DOUBLE)) * {q} + 0.5) AS BIGINT) AS ly
+      FROM vocab
+    ), j0 AS (
+      SELECT COUNT(*) AS n_used,
+             CAST(SUM(lx) AS BIGINT) AS sxq, CAST(SUM(ly) AS BIGINT) AS syq,
+             CAST(SUM(lx * ly) AS BIGINT) AS sxy,
+             CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+             CAST(SUM(ly * ly) AS BIGINT) AS syy
+      FROM pts
+    )"""
+    prev = "j0"
+    for i, (name, expr) in enumerate(ZIPF_STEPS):
+        sql += f", z{i} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        prev = f"z{i}"
+    sql += f"""
+    SELECT CAST(n_used AS BIGINT) AS n_used,
+           ROUND(slope, 6) + 0.0 AS slope,
+           ROUND(intercept, 6) + 0.0 AS intercept,
+           ROUND(r2, 6) + 0.0 AS r2
+    FROM {prev}
+    """
+    return sql
+
+
+@_q("text_zipf_fit", _zipf_oracle(500, 1_000_000))
+def text_zipf_fit_q(spark, sf_dir):
+    """Zipf's-law rank-frequency fit over the top-500 vocabulary (corpus
+    data card: natural text slopes ≈ −1). ln values quantize to
+    integers before the regression sums (the corpus_perplexity
+    pattern), so slope/intercept/R² hash-match via shared expression
+    text (operators/text.py zipf_fit)."""
+    from iceberg_geospatial_api_server_spark.operators.text import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"), top_n=500)
+
+
 @_q(
     "geo_dbscan_core",
     """
@@ -5039,6 +5153,9 @@ _ORACLED_OVERFLOW = [
     # r4 (cont. 2): within-distance join + Gi* hotspots, same story
     "geo_dwithin_join",
     "geo_hotspot_gi",
+    # r4 (cont. 2): Moran's I + Zipf fit, same story
+    "geo_moran_i",
+    "text_zipf_fit",
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

