@@ -50,8 +50,9 @@ def t(name, sf_dir):
         spark.catalog.clearCache()
     return round(min(samples), 3)
 
+names = [a for a in sys.argv[1:] if not a.startswith("-")] or QUERIES
 out = {}
-for name in QUERIES:
+for name in names:
     a = t(name, "/root/testdata/sf0.1")
     b = t(name, "/tmp/sfx")
     out[name] = {"sf01": a, "sf1": b, "ratio": round(b / a, 2)}
