@@ -4818,6 +4818,94 @@ def text_zipf_fit_q(spark, sf_dir):
     return zipf_fit(_t(spark, sf_dir, "documents"), top_n=500)
 
 
+def _acf_oracle(max_lag: int) -> str:
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        ACF_STEPS,
+    )
+
+    sql = f"""
+    WITH counts AS (
+      SELECT CAST(FLOOR(CAST(FLOOR(epoch_us(ts) / 1000000) AS BIGINT)
+                        / 3600) AS BIGINT) AS h,
+             COUNT(*) AS c
+      FROM events GROUP BY 1
+    ), b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM counts),
+    spine AS (SELECT UNNEST(generate_series(h0, h1)) AS h FROM b),
+    dense AS (
+      SELECT s.h, COALESCE(c.c, 0) AS c
+      FROM spine s LEFT JOIN counts c USING (h)
+    ), lagged AS (
+      SELECT l.j AS lag, d.h + l.j AS h, d.c AS x
+      FROM dense d, UNNEST(generate_series(1, {max_lag})) l(j)
+    ), paired AS (
+      SELECT p.lag, p.x, d.c AS y FROM lagged p JOIN dense d USING (h)
+    ), j0 AS (
+      SELECT lag, COUNT(*) AS n_pairs,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM paired GROUP BY lag
+    )"""
+    prev = "j0"
+    for i, (name, expr) in enumerate(ACF_STEPS):
+        sql += f", a{i} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        prev = f"a{i}"
+    sql += f"""
+    SELECT CAST(lag AS INT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+           ROUND(acf, 6) + 0.0 AS acf
+    FROM {prev} ORDER BY lag
+    """
+    return sql
+
+
+@_q("events_autocorr", _acf_oracle(24))
+def events_autocorr_q(spark, sf_dir):
+    """Hourly event-volume autocorrelation at lags 1..24 (seasonality
+    probe): one corpus exchange to the hour series, dense zero-filled
+    spine, map-side lag explode over the SERIES, exact-integer Pearson
+    sums with the shared-text r (operators/relational.py
+    events_autocorr)."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        events_autocorr,
+    )
+
+    return events_autocorr(_t(spark, sf_dir, "events"), max_lag=24)
+
+
+@_q(
+    "customer_pareto",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, SUM(o_totalprice) AS rev
+      FROM orders GROUP BY o_custkey
+    ), tiled AS (
+      SELECT *, NTILE(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+      FROM per_cust
+    ), pd AS (
+      SELECT decile, COUNT(*) AS n_customers, SUM(rev) AS decile_rev
+      FROM tiled GROUP BY decile
+    )
+    SELECT CAST(decile AS INT) AS decile, n_customers,
+           ROUND(decile_rev, 2) AS decile_rev,
+           ROUND(CAST(SUM(decile_rev) OVER (ORDER BY decile
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST(SUM(decile_rev) OVER () AS DOUBLE), 6) AS cum_share
+    FROM pd ORDER BY decile
+    """,
+)
+def customer_pareto_q(spark, sf_dir):
+    """Revenue Pareto curve: customer deciles by total order value with
+    cumulative revenue share — DECIMAL-exact through every sum, one
+    double division at the end; NTILE totally ordered (rev desc,
+    custkey)."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        customer_pareto,
+    )
+
+    return customer_pareto(_t(spark, sf_dir, "orders"), n_buckets=10)
+
+
 @_q(
     "geo_dbscan_core",
     """
@@ -5156,6 +5244,9 @@ _ORACLED_OVERFLOW = [
     # r4 (cont. 2): Moran's I + Zipf fit, same story
     "geo_moran_i",
     "text_zipf_fit",
+    # r4 (cont. 2): volume ACF + Pareto curve, same story
+    "events_autocorr",
+    "customer_pareto",
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

@@ -1600,3 +1600,116 @@ def events_rfm(events: DataFrame, n_tiles: int = 5) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+ACF_STEPS: list[tuple[str, str]] = [
+    # Pearson r at one lag from exact-integer sums over the paired
+    # hourly counts (n pairs, sx, sy, sxy, sxx, syy) — shared text
+    ("n_d", "CAST(n_pairs AS DOUBLE)"),
+    (
+        "acf",
+        "(n_d * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (SQRT(n_d * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        "    * SQRT(n_d * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))",
+    ),
+]
+
+
+def events_autocorr(events: DataFrame, max_lag: int = 24) -> DataFrame:
+    """Autocorrelation function of hourly event volume at lags
+    1..max_lag — the seasonality probe (a daily-cycle stream shows a
+    peak at lag 24). Per lag: Pearson r between the hourly-count series
+    and itself shifted by the lag, over the overlapping hours.
+
+    Scale shape: ONE corpus exchange builds the hourly counts (a
+    bounded series — hours, not events); the lag pairing is a map-side
+    sequence-explode of the series against the constant lag set joined
+    back on (hour+lag) — series-sized, never event-sized; all Pearson
+    inputs are exact integer sums so the shared-text r hash-matches at
+    6 dp. Missing hours count as zero-event hours ONLY where they fall
+    inside the observed range (both engines derive the same dense hour
+    spine with a sequence/generate_series).
+    """
+    sec = epoch_of(events, "ts")
+    hour = F.floor(sec("ts", "SECOND") / F.lit(3600)).cast("long")
+    counts = events.groupBy(hour.alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # dense spine: hours min..max with 0 fill (deterministic, both
+    # engines build it identically)
+    bounds = counts.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    dense = spine.join(counts, "h", "left").select(
+        "h", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    lags = dense.withColumn(
+        "lag", F.explode(F.sequence(F.lit(1), F.lit(max_lag)))
+    ).select("lag", (F.col("h") + F.col("lag")).alias("h"), F.col("c").alias("x"))
+    paired = lags.join(
+        dense.select(F.col("h"), F.col("c").alias("y")), "h"
+    )
+    sums = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    out = sums
+    for name, sql in ACF_STEPS:
+        out = out.withColumn(name, F.expr(sql))
+    return out.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        (F.round("acf", 6) + F.lit(0.0)).alias("acf"),
+    ).orderBy("lag")
+
+
+def customer_pareto(orders: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Revenue-concentration (Pareto / 80-20) profile: customers ranked
+    by total order value, decile assignment, and each decile's share of
+    total revenue — the concentration curve behind "top 10% of
+    customers drive X% of revenue".
+
+    Exactness: revenue stays DECIMAL through the per-customer aggregate
+    and the decile sums (associative, partitioning-independent); only
+    the final share divides in DOUBLE on identical inputs. Ranking is
+    total-ordered (revenue desc, custkey). The NTILE + share windows
+    run over the CUSTOMER-sized aggregate, never orders."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("rev").desc(), "o_custkey"
+    )
+    tiled = per_cust.withColumn("decile", F.ntile(n_buckets).over(w))
+    per_decile = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev").alias("decile_rev"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    w_cum = Window.partitionBy(F.lit(1)).orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_decile.withColumn("total_rev", F.sum("decile_rev").over(w_all))
+        .withColumn("cum_rev", F.sum("decile_rev").over(w_cum))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.round(F.col("decile_rev"), 2).alias("decile_rev"),
+            F.round(
+                (
+                    F.col("cum_rev").cast("double")
+                    / F.col("total_rev").cast("double")
+                ),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )

@@ -177,3 +177,66 @@ def test_rfm_scores_and_cells(spark):
     assert got[3].r_score == 3 and got[3].f_score == 3 and got[3].m_score == 3
     assert got[5].recency_s == 0 and got[1].recency_s == 4 * 60
     assert got[4].monetary_cents == 4 * 4000
+
+
+def test_autocorr_periodic_signal(spark):
+    """A strict 6-hour periodic pulse train: ACF must peak at lag 6
+    (and 12, 18, 24) and dip at off-phase lags; numpy cross-check."""
+    import datetime as dt
+
+    import numpy as np
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    counts = []
+    for h in range(240):
+        n = 9 if h % 6 == 0 else 1
+        counts.append(n)
+        for j in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=j), 1, "e", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        events_autocorr,
+    )
+
+    got = {r.lag: r.acf for r in events_autocorr(df, max_lag=12).collect()}
+    assert got[6] > 0.9 and got[12] > 0.9
+    assert got[1] < 0 and got[3] < 0
+    # numpy reference at lag 6
+    c = np.array(counts, dtype=float)
+    x, y = c[:-6], c[6:]
+    ref = np.corrcoef(x, y)[0, 1]
+    assert abs(got[6] - round(ref, 6)) < 1e-6
+
+
+def test_pareto_concentration(spark):
+    """Skewed revenue: top decile's cumulative share dominates; final
+    share is exactly 1; per-decile counts balance."""
+    import datetime as dt
+
+    rows = [
+        (i, i % 30, dt.datetime(1996, 1, 1), float(1000 if i % 30 == 0 else 10), "P")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double, o_orderpriority string",
+    )
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        customer_pareto,
+    )
+
+    out = sorted(customer_pareto(df, n_buckets=10).collect(), key=lambda r: r.decile)
+    assert sum(r.n_customers for r in out) == 30
+    assert abs(out[-1].cum_share - 1.0) < 1e-9
+    # customer 0 holds 10 orders x 1000 = 10000 of total 12900
+    assert out[0].cum_share > 0.7
+    shares = [r.cum_share for r in out]
+    assert shares == sorted(shares)
