@@ -203,7 +203,13 @@ def clip_wkb(buf: bytes, bbox: tuple[float, float, float, float]) -> bytes | Non
 
 
 def _decode_parts(buf: bytes):
-    """Normalize decode() output to (kind, parts)."""
+    """Normalize decode() output to (kind, parts).
+
+    Deliberately NOT functions._geom_parts: the clip kernels need holes
+    grouped WITH their polygon (parts = list of polygons, each a list
+    of rings) and multipoints as one (n,2) array, where _geom_parts
+    flattens rings across polygons and splits points. Keep the two in
+    sync on any codec change (EWKB flags, Z coords)."""
     base, geom = W.decode(buf)
     if base == 1:
         return "point", [np.array([geom], dtype=np.float64)]
@@ -219,7 +225,7 @@ def _decode_parts(buf: bytes):
         return "poly", [
             [np.asarray(r, dtype=np.float64) for r in poly] for poly in geom
         ]
-    raise ValueError(f"unsupported geometry type {code}")
+    raise ValueError(f"unsupported geometry type {base}")
 
 
 _CLIP_SCHEMA = StructType(

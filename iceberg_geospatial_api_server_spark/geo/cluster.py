@@ -89,12 +89,23 @@ def dbscan_profile(
     id_col: str,
     eps: float,
     min_pts: int,
+    _nb: DataFrame | None = None,
 ) -> DataFrame:
     """Per-point local DBSCAN facts: ε-degree (excluding self), the core
     flag (|N_ε| ≥ minPts, self included), and the smallest in-ε core id
     (the border-attachment anchor; NULL ⇒ noise candidate). Fully
-    deterministic ⇒ DuckDB-oracle-gradeable."""
-    nb = eps_neighbors(points, x_col, y_col, id_col, eps)
+    deterministic ⇒ DuckDB-oracle-gradeable.
+
+    The neighbor join is MATERIALIZED once (localCheckpoint) before its
+    two consumers (degree + anchor): the consumers project differently,
+    which defeats exchange/stage reuse — the brand_affinity failure
+    mode — and would recompute the scale-critical cell join per
+    consumer. ``_nb`` lets `dbscan` share ITS materialized pair set."""
+    nb = (
+        _nb
+        if _nb is not None
+        else eps_neighbors(points, x_col, y_col, id_col, eps).localCheckpoint()
+    )
     deg = nb.groupBy(F.col("id_a").alias("__id")).agg(
         F.count(F.lit(1)).alias("n_neighbors")
     )
@@ -145,8 +156,10 @@ def dbscan(
         connected_components_smallest_id,
     )
 
-    nb = eps_neighbors(points, x_col, y_col, id_col, eps)
-    prof = dbscan_profile(points, x_col, y_col, id_col, eps, min_pts)
+    # one materialization of the ε-pair set serves all four consumers
+    # (degree, anchor, core edges, border attach)
+    nb = eps_neighbors(points, x_col, y_col, id_col, eps).localCheckpoint()
+    prof = dbscan_profile(points, x_col, y_col, id_col, eps, min_pts, _nb=nb)
     cores = prof.filter("is_core").select(F.col(id_col).alias("__core_id"))
     core_edges = (
         nb.join(cores.withColumnRenamed("__core_id", "id_a"), "id_a")

@@ -1345,12 +1345,13 @@ def knn_join_broadcast(
     LIMIT k).
 
     Same shape as the k=1 version: the dim-sized right side broadcasts
-    as numpy arrays; ONE mapInPandas stage per-batch argpartitions the
-    distance block to k candidates and orders them (dist, then the
-    right sort order) — no join, no shuffle, no |L|·|R| pair
-    materialization. Tie-break matches ROW_NUMBER() OVER (ORDER BY
-    dist, right_keep): the right side is pre-sorted and stable argsort
-    keeps index order on equal distances.
+    as numpy arrays; ONE mapInPandas stage per-batch stable-sorts the
+    distance block and takes the first k — no join, no shuffle, no
+    |L|·|R| pair materialization. Tie-break matches ROW_NUMBER() OVER
+    (ORDER BY dist, right_keep) exactly: the right side is pre-sorted
+    by right_keep and the stable sort keeps index order on equal
+    distances (argpartition would pick arbitrarily among ties
+    straddling the k-th boundary).
     """
     r_rows = right.select(
         F.col(rx).alias("__rx"), F.col(ry).alias("__ry"),
@@ -1395,14 +1396,15 @@ def knn_join_broadcast(
                 dx = xs[s:e, None] - brx[None, :]
                 dy = ys[s:e, None] - bry[None, :]
                 d = np.sqrt(dx * dx + dy * dy)
-                # k smallest, then order by (dist, index) — stable
-                # argsort of the k-candidate slice keeps index order on
-                # ties, matching ORDER BY dist, right_keep
-                part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-                pd_ = np.take_along_axis(d, part, axis=1)
-                inner = np.lexsort((part, pd_), axis=1)
-                sel[s:e] = np.take_along_axis(part, inner, axis=1)
-                sdist[s:e] = np.take_along_axis(pd_, inner, axis=1)
+                # STABLE argsort, not argpartition: argpartition picks
+                # arbitrarily among equal values straddling the k-th
+                # boundary (exact ties are realistic on gridded data),
+                # which would break the ROW_NUMBER(dist, right_keep)
+                # contract; stable sort keeps index order on ties —
+                # smallest right_keep wins, deterministically
+                order = np.argsort(d, axis=1, kind="stable")[:, :kk]
+                sel[s:e] = order
+                sdist[s:e] = np.take_along_axis(d, order, axis=1)
             rep = pdf.loc[pdf.index.repeat(kk)].reset_index(drop=True)
             rep["nn_rank"] = np.tile(np.arange(1, kk + 1), n).astype("i4")
             flat = sel.reshape(-1)

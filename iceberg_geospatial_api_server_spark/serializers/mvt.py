@@ -87,12 +87,15 @@ def _cmd(cmd_id: int, count: int) -> int:
     return (cmd_id & 0x7) | (count << 3)
 
 
-def _screen_area2(ring: np.ndarray) -> int:
-    """Twice the signed area in screen coords (the spec's surveyor
-    formula; positive = clockwise on a y-down screen = v2 exterior)."""
+def _surveyor_area2(ring: np.ndarray) -> int:
+    """Twice the signed area by the surveyor's formula in tile coords —
+    the spec's orientation test (2.1 §4.3.3.3): POSITIVE ⇒ exterior
+    ring (which reads as clockwise on a y-down screen), negative ⇒
+    interior. No sign flip: the formula is applied to the tile-grid
+    coordinates exactly as the spec states."""
     xs, ys = ring[:, 0], ring[:, 1]
     xn, yn = np.roll(xs, -1), np.roll(ys, -1)
-    return int(np.sum(xs * yn - xn * ys)) * -1
+    return int(np.sum(xs * yn - xn * ys))
 
 
 def _emit_moveline(parts: list[np.ndarray], cursor: list[int]) -> list[int]:
@@ -153,13 +156,14 @@ def encode_geometry_commands(
                 if i == 0:
                     break  # degenerate exterior: drop whole polygon
                 continue
-            a2 = _screen_area2(q)
+            a2 = _surveyor_area2(q)
             if a2 == 0:
                 if i == 0:
                     break
                 continue
-            want_cw = i == 0
-            if (a2 > 0) != want_cw:
+            # v2 winding: exterior = positive surveyor area, holes negative
+            want_positive = i == 0
+            if (a2 > 0) != want_positive:
                 q = q[::-1]
             geom.append(_cmd(1, 1))
             geom += [
@@ -292,9 +296,16 @@ def serialize_tile(
     cols = list(out_fields or [])
     if id_col and id_col not in cols:
         cols = [id_col] + cols
+    # deterministic page: order before limit (the engine's __oid page
+    # convention) — an unordered limit returns a task-order-dependent
+    # subset whenever a tile overflows max_features
+    page_order = (
+        [F.col(id_col)] if id_col else [F.md5(F.col(geom_col))]
+    )
     page = (
         clipped.withColumn("__mvt", _encode(F.col(geom_col)))
         .filter(F.col("__mvt.geom_type").isNotNull())
+        .orderBy(*page_order)
         .select(*cols, "__mvt.geom_type", "__mvt.commands")
         .limit(max_features)
         .collect()

@@ -342,10 +342,13 @@ def streaming_cusum(
             s, n, na, mx, first = state.get
         else:
             s, n, na, mx, first = 0, 0, 0, 0, None
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # concat ALL of the group's Arrow chunks before sorting (the
+        # running_user_totals/funnel convention): a user's batch can
+        # span chunks, and per-chunk sorting would run the recursion
+        # over mis-ordered deltas
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             cents = np.floor(
                 pdf["value"].to_numpy(dtype="f8") * 100.0 + 0.5
             ).astype(np.int64)

@@ -57,8 +57,10 @@ def test_linestring_roundtrip_and_delta_encoding():
 
 
 def test_polygon_winding_v2():
-    """Exterior must decode clockwise in screen coords (positive
-    surveyor area with y down), holes counter-clockwise."""
+    """Spec 2.1 §4.3.3.3: the exterior ring must have POSITIVE area by
+    the surveyor's formula applied to the tile coordinates (clockwise
+    on a y-down screen), holes negative — this is how conformant
+    clients (MapLibre/deck.gl MVTLayer) classify rings."""
     outer = np.array(
         [[-90.0, -66.0], [90.0, -66.0], [90.0, 66.0], [-90.0, 66.0], [-90.0, -66.0]]
     )
@@ -70,13 +72,14 @@ def test_polygon_winding_v2():
     assert len(paths) == 2
 
     def area2(p):
+        # the spec's surveyor formula, verbatim — no sign adjustment
         s = 0
         for (x1, y1), (x2, y2) in zip(p[:-1], p[1:]):
             s += x1 * y2 - x2 * y1
-        return -s
+        return s
 
-    assert area2(paths[0]) > 0  # exterior CW (screen coords)
-    assert area2(paths[1]) < 0  # hole CCW
+    assert area2(paths[0]) > 0  # exterior: positive surveyor area
+    assert area2(paths[1]) < 0  # hole: negative
 
 
 def test_degenerate_geometries_dropped():
