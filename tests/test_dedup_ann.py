@@ -59,7 +59,10 @@ def test_minhash_storage_level_none_pins_nothing(spark, docs):
     before = settle(0)
     for _ in range(2):
         assert dedup_minhash_lsh(docs, storage_level=None).count() > 0
-    assert settle(before) == before, "storage_level=None must pin nothing"
+    # <= not ==: the contract is "no NEW pins"; a concurrent
+    # ContextCleaner sweep can reclaim OTHER tests' stale checkpoint
+    # blocks mid-run, legitimately dropping the count below `before`
+    assert settle(before) <= before, "storage_level=None must pin nothing"
 
     # default level pins intermediates for the session...
     dedup_minhash_lsh(docs).count()
