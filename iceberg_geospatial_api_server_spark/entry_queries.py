@@ -5319,9 +5319,12 @@ _ORACLED_OVERFLOW = [
 # r5 NOTE: once these four have their r4 rows, swap in the late-r4
 # rows-only entries that landed with LOCAL grading only —
 # dedup_semantic, dedup_hybrid, dedup_clusters, corpus_bpe_stats,
-# mm_phash_pairs — and cede more proven oracled slots to
-# geo_ps / ann_ivf_exhaustive / ann_lsh_exhaustive from the overflow
-# tail (they carry oracles and have never been driver-graded).
+# mm_phash_pairs, and continuation-2's geo_dbscan (full clustering;
+# its kernel oracle geo_dbscan_core is in the r5 oracled queue) —
+# and cede more proven oracled slots to geo_ps / ann_ivf_exhaustive /
+# ann_lsh_exhaustive from the overflow tail (they carry oracles and
+# have never been driver-graded), then to the 22 continuation-2
+# oracled entries in registration order.
 _ROWS_ONLY_PRIORITY = [
     "ann_ivfpq_topk",
     "embed_kmeans_profile",
