@@ -184,7 +184,7 @@ def encode_geometry_commands(
 
 def encode_value(v) -> bytes:
     """A vector_tile.Value message for one attribute value."""
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return tag(7, _VARINT) + varint(1 if v else 0)
     if isinstance(v, (int, np.integer)):
         iv = int(v)
@@ -459,3 +459,129 @@ def _decode_commands(cmds: list[int]) -> list[list[tuple[int, int]]]:
     if cur:
         paths.append(cur)
     return paths
+
+
+_TILE_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("zoom", T.IntegerType()),
+        T.StructField("tile_x", T.LongType()),
+        T.StructField("tile_y", T.LongType()),
+        T.StructField("n_features", T.IntegerType()),
+        T.StructField("mvt", T.BinaryType()),
+    ]
+)
+
+
+def render_tiles(
+    df: DataFrame,
+    z: int,
+    layer_name: str = "layer",
+    out_fields: list[str] | None = None,
+    id_col: str | None = None,
+    geom_col: str = "geometry",
+    extent: int = 4096,
+    buffer_px: int = 64,
+    max_features: int = 10000,
+) -> DataFrame:
+    """Pre-render EVERY occupied tile at zoom ``z`` in one distributed
+    pass — the batch tile-build pipeline behind static tile serving
+    (render once, serve bytes), vs the per-request `serialize_tile`.
+
+    Shape: features fan out MAP-SIDE to the tiles their (buffered) bbox
+    touches (a sequence-explode over the per-feature tile range — fan-out
+    proportional to feature extent, constant for point data), then ONE
+    (tile_x, tile_y) exchange groups per tile and an applyInPandas
+    kernel clips + command-encodes + assembles each tile's layer bytes
+    IN THE WORKER (a tile's layer tables are tile-local, so no global
+    coordination; features are id-ordered so the output is
+    deterministic and semantically equal to serialize_tile's for the
+    same tile — byte-identical except where clip_features' axis-rect
+    fast path starts the ring at a different vertex than the general
+    Sutherland–Hodgman traversal, which encodes the same polygon).
+    Returns (zoom, tile_x, tile_y, n_features, mvt).
+    """
+    from iceberg_geospatial_api_server_spark.geo.clip import clip_wkb
+    from iceberg_geospatial_api_server_spark.geo.functions import with_bbox
+
+    n = 1 << z
+    fields = list(out_fields or [])
+    cols = ([id_col] if id_col and id_col not in fields else []) + fields
+
+    # per-feature tile range from the buffered bbox (JVM arithmetic):
+    # lon → tile fractions; lat → mercator tile fractions
+    boxed = with_bbox(df, geom_col)
+    bx = F.lit(buffer_px / extent)
+
+    def lon_t(c):
+        return (c + 180.0) / 360.0 * n
+
+    def lat_t(c):
+        rad = F.radians(c)
+        return (
+            (1.0 - F.log(F.tan(rad) + 1.0 / F.cos(rad)) / math.pi) / 2.0 * n
+        )
+
+    tx0 = F.greatest(
+        F.floor(lon_t(F.col("__bbox_xmin")) - bx).cast("long"), F.lit(0)
+    )
+    tx1 = F.least(
+        F.floor(lon_t(F.col("__bbox_xmax")) + bx).cast("long"), F.lit(n - 1)
+    )
+    # y flips: ymax → smaller tile_y
+    ty0 = F.greatest(
+        F.floor(lat_t(F.col("__bbox_ymax")) - bx).cast("long"), F.lit(0)
+    )
+    ty1 = F.least(
+        F.floor(lat_t(F.col("__bbox_ymin")) + bx).cast("long"), F.lit(n - 1)
+    )
+    fanned = (
+        boxed.withColumn("tile_x", F.explode(F.sequence(tx0, tx1)))
+        .withColumn("tile_y", F.explode(F.sequence(ty0, ty1)))
+        .select("tile_x", "tile_y", geom_col, *cols)
+    )
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        xmin, ymin, xmax, ymax = tile_bbox(z, tx, ty)
+        bxd = (xmax - xmin) * buffer_px / extent
+        byd = (ymax - ymin) * buffer_px / extent
+        bbox = (xmin - bxd, ymin - byd, xmax + bxd, ymax + byd)
+        if id_col:
+            pdf = pdf.sort_values(id_col, kind="mergesort")
+        feats = []
+        for _, row in pdf.iterrows():
+            buf = row[geom_col]
+            if buf is None:
+                continue
+            clipped = clip_wkb(bytes(buf), bbox)
+            if clipped is None:
+                continue
+            enc = encode_geometry_commands(clipped, z, tx, ty, extent)
+            if enc is None:
+                continue
+            attrs = {
+                c: (None if pd.isna(row[c]) else row[c]) for c in fields
+            }
+            fid = int(row[id_col]) if id_col else None
+            feats.append((fid, attrs, enc[0], enc[1]))
+            if len(feats) >= max_features:
+                break
+        if not feats:
+            return pd.DataFrame(
+                columns=["zoom", "tile_x", "tile_y", "n_features", "mvt"]
+            )
+        return pd.DataFrame(
+            {
+                "zoom": [z],
+                "tile_x": [tx],
+                "tile_y": [ty],
+                "n_features": [len(feats)],
+                "mvt": [build_layer(layer_name, feats, extent)],
+            }
+        )
+
+    return (
+        fanned.groupBy("tile_x", "tile_y")
+        .applyInPandas(build, _TILE_ROW_SCHEMA)
+        .orderBy("tile_x", "tile_y")
+    )

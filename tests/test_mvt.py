@@ -199,3 +199,84 @@ def test_get_tile_api_route(spark):
     assert "a" in layer["values"]
     empty, _ = get_tile(df, 4, 0, 0)
     assert empty == b""
+
+
+def test_render_tiles_matches_serialize_tile(spark):
+    """One-pass pre-rendering must produce byte-identical tiles to the
+    per-request path, cover exactly the occupied tiles, and clip
+    spanning polygons into every touched tile."""
+    from iceberg_geospatial_api_server_spark.serializers.mvt import (
+        render_tiles,
+    )
+
+    rng = __import__("random").Random(17)
+    rows = [
+        {
+            "fid": i,
+            "geometry": W.encode_point(rng.uniform(-170, 170), rng.uniform(-75, 75)),
+            "kind": f"k{i % 3}",
+        }
+        for i in range(40)
+    ]
+    # one polygon spanning several z2 tiles
+    rows.append(
+        {
+            "fid": 100,
+            "geometry": W.encode_polygon(
+                [
+                    np.array(
+                        [
+                            [-100.0, -30.0],
+                            [60.0, -30.0],
+                            [60.0, 40.0],
+                            [-100.0, 40.0],
+                            [-100.0, -30.0],
+                        ]
+                    )
+                ]
+            ),
+            "kind": "poly",
+        }
+    )
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    z = 2
+    batch = {
+        (r.tile_x, r.tile_y): (r.n_features, bytes(r.mvt))
+        for r in render_tiles(
+            df, z, layer_name="L", out_fields=["kind"], id_col="fid"
+        ).collect()
+    }
+    assert batch  # occupied tiles exist
+    # polygon appears in every tile its bbox touches
+    poly_tiles = [
+        t for t, (_, b) in batch.items()
+        if any(f["id"] == 100 for f in decode_tile(b)[0]["features"])
+    ]
+    assert len(poly_tiles) >= 4
+    # per-tile SEMANTIC equality with the per-request path (ring start
+    # vertex may differ between the axis-rect fast clip and the general
+    # SH traversal — same polygon, different MoveTo)
+    def canon(tile_bytes):
+        layer = decode_tile(tile_bytes)[0]
+        out = []
+        for f in sorted(layer["features"], key=lambda f: f["id"]):
+            attrs = tuple(
+                (layer["keys"][k], layer["values"][v])
+                for k, v in zip(f["tags"][::2], f["tags"][1::2])
+            )
+            paths = sorted(frozenset(p) for p in f["paths"])
+            out.append((f["id"], f["type"], attrs, paths))
+        return layer["name"], out
+
+    for (tx, ty), (nf, b) in list(batch.items())[:6]:
+        single = serialize_tile(
+            df, z, tx, ty, layer_name="L", out_fields=["kind"], id_col="fid"
+        )
+        assert canon(single) == canon(b), (tx, ty)
+    # empty tile agreement: a tile absent from batch is empty per-request
+    all_tiles = {(x, y) for x in range(4) for y in range(4)}
+    for tx, ty in sorted(all_tiles - set(batch))[:3]:
+        assert (
+            serialize_tile(df, z, tx, ty, layer_name="L", out_fields=["kind"], id_col="fid")
+            == b""
+        )
