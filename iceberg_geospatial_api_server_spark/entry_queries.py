@@ -4124,6 +4124,22 @@ def text_tfidf_topk_q(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
 
 
+@_q("mm_scene_cuts")  # rows-only: real PNG decode is engine-internal
+def mm_scene_cuts_q(spark, sf_dir):
+    """Shot-boundary detection over REAL decoded video frames: per-frame
+    pHash (map-side, 8 bytes/frame leave the stage) → lag + threshold on
+    one doc exchange; planted scene boundaries recovered exactly in
+    tests/test_multimodal.py (operators/multimodal.py scene_cuts)."""
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        scene_cuts,
+        synthesize_frame_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").limit(40)
+    frames = synthesize_frame_corpus(docs, n_frames=24, scene_every=8)
+    return scene_cuts(frames, hamming_threshold=16)
+
+
 @_q("ann_ivfpq_topk")  # rows-only: approximate by design (recall tested)
 def ann_ivfpq_q(spark, sf_dir):
     """IVF-PQ: inverted lists bound what's scored, 8-byte PQ codes bound

@@ -560,3 +560,128 @@ def audio_fingerprint(
     return src.select("doc_id", "payload", "codec").mapInPandas(
         kernel, "doc_id long, phash long"
     )
+
+
+def synthesize_frame_corpus(
+    docs: DataFrame,
+    n_frames: int = 24,
+    scene_every: int = 8,
+) -> DataFrame:
+    """Deterministic video-frame fixture: each doc_id becomes a sequence
+    of REAL PNG frames (doc_id, frame_idx, frame_png) where a new scene
+    starts every ``scene_every`` frames — within a scene, frames are the
+    scene's base image with small per-frame brightness jitter (camera
+    noise); at a scene boundary the base image changes entirely. The
+    planted ground truth for `scene_cuts`.
+
+    mapInPandas: frame encoding is distributed; nothing gathers on the
+    driver."""
+
+    def base_image(seed: int) -> np.ndarray:
+        rng = np.random.RandomState(seed)
+        g = rng.randint(0, 256, size=(8, 8))
+        return g.repeat(4, axis=0).repeat(4, axis=1).astype(np.uint8)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from iceberg_geospatial_api_server_spark.operators import media_codecs
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                for f in range(n_frames):
+                    scene = f // scene_every
+                    img = base_image(d * 1000 + scene).astype("i4")
+                    jitter = np.random.RandomState(d * 100000 + f).randint(
+                        -2, 3, size=img.shape
+                    )
+                    img = np.clip(img + jitter, 0, 255).astype(np.uint8)
+                    rgb = np.stack([img, img, img], axis=2)
+                    rows.append((d, f, media_codecs.encode_png(rgb)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_png"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        kernel, "doc_id long, frame_idx int, frame_png binary"
+    )
+
+
+def scene_cuts(
+    frames: DataFrame, hamming_threshold: int = 16
+) -> DataFrame:
+    """Shot-boundary (scene-cut) detection over a frame table: each
+    frame's 64-bit pHash (REAL PNG decode → DCT hash — the same kernel
+    image dedup uses, robust to in-scene noise), then a lag over
+    (doc_id ORDER BY frame_idx) marks a cut wherever the Hamming
+    distance to the previous frame exceeds the threshold.
+
+    Scale shape: the pHash pass is map-side mapInPandas (8 bytes per
+    frame leave the stage, never pixels); ONE doc-key exchange runs the
+    lag and the per-video aggregate together. Returns one row per video:
+    n_frames, n_cuts, first_cut (frame index, NULL when single-scene),
+    mean in-scene hamming vs mean at-cut hamming quantized to integers
+    (a separation diagnostic).
+    """
+    from pyspark.sql import Window
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from iceberg_geospatial_api_server_spark.operators import media_codecs
+
+        for pdf in batches:
+            rows = []
+            for doc_id, fi, buf in zip(
+                pdf["doc_id"], pdf["frame_idx"], pdf["frame_png"]
+            ):
+                img = media_codecs.decode_image(bytes(buf), "png")
+                gray = (
+                    img.astype("f8").mean(axis=2)
+                    if img.ndim == 3
+                    else img.astype("f8")
+                )
+                rows.append((int(doc_id), int(fi), phash64_of_gray(gray)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "phash64"]
+            )
+
+    hashed = frames.select("doc_id", "frame_idx", "frame_png").mapInPandas(
+        kernel, "doc_id long, frame_idx int, phash64 long"
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    with_prev = hashed.withColumn("__prev", F.lag("phash64").over(w))
+    dist = F.bit_count(F.col("phash64").bitwiseXOR(F.col("__prev")))
+    flagged = with_prev.withColumn(
+        "__d", F.when(F.col("__prev").isNotNull(), dist)
+    ).withColumn(
+        "__cut",
+        (F.col("__d") > hamming_threshold).cast("int"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.coalesce(F.sum("__cut"), F.lit(0)).cast("long").alias("n_cuts"),
+            F.min(F.when(F.col("__cut") == 1, F.col("frame_idx"))).alias(
+                "first_cut"
+            ),
+            F.avg(F.when(F.col("__cut") == 0, F.col("__d"))).alias(
+                "__mean_in_scene"
+            ),
+            F.avg(F.when(F.col("__cut") == 1, F.col("__d"))).alias(
+                "__mean_at_cut"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            "n_cuts",
+            "first_cut",
+            F.floor(F.coalesce("__mean_in_scene", F.lit(0.0)) * 100 + 0.5)
+            .cast("long")
+            .alias("in_scene_hamming_c"),
+            F.floor(F.coalesce("__mean_at_cut", F.lit(0.0)) * 100 + 0.5)
+            .cast("long")
+            .alias("at_cut_hamming_c"),
+        )
+        .orderBy("doc_id")
+    )

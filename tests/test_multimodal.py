@@ -469,3 +469,38 @@ def test_audio_fingerprint_amplitude_invariance():
     # a genuinely different clip must differ
     other = rng.normal(0, 0.3, 800)
     assert afp64_of_samples(other) != base
+
+
+def test_scene_cuts_planted_boundaries(spark):
+    """Frame sequences with scenes every 8 frames: cuts must land
+    exactly at the planted boundaries (8, 16) and nowhere else; the
+    in-scene vs at-cut hamming separation must be wide."""
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        scene_cuts,
+        synthesize_frame_corpus,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    frames = synthesize_frame_corpus(docs, n_frames=24, scene_every=8)
+    assert frames.count() == 4 * 24
+    out = {r.doc_id: r for r in scene_cuts(frames, hamming_threshold=16).collect()}
+    for d in range(4):
+        r = out[d]
+        assert r.n_frames == 24
+        assert r.n_cuts == 2, d  # scenes start at 0, 8, 16 → cuts at 8 and 16
+        assert r.first_cut == 8
+        # pHash is noise-robust in-scene and far across scenes
+        assert r.in_scene_hamming_c < 800  # < 8 bits avg
+        assert r.at_cut_hamming_c > 1600  # > 16 bits avg
+
+
+def test_scene_cuts_single_scene_video(spark):
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        scene_cuts,
+        synthesize_frame_corpus,
+    )
+
+    docs = spark.createDataFrame([(7,)], "doc_id long")
+    frames = synthesize_frame_corpus(docs, n_frames=6, scene_every=100)
+    r = scene_cuts(frames, hamming_threshold=16).collect()[0]
+    assert r.n_cuts == 0 and r.first_cut is None
