@@ -4124,6 +4124,79 @@ def text_tfidf_topk_q(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
 
 
+def _decon_spans_oracle(n: int) -> str:
+    k = n - 1
+    return f"""
+    WITH bench AS (
+      SELECT DISTINCT (('0x' || substr(md5(gs), 1, 15))::BIGINT % 2147483647) AS h
+      FROM (SELECT unnest(list_transform(
+              generate_series(1, greatest(len(string_split(text, ' ')) - {k}, 0)),
+              i -> array_to_string(string_split(text, ' ')[i:i+{k}], ' '))) AS gs
+            FROM documents WHERE doc_id % 97 = 0)
+    ), corpus AS (
+      SELECT doc_id, string_split(text, ' ') AS ws
+      FROM documents WHERE doc_id % 97 <> 0
+    ), ex AS (
+      SELECT doc_id, u.i - 1 AS pos,
+             (('0x' || substr(md5(array_to_string(ws[u.i:u.i+{k}], ' ')),
+                             1, 15))::BIGINT % 2147483647) AS h
+      FROM corpus,
+           UNNEST(generate_series(1, greatest(len(ws) - {k}, 0))) u(i)
+    ), hits AS (
+      SELECT doc_id, pos FROM ex JOIN bench USING (h)
+    ), brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) > {n}
+                  THEN 1 ELSE 0 END AS b
+      FROM hits
+    ), isl AS (
+      SELECT doc_id, pos,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS g
+      FROM brk
+    ), spans AS (
+      SELECT doc_id, g, CAST(MIN(pos) AS BIGINT) AS lo,
+             CAST(MAX(pos) + {k} AS BIGINT) AS hi
+      FROM isl GROUP BY doc_id, g
+    ), span_counts AS (
+      SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id
+    ), toks AS (
+      SELECT doc_id, u.i - 1 AS idx, ws[u.i] AS w
+      FROM corpus, UNNEST(generate_series(1, len(ws))) u(i)
+    ), masked AS (
+      SELECT t.doc_id, t.idx,
+             CASE WHEN s.lo IS NOT NULL THEN '<MASK>' ELSE t.w END AS w,
+             CASE WHEN s.lo IS NOT NULL THEN 1 ELSE 0 END AS m
+      FROM toks t LEFT JOIN spans s
+        ON s.doc_id = t.doc_id AND t.idx BETWEEN s.lo AND s.hi
+    )
+    SELECT m.doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(m.m) AS BIGINT) AS n_masked,
+           CAST(COALESCE(MAX(sc.n_spans), 0) AS BIGINT) AS n_spans,
+           md5(string_agg(m.w, ' ' ORDER BY m.idx)) AS scrubbed_md5
+    FROM masked m LEFT JOIN span_counts sc ON m.doc_id = sc.doc_id
+    GROUP BY m.doc_id ORDER BY m.doc_id
+    """
+
+
+@_q("corpus_decontaminate_spans", _decon_spans_oracle(3))
+def corpus_decontaminate_spans_q(spark, sf_dir):
+    """Span-level benchmark decontamination (the surgical variant of
+    corpus_decontaminate): contaminated 8-gram windows merge into
+    maximal spans (the dup_span_stats island machinery) and only those
+    tokens mask; the oracle grades the RECONSTRUCTED masked text md5
+    per document, not just counts (operators/text.py
+    decontaminate_spans)."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        decontaminate_spans,
+    )
+
+    return decontaminate_spans(
+        _t(spark, sf_dir, "documents"), gram_tokens=3
+    )
+
+
 @_q("mm_scene_cuts")  # rows-only: real PNG decode is engine-internal
 def mm_scene_cuts_q(spark, sf_dir):
     """Shot-boundary detection over REAL decoded video frames: per-frame
@@ -5327,6 +5400,8 @@ _ORACLED_OVERFLOW = [
     "customer_pareto",
     # r4 (cont. 2): OD flow matrix, same story
     "geo_od_flows",
+    # r4 (cont. 2): span-level decontamination, same story
+    "corpus_decontaminate_spans",
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

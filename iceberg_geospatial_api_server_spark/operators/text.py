@@ -1551,3 +1551,97 @@ def zipf_fit(
         (F.round("intercept", 6) + F.lit(0.0)).alias("intercept"),
         (F.round("r2", 6) + F.lit(0.0)).alias("r2"),
     )
+
+
+def decontaminate_spans(
+    df: DataFrame,
+    bench_pred: Column | None = None,
+    gram_tokens: int = 8,
+    mask_token: str = "<MASK>",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SPAN-LEVEL benchmark decontamination: instead of dropping every
+    document sharing an n-gram with the benchmark (`decontaminate`),
+    mask only the contaminated token spans — the surgical variant
+    production pipelines use when whole-doc dropping wastes too much
+    clean text (contaminated windows merge into maximal spans by
+    interval union, exactly dup_span_stats' island machinery).
+
+    ``bench_pred`` selects the benchmark slice (default doc_id % 97 == 0,
+    the `decontaminate` convention). Returns per KEPT-corpus document:
+    n_tokens, n_masked, n_spans, and md5 of the reconstructed masked
+    text — so an oracle grades the reconstruction itself, not just the
+    counts.
+
+    Plan: benchmark grams broadcast (benchmark-sized); corpus gram
+    positions explode map-side into the broadcast semi-join (no corpus
+    shuffle to find hits); hit positions shuffle ONCE on the doc key
+    for the island merge; the merged interval list (bounded per doc)
+    joins back and the mask applies as a JVM higher-order transform
+    over the token array — no Python anywhere.
+    """
+    from pyspark.sql import Window
+
+    if bench_pred is None:
+        bench_pred = F.col(id_col) % 97 == 0
+    n = int(gram_tokens)
+    c = F.col(text_col)
+    corpus = df.filter(~bench_pred)
+    bench_grams = (
+        df.filter(bench_pred)
+        .select(F.explode(overlapping_gram_strings(c, n)).alias("__g"))
+        .select(word_hash(F.col("__g")).alias("__h"))
+        .distinct()
+    )
+    ex = corpus.select(
+        F.col(id_col), F.posexplode(overlapping_gram_strings(c, n)).alias("pos", "__g")
+    ).select(id_col, "pos", word_hash(F.col("__g")).alias("__h"))
+    hits = ex.join(F.broadcast(bench_grams), "__h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) > F.lit(n), F.lit(1)
+    ).otherwise(F.lit(0))
+    spans = (
+        hits.withColumn("__isl", F.sum(brk).over(w))
+        .groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").cast("long").alias("lo"),
+            (F.max("pos") + F.lit(n - 1)).cast("long").alias("hi"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct("lo", "hi")).alias("__spans"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+    )
+    toks = tokens(c)
+    joined = corpus.join(spans, id_col, "left")
+    empty = F.array().cast("array<struct<lo:bigint,hi:bigint>>")
+    sp = F.coalesce(F.col("__spans"), empty)
+    masked_tok = F.transform(
+        toks,
+        lambda t, i: F.when(
+            F.exists(
+                sp, lambda s: (s["lo"] <= i.cast("long")) & (i.cast("long") <= s["hi"])
+            ),
+            F.lit(mask_token),
+        ).otherwise(t),
+    )
+    n_masked = F.size(
+        F.filter(
+            F.sequence(F.lit(0), F.size(toks) - 1),
+            lambda i: F.exists(
+                sp, lambda s: (s["lo"] <= i.cast("long")) & (i.cast("long") <= s["hi"])
+            ),
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        n_masked.cast("long").alias("n_masked"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.md5(F.concat_ws(" ", masked_tok).cast("binary")).alias(
+            "scrubbed_md5"
+        ),
+    ).orderBy(id_col)

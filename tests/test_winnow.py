@@ -166,3 +166,46 @@ def test_zipf_fit_powerlaw_slope(spark):
     ly = [math.floor(math.log(f) * 1e6 + 0.5) for f in freqs]
     slope, intercept = np.polyfit(lx, ly, 1)
     assert abs(got.slope - round(slope, 6)) < 1e-4
+
+
+def test_decontaminate_spans_crafted(spark):
+    """Planted contamination: corpus doc shares two separated trigram
+    runs with the benchmark doc — exactly those token spans mask,
+    overlapping windows merge into maximal spans, and the scrubbed text
+    matches the hand-built expectation."""
+    import hashlib
+
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        decontaminate_spans,
+    )
+    from pyspark.sql import functions as F
+
+    bench = "alpha beta gamma delta xxx yyy zzz omega psi chi"
+    clean = ["c%d" % i for i in range(12)]
+    # doc 1: a 4-token contaminated run (two overlapping trigrams) at
+    # 3..6 and a separate 3-token run at 10..12
+    doc1 = (
+        "a0 a1 a2 alpha beta gamma delta a7 a8 a9 omega psi chi a13"
+    )
+    df = spark.createDataFrame(
+        [(0, bench), (1, doc1), (2, " ".join(clean))],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in decontaminate_spans(
+            df, bench_pred=F.col("doc_id") == 0, gram_tokens=3
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert r1.n_spans == 2
+    assert r1.n_masked == 4 + 3
+    expected = (
+        "a0 a1 a2 <MASK> <MASK> <MASK> <MASK> a7 a8 a9 "
+        "<MASK> <MASK> <MASK> a13"
+    )
+    assert r1.scrubbed_md5 == hashlib.md5(expected.encode()).hexdigest()
+    r2 = out[2]
+    assert r2.n_masked == 0 and r2.n_spans == 0
+    assert r2.scrubbed_md5 == hashlib.md5(" ".join(clean).encode()).hexdigest()
