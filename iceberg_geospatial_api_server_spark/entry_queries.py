@@ -4197,6 +4197,78 @@ def corpus_decontaminate_spans_q(spark, sf_dir):
     )
 
 
+def _dedup_spans_oracle(n: int, min_docs: int) -> str:
+    k = n - 1
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), ex AS (
+      SELECT doc_id, u.i - 1 AS pos,
+             (('0x' || substr(md5(array_to_string(ws[u.i:u.i+{k}], ' ')),
+                             1, 15))::BIGINT % 2147483647) AS h
+      FROM corpus,
+           UNNEST(generate_series(1, greatest(len(ws) - {k}, 0))) u(i)
+    ), census AS (
+      SELECT h, COUNT(*) AS nd, MIN(doc_id) AS keeper
+      FROM (SELECT h, doc_id FROM ex GROUP BY h, doc_id)
+      GROUP BY h
+    ), hits AS (
+      SELECT e.doc_id, e.pos
+      FROM ex e JOIN census c ON e.h = c.h
+      WHERE c.nd >= {min_docs} AND e.doc_id <> c.keeper
+    ), brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) > {n}
+                  THEN 1 ELSE 0 END AS b
+      FROM hits
+    ), isl AS (
+      SELECT doc_id, pos,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS g
+      FROM brk
+    ), spans AS (
+      SELECT doc_id, g, CAST(MIN(pos) AS BIGINT) AS lo,
+             CAST(MAX(pos) + {k} AS BIGINT) AS hi
+      FROM isl GROUP BY doc_id, g
+    ), span_counts AS (
+      SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id
+    ), toks AS (
+      SELECT doc_id, u.i - 1 AS idx, ws[u.i] AS w
+      FROM corpus, UNNEST(generate_series(1, len(ws))) u(i)
+    ), masked AS (
+      SELECT t.doc_id, t.idx,
+             CASE WHEN s.lo IS NOT NULL THEN '<MASK>' ELSE t.w END AS w,
+             CASE WHEN s.lo IS NOT NULL THEN 1 ELSE 0 END AS m
+      FROM toks t LEFT JOIN spans s
+        ON s.doc_id = t.doc_id AND t.idx BETWEEN s.lo AND s.hi
+    )
+    SELECT m.doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(m.m) AS BIGINT) AS n_masked,
+           CAST(COALESCE(MAX(sc.n_spans), 0) AS BIGINT) AS n_spans,
+           md5(string_agg(m.w, ' ' ORDER BY m.idx)) AS scrubbed_md5
+    FROM masked m LEFT JOIN span_counts sc ON m.doc_id = sc.doc_id
+    GROUP BY m.doc_id ORDER BY m.doc_id
+    """
+
+
+@_q("dedup_spans_scrub", _dedup_spans_oracle(8, 2))
+def dedup_spans_scrub_q(spark, sf_dir):
+    """Span-level dedup MATERIALIZATION (the removal step of Lee et
+    al.'s substring dedup): cross-doc duplicated 8-grams keep their
+    smallest-doc occurrence and mask everywhere else; the oracle grades
+    the reconstructed masked text md5 per document
+    (operators/text.py dedup_spans_scrub over the shared
+    _mask_hit_spans pipeline)."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        dedup_spans_scrub,
+    )
+
+    return dedup_spans_scrub(
+        _t(spark, sf_dir, "documents"), gram_tokens=8, min_docs=2
+    )
+
+
 @_q("mm_scene_cuts")  # rows-only: real PNG decode is engine-internal
 def mm_scene_cuts_q(spark, sf_dir):
     """Shot-boundary detection over REAL decoded video frames: per-frame
@@ -5400,8 +5472,10 @@ _ORACLED_OVERFLOW = [
     "customer_pareto",
     # r4 (cont. 2): OD flow matrix, same story
     "geo_od_flows",
-    # r4 (cont. 2): span-level decontamination, same story
+    # r4 (cont. 2): span-level decontamination + dedup materialization,
+    # same story
     "corpus_decontaminate_spans",
+    "dedup_spans_scrub",
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

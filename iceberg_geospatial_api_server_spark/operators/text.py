@@ -1598,6 +1598,25 @@ def decontaminate_spans(
         F.col(id_col), F.posexplode(overlapping_gram_strings(c, n)).alias("pos", "__g")
     ).select(id_col, "pos", word_hash(F.col("__g")).alias("__h"))
     hits = ex.join(F.broadcast(bench_grams), "__h").select(id_col, "pos")
+    return _mask_hit_spans(corpus, hits, n, mask_token, text_col, id_col)
+
+
+def _mask_hit_spans(
+    corpus: DataFrame,
+    hits: DataFrame,
+    n: int,
+    mask_token: str,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared span-masking pipeline: hit gram positions (id, pos) merge
+    into maximal [pos, pos+n-1] spans by interval union (ONE doc-key
+    exchange), the bounded per-doc span list joins back, and the mask
+    applies as a JVM higher-order transform; output carries the
+    reconstructed-text md5 so oracles grade the reconstruction."""
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
     w = Window.partitionBy(id_col).orderBy("pos")
     brk = F.when(
         F.col("pos") - F.lag("pos").over(w) > F.lit(n), F.lit(1)
@@ -1619,22 +1638,14 @@ def decontaminate_spans(
     joined = corpus.join(spans, id_col, "left")
     empty = F.array().cast("array<struct<lo:bigint,hi:bigint>>")
     sp = F.coalesce(F.col("__spans"), empty)
+    in_span = lambda i: F.exists(  # noqa: E731
+        sp, lambda s: (s["lo"] <= i.cast("long")) & (i.cast("long") <= s["hi"])
+    )
     masked_tok = F.transform(
-        toks,
-        lambda t, i: F.when(
-            F.exists(
-                sp, lambda s: (s["lo"] <= i.cast("long")) & (i.cast("long") <= s["hi"])
-            ),
-            F.lit(mask_token),
-        ).otherwise(t),
+        toks, lambda t, i: F.when(in_span(i), F.lit(mask_token)).otherwise(t)
     )
     n_masked = F.size(
-        F.filter(
-            F.sequence(F.lit(0), F.size(toks) - 1),
-            lambda i: F.exists(
-                sp, lambda s: (s["lo"] <= i.cast("long")) & (i.cast("long") <= s["hi"])
-            ),
-        )
+        F.filter(F.sequence(F.lit(0), F.size(toks) - 1), in_span)
     )
     return joined.select(
         F.col(id_col),
@@ -1645,3 +1656,45 @@ def decontaminate_spans(
             "scrubbed_md5"
         ),
     ).orderBy(id_col)
+
+
+def dedup_spans_scrub(
+    df: DataFrame,
+    gram_tokens: int = 8,
+    min_docs: int = 2,
+    mask_token: str = "<MASK>",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level dedup MATERIALIZATION — the removal step of Lee et
+    al.'s substring dedup over `dup_span_stats`'s signal: a token
+    n-gram occurring in ≥ ``min_docs`` distinct documents is kept in
+    its SMALLEST doc id (the deterministic keep-first convention the
+    exact-dedup family uses) and masked everywhere else; overlapping
+    masked windows merge into maximal spans.
+
+    Plan: the cross-doc gram census aggregates on (hash, doc) FIRST
+    (boilerplate grams never funnel one reducer — the dup_span_stats
+    shape) then per hash (distinct-doc count + keeper); non-keeper hit
+    positions re-shuffle once on the doc key into the shared masking
+    pipeline. The keeper doc keeps ALL its occurrences (within-doc
+    repetition is `text_repetition_profile`'s business, not dedup's).
+    """
+    n = int(gram_tokens)
+    c = F.col(text_col)
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(overlapping_gram_strings(c, n)).alias("pos", "__g"),
+    ).select(id_col, "pos", word_hash(F.col("__g")).alias("__h"))
+    per_doc = ex.groupBy("__h", id_col).agg(F.count(F.lit(1)).alias("__c"))
+    census = per_doc.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__nd"),
+        F.min(id_col).alias("__keeper"),
+    )
+    dup = census.filter(F.col("__nd") >= min_docs).select("__h", "__keeper")
+    hits = (
+        ex.join(dup, "__h")
+        .filter(F.col(id_col) != F.col("__keeper"))
+        .select(id_col, "pos")
+    )
+    return _mask_hit_spans(df, hits, n, mask_token, text_col, id_col)

@@ -209,3 +209,30 @@ def test_decontaminate_spans_crafted(spark):
     r2 = out[2]
     assert r2.n_masked == 0 and r2.n_spans == 0
     assert r2.scrubbed_md5 == hashlib.md5(" ".join(clean).encode()).hexdigest()
+
+
+def test_dedup_spans_scrub_keep_first(spark):
+    """Two docs share an 8-token run: the smaller doc id keeps it, the
+    larger gets it masked; a third unrelated doc is untouched."""
+    import hashlib
+
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        dedup_spans_scrub,
+    )
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    d0 = f"a1 a2 {shared} a3 a4"
+    d1 = f"b1 b2 b3 {shared} b4"
+    d2 = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    df = spark.createDataFrame(
+        [(0, d0), (1, d1), (2, d2)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_spans_scrub(df, gram_tokens=8, min_docs=2).collect()
+    }
+    assert out[0].n_masked == 0  # keeper
+    assert out[1].n_masked == 8 and out[1].n_spans == 1
+    expected = "b1 b2 b3 " + " ".join(["<MASK>"] * 8) + " b4"
+    assert out[1].scrubbed_md5 == hashlib.md5(expected.encode()).hexdigest()
+    assert out[2].n_masked == 0
