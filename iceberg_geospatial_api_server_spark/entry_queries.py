@@ -4300,6 +4300,80 @@ def events_dau_rolling_q(spark, sf_dir):
     )
 
 
+@_q(
+    "text_ngram_novelty",
+    """
+    WITH corpus AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), ex AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(array_to_string(ws[u.i:u.i+2], ' ')),
+                             1, 15))::BIGINT % 2147483647) AS h
+      FROM corpus,
+           UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) u(i)
+    ), census AS (
+      SELECT h, MIN(doc_id) AS first_doc
+      FROM (SELECT DISTINCT h, doc_id FROM ex)
+      GROUP BY h
+    ), per_doc AS (
+      SELECT e.doc_id,
+             COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN c.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM ex e JOIN census c USING (h)
+      GROUP BY e.doc_id
+    )
+    SELECT doc_id, n_grams, n_novel,
+           CAST((n_novel * 1000000) // n_grams AS BIGINT) AS novelty_micro
+    FROM per_doc ORDER BY doc_id
+    """,
+)
+def text_ngram_novelty_q(spark, sf_dir):
+    """Per-document trigram novelty in doc-id order: the fraction of a
+    doc's gram OCCURRENCES whose gram first appears in that doc (the
+    smallest-id convention) — the redundancy-growth curve a crawl's
+    data card reports (novelty decays as the corpus saturates).
+    (hash, doc)-keyed distinct before the census (boilerplate grams
+    never funnel a reducer); integer micro-grain ratio."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        trigram_strings,
+    )
+    from iceberg_geospatial_api_server_spark.operators.dedup import word_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        F.explode(trigram_strings(F.col("text"))).alias("__g"),
+    ).select("doc_id", word_hash(F.col("__g")).alias("__h"))
+    census = (
+        ex.select("__h", "doc_id")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.min("doc_id").alias("__first"))
+    )
+    return (
+        ex.join(census, "__h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("__first") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("CAST((n_novel * 1000000) DIV n_grams AS BIGINT)").alias(
+                "novelty_micro"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _dedup_spans_oracle(n: int, min_docs: int) -> str:
     k = n - 1
     return f"""
@@ -5583,6 +5657,8 @@ _ORACLED_OVERFLOW = [
     # same story
     "text_lang_confusion",
     "events_dau_rolling",
+    # r4 (cont. 2): novelty curve, same story
+    "text_ngram_novelty",
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):
