@@ -4300,6 +4300,75 @@ def events_dau_rolling_q(spark, sf_dir):
     )
 
 
+_WILSON_STEPS: list[tuple[str, str]] = [
+    ("n_d", "CAST(n_total AS DOUBLE)"),
+    ("p_hat", "CAST(n_errors AS DOUBLE) / n_d"),
+    ("z2", "1.96 * 1.96"),
+    (
+        "wilson_lo",
+        "(p_hat + z2 / (2.0 * n_d)"
+        " - 1.96 * SQRT(p_hat * (1.0 - p_hat) / n_d"
+        "              + z2 / (4.0 * n_d * n_d)))"
+        " / (1.0 + z2 / n_d)",
+    ),
+]
+
+
+def _error_rate_oracle() -> str:
+    sql = """
+    WITH hours AS (
+      SELECT CAST(FLOOR(CAST(FLOOR(epoch_us(ts) / 1000000) AS BIGINT)
+                        / 3600) AS BIGINT) AS hour,
+             COUNT(*) AS n_total,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_errors
+      FROM events GROUP BY 1
+    )"""
+    prev = "hours"
+    for i, (name, expr) in enumerate(_WILSON_STEPS):
+        sql += f", w{i} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        prev = f"w{i}"
+    sql += f"""
+    SELECT hour, n_total, n_errors,
+           CAST((n_errors * 1000000) // n_total AS BIGINT) AS rate_micro,
+           ROUND(wilson_lo, 6) + 0.0 AS wilson_lo
+    FROM {prev} ORDER BY hour
+    """
+    return sql
+
+
+@_q("events_error_rate", _error_rate_oracle())
+def events_error_rate_q(spark, sf_dir):
+    """Per-hour error rate with the Wilson 95% lower confidence bound —
+    the SLO/alerting statistic (Wilson, not the naive ratio, is what a
+    burn-rate alert should use at low volume). Counts are exact
+    integers off one hour-key exchange; the Wilson algebra is shared
+    expression text (the GI_STEPS pattern), so the 6-dp bound
+    hash-matches."""
+    from iceberg_geospatial_api_server_spark.util import epoch_of
+
+    events = _t(spark, sf_dir, "events")
+    sec = epoch_of(events, "ts")
+    hour = F.floor(sec("ts", "SECOND") / F.lit(3600)).cast("long")
+    out = events.groupBy(hour.alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_errors"),
+    )
+    for name, sql in _WILSON_STEPS:
+        out = out.withColumn(name, F.expr(sql))
+    return out.select(
+        "hour",
+        "n_total",
+        "n_errors",
+        F.expr("CAST((n_errors * 1000000) DIV n_total AS BIGINT)").alias(
+            "rate_micro"
+        ),
+        (F.round("wilson_lo", 6) + F.lit(0.0)).alias("wilson_lo"),
+    ).orderBy("hour")
+
+
 @_q(
     "text_ngram_novelty",
     """
