@@ -1713,3 +1713,172 @@ def customer_pareto(orders: DataFrame, n_buckets: int = 10) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+def orders_cohort_ltv(orders: DataFrame) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month (the acquisition cohort), then each cohort's order volume,
+    active-customer count, and cumulative revenue per month-of-age —
+    the retention-revenue matrix behind "what is a January-acquired
+    customer worth after three months" (the reference serves this class
+    of query through its SQL surface, cookbook §2.5 aggregations).
+
+    Exactness: revenue is DECIMAL(18,6) end-to-end (associative, so
+    partitioning-independent) up to the final per-customer division,
+    which runs the identical half-free FLOOR grid on both engines —
+    decimal/integer-derived values can land EXACTLY on rounding halves
+    where Spark's HALF_UP decimal render and DuckDB's binary-double
+    ROUND split.
+
+    Scale shape: one custkey exchange for the per-customer first-month
+    aggregate; the fact re-joins it on the SAME key (sort-merge with the
+    aggregate's partitioning reused — no broadcast assumption: at
+    100 TB the per-customer side is dimension-at-fact-scale); the
+    cohort×age aggregate and its cumulative window run over a bounded
+    months×months frame, and the cohort-size join broadcasts a
+    months-sized table.
+    """
+    mo = (
+        F.year("o_orderdate") * F.lit(12) + F.month("o_orderdate") - F.lit(1)
+    ).cast("long")
+    o = orders.select(
+        "o_custkey",
+        mo.alias("mo"),
+        F.col("o_totalprice").cast("decimal(18,6)").alias("price"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("mo").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    aged = o.join(first, "o_custkey").select(
+        "cohort",
+        (F.col("mo") - F.col("cohort")).alias("age"),
+        "price",
+        "o_custkey",
+    )
+    grp = aged.groupBy("cohort", "age").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.sum("price").alias("rev"),
+    )
+    w_cum = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = grp.withColumn("cum_rev", F.sum("rev").over(w_cum)).join(
+        F.broadcast(sizes), "cohort"
+    )
+    return out.select(
+        (
+            F.floor(F.col("cohort") / F.lit(12)) * F.lit(100)
+            + F.pmod(F.col("cohort"), F.lit(12))
+            + F.lit(1)
+        )
+        .cast("long")
+        .alias("cohort_month"),
+        F.col("age").cast("long").alias("age"),
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            F.floor(
+                F.col("cum_rev").cast("double")
+                / F.col("n_customers")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("ltv_per_customer"),
+    ).orderBy("cohort_month", "age")
+
+
+SEASONAL_STEPS: list[tuple[str, str]] = [
+    # hour-of-week baseline moments from exact integer sums — shared
+    # expression text so the float op sequence is engine-identical
+    ("n_d", "CAST(n_hours AS DOUBLE)"),
+    ("mean_c", "CAST(sx AS DOUBLE) / n_d"),
+    (
+        "var_c",
+        "(CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_d) / (n_d - 1.0)",
+    ),
+]
+
+# anomaly predicate on the dense hourly series vs its hour-of-week
+# baseline: squared deviation beyond z²·var (z=3, pre-folded literal —
+# DECIMAL literal×literal products overflow DuckDB)
+SEASONAL_FLAG = (
+    "(CAST(c AS DOUBLE) - mean_c) * (CAST(c AS DOUBLE) - mean_c)"
+    " > 9.0 * var_c"
+)
+
+
+def events_seasonal_anomaly(events: DataFrame) -> DataFrame:
+    """Seasonal-baseline anomaly detection over event volume: hourly
+    counts on a dense zero-filled spine, a per-hour-of-week baseline
+    (mean/variance across weeks — traffic has a strong weekly cycle, so
+    Monday-9am only ever compares to other Monday-9ams), and a count of
+    hours deviating beyond 3σ. The observability complement to
+    events_cusum (level shifts) and events_outliers (per-user values):
+    this one catches "this hour is abnormal FOR THIS HOUR-OF-WEEK".
+
+    Exactness: baseline moments come from exact integer sums; the mean
+    is reported on the half-free FLOOR grid (integer-derived values
+    land exactly on ROUND halves), the sd via ROUND (sqrt-derived —
+    halves have measure zero); the 3σ predicate is one identical IEEE
+    comparison on both engines via shared expression text.
+
+    Scale shape: ONE corpus exchange builds the hourly counts; the
+    spine, the 168-row baseline, its broadcast back onto the
+    hours-sized dense series, and the final per-hour-of-week aggregate
+    are all bounded by hours, never events.
+    """
+    sec = epoch_of(events, "ts")
+    hour = F.floor(sec("ts", "SECOND") / F.lit(3600)).cast("long")
+    counts = events.groupBy(hour.alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    dense = spine.join(counts, "h", "left").select(
+        "h",
+        F.coalesce("c", F.lit(0)).alias("c"),
+        F.pmod(F.col("h"), F.lit(168)).alias("how"),
+    )
+    base = dense.groupBy("how").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("c").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).alias("sxx"),
+    )
+    for name, sql in SEASONAL_STEPS:
+        base = base.withColumn(name, F.expr(sql))
+    flags = (
+        dense.join(F.broadcast(base.select("how", "mean_c", "var_c")), "how")
+        .groupBy("how")
+        .agg(
+            F.sum(F.when(F.expr(SEASONAL_FLAG), 1).otherwise(0))
+            .cast("long")
+            .alias("n_anomalies")
+        )
+    )
+    return (
+        base.join(flags, "how")
+        .select(
+            F.col("how").cast("int").alias("how"),
+            F.col("n_hours").cast("long").alias("n_hours"),
+            F.col("sx").cast("long").alias("total_events"),
+            (
+                F.floor(F.col("mean_c") * F.lit(1000000.0) + F.lit(0.5))
+                / F.lit(1000000.0)
+            ).alias("mean_events"),
+            (F.round(F.sqrt(F.col("var_c")), 6) + F.lit(0.0)).alias(
+                "sd_events"
+            ),
+            "n_anomalies",
+        )
+        .orderBy("how")
+    )
