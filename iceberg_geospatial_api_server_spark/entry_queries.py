@@ -4477,6 +4477,79 @@ def events_seasonal_anomaly_q(spark, sf_dir):
 
 
 @_q(
+    "text_containment_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_GRAMS} AS grams FROM documents),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             LEN(list_intersect(a.grams, b.grams))::DOUBLE AS inter,
+             LEN(a.grams)::DOUBLE AS na, LEN(b.grams)::DOUBLE AS nb
+      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ), c AS (
+      SELECT id_a, id_b,
+             CASE WHEN na > 0 THEN inter / na ELSE 0.0 END AS c_ab,
+             CASE WHEN nb > 0 THEN inter / nb ELSE 0.0 END AS c_ba
+      FROM p
+    )
+    SELECT id_a, id_b,
+           ROUND(c_ab, 6) AS containment_ab,
+           ROUND(c_ba, 6) AS containment_ba
+    FROM c WHERE c_ab >= 0.5 OR c_ba >= 0.5
+    """,
+)
+def text_containment_q(spark, sf_dir):
+    """Asymmetric shingle containment pairs (sub-document duplication
+    that symmetric Jaccard dilutes — operators/dedup.py
+    ngram_containment_pairs; same lang blocking and portable gram
+    hashes as the graded ngram_jaccard_pairs)."""
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, ["lang"], n=3, threshold=0.5)
+
+
+@_q(
+    "events_session_paths",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM g
+    ), sess AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             COUNT(*) AS n
+      FROM s GROUP BY user_id, session_seq
+    )
+    SELECT path, COUNT(*) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS total_events
+    FROM sess GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 25
+    """,
+)
+def events_session_paths_q(spark, sf_dir):
+    """Top-25 user-journey paths ('>'-joined session event sequences,
+    totally ordered by ts then event_id — operators/relational.py
+    session_paths; the discovery complement to the hypothesis-driven
+    events_funnel)."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        session_paths,
+    )
+
+    return session_paths(_t(spark, sf_dir, "events"), gap_minutes=30, k=25)
+
+
+@_q(
     "text_ngram_novelty",
     """
     WITH corpus AS (
@@ -5852,6 +5925,15 @@ _ORACLED_OVERFLOW = [
     "ann_bruteforce_topk",  # driver-green r1+r2+r3; the cosine-top-k
     # kernel is graded in-window by ann_ivfpq_exhaustive's exact
     # re-rank contract and locally by the ANN recall suite
+    # r4 (cont. 3): two more rotate out so the containment-dedup and
+    # user-journey oracles (text_containment_pairs, events_session_paths)
+    # are graded in the round they land:
+    "geo_extent",  # driver-green r1+r3; the WKB bbox decode + min/max
+    # extent machinery is graded in-window by fq_geometry_filter(_rects)
+    # and locally by the api returnExtentOnly/outSR-corner tests
+    "q16_supplier_part_count",  # driver-green r3; the distinct-count agg
+    # shape is graded in-window by cross_source_overlap and the NOT-IN
+    # anti-join by q21
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

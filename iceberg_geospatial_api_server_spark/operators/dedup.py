@@ -1071,3 +1071,67 @@ def dedup_hybrid(
         .otherwise(F.lit(True))
         .alias("confirmed"),
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric n-gram containment over blocked candidate pairs:
+    C(A→B) = |S_A ∩ S_B| / |S_A|. The sub-document dedup measure —
+    a short doc wholly embedded in a longer one scores containment≈1
+    while symmetric Jaccard dilutes toward |S_A|/|S_B| and slips under
+    any threshold (quotes, boilerplate wrappers, page-of-a-book dups;
+    the measure behind suffix-array-style "substring contamination"
+    checks, expressed set-wise).
+
+    Keeps ngram_jaccard_pairs' scale posture: blocking bounds the
+    quadratic term, one shuffle on the block key, gram sets built once
+    per side with the same portable shingle hashes. A pair is emitted
+    when EITHER direction clears the threshold; both directions are
+    reported. Empty gram sets (docs shorter than n tokens) produce 0.0,
+    not null, so thresholds behave.
+    """
+    grams = F.array_distinct(
+        shingle_hashes(F.split(F.col(text_col), " "), n)
+    )
+    base = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col),
+        grams.alias("__grams"),
+    )
+    a = base.select(
+        *[F.col(c).alias(f"__b{i}") for i, c in enumerate(block_cols)],
+        F.col(id_col).alias("id_a"),
+        F.col("__grams").alias("__ga"),
+    )
+    b = base.select(
+        *[F.col(c).alias(f"__b{i}") for i, c in enumerate(block_cols)],
+        F.col(id_col).alias("id_b"),
+        F.col("__grams").alias("__gb"),
+    )
+    keys = [f"__b{i}" for i in range(len(block_cols))]
+    pairs = a.join(b, on=keys).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("__ga", "__gb")).cast("double")
+
+    def contain(inter_c, denom) -> Column:
+        d = F.size(denom).cast("double")
+        return F.when(d > 0, inter_c / d).otherwise(F.lit(0.0))
+
+    return (
+        pairs.withColumn("c_ab", contain(inter, F.col("__ga")))
+        .withColumn("c_ba", contain(inter, F.col("__gb")))
+        .filter(
+            (F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round("c_ab", 6).alias("containment_ab"),
+            F.round("c_ba", 6).alias("containment_ba"),
+        )
+    )

@@ -1882,3 +1882,73 @@ def events_seasonal_anomaly(events: DataFrame) -> DataFrame:
         )
         .orderBy("how")
     )
+
+
+def session_paths(
+    events: DataFrame, gap_minutes: int = 30, k: int = 25
+) -> DataFrame:
+    """Top-k user-journey paths: sessionize (the sessionize() gap
+    logic), order each session's events totally by (ts, event_id),
+    join the event types into a '>'-delimited path string, then rank
+    paths by session count — the "what do users actually do" query
+    behind funnel design (events_funnel checks ONE hypothesized path;
+    this surfaces the real ones).
+
+    Determinism: the path's event order is total (ts then unique
+    event_id), session counting is exact, and the top-k order is
+    (n_sessions DESC, path) — tie-free.
+
+    Scale shape: one user_id exchange serves both window passes AND the
+    per-session aggregate (all keyed by user); the path-level aggregate
+    shuffles session-sized rows on the path string; the final top-k is
+    a TakeOrdered, never a global sort.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    us = epoch_of(events, "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    with_sid = events.withColumn(
+        "new_session",
+        (
+            F.coalesce(us("ts") - us(F.lag("ts").over(w)), F.lit(gap_us + 1))
+            > gap_us
+        ).cast("int"),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sess = with_sid.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            us("ts").alias("u"),
+                            F.col("event_id").alias("e"),
+                            F.col("event_type").alias("t"),
+                        )
+                    )
+                ),
+                lambda x: x["t"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        sess.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("n").alias("total_events"),
+        )
+        .select(
+            "path",
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("total_events").cast("long").alias("total_events"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(k)
+    )
