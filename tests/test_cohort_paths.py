@@ -1,0 +1,178 @@
+"""Continuation-3 analytics operators: cohort LTV arithmetic on crafted
+orders, seasonal-anomaly recovery of a planted spike, user-journey path
+assembly (incl. the (ts, event_id) tie order), and the containment-pair
+sub-document pin that symmetric Jaccard misses."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from iceberg_geospatial_api_server_spark.operators.dedup import (
+    ngram_containment_pairs,
+    ngram_jaccard_pairs,
+)
+from iceberg_geospatial_api_server_spark.operators.relational import (
+    events_seasonal_anomaly,
+    orders_cohort_ltv,
+    session_paths,
+)
+
+_EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, ck, "O", price, dt.datetime(y, m, 15), "1-URGENT")
+            for i, (ck, y, m, price) in enumerate(rows)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+
+
+def test_cohort_ltv_crafted_matrix(spark):
+    """Two Jan-2024 customers (one returns in Feb) + one Feb cohort:
+    every cell of the matrix is hand-checkable."""
+    df = _orders(
+        spark,
+        [
+            (1, 2024, 1, 100.0),
+            (1, 2024, 2, 50.0),
+            (2, 2024, 1, 200.0),
+            (3, 2024, 2, 75.0),
+        ],
+    )
+    rows = {
+        (r["cohort_month"], r["age"]): r
+        for r in orders_cohort_ltv(df).collect()
+    }
+    jan0 = rows[(202401, 0)]
+    assert jan0["n_customers"] == 2
+    assert jan0["n_orders"] == 2 and jan0["n_active"] == 2
+    assert jan0["revenue"] == 300.0 and jan0["ltv_per_customer"] == 150.0
+    jan1 = rows[(202401, 1)]
+    assert jan1["n_orders"] == 1 and jan1["n_active"] == 1
+    assert jan1["revenue"] == 50.0
+    assert jan1["ltv_per_customer"] == 175.0  # (300+50)/2 cumulative
+    feb0 = rows[(202402, 0)]
+    assert feb0["n_customers"] == 1 and feb0["ltv_per_customer"] == 75.0
+    assert set(rows) == {(202401, 0), (202401, 1), (202402, 0)}
+
+
+def test_cohort_ltv_invariants_on_testdata(spark, tables):
+    """Age-0 actives equal the cohort size (every member orders in their
+    first month by construction) and cumulative LTV never decreases."""
+    out = orders_cohort_ltv(tables["orders"]).collect()
+    last = {}
+    for r in sorted(out, key=lambda r: (r["cohort_month"], r["age"])):
+        key = r["cohort_month"]
+        if r["age"] == 0:
+            assert r["n_active"] == r["n_customers"]
+        if key in last:
+            assert r["ltv_per_customer"] >= last[key] - 1e-9
+        last[key] = r["ltv_per_customer"]
+
+
+def test_seasonal_anomaly_planted_spike(spark):
+    """12 weeks of 1-event hours with one 100-event hour at
+    hour-of-week 5: only that slot reports an anomaly (the spike stays
+    inside its own baseline, so enough weeks are needed for 3σ to
+    clear — 12 gives dev 90.75 > 3σ ≈ 85.7)."""
+    hours = 12 * 168
+    base = spark.range(0, hours).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.col("id") * 3600).alias("ts"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.lit("e").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    spike_h = 5 + 168 * 6
+    spike = spark.range(0, 99).select(
+        (F.col("id") + hours).alias("event_id"),
+        F.timestamp_seconds(F.lit(spike_h * 3600)).alias("ts"),
+        F.lit(1).cast("long").alias("user_id"),
+        F.lit("e").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    out = events_seasonal_anomaly(base.unionByName(spike)).collect()
+    assert len(out) == 168
+    by_how = {r["how"]: r for r in out}
+    assert by_how[5]["n_anomalies"] == 1
+    assert by_how[5]["n_hours"] == 12
+    assert by_how[5]["mean_events"] == 9.25  # (11·1 + 100) / 12
+    assert all(r["n_anomalies"] == 0 for r in out if r["how"] != 5)
+    assert all(r["n_hours"] == 12 for r in out)
+
+
+def test_session_paths_crafted_journeys(spark):
+    """Two users sharing the A>B>C journey, a gap-split second session,
+    and a same-timestamp pair ordered by event_id."""
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for uid in (1, 2):
+        rows += [
+            (uid * 10 + 0, t0, uid, "A", 0.0, "{}"),
+            (uid * 10 + 1, t0 + dt.timedelta(minutes=1), uid, "B", 0.0, "{}"),
+            (uid * 10 + 2, t0 + dt.timedelta(minutes=2), uid, "C", 0.0, "{}"),
+        ]
+    rows.append((100, t0 + dt.timedelta(hours=3), 1, "D", 0.0, "{}"))
+    # same-ts tie: event_id decides the order
+    rows += [
+        (201, t0, 3, "Y", 0.0, "{}"),
+        (200, t0, 3, "X", 0.0, "{}"),
+    ]
+    out = session_paths(
+        spark.createDataFrame(rows, _EVENT_SCHEMA), gap_minutes=30, k=10
+    ).collect()
+    assert out[0]["path"] == "A>B>C"
+    assert out[0]["n_sessions"] == 2 and out[0]["n_users"] == 2
+    assert out[0]["total_events"] == 6
+    by_path = {r["path"]: r for r in out}
+    assert by_path["D"]["n_sessions"] == 1
+    assert "X>Y" in by_path and "Y>X" not in by_path
+
+
+def test_containment_catches_subdocument_jaccard_misses(spark):
+    """Doc A embedded verbatim in a 4× longer doc B: containment_ab = 1
+    while Jaccard dilutes to |A|/|B| < 0.5; an unrelated doc never
+    pairs."""
+    inner = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, inner, "en", "s", len(inner)),
+            (2, inner + " " + filler, "en", "s", 0),
+            (3, "completely different text about other things entirely", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pairs = ngram_containment_pairs(docs, ["lang"], n=3, threshold=0.5).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p["id_a"], p["id_b"]) == (1, 2)
+    assert p["containment_ab"] == 1.0
+    assert p["containment_ba"] < 0.5
+    jac = ngram_jaccard_pairs(docs, ["lang"], n=3, threshold=0.5).collect()
+    assert jac == []  # the same pair is invisible to symmetric Jaccard
+
+
+def test_containment_short_doc_scores_zero_not_null(spark):
+    """A doc shorter than the shingle width has an empty gram set: its
+    containment is 0.0 (filtered), never a null that slips a threshold."""
+    docs = spark.createDataFrame(
+        [
+            (1, "too short", "en", "s", 9),
+            (2, "a longer document with enough tokens for shingles", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert (
+        ngram_containment_pairs(docs, ["lang"], n=3, threshold=0.1).collect()
+        == []
+    )
