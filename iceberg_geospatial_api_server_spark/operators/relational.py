@@ -1815,26 +1815,10 @@ SEASONAL_FLAG = (
 )
 
 
-def events_seasonal_anomaly(events: DataFrame) -> DataFrame:
-    """Seasonal-baseline anomaly detection over event volume: hourly
-    counts on a dense zero-filled spine, a per-hour-of-week baseline
-    (mean/variance across weeks — traffic has a strong weekly cycle, so
-    Monday-9am only ever compares to other Monday-9ams), and a count of
-    hours deviating beyond 3σ. The observability complement to
-    events_cusum (level shifts) and events_outliers (per-user values):
-    this one catches "this hour is abnormal FOR THIS HOUR-OF-WEEK".
-
-    Exactness: baseline moments come from exact integer sums; the mean
-    is reported on the half-free FLOOR grid (integer-derived values
-    land exactly on ROUND halves), the sd via ROUND (sqrt-derived —
-    halves have measure zero); the 3σ predicate is one identical IEEE
-    comparison on both engines via shared expression text.
-
-    Scale shape: ONE corpus exchange builds the hourly counts; the
-    spine, the 168-row baseline, its broadcast back onto the
-    hours-sized dense series, and the final per-hour-of-week aggregate
-    are all bounded by hours, never events.
-    """
+def _seasonal_parts(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(dense hourly series with hour-of-week keys, per-hour-of-week
+    baseline with SEASONAL_STEPS applied) — shared by the batch
+    detector and seasonal_baseline."""
     sec = epoch_of(events, "ts")
     hour = F.floor(sec("ts", "SECOND") / F.lit(3600)).cast("long")
     counts = events.groupBy(hour.alias("h")).agg(
@@ -1856,6 +1840,39 @@ def events_seasonal_anomaly(events: DataFrame) -> DataFrame:
     )
     for name, sql in SEASONAL_STEPS:
         base = base.withColumn(name, F.expr(sql))
+    return dense, base
+
+
+def seasonal_baseline(events: DataFrame) -> DataFrame:
+    """The unrounded hour-of-week volume baseline (how, n_hours, sx,
+    sxx, n_d, mean_c, var_c) events_seasonal_anomaly thresholds
+    against — exposed so a streaming scorer can join it as a static
+    side (streaming.windows.streaming_seasonal_flags) and re-apply
+    SEASONAL_FLAG to live hours without recomputing history."""
+    return _seasonal_parts(events)[1]
+
+
+def events_seasonal_anomaly(events: DataFrame) -> DataFrame:
+    """Seasonal-baseline anomaly detection over event volume: hourly
+    counts on a dense zero-filled spine, a per-hour-of-week baseline
+    (mean/variance across weeks — traffic has a strong weekly cycle, so
+    Monday-9am only ever compares to other Monday-9ams), and a count of
+    hours deviating beyond 3σ. The observability complement to
+    events_cusum (level shifts) and events_outliers (per-user values):
+    this one catches "this hour is abnormal FOR THIS HOUR-OF-WEEK".
+
+    Exactness: baseline moments come from exact integer sums; the mean
+    is reported on the half-free FLOOR grid (integer-derived values
+    land exactly on ROUND halves), the sd via ROUND (sqrt-derived —
+    halves have measure zero); the 3σ predicate is one identical IEEE
+    comparison on both engines via shared expression text.
+
+    Scale shape: ONE corpus exchange builds the hourly counts; the
+    spine, the 168-row baseline, its broadcast back onto the
+    hours-sized dense series, and the final per-hour-of-week aggregate
+    are all bounded by hours, never events.
+    """
+    dense, base = _seasonal_parts(events)
     flags = (
         dense.join(F.broadcast(base.select("how", "mean_c", "var_c")), "how")
         .groupBy("how")

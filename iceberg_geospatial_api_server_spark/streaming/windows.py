@@ -510,3 +510,45 @@ def tile_stream(
             "n",
         )
     )
+
+
+def streaming_seasonal_flags(
+    events: DataFrame,
+    baseline: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Live seasonal anomaly scoring: finalized hourly volume windows
+    joined (stream-static, broadcast — the baseline is 168 rows) to the
+    hour-of-week baseline from `relational.seasonal_baseline(history)`,
+    re-applying the batch detector's exact SEASONAL_FLAG predicate.
+    The streaming form of events_seasonal_anomaly's flag pass: state =
+    open hourly windows only; each closed hour emits exactly one row
+    (append mode) scoring the live hour against history.
+
+    Zero-event hours are NOT emitted (a stream cannot close a window no
+    event opened) — the batch detector's dense spine covers those in
+    the nightly re-score; live flags are for hours that happen.
+    """
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        SEASONAL_FLAG,
+    )
+
+    hourly = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "60 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    base = F.broadcast(baseline.select("how", "mean_c", "var_c"))
+    how = F.pmod(
+        F.floor(F.unix_timestamp(F.col("w.start")) / F.lit(3600)), F.lit(168)
+    ).cast("long")
+    return (
+        hourly.withColumn("how", how)
+        .join(base, "how")
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "how",
+            F.col("c").alias("n_events"),
+            F.expr(SEASONAL_FLAG).alias("is_anomaly"),
+        )
+    )

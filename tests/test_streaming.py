@@ -870,3 +870,54 @@ def test_streaming_cusum_matches_batch(spark, sf_dir, tmp_path_factory):
     }
     assert got == want
     assert any(v[1] > 0 for v in want.values())  # alarms actually occur
+
+
+def test_streaming_seasonal_flags_match_batch(spark, events_path):
+    """Every emitted live hour scores exactly like the batch predicate
+    against the same static baseline; append mode may hold back only
+    the trailing hours inside the watermark."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        SEASONAL_FLAG,
+        seasonal_baseline,
+    )
+    from iceberg_geospatial_api_server_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory_sink,
+        streaming_seasonal_flags,
+    )
+
+    batch = spark.read.parquet(events_path)
+    baseline = seasonal_baseline(batch)
+
+    stream = read_event_stream(spark, events_path)
+    out = streaming_seasonal_flags(stream, baseline, watermark="2 hours")
+    run_to_memory_sink(out, "seasonal_out", mode="append")
+    got = {
+        r.hour_start: (r.how, r.n_events, r.is_anomaly)
+        for r in spark.sql("SELECT * FROM seasonal_out").collect()
+    }
+
+    want_df = (
+        batch.groupBy(F.window("ts", "60 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "how",
+            F.pmod(
+                F.floor(F.unix_timestamp(F.col("w.start")) / F.lit(3600)),
+                F.lit(168),
+            ).cast("long"),
+        )
+        .join(baseline.select("how", "mean_c", "var_c"), "how")
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "how",
+            F.col("c").alias("n_events"),
+            F.expr(SEASONAL_FLAG).alias("is_anomaly"),
+        )
+    )
+    want = {
+        r.hour_start: (r.how, r.n_events, r.is_anomaly)
+        for r in want_df.collect()
+    }
+    assert len(got) >= len(want) - 4  # only the watermark tail may lag
+    assert got == {h: want[h] for h in got}
