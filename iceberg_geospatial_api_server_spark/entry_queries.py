@@ -3988,6 +3988,50 @@ def embed_dim_stats_q(spark, sf_dir):
     return dim_stats(_t(spark, sf_dir, "embeddings"))
 
 
+@_q(
+    "embed_centroid_drift",
+    """
+    WITH ex AS (
+      SELECT label, generate_subscripts(embedding, 1) AS idx,
+             CAST(UNNEST(embedding) AS DECIMAL(18,9)) AS val
+      FROM embeddings
+    ), cent AS (
+      SELECT label, idx, COUNT(*) AS n,
+             CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*) * 1000000.0
+                        + 0.5) AS BIGINT) AS m
+      FROM ex GROUP BY 1, 2
+    ), p AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             a.n AS n_a, b.n AS n_b,
+             a.m * b.m AS ab, a.m * a.m AS aa2, b.m * b.m AS bb2
+      FROM cent a JOIN cent b ON a.idx = b.idx AND a.label < b.label
+    ), g AS (
+      SELECT label_a, label_b, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+             CAST(SUM(ab) AS BIGINT) AS dot,
+             CAST(SUM(aa2) AS BIGINT) AS aa,
+             CAST(SUM(bb2) AS BIGINT) AS bb
+      FROM p GROUP BY 1, 2
+    )
+    SELECT CAST(label_a AS INT) AS label_a,
+           CAST(label_b AS INT) AS label_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (SQRT(CAST(aa AS DOUBLE)) * SQRT(CAST(bb AS DOUBLE))),
+                 6) + 0.0 AS centroid_cosine
+    FROM g ORDER BY label_a, label_b
+    """,
+)
+def embed_centroid_drift_q(spark, sf_dir):
+    """Per-label centroid cosine matrix (slice-level semantic drift:
+    DECIMAL-exact component sums, 1e-6-grid quantized means, exact
+    BIGINT dot/norm sums — operators/ann.py centroid_drift)."""
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        centroid_drift,
+    )
+
+    return centroid_drift(_t(spark, sf_dir, "embeddings"))
+
+
 @_q("embed_pca_project")  # rows-only: eigendecomposition isn't SQL-expressible
 def embed_pca_q(spark, sf_dir):
     """Distributed PCA: moment partial-sums (one bounded row per Arrow
@@ -5934,6 +5978,11 @@ _ORACLED_OVERFLOW = [
     "q16_supplier_part_count",  # driver-green r3; the distinct-count agg
     # shape is graded in-window by cross_source_overlap and the NOT-IN
     # anti-join by q21
+    # r4 (cont. 3): one more rotates out so the centroid-drift oracle
+    # (embed_centroid_drift) is graded in the round it lands:
+    "fq_attribute_filter",  # driver-green r1+r2+r3; the WHERE-sanitizer
+    # + filter path is graded in-window by fq_object_ids and
+    # fq_geometry_filter, and locally by the sanitizer matrix tests
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

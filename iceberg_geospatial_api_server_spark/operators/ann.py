@@ -1334,3 +1334,79 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, F.round("cos_sim", 6).alias("cos_sim"), "rank")
     )
+
+
+def centroid_drift(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroid vectors —
+    the semantic-drift matrix a curation pipeline reports when deciding
+    whether two corpus slices (sources, languages, snapshot epochs)
+    have converged or one has drifted (the slice-level complement of
+    embed_semantic_decontaminate's doc-level screen).
+
+    Exactness: per-(label, dim) component sums stay DECIMAL (float
+    inputs have no 9-dp decimal-half representations, so the cast
+    rounds identically on both engines); means quantize to the 1e-6
+    integer grid with half-free FLOOR; every dot/norm term is then an
+    exact BIGINT sum, and only the final cosine divides in DOUBLE via
+    shared expression text.
+
+    Scale shape: posexplode is map-side; ONE (label, dim) exchange
+    whose output is labels×d rows regardless of corpus size; the pair
+    join and final aggregate run on that bounded frame.
+    """
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("dim0", "val"),
+    ).select(
+        "label",
+        (F.col("dim0") + 1).cast("long").alias("idx"),
+        F.col("val").cast("decimal(18,9)").alias("val"),
+    )
+    cent = (
+        ex.groupBy("label", "idx")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "idx",
+            "n",
+            F.floor(
+                F.col("s").cast("double") / F.col("n") * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("m"),
+        )
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        "idx",
+        F.col("m").alias("ma"),
+        F.col("n").alias("na"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        "idx",
+        F.col("m").alias("mb"),
+        F.col("n").alias("nb"),
+    )
+    pairs = a.join(b, "idx").filter(F.col("label_a") < F.col("label_b"))
+    agg = pairs.groupBy("label_a", "label_b").agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+        F.sum(F.col("ma") * F.col("ma")).alias("aa"),
+        F.sum(F.col("mb") * F.col("mb")).alias("bb"),
+    )
+    cos = (
+        "CAST(dot AS DOUBLE)"
+        " / (SQRT(CAST(aa AS DOUBLE)) * SQRT(CAST(bb AS DOUBLE)))"
+    )
+    return agg.select(
+        F.col("label_a").cast("int").alias("label_a"),
+        F.col("label_b").cast("int").alias("label_b"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (F.round(F.expr(cos), 6) + F.lit(0.0)).alias("centroid_cosine"),
+    ).orderBy("label_a", "label_b")

@@ -67,9 +67,13 @@ def test_minhash_storage_level_none_pins_nothing(spark, docs):
     # default level pins intermediates for the session...
     dedup_minhash_lsh(docs).count()
     assert n_persistent() > before
-    # ...and clearCache() is the documented release valve
     spark.catalog.clearCache()
-    assert settle(before) == before
+    # ...and clearCache() is the documented release valve. <= for the
+    # same reason as above: `before` can include OTHER tests' stale
+    # checkpoint blocks that the ContextCleaner legitimately reclaims
+    # while this test runs (observed under full-suite CPU load), so the
+    # contract is only "no pins of OURS survive the release"
+    assert settle(before) <= before
 
 
 def test_simhash_pairs_are_near_dups(spark, docs):
