@@ -4593,6 +4593,88 @@ def events_session_paths_q(spark, sf_dir):
     return session_paths(_t(spark, sf_dir, "events"), gap_minutes=30, k=25)
 
 
+def _entropy_oracle() -> str:
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        ENTROPY_STEPS,
+    )
+
+    sql = """
+    WITH c AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ), a AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(c * CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1000000.0
+                                     + 0.5) AS BIGINT))
+                  AS DECIMAL(38,0)) AS s_clnc
+      FROM c
+    )"""
+    prev = "a"
+    for i, (name, expr) in enumerate(ENTROPY_STEPS):
+        sql += f", e{i} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        prev = f"e{i}"
+    sql += f"""
+    SELECT n_tokens, n_types,
+           ROUND(h_nats, 6) + 0.0 AS entropy_nats,
+           ROUND(h_norm, 6) + 0.0 AS norm_entropy,
+           CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_micro
+    FROM {prev}
+    """
+    return sql
+
+
+@_q("corpus_entropy", _entropy_oracle())
+def corpus_entropy_q(spark, sf_dir):
+    """Corpus vocabulary entropy data card (exact ln-quantized integer
+    sums, shared-text closing algebra — operators/text.py
+    corpus_entropy)."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        corpus_entropy,
+    )
+
+    return corpus_entropy(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "orders_purchase_intervals",
+    """
+    WITH g AS (
+      SELECT o_custkey,
+             CAST(FLOOR((epoch_us(o_orderdate)
+                         - epoch_us(lag(o_orderdate) OVER w))
+                        / 86400000000) AS BIGINT) AS gap_days
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), f AS (
+      SELECT o_custkey, gap_days,
+             CASE WHEN gap_days <= 7 THEN '01_within_week'
+                  WHEN gap_days <= 30 THEN '02_within_month'
+                  WHEN gap_days <= 90 THEN '03_within_quarter'
+                  ELSE '04_longer' END AS bucket
+      FROM g WHERE gap_days IS NOT NULL
+    )
+    SELECT bucket, COUNT(*) AS n_gaps,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(MIN(gap_days) AS BIGINT) AS min_gap,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_days)
+                AS BIGINT) AS median_gap_days
+    FROM f GROUP BY bucket ORDER BY bucket
+    """,
+)
+def orders_purchase_intervals_q(spark, sf_dir):
+    """Repeat-purchase cadence buckets with exact lower-median gaps
+    (rank-⌈n/2⌉ percentile_disc semantics — operators/relational.py
+    purchase_intervals)."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        purchase_intervals,
+    )
+
+    return purchase_intervals(_t(spark, sf_dir, "orders"))
+
+
 @_q(
     "text_ngram_novelty",
     """
@@ -5983,6 +6065,16 @@ _ORACLED_OVERFLOW = [
     "fq_attribute_filter",  # driver-green r1+r2+r3; the WHERE-sanitizer
     # + filter path is graded in-window by fq_object_ids and
     # fq_geometry_filter, and locally by the sanitizer matrix tests
+    # r4 (cont. 3): two more rotate out so the vocabulary-entropy and
+    # purchase-cadence oracles (corpus_entropy,
+    # orders_purchase_intervals) are graded in the round they land:
+    "fq_aggregate_mode",  # driver-green r1+r2+r3; the bbox-decode path
+    # is graded in-window by fq_geometry_filter(_rects) and the grid
+    # binning by overflow geo_grid_aggregate (driver-green r1+r2)
+    "geo_pip_join_count",  # driver-green r1+r2+r3 and perf-audited in
+    # bench every round; the ray-cast intersects kernel is graded
+    # in-window by fq_geometry_filter and the grid equi-join shape is
+    # plan-asserted (test_plans.py)
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):

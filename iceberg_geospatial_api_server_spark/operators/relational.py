@@ -1969,3 +1969,86 @@ def session_paths(
         .orderBy(F.desc("n_sessions"), "path")
         .limit(k)
     )
+
+
+def purchase_intervals(orders: DataFrame) -> DataFrame:
+    """Repeat-purchase cadence: day gaps between each customer's
+    consecutive orders, bucketed (week / month / quarter / longer) with
+    per-bucket customer counts and the EXACT lower median gap — the
+    CRM statistic behind replenishment-cycle and churn-window sizing.
+
+    Determinism: gaps order totally by (o_orderdate, o_orderkey); the
+    median uses the rank-⌈n/2⌉ definition (percentile_disc semantics,
+    the source_stats pattern — engine-portable, unlike interpolating
+    percentiles on even counts).
+
+    Scale shape: one custkey exchange for the lag, then a HISTOGRAM
+    median — gap values are small-domain integers (days), so the
+    (bucket, gap) counts aggregate with map-side partials and the
+    cumulative-rank median runs over that bounded frame, never ranking
+    raw gap rows (the holistic per-bucket sort a naive row_number
+    median would pay at 100 TB).
+    """
+    us = epoch_of(orders, "o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.floor(
+        (us("o_orderdate") - us(F.lag("o_orderdate").over(w)))
+        / F.lit(86_400_000_000)
+    ).cast("long")
+    gaps = orders.select(
+        "o_custkey", gap.alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    bucket = (
+        F.when(F.col("gap_days") <= 7, "01_within_week")
+        .when(F.col("gap_days") <= 30, "02_within_month")
+        .when(F.col("gap_days") <= 90, "03_within_quarter")
+        .otherwise("04_longer")
+    )
+    b = gaps.select("o_custkey", "gap_days", bucket.alias("bucket"))
+    hist = b.groupBy("bucket", "gap_days").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    w_cum = (
+        Window.partitionBy("bucket")
+        .orderBy("gap_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("bucket")
+    cum = F.sum("k").over(w_cum)
+    med_pos = F.floor((F.sum("k").over(w_all) + 1) / 2)
+    stats = (
+        hist.withColumn("__cum", cum)
+        .withColumn("__pos", med_pos)
+        .groupBy("bucket")
+        .agg(
+            F.sum("k").alias("n_gaps"),
+            F.min("gap_days").alias("min_gap"),
+            F.max("gap_days").alias("max_gap"),
+            # the histogram row whose cumulative count first reaches
+            # rank ⌈n/2⌉ holds the lower-median value
+            F.max(
+                F.when(
+                    (F.col("__cum") >= F.col("__pos"))
+                    & (F.col("__cum") - F.col("k") < F.col("__pos")),
+                    F.col("gap_days"),
+                )
+            )
+            .cast("long")
+            .alias("median_gap_days"),
+        )
+    )
+    custs = b.groupBy("bucket").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_customers")
+    )
+    return (
+        stats.join(custs, "bucket")
+        .select(
+            "bucket",
+            "n_gaps",
+            "n_customers",
+            "min_gap",
+            "max_gap",
+            "median_gap_days",
+        )
+        .orderBy("bucket")
+    )

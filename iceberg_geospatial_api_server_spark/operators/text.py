@@ -1698,3 +1698,60 @@ def dedup_spans_scrub(
         .select(id_col, "pos")
     )
     return _mask_hit_spans(df, hits, n, mask_token, text_col, id_col)
+
+
+ENTROPY_STEPS: list[tuple[str, str]] = [
+    # closing algebra over exact integer sums (shared expression text):
+    # H = ln N − (Σ c·qln(c))/(quant·N), normalized by ln V
+    (
+        "h_nats",
+        "LN(CAST(n_tokens AS DOUBLE))"
+        " - CAST(s_clnc AS DOUBLE) / 1000000.0"
+        "   / CAST(n_tokens AS DOUBLE)",
+    ),
+    ("h_norm", "h_nats / LN(CAST(n_types AS DOUBLE))"),
+]
+
+
+def corpus_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary entropy for the data card: unigram Shannon
+    entropy in nats (H = ln N − Σc·ln c / N), its normalized form
+    H/ln V (1.0 = uniform vocabulary, → 0 = degenerate repetition),
+    and the type/token ratio at integer micro grain. The corpus-level
+    twin of text_repetition_profile's per-doc redundancy.
+
+    Cross-engine exactness: ln c quantizes to an integer
+    (FLOOR(ln·1e6 + 0.5) — the zipf/perplexity pattern), each c·qln(c)
+    term is a BIGINT, and the sum accumulates as DECIMAL (exact and
+    associative on any partitioning; per-term signed-64 holds while any
+    single token's count stays under ~4e11 — beyond that drop quant).
+    The closing entropy algebra is shared expression text over the
+    exact sums; ln-derived outputs ROUND safely (halves measure zero).
+
+    Scale shape: one token-key exchange builds the vocabulary with
+    map-side partial counts; the closing aggregate is a single row.
+    """
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    qln = F.floor(
+        F.expr("LN(CAST(c AS DOUBLE))") * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    agg = counts.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("c") * qln).cast("decimal(38,0)")).alias("s_clnc"),
+    )
+    for name, sql in ENTROPY_STEPS:
+        agg = agg.withColumn(name, F.expr(sql))
+    return agg.select(
+        "n_tokens",
+        F.col("n_types").cast("long").alias("n_types"),
+        (F.round("h_nats", 6) + F.lit(0.0)).alias("entropy_nats"),
+        (F.round("h_norm", 6) + F.lit(0.0)).alias("norm_entropy"),
+        F.expr("CAST((n_types * 1000000) DIV n_tokens AS BIGINT)").alias(
+            "ttr_micro"
+        ),
+    )
