@@ -1709,7 +1709,14 @@ ENTROPY_STEPS: list[tuple[str, str]] = [
         " - CAST(s_clnc AS DOUBLE) / 1000000.0"
         "   / CAST(n_tokens AS DOUBLE)",
     ),
-    ("h_norm", "h_nats / LN(CAST(n_types AS DOUBLE))"),
+    # n_types = 1 ⇒ ln V = 0: a degenerate one-token vocabulary has
+    # zero entropy; define its normalized form as 0 rather than 0/0
+    # (ANSI Spark raises on the bare division, DuckDB yields NaN)
+    (
+        "h_norm",
+        "CASE WHEN n_types > 1 THEN h_nats / LN(CAST(n_types AS DOUBLE))"
+        " ELSE 0.0 END",
+    ),
 ]
 
 

@@ -176,3 +176,92 @@ def test_containment_short_doc_scores_zero_not_null(spark):
         ngram_containment_pairs(docs, ["lang"], n=3, threshold=0.1).collect()
         == []
     )
+
+
+def test_corpus_entropy_uniform_and_degenerate(spark):
+    """A perfectly uniform vocabulary scores H = ln V (normalized 1.0);
+    a single repeated token scores 0 — the two analytic anchors."""
+    import math
+
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        corpus_entropy,
+    )
+
+    def docs(texts):
+        return spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    uniform = corpus_entropy(docs(["a b c d", "e f g h"])).first()
+    assert uniform["n_tokens"] == 8 and uniform["n_types"] == 8
+    assert abs(uniform["entropy_nats"] - math.log(8)) < 1e-5
+    assert uniform["norm_entropy"] == 1.0
+    assert uniform["ttr_micro"] == 1_000_000
+
+    flat = corpus_entropy(docs(["x x x x x x"])).first()
+    assert flat["n_tokens"] == 6 and flat["n_types"] == 1
+    assert flat["entropy_nats"] == 0.0
+
+
+def test_purchase_intervals_crafted_gaps(spark):
+    """Customer with 8/1/40-day gaps + a same-bucket pair: bucket
+    assignment, lower-median, and distinct-customer counts all
+    hand-checkable."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        purchase_intervals,
+    )
+
+    def o(key, cust, y, m, d):
+        return (key, cust, "O", 10.0, dt.datetime(y, m, d), "1-URGENT")
+
+    df = spark.createDataFrame(
+        [
+            # cust 1: gaps 1, 8, 40 days
+            o(1, 1, 2024, 1, 1),
+            o(2, 1, 2024, 1, 2),
+            o(3, 1, 2024, 1, 10),
+            o(4, 1, 2024, 2, 19),
+            # cust 2: gaps 3, 5 days (both within-week)
+            o(5, 2, 2024, 1, 1),
+            o(6, 2, 2024, 1, 4),
+            o(7, 2, 2024, 1, 9),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    rows = {r["bucket"]: r for r in purchase_intervals(df).collect()}
+    week = rows["01_within_week"]
+    assert week["n_gaps"] == 3 and week["n_customers"] == 2
+    assert (week["min_gap"], week["max_gap"]) == (1, 5)
+    assert week["median_gap_days"] == 3  # lower median of {1, 3, 5}
+    month = rows["02_within_month"]
+    assert month["n_gaps"] == 1 and month["median_gap_days"] == 8
+    quarter = rows["03_within_quarter"]
+    assert quarter["n_gaps"] == 1 and quarter["median_gap_days"] == 40
+    assert "04_longer" not in rows
+
+
+def test_centroid_drift_identical_and_orthogonal(spark):
+    """Labels sharing a direction score cosine 1.0; orthogonal labels
+    score 0.0 — signs and pair orientation included."""
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        centroid_drift,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [2.0, 0.0, 0.0, 0.0], 0),
+        (3, [3.0, 0.0, 0.0, 0.0], 1),  # same direction as label 0
+        (4, [0.0, 1.0, 0.0, 0.0], 2),  # orthogonal
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        (r["label_a"], r["label_b"]): r for r in centroid_drift(df).collect()
+    }
+    assert got[(0, 1)]["centroid_cosine"] == 1.0
+    assert got[(0, 2)]["centroid_cosine"] == 0.0
+    assert got[(1, 2)]["centroid_cosine"] == 0.0
+    assert got[(0, 1)]["n_a"] == 2 and got[(0, 1)]["n_b"] == 1
