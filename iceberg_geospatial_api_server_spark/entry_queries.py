@@ -4015,8 +4015,9 @@ def embed_dim_stats_q(spark, sf_dir):
     SELECT CAST(label_a AS INT) AS label_a,
            CAST(label_b AS INT) AS label_b,
            CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-           ROUND(CAST(dot AS DOUBLE)
-                 / (SQRT(CAST(aa AS DOUBLE)) * SQRT(CAST(bb AS DOUBLE))),
+           ROUND(CASE WHEN aa > 0 AND bb > 0 THEN CAST(dot AS DOUBLE)
+                 / (SQRT(CAST(aa AS DOUBLE)) * SQRT(CAST(bb AS DOUBLE)))
+                 ELSE 0.0 END,
                  6) + 0.0 AS centroid_cosine
     FROM g ORDER BY label_a, label_b
     """,

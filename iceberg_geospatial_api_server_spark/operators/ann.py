@@ -1399,9 +1399,13 @@ def centroid_drift(
         F.sum(F.col("ma") * F.col("ma")).alias("aa"),
         F.sum(F.col("mb") * F.col("mb")).alias("bb"),
     )
+    # a label whose quantized centroid is all-zero (failed encodes, a
+    # perfectly symmetric slice) has norm 0: define its similarity as
+    # 0.0 rather than 0/0 (engine-divergent: Spark NULL vs DuckDB NaN)
     cos = (
-        "CAST(dot AS DOUBLE)"
+        "CASE WHEN aa > 0 AND bb > 0 THEN CAST(dot AS DOUBLE)"
         " / (SQRT(CAST(aa AS DOUBLE)) * SQRT(CAST(bb AS DOUBLE)))"
+        " ELSE 0.0 END"
     )
     return agg.select(
         F.col("label_a").cast("int").alias("label_a"),

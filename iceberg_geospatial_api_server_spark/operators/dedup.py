@@ -182,20 +182,19 @@ def dedup_exact_keep_first(
     return df.join(winners, on=id_col, how="leftsemi")
 
 
-def ngram_jaccard_pairs(
+def _blocked_gram_pairs(
     df: DataFrame,
     block_cols: list[str],
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    threshold: float = 0.2,
-) -> DataFrame:
-    """Exact n-gram Jaccard similarity over blocked candidate pairs.
-
-    Blocking (e.g. on lang+source) bounds the quadratic term to within
-    blocks; the self-join is a shuffle on the block key. Token n-gram sets
-    are built once per side with JVM array functions.
-    """
+    text_col: str,
+    id_col: str,
+    n: int,
+) -> tuple[DataFrame, Column]:
+    """Blocked candidate pairs with distinct n-gram sets per side:
+    (pairs with id_a/id_b/__ga/__gb, intersection-size column). The
+    shared scaffolding under ngram_jaccard_pairs and
+    ngram_containment_pairs — one place for the blocking, gram build,
+    and pair filter so the two measures can never see different
+    candidate sets."""
     grams = F.array_distinct(
         shingle_hashes(F.split(F.col(text_col), " "), n)
     )
@@ -217,6 +216,24 @@ def ngram_jaccard_pairs(
     keys = [f"__b{i}" for i in range(len(block_cols))]
     pairs = a.join(b, on=keys).filter(F.col("id_a") < F.col("id_b"))
     inter = F.size(F.array_intersect("__ga", "__gb")).cast("double")
+    return pairs, inter
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity over blocked candidate pairs.
+
+    Blocking (e.g. on lang+source) bounds the quadratic term to within
+    blocks; the self-join is a shuffle on the block key. Token n-gram sets
+    are built once per side with JVM array functions.
+    """
+    pairs, inter = _blocked_gram_pairs(df, block_cols, text_col, id_col, n)
     union = (F.size("__ga") + F.size("__gb") - inter).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
@@ -1089,34 +1106,15 @@ def ngram_containment_pairs(
     the measure behind suffix-array-style "substring contamination"
     checks, expressed set-wise).
 
-    Keeps ngram_jaccard_pairs' scale posture: blocking bounds the
-    quadratic term, one shuffle on the block key, gram sets built once
-    per side with the same portable shingle hashes. A pair is emitted
-    when EITHER direction clears the threshold; both directions are
-    reported. Empty gram sets (docs shorter than n tokens) produce 0.0,
-    not null, so thresholds behave.
+    Shares ngram_jaccard_pairs' scaffolding (_blocked_gram_pairs) and
+    with it the scale posture: blocking bounds the quadratic term, one
+    shuffle on the block key, gram sets built once per side with the
+    same portable shingle hashes. A pair is emitted when EITHER
+    direction clears the threshold; both directions are reported.
+    Empty gram sets (docs shorter than n tokens) produce 0.0, not
+    null, so thresholds behave.
     """
-    grams = F.array_distinct(
-        shingle_hashes(F.split(F.col(text_col), " "), n)
-    )
-    base = df.select(
-        *[F.col(c) for c in block_cols],
-        F.col(id_col),
-        grams.alias("__grams"),
-    )
-    a = base.select(
-        *[F.col(c).alias(f"__b{i}") for i, c in enumerate(block_cols)],
-        F.col(id_col).alias("id_a"),
-        F.col("__grams").alias("__ga"),
-    )
-    b = base.select(
-        *[F.col(c).alias(f"__b{i}") for i, c in enumerate(block_cols)],
-        F.col(id_col).alias("id_b"),
-        F.col("__grams").alias("__gb"),
-    )
-    keys = [f"__b{i}" for i in range(len(block_cols))]
-    pairs = a.join(b, on=keys).filter(F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect("__ga", "__gb")).cast("double")
+    pairs, inter = _blocked_gram_pairs(df, block_cols, text_col, id_col, n)
 
     def contain(inter_c, denom) -> Column:
         d = F.size(denom).cast("double")

@@ -1799,10 +1799,17 @@ SEASONAL_STEPS: list[tuple[str, str]] = [
     # expression text so the float op sequence is engine-identical
     ("n_d", "CAST(n_hours AS DOUBLE)"),
     ("mean_c", "CAST(sx AS DOUBLE) / n_d"),
+    # n_hours = 1 would divide by zero (engine-divergent: Spark NULL vs
+    # DuckDB NaN) — a single observation IS its mean, so var is 0; the
+    # GREATEST clamp guards the catastrophic-cancellation hair-negative
+    # (sx² rounding above 2^53), which would NaN Spark's SQRT while
+    # DuckDB raises out-of-range
     (
         "var_c",
+        "CASE WHEN n_hours > 1 THEN GREATEST("
         "(CAST(sxx AS DOUBLE)"
-        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_d) / (n_d - 1.0)",
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_d) / (n_d - 1.0),"
+        " 0.0) ELSE 0.0 END",
     ),
 ]
 

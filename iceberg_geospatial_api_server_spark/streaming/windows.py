@@ -527,7 +527,10 @@ def streaming_seasonal_flags(
 
     Zero-event hours are NOT emitted (a stream cannot close a window no
     event opened) — the batch detector's dense spine covers those in
-    the nightly re-score; live flags are for hours that happen.
+    the nightly re-score; live flags are for hours that happen. A LEFT
+    join keeps hours whose hour-of-week slot is missing from a
+    partial-week baseline: they emit with is_anomaly NULL ("no
+    baseline yet") rather than silently disappearing.
     """
     from iceberg_geospatial_api_server_spark.operators.relational import (
         SEASONAL_FLAG,
@@ -544,7 +547,7 @@ def streaming_seasonal_flags(
     ).cast("long")
     return (
         hourly.withColumn("how", how)
-        .join(base, "how")
+        .join(base, "how", "left")
         .select(
             F.col("w.start").alias("hour_start"),
             "how",

@@ -40,40 +40,41 @@ def test_minhash_storage_level_none_pins_nothing(spark, docs):
         dedup_minhash_lsh,
     )
 
-    def n_persistent():
-        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    def pinned_ids():
+        # track pins by RDD id, not by count: a concurrent ContextCleaner
+        # can reclaim OTHER tests' stale checkpoint blocks mid-run
+        # (observed under full-suite CPU load), so set differences
+        # against a snapshot isolate pins THIS test created while
+        # staying immune to unrelated reclamation
+        return {
+            i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
 
-    def settle(target):
+    def settle_ours(before_ids):
         # unpersist/clearCache release blocks asynchronously: poll until
-        # the storage listing drains to the target (full-suite runs can
-        # otherwise observe a block mid-release and flake)
+        # every pin newer than the snapshot drains
         import time
 
         for _ in range(50):
-            if n_persistent() <= target:
-                return n_persistent()
+            if not (pinned_ids() - before_ids):
+                return set()
             time.sleep(0.2)
-        return n_persistent()
+        return pinned_ids() - before_ids
 
     spark.catalog.clearCache()
-    before = settle(0)
+    ids0 = pinned_ids()
     for _ in range(2):
         assert dedup_minhash_lsh(docs, storage_level=None).count() > 0
-    # <= not ==: the contract is "no NEW pins"; a concurrent
-    # ContextCleaner sweep can reclaim OTHER tests' stale checkpoint
-    # blocks mid-run, legitimately dropping the count below `before`
-    assert settle(before) <= before, "storage_level=None must pin nothing"
+    assert not settle_ours(ids0), "storage_level=None must pin nothing"
 
     # default level pins intermediates for the session...
     dedup_minhash_lsh(docs).count()
-    assert n_persistent() > before
+    ours = pinned_ids() - ids0
+    assert ours, "default storage level must pin intermediates"
+    # ...and clearCache() is the documented release valve: every pin of
+    # OURS must drain (ids, not counts — see pinned_ids)
     spark.catalog.clearCache()
-    # ...and clearCache() is the documented release valve. <= for the
-    # same reason as above: `before` can include OTHER tests' stale
-    # checkpoint blocks that the ContextCleaner legitimately reclaims
-    # while this test runs (observed under full-suite CPU load), so the
-    # contract is only "no pins of OURS survive the release"
-    assert settle(before) <= before
+    assert not settle_ours(ids0)
 
 
 def test_simhash_pairs_are_near_dups(spark, docs):
