@@ -612,3 +612,88 @@ def test_materialize_packs_single_hash_exchange(tables):
     out = materialize_packs(tables["documents"], max_tokens=64, n_shards=8)
     assert_no_cartesian(out)
     assert hash_exchange_count(out) == 1
+
+
+def test_cohort_ltv_plan_shape(tables):
+    """Cohort LTV: custkey agg + re-join + bounded cohort frames — no
+    cartesian, the cohort-size join broadcasts, no single-partition
+    funnel of raw rows, and the only global sort is the presentation
+    orderBy over the bounded cohort×age frame."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        orders_cohort_ltv,
+    )
+
+    plan = _plan(orders_cohort_ltv(tables["orders"]))
+    assert "CartesianProduct" not in plan
+    assert hash_exchange_count(plan) <= 6, plan
+    assert single_partition_exchange_count(plan) == 0, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_seasonal_anomaly_plan_shape(tables):
+    """Seasonal anomaly: ONE event-scale exchange class (the hourly
+    counts); every single-partition exchange feeds an hours-bounded
+    frame (bounds/spine/168-row baseline), and the baseline re-join
+    broadcasts."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        events_seasonal_anomaly,
+    )
+
+    plan = _plan(events_seasonal_anomaly(tables["events"]))
+    assert "CartesianProduct" not in plan
+    assert hash_exchange_count(plan) <= 3, plan
+    assert single_partition_exchange_count(plan) <= 3, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_purchase_intervals_plan_shape(tables):
+    """Histogram median: no single-partition exchange anywhere (the
+    naive per-bucket rank window would funnel all gaps through 4
+    reducers; the histogram form never ranks raw rows)."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        purchase_intervals,
+    )
+
+    plan = _plan(purchase_intervals(tables["orders"]))
+    assert "CartesianProduct" not in plan
+    assert hash_exchange_count(plan) <= 5, plan
+    assert single_partition_exchange_count(plan) == 0, plan
+
+
+def test_session_paths_plan_shape(tables):
+    """Journey paths: two exchange classes (user, path) and a
+    TakeOrdered top-k — never a global range sort."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        session_paths,
+    )
+
+    plan = _plan(session_paths(tables["events"]))
+    assert "CartesianProduct" not in plan
+    assert hash_exchange_count(plan) <= 2, plan
+    assert range_exchange_count(plan) == 0, plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_corpus_entropy_plan_shape(tables):
+    """Vocabulary entropy: one token exchange; the single-partition
+    exchange carries only per-partition partial aggregates."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        corpus_entropy,
+    )
+
+    plan = _plan(corpus_entropy(tables["documents"]))
+    assert hash_exchange_count(plan) <= 1, plan
+    assert single_partition_exchange_count(plan) <= 1, plan
+
+
+def test_centroid_drift_plan_shape(tables):
+    """Centroid drift: one (label, dim) exchange off the corpus; the
+    pair join and closing aggregate run on the bounded labels×d frame."""
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        centroid_drift,
+    )
+
+    plan = _plan(centroid_drift(tables["embeddings"]))
+    assert "CartesianProduct" not in plan
+    assert hash_exchange_count(plan) <= 3, plan
+    assert single_partition_exchange_count(plan) == 0, plan
