@@ -149,33 +149,77 @@ def dbscan(
     component for cores and their borders, NULL for noise.
 
     Clusters come from `connected_components_smallest_id` over the
-    core-core edge set (size ~linear in the data for sub-percolation ε);
-    border points take the SMALLEST cluster label among their in-ε cores
-    — deterministic where textbook DBSCAN is arrival-order-dependent."""
+    CELL-CONTRACTED core graph: core points bucket into fine cells of
+    side ε/√2, whose diagonal is exactly ε — every pair inside one cell
+    is mutually ≤ ε, so each cell is a clique and contracts to one node
+    (its smallest core id). Label propagation then runs on cells, not
+    points: a dense blob of any point count collapses to ~area/(ε²/2)
+    nodes, the edge set shrinks from O(points·density) ε-pairs to
+    distinct cell pairs, and the propagation diameter divides by ε.
+    (The uncontracted core-core graph goes super-percolation when
+    density grows at fixed ε — at sf0.1 it hit the convergence cap and
+    OOMed a default-heap driver; contraction is the standard scalable
+    grid-DBSCAN form.) Component labels are unchanged by construction:
+    the smallest core id of a component is the smallest cell
+    representative, so cluster_id stays "smallest core id". Border
+    points take the SMALLEST cluster label among their in-ε cores —
+    deterministic where textbook DBSCAN is arrival-order-dependent."""
+    import math
+
     from iceberg_geospatial_api_server_spark.operators.dedup import (
         connected_components_smallest_id,
     )
 
     # one materialization of the ε-pair set serves all four consumers
-    # (degree, anchor, core edges, border attach)
+    # (degree, anchor, cell edges, border attach)
     nb = eps_neighbors(points, x_col, y_col, id_col, eps).localCheckpoint()
     prof = dbscan_profile(points, x_col, y_col, id_col, eps, min_pts, _nb=nb)
-    cores = prof.filter("is_core").select(F.col(id_col).alias("__core_id"))
-    core_edges = (
-        nb.join(cores.withColumnRenamed("__core_id", "id_a"), "id_a")
-        .join(cores.withColumnRenamed("__core_id", "id_b"), "id_b")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    comp = connected_components_smallest_id(core_edges, max_iters=max_iters)
-    core_label = (
-        cores.join(
-            comp.withColumnRenamed("id", "__core_id"), "__core_id", "left"
+    side = float(eps) / math.sqrt(2.0)
+    core_pts = (
+        prof.filter("is_core")
+        .select(F.col(id_col).alias("__core_id"))
+        .join(
+            points.select(
+                F.col(id_col).alias("__core_id"),
+                F.floor(F.col(x_col) / F.lit(side)).cast("long").alias("__fcx"),
+                F.floor(F.col(y_col) / F.lit(side)).cast("long").alias("__fcy"),
+            ),
+            "__core_id",
         )
-        # isolated cores (no core neighbor) are singleton clusters
+    )
+    reps = core_pts.groupBy("__fcx", "__fcy").agg(
+        F.min("__core_id").alias("__rep")
+    )
+    core_cell = core_pts.join(reps, ["__fcx", "__fcy"]).select(
+        "__core_id", "__rep"
+    )
+    # cell-level edges: map each cross-cell core ε-pair to its rep pair
+    # inside the streaming join — the point-pair set is never
+    # re-materialized for CC
+    ra = core_cell.select(
+        F.col("__core_id").alias("id_a"), F.col("__rep").alias("__ra")
+    )
+    rb = core_cell.select(
+        F.col("__core_id").alias("id_b"), F.col("__rep").alias("__rb")
+    )
+    cell_edges = (
+        nb.join(ra, "id_a")
+        .join(rb, "id_b")
+        .filter(F.col("__ra") != F.col("__rb"))
         .select(
-            F.col("__core_id"),
-            F.coalesce("comp", F.col("__core_id")).alias("__cluster"),
+            F.least("__ra", "__rb").alias("id_a"),
+            F.greatest("__ra", "__rb").alias("id_b"),
+        )
+        .distinct()
+    )
+    comp = connected_components_smallest_id(cell_edges, max_iters=max_iters)
+    core_label = (
+        core_cell.join(comp.withColumnRenamed("id", "__rep"), "__rep", "left")
+        # cells with no cross-cell edge (singleton cores AND whole
+        # clusters inside one cell) label by their own representative
+        .select(
+            "__core_id",
+            F.coalesce("comp", F.col("__rep")).alias("__cluster"),
         )
     )
     # border attach: smallest cluster label among in-ε cores

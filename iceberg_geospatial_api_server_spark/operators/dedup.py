@@ -821,7 +821,10 @@ def _simhash_block_pairs(
 
 
 def connected_components_smallest_id(
-    pairs: DataFrame, max_iters: int = 20, check_every: int = 5
+    pairs: DataFrame,
+    max_iters: int = 20,
+    check_every: int = 5,
+    collect_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Duplicate-cluster assignment: iterative smallest-id label
     propagation over the pair graph (each round is two shuffles). At
@@ -841,13 +844,51 @@ def connected_components_smallest_id(
     If the graph still hasn't converged at the cap the function RAISES
     instead of silently returning split clusters (a keep-one-per-group
     pass downstream would quietly keep several members of one true
-    cluster)."""
+    cluster).
+
+    Small-graph fast path: an edge set at or under ``collect_threshold``
+    (≤ ~16 MB of longs at the default cap — a BOUNDED driver frame,
+    like the k×d centroid sums) collects once and resolves by
+    path-compressed union-find instead of iterative jobs. The inputs
+    here are candidate-pair outputs and cell-contracted graphs —
+    usually far smaller than the corpus — and below ~10⁶ edges the
+    per-round scheduling overhead of the distributed loop dominates by
+    orders of magnitude (measured: sf0.1 DBSCAN cell graph 120 s
+    iterative vs <1 s collected). Above the cap the distributed
+    pointer-jump loop runs unchanged."""
     edges = (
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
         .distinct()
         .localCheckpoint()
     )
+    if edges.count() <= collect_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.toLocalIterator():
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # smaller root wins, so the final root of every
+                # component is its smallest member id — the exact
+                # contract of the distributed loop
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        spark = pairs.sparkSession
+        return spark.createDataFrame(
+            [(i, find(i)) for i in parent], "id long, comp long"
+        )
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
@@ -872,21 +913,24 @@ def connected_components_smallest_id(
                     F.col("comp"), F.coalesce("comp_new", F.col("comp"))
                 ).alias("comp"),
             )
-        # pointer jump: comp <- comp's comp (labels is total over nodes
-        # and every comp IS a node id, so the self-join always resolves).
-        # One extra join per block doubles the reachable distance each
-        # block — O(log diameter) blocks overall.
-        jump = labels.select(
-            F.col("id").alias("__jid"), F.col("comp").alias("__jcomp")
-        )
-        labels = labels.join(
-            jump, labels.comp == jump.__jid, "left"
-        ).select(
-            "id",
-            F.least(
-                F.col("comp"), F.coalesce("__jcomp", F.col("comp"))
-            ).alias("comp"),
-        )
+            # pointer jump EVERY step (path doubling): comp <- comp's
+            # comp (labels is total over nodes and every comp IS a node
+            # id, so the self-join always resolves). Jumping once per
+            # BLOCK only reached ~check_every·2^blocks — the sf0.1
+            # DBSCAN ε-graph (one contiguous spatial blob, diameter in
+            # the thousands) blew past that and hit the max_iters
+            # raise; per-step doubling reaches ~2^max_iters.
+            jump = labels.select(
+                F.col("id").alias("__jid"), F.col("comp").alias("__jcomp")
+            )
+            labels = labels.join(
+                jump, labels.comp == jump.__jid, "left"
+            ).select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("__jcomp", F.col("comp"))
+                ).alias("comp"),
+            )
         done += steps
         labels = labels.localCheckpoint()  # truncate lineage, one action
         changed = (

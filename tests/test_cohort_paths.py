@@ -265,3 +265,46 @@ def test_centroid_drift_identical_and_orthogonal(spark):
     assert got[(0, 2)]["centroid_cosine"] == 0.0
     assert got[(1, 2)]["centroid_cosine"] == 0.0
     assert got[(0, 1)]["n_a"] == 2 and got[(0, 1)]["n_b"] == 1
+
+
+def test_quality_report_planted_violations(spark):
+    """Planted orphan, duplicate key, negative price, and out-of-range
+    discount each trip exactly their own rule; clean rules pass."""
+    from iceberg_geospatial_api_server_spark.operators.quality import (
+        quality_report,
+    )
+
+    li = spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 5.0, 100.0, 0.05, 0.0, "N", "O", dt.datetime(2024, 1, 1)),
+            (2, 2, 1, 1, 3.0, 50.0, 0.5, 0.0, "N", "O", dt.datetime(2024, 1, 2)),  # bad discount
+            (99, 3, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 3)),  # orphan key
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    od = spark.createDataFrame(
+        [
+            (1, 10, "O", 100.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+            (2, 11, "O", -5.0, dt.datetime(2024, 1, 1), "1-URGENT"),  # bad price
+            (2, 12, "O", 60.0, dt.datetime(2024, 1, 2), "1-URGENT"),  # dup key
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    rows = {r["rule_id"]: r for r in quality_report(li, od).collect()}
+    assert len(rows) == 8
+    assert rows["lineitem_discount_in_range"]["n_failing"] == 1
+    assert rows["lineitem_orderkey_in_orders"]["n_failing"] == 1
+    assert rows["orders_orderkey_unique"]["n_failing"] == 1
+    assert rows["orders_totalprice_positive"]["n_failing"] == 1
+    for rid in (
+        "lineitem_quantity_positive",
+        "lineitem_shipdate_not_null",
+        "lineitem_extendedprice_positive",
+        "orders_custkey_not_null",
+    ):
+        assert rows[rid]["passed"] == 1 and rows[rid]["n_failing"] == 0
+    assert rows["orders_orderkey_unique"]["fail_micro"] == 333333

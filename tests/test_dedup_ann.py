@@ -132,7 +132,10 @@ def test_lsh_topk_recall_vs_brute_force(spark, tables):
             assert r.rank == 1 and r.cos_sim == pytest.approx(1.0)
 
 
-def test_connected_components(spark):
+@pytest.mark.parametrize("threshold", [1_000_000, 0])
+def test_connected_components(spark, threshold):
+    """threshold=default exercises the union-find fast path; 0 forces
+    the distributed pointer-jump loop — both must agree."""
     from iceberg_geospatial_api_server_spark.operators.dedup import (
         connected_components_smallest_id,
     )
@@ -142,7 +145,10 @@ def test_connected_components(spark):
         "id_a long, id_b long",
     )
     labels = {
-        r.id: r.comp for r in connected_components_smallest_id(pairs).collect()
+        r.id: r.comp
+        for r in connected_components_smallest_id(
+            pairs, collect_threshold=threshold
+        ).collect()
     }
     assert labels[1] == labels[2] == labels[3] == labels[4] == 1
     assert labels[10] == labels[11] == 10
@@ -694,8 +700,9 @@ def test_minhash_band_stats_identical_docs_collide_everywhere(spark):
 
 def test_connected_components_long_chain_converges(spark):
     """A 60-node path graph (diameter 59 — far past max_iters=20 plain
-    rounds) must still collapse to ONE cluster: the per-block pointer
-    jump grows propagation distance geometrically."""
+    rounds) must still collapse to ONE cluster on the DISTRIBUTED path:
+    the per-step pointer jump grows propagation distance
+    geometrically (collect_threshold=0 forces the loop)."""
     from iceberg_geospatial_api_server_spark.operators.dedup import (
         connected_components_smallest_id,
     )
@@ -705,7 +712,9 @@ def test_connected_components_long_chain_converges(spark):
     )
     comps = {
         r.id: r.comp
-        for r in connected_components_smallest_id(pairs).collect()
+        for r in connected_components_smallest_id(
+            pairs, collect_threshold=0
+        ).collect()
     }
     assert len(comps) == 60
     assert set(comps.values()) == {0}
