@@ -697,3 +697,18 @@ def test_centroid_drift_plan_shape(tables):
     assert "CartesianProduct" not in plan
     assert hash_exchange_count(plan) <= 3, plan
     assert single_partition_exchange_count(plan) == 0, plan
+
+
+def test_quality_report_plan_shape(tables):
+    """Expectation suite: one aggregate pass per table (no per-rule
+    scans — at most 3 scans total: lineitem agg, orders agg, anti
+    join), no cartesian, and the anti join survives to the plan."""
+    from iceberg_geospatial_api_server_spark.operators.quality import (
+        quality_report,
+    )
+
+    plan = _plan(quality_report(tables["lineitem"], tables["orders"]))
+    assert "CartesianProduct" not in plan
+    n_scans = len(re.findall(r"\(\d+\) Scan ", plan))
+    assert n_scans <= 4, plan
+    assert "LeftAnti" in plan
