@@ -6160,8 +6160,14 @@ _ORACLED_OVERFLOW = [
 # its kernel oracle geo_dbscan_core is in the r5 oracled queue) —
 # and cede more proven oracled slots to geo_ps / ann_ivf_exhaustive /
 # ann_lsh_exhaustive from the overflow tail (they carry oracles and
-# have never been driver-graded), then to the 22 continuation-2
-# oracled entries in registration order.
+# have never been driver-graded), then to the continuation-2/-3
+# oracled entries now in the overflow tail (registration order) —
+# continuation-3 graded its own 9 new oracles in-window
+# (events_error_rate, orders_cohort_ltv, events_seasonal_anomaly,
+# text_containment_pairs, events_session_paths, embed_centroid_drift,
+# corpus_entropy, orders_purchase_intervals, data_quality_report), so
+# the r5 queue is exactly: never-graded oracles first, then the
+# locally-3-SF-verified overflow in order.
 _ROWS_ONLY_PRIORITY = [
     "ann_ivfpq_topk",
     "embed_kmeans_profile",
