@@ -555,3 +555,41 @@ def streaming_seasonal_flags(
             F.expr(SEASONAL_FLAG).alias("is_anomaly"),
         )
     )
+
+
+def streaming_quality_counters(
+    events: DataFrame,
+    allowed_types: list[str],
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Live data-quality monitoring: per finalized hourly window, the
+    expectation counters an ingest pipeline alerts on (null keys,
+    negative values, unknown event types) — the streaming form of
+    operators.quality's batch expectation suite, scoped to the rules
+    that are meaningful per-window. One watermarked aggregation; state
+    = open hourly windows; every counter is an exact integer, so the
+    batch twin (same groupBy over the static table) is
+    equality-testable."""
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "60 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            viol(F.col("user_id").isNull()).alias("null_user"),
+            viol(F.col("value") < 0).alias("negative_value"),
+            viol(~F.col("event_type").isin(allowed_types)).alias(
+                "unknown_type"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "n_events",
+            "null_user",
+            "negative_value",
+            "unknown_type",
+        )
+    )

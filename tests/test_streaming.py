@@ -921,3 +921,71 @@ def test_streaming_seasonal_flags_match_batch(spark, events_path):
     }
     assert len(got) >= len(want) - 4  # only the watermark tail may lag
     assert got == {h: want[h] for h in got}
+
+
+def test_streaming_quality_counters_match_batch(spark, events_path):
+    """Per-window expectation counters: stream ≡ batch, including a
+    planted violation file (negative values + unknown type)."""
+    import datetime as dt
+
+    from iceberg_geospatial_api_server_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory_sink,
+        streaming_quality_counters,
+    )
+
+    allowed = [
+        r.event_type
+        for r in spark.read.parquet(events_path)
+        .select("event_type")
+        .distinct()
+        .collect()
+    ]
+    bad = spark.createDataFrame(
+        [
+            (900001, dt.datetime(2024, 6, 1, 0, 10), 1, "zzz_bad", 1.0, "{}"),
+            (900002, dt.datetime(2024, 6, 1, 0, 20), 2, allowed[0], -5.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    src = tempfile.mkdtemp() + "/q_events"
+    spark.read.parquet(events_path).write.parquet(src)
+    bad.write.mode("append").parquet(src)
+
+    out = streaming_quality_counters(
+        read_event_stream(spark, src), allowed, watermark="2 hours"
+    )
+    run_to_memory_sink(out, "q_out", mode="complete")
+    got = {
+        r.hour_start: (r.n_events, r.null_user, r.negative_value, r.unknown_type)
+        for r in spark.sql("SELECT * FROM q_out").collect()
+    }
+
+    # batch twin: identical aggregation over the static read
+    df = spark.read.parquet(src)
+    want_df = (
+        df.groupBy(F.window("ts", "60 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("nu"),
+            F.sum(F.when(F.col("value") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("nv"),
+            F.sum(
+                F.when(~F.col("event_type").isin(allowed), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("ut"),
+        )
+    )
+    want = {
+        r["w"]["start"]: (r.n, r.nu, r.nv, r.ut) for r in want_df.collect()
+    }
+    assert got == want
+    planted = got[dt.datetime(2024, 6, 1, 0, 0)]
+    assert planted[2] == 1 and planted[3] == 1  # both violations land
