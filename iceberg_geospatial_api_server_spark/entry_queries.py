@@ -4643,20 +4643,22 @@ def corpus_entropy_q(spark, sf_dir):
     """
     WITH li AS (
       SELECT COUNT(*) AS n,
-             CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS bad_qty,
-             CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+             CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity <= 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+             CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount < 0
+                           OR l_discount > 0.1
                       THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc,
              CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
                   AS BIGINT) AS null_ship,
-             CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+             CAST(SUM(CASE WHEN l_extendedprice IS NULL
+                           OR l_extendedprice <= 0 THEN 1 ELSE 0 END)
                   AS BIGINT) AS bad_price_li
       FROM lineitem
     ), od AS (
       SELECT COUNT(*) AS n_o,
              CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
-             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS bad_price,
+             CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
              CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
                   AS BIGINT) AS null_cust
       FROM orders
@@ -4688,7 +4690,9 @@ def corpus_entropy_q(spark, sf_dir):
            CAST(n_total AS BIGINT) AS n_total,
            CAST(CASE WHEN n_failing = 0 THEN 1 ELSE 0 END AS INT)
              AS passed,
-           CAST(n_failing * 1000000 // n_total AS BIGINT) AS fail_micro
+           CASE WHEN n_total > 0
+                THEN CAST(n_failing * 1000000 // n_total AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS fail_micro
     FROM rules ORDER BY rule_id
     """,
 )

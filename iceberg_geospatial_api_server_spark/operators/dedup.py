@@ -824,7 +824,7 @@ def connected_components_smallest_id(
     pairs: DataFrame,
     max_iters: int = 20,
     check_every: int = 5,
-    collect_threshold: int = 1_000_000,
+    collect_threshold: int = 200_000,
 ) -> DataFrame:
     """Duplicate-cluster assignment: iterative smallest-id label
     propagation over the pair graph (each round is two shuffles). At
@@ -836,26 +836,32 @@ def connected_components_smallest_id(
     lineage/plan size stays O(check_every) instead of O(iterations), and
     convergence is tested once per block — not per round — so a
     converged graph costs at most ``check_every - 1`` extra cheap rounds
-    instead of one extra *action* per round. Each block ends with a
+    instead of one extra *action* per round. EVERY step ends with a
     POINTER-JUMP (label looks up its own label's label), so propagation
-    distance grows geometrically across blocks — a path graph of
-    diameter d converges in O(log d) blocks, not d rounds, and
-    ``max_iters=20`` reaches any realistically-diametered dup chain.
+    distance DOUBLES per step — a path graph of diameter d converges in
+    O(log d) steps and ``max_iters=20`` reaches diameter ~2^20 (the
+    per-BLOCK jump this replaced only reached ~check_every·2^blocks
+    and hit the cap on the sf0.1 DBSCAN blob).
     If the graph still hasn't converged at the cap the function RAISES
     instead of silently returning split clusters (a keep-one-per-group
     pass downstream would quietly keep several members of one true
     cluster).
 
     Small-graph fast path: an edge set at or under ``collect_threshold``
-    (≤ ~16 MB of longs at the default cap — a BOUNDED driver frame,
-    like the k×d centroid sums) collects once and resolves by
-    path-compressed union-find instead of iterative jobs. The inputs
-    here are candidate-pair outputs and cell-contracted graphs —
-    usually far smaller than the corpus — and below ~10⁶ edges the
-    per-round scheduling overhead of the distributed loop dominates by
-    orders of magnitude (measured: sf0.1 DBSCAN cell graph 120 s
-    iterative vs <1 s collected). Above the cap the distributed
-    pointer-jump loop runs unchanged."""
+    collects once and resolves by path-compressed union-find instead of
+    iterative jobs. The cap bounds the DRIVER PYTHON footprint — a dict
+    of up to ~2·cap int keys plus the result tuples is tens of MB at
+    the 200k default (CPython object overhead is ~100 B/entry, an order
+    of magnitude above the raw longs), sized to stay safe in a
+    default-1g driver. The inputs here are candidate-pair outputs and
+    cell-contracted graphs — usually far smaller than the corpus — and
+    at this size the per-round scheduling overhead of the distributed
+    loop dominates by orders of magnitude (measured: sf0.1 DBSCAN cell
+    graph 120 s iterative vs <1 s collected). Above the cap the
+    distributed pointer-jump loop runs unchanged, preserving the input
+    id dtype; the fast path mirrors it by building its output schema
+    from the input's id_a type (string/int ids both work on either
+    path)."""
     edges = (
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .union(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
@@ -886,8 +892,10 @@ def connected_components_smallest_id(
                     ra, rb = rb, ra
                 parent[rb] = ra
         spark = pairs.sparkSession
+        id_type = pairs.schema["id_a"].dataType.simpleString()
         return spark.createDataFrame(
-            [(i, find(i)) for i in parent], "id long, comp long"
+            [(i, find(i)) for i in parent],
+            f"id {id_type}, comp {id_type}",
         )
     labels = (
         edges.select(F.col("a").alias("id"))

@@ -22,7 +22,12 @@ from pyspark.sql import functions as F
 
 
 def _failing(cond: Column) -> Column:
-    """Count of rows violating the expectation (cond = violation)."""
+    """Count of rows violating the expectation (cond = violation).
+
+    Callers must express NULL-handling IN the condition: F.when treats
+    a NULL predicate as false, so a bare `col <= 0` would let an
+    all-NULL column sail through a positivity gate — range/positivity
+    rules below OR an explicit isNull() into the violation."""
     return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
 
 
@@ -37,17 +42,28 @@ def quality_report(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     """
     li = lineitem.agg(
         F.count(F.lit(1)).alias("n"),
-        _failing(F.col("l_quantity") <= 0).alias("bad_qty"),
+        # NULL counts as a violation of every range/positivity rule: a
+        # broken column mapping must not green-light the gate
         _failing(
-            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+            F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0)
+        ).alias("bad_qty"),
+        _failing(
+            F.col("l_discount").isNull()
+            | (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 0.1)
         ).alias("bad_disc"),
         _failing(F.col("l_shipdate").isNull()).alias("null_ship"),
-        _failing(F.col("l_extendedprice") <= 0).alias("bad_price_li"),
+        _failing(
+            F.col("l_extendedprice").isNull()
+            | (F.col("l_extendedprice") <= 0)
+        ).alias("bad_price_li"),
     )
     od = orders.agg(
         F.count(F.lit(1)).alias("n_o"),
         F.countDistinct("o_orderkey").alias("n_keys"),
-        _failing(F.col("o_totalprice") <= 0).alias("bad_price"),
+        _failing(
+            F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+        ).alias("bad_price"),
         _failing(F.col("o_custkey").isNull()).alias("null_cust"),
     )
     orphans = lineitem.join(
@@ -88,8 +104,13 @@ def quality_report(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
             .otherwise(0)
             .cast("int")
             .alias("passed"),
-            F.expr("CAST((r.n_failing * 1000000) DIV r.n_total AS BIGINT)")
-            .alias("fail_micro"),
+            # n_total = 0 (empty snapshot) must report, not raise
+            # DIVIDE_BY_ZERO under ANSI: zero failures over zero rows
+            F.expr(
+                "CASE WHEN r.n_total > 0 THEN"
+                " CAST((r.n_failing * 1000000) DIV r.n_total AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("fail_micro"),
         )
         .orderBy("rule_id")
     )

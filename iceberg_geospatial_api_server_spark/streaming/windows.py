@@ -569,10 +569,13 @@ def streaming_quality_counters(
     that are meaningful per-window. One watermarked aggregation; state
     = open hourly windows; every counter is an exact integer, so the
     batch twin (same groupBy over the static table) is
-    equality-testable."""
-
-    def viol(cond):
-        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+    equality-testable. NULL value / event_type count as violations —
+    F.when treats a NULL predicate as pass, so the bare comparisons
+    would silently miss null-typed events, the exact ingest bug a
+    monitor exists to catch."""
+    from iceberg_geospatial_api_server_spark.operators.quality import (
+        _failing as viol,
+    )
 
     return (
         events.withWatermark("ts", watermark)
@@ -580,10 +583,13 @@ def streaming_quality_counters(
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             viol(F.col("user_id").isNull()).alias("null_user"),
-            viol(F.col("value") < 0).alias("negative_value"),
-            viol(~F.col("event_type").isin(allowed_types)).alias(
-                "unknown_type"
-            ),
+            viol(
+                F.col("value").isNull() | (F.col("value") < 0)
+            ).alias("negative_value"),
+            viol(
+                F.col("event_type").isNull()
+                | ~F.col("event_type").isin(allowed_types)
+            ).alias("unknown_type"),
         )
         .select(
             F.col("w.start").alias("hour_start"),

@@ -308,3 +308,53 @@ def test_quality_report_planted_violations(spark):
     ):
         assert rows[rid]["passed"] == 1 and rows[rid]["n_failing"] == 0
     assert rows["orders_orderkey_unique"]["fail_micro"] == 333333
+
+
+def test_quality_report_survives_empty_tables(spark):
+    """An empty snapshot must REPORT (all n_total 0, fail_micro 0),
+    not raise DIVIDE_BY_ZERO under ANSI — the pre-promotion gate runs
+    on whatever landed."""
+    from iceberg_geospatial_api_server_spark.operators.quality import (
+        quality_report,
+    )
+
+    li = spark.createDataFrame(
+        [],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    od = spark.createDataFrame(
+        [],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    rows = quality_report(li, od).collect()
+    assert len(rows) == 8
+    assert all(r["n_total"] == 0 and r["fail_micro"] == 0 for r in rows)
+
+
+def test_quality_report_null_columns_fail_rules(spark):
+    """An all-NULL quantity column must FAIL the positivity rule —
+    F.when's NULL-is-pass semantics must not green-light a broken
+    column mapping."""
+    from iceberg_geospatial_api_server_spark.operators.quality import (
+        quality_report,
+    )
+
+    li = spark.createDataFrame(
+        [(1, 1, 1, 1, None, 10.0, 0.05, 0.0, "N", "O", dt.datetime(2024, 1, 1))],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+    od = spark.createDataFrame(
+        [(1, 10, "O", 100.0, dt.datetime(2024, 1, 1), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    rows = {r["rule_id"]: r for r in quality_report(li, od).collect()}
+    assert rows["lineitem_quantity_positive"]["n_failing"] == 1
+    assert rows["lineitem_quantity_positive"]["passed"] == 0

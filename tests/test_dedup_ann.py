@@ -817,3 +817,21 @@ def test_simhash_incremental_with_persisted_signatures(
 
     with pytest.raises(ValueError, match="not both"):
         dedup_simhash(new, against=old, against_signatures=sigs)
+
+
+def test_connected_components_string_ids_fast_path(spark):
+    """The union-find fast path must preserve a non-long id dtype the
+    way the distributed loop does (content-hash string ids)."""
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        connected_components_smallest_id,
+    )
+
+    pairs = spark.createDataFrame(
+        [("h2", "h1"), ("h2", "h3"), ("x9", "x8")],
+        "id_a string, id_b string",
+    )
+    out = connected_components_smallest_id(pairs)
+    assert dict(out.dtypes) == {"id": "string", "comp": "string"}
+    labels = {r.id: r.comp for r in out.collect()}
+    assert labels["h1"] == labels["h2"] == labels["h3"] == "h1"
+    assert labels["x8"] == labels["x9"] == "x8"

@@ -945,6 +945,8 @@ def test_streaming_quality_counters_match_batch(spark, events_path):
         [
             (900001, dt.datetime(2024, 6, 1, 0, 10), 1, "zzz_bad", 1.0, "{}"),
             (900002, dt.datetime(2024, 6, 1, 0, 20), 2, allowed[0], -5.0, "{}"),
+            # NULL type must count as unknown (F.when's NULL-is-pass trap)
+            (900003, dt.datetime(2024, 6, 1, 0, 30), 3, None, 1.0, "{}"),
         ],
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string",
@@ -973,11 +975,19 @@ def test_streaming_quality_counters_match_batch(spark, events_path):
             F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
             .cast("long")
             .alias("nu"),
-            F.sum(F.when(F.col("value") < 0, 1).otherwise(0))
+            F.sum(
+                F.when(
+                    F.col("value").isNull() | (F.col("value") < 0), 1
+                ).otherwise(0)
+            )
             .cast("long")
             .alias("nv"),
             F.sum(
-                F.when(~F.col("event_type").isin(allowed), 1).otherwise(0)
+                F.when(
+                    F.col("event_type").isNull()
+                    | ~F.col("event_type").isin(allowed),
+                    1,
+                ).otherwise(0)
             )
             .cast("long")
             .alias("ut"),
@@ -988,4 +998,4 @@ def test_streaming_quality_counters_match_batch(spark, events_path):
     }
     assert got == want
     planted = got[dt.datetime(2024, 6, 1, 0, 0)]
-    assert planted[2] == 1 and planted[3] == 1  # both violations land
+    assert planted[2] == 1 and planted[3] == 2  # -5.0; zzz_bad + NULL type
