@@ -4033,6 +4033,25 @@ def embed_centroid_drift_q(spark, sf_dir):
     return centroid_drift(_t(spark, sf_dir, "embeddings"))
 
 
+@_q("events_hll_dau")  # rows-only: DataSketches HLL registers are
+# engine-specific (DuckDB's approx_count_distinct is a different HLL);
+# accuracy (<5% vs exact) and LOSSLESS sketch-union mergeability are
+# pinned in tests/test_cohort_paths.py
+def events_hll_dau_q(spark, sf_dir):
+    """Persistable per-day HLL user sketches + estimates — the
+    re-aggregable distinct-count state a 100 TB pipeline stores instead
+    of rescanning events per date range (operators/sketches.py)."""
+    from iceberg_geospatial_api_server_spark.operators.sketches import (
+        hll_daily_user_sketches,
+    )
+
+    return (
+        hll_daily_user_sketches(_t(spark, sf_dir, "events"))
+        .select("day", "dau_est")
+        .orderBy("day")
+    )
+
+
 @_q("embed_pca_project")  # rows-only: eigendecomposition isn't SQL-expressible
 def embed_pca_q(spark, sf_dir):
     """Distributed PCA: moment partial-sums (one bounded row per Arrow

@@ -1,0 +1,65 @@
+"""Re-aggregable sketch state for distinct counting at 100 TB.
+
+The pattern: persist one HLL sketch per (day, segment) — a few KB each —
+and answer ANY date-range / segment-rollup distinct-user question by
+UNIONING sketches, never rescanning events. HLL register union is
+lossless (union of sketches ≡ sketch of the union), so a merged estimate
+equals the direct estimate EXACTLY — asserted in tests, which is what
+makes pre-aggregated sketch tables safe to build incrementally (each
+day's ingest appends its sketch; history is never touched).
+
+Spark-native: `hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`
+(Apache DataSketches under the hood, JVM-side aggregates with map-side
+partial combine — one day-key exchange, no row-level state). The exact
+rolling-distinct counterpart (events_dau_rolling) fans the (day, user)
+frame out per window; sketches replace that with constant-size state
+when ±2% error is acceptable — the standard trade at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_geospatial_api_server_spark.util import epoch_of
+
+
+def hll_daily_user_sketches(
+    events: DataFrame, lg_k: int = 12
+) -> DataFrame:
+    """One HLL sketch of distinct user_ids per UTC day: (day, sketch
+    binary, dau_est). The persistable pre-aggregate — a few KB per day
+    regardless of event volume; one day-key exchange with map-side
+    partial sketch combine."""
+    sec = epoch_of(events, "ts")
+    day = F.floor(sec("ts", "SECOND") / F.lit(86_400)).cast("long")
+    return (
+        events.groupBy(day.alias("day"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sketch"))
+        .select(
+            "day",
+            "sketch",
+            F.hll_sketch_estimate("sketch").cast("long").alias("dau_est"),
+        )
+    )
+
+
+def hll_range_estimate(
+    daily: DataFrame, day_from: int, day_to: int
+) -> DataFrame:
+    """Distinct users over [day_from, day_to] by unioning the persisted
+    daily sketches — the events table is never rescanned. Returns one
+    row (n_days, users_est). The strict union (allowDifferentLgConfigK
+    False) guards against mixing sketch tables built at different
+    precisions."""
+    window = daily.filter(
+        (F.col("day") >= day_from) & (F.col("day") <= day_to)
+    )
+    return window.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(
+            F.hll_union_agg("sketch", F.lit(False))
+        )
+        .cast("long")
+        .alias("users_est"),
+    )

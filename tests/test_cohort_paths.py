@@ -358,3 +358,44 @@ def test_quality_report_null_columns_fail_rules(spark):
     rows = {r["rule_id"]: r for r in quality_report(li, od).collect()}
     assert rows["lineitem_quantity_positive"]["n_failing"] == 1
     assert rows["lineitem_quantity_positive"]["passed"] == 0
+
+
+def test_hll_sketches_accurate_and_losslessly_mergeable(spark, tables):
+    """Daily HLL estimates stay within 5% of exact DAU, and the union
+    of daily sketches equals the direct range sketch EXACTLY (register
+    union is lossless) — the property that makes a persisted sketch
+    table safe to build incrementally."""
+    from iceberg_geospatial_api_server_spark.operators.sketches import (
+        hll_daily_user_sketches,
+        hll_range_estimate,
+    )
+    from iceberg_geospatial_api_server_spark.util import epoch_of
+
+    events = tables["events"]
+    daily = hll_daily_user_sketches(events).localCheckpoint()
+
+    sec = epoch_of(events, "ts")
+    day = F.floor(sec("ts", "SECOND") / F.lit(86_400)).cast("long")
+    exact = {
+        r["day"]: r["dau"]
+        for r in events.groupBy(day.alias("day"))
+        .agg(F.countDistinct("user_id").alias("dau"))
+        .collect()
+    }
+    for r in daily.collect():
+        err = abs(r["dau_est"] - exact[r["day"]]) / max(exact[r["day"]], 1)
+        assert err < 0.05, f"day {r['day']}: est {r['dau_est']} vs {exact[r['day']]}"
+
+    d0, d1 = min(exact), min(exact) + 6
+    merged = hll_range_estimate(daily, d0, d1).first()
+    direct = (
+        events.filter((day >= d0) & (day <= d1))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).cast("long")
+        )
+        .first()[0]
+    )
+    assert merged["n_days"] == 7
+    assert merged["users_est"] == direct  # lossless union, not approximate
