@@ -5570,6 +5570,102 @@ def geo_od_flows_q(spark, sf_dir):
     )
 
 
+# flow-direction statistics: OD displacement components (shared text;
+# same key-derived endpoints as geo_od_flows)
+_FB_DX = (
+    "(((o_custkey * 29 % 3600) / CAST(10.0 AS DOUBLE) - 180.0)"
+    " - ((l_suppkey * 37 % 3600) / CAST(10.0 AS DOUBLE) - 180.0))"
+)
+_FB_DY = (
+    "(((o_custkey * 41 % 1700) / CAST(10.0 AS DOUBLE) - 85.0)"
+    " - ((l_suppkey * 53 % 1700) / CAST(10.0 AS DOUBLE) - 85.0))"
+)
+# unit-vector components quantized to the 1e-6 grid: SQRT and division
+# are IEEE-correctly-rounded (unlike libm trig), so qu/qv are
+# bit-identical across engines and their sums are exact integers —
+# circular statistics with NO trig in the summed path; ATAN2 touches
+# only the one su/sv pair per group at the very end
+_FB_R = "SQRT(dx * dx + dy * dy)"
+_FB_QU = (
+    f"CASE WHEN {_FB_R} > 0.0 THEN"
+    f" CAST(FLOOR(dx / {_FB_R} * 1000000.0 + 0.5) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+_FB_QV = (
+    f"CASE WHEN {_FB_R} > 0.0 THEN"
+    f" CAST(FLOOR(dy / {_FB_R} * 1000000.0 + 0.5) AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+_FB_RES = (
+    "ROUND(SQRT(CAST(su AS DOUBLE) * CAST(su AS DOUBLE)"
+    "           + CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))"
+    " / (CAST(n_flows AS DOUBLE) * 1000000.0), 6) + 0.0"
+)
+_FB_DIR = (
+    "ROUND(DEGREES(ATAN2(CAST(sv AS DOUBLE), CAST(su AS DOUBLE))), 4)"
+    " + 0.0"
+)
+
+
+@_q(
+    "geo_flow_bearings",
+    f"""
+    WITH f AS (
+      SELECT {_OD_STX} AS src_tx, {_OD_STY} AS src_ty,
+             {_FB_DX} AS dx, {_FB_DY} AS dy
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), u AS (
+      SELECT src_tx, src_ty, {_FB_QU} AS qu, {_FB_QV} AS qv FROM f
+    ), g AS (
+      SELECT src_tx, src_ty, COUNT(*) AS n_flows,
+             CAST(SUM(qu) AS BIGINT) AS su, CAST(SUM(qv) AS BIGINT) AS sv
+      FROM u GROUP BY 1, 2
+    )
+    SELECT src_tx, src_ty, n_flows,
+           {_FB_RES} AS resultant, {_FB_DIR} AS mean_dir_deg
+    FROM g ORDER BY src_tx, src_ty
+    """,
+)
+def geo_flow_bearings_q(spark, sf_dir):
+    """Circular (directional) statistics per origin tile over the OD
+    flow field: mean flow direction and resultant length R̄ (1 = all
+    flows parallel, 0 = isotropic) — the flow-field summary behind
+    wind-rose / migration-arrow maps, and a statistics class (circular
+    means) the linear aggregates above can't express. Exactness: unit
+    vectors via IEEE-exact SQRT/division (no libm trig in the summed
+    path), 1e-6-grid quantization, exact BIGINT component sums; ATAN2
+    runs once per group on the exact sums. Scale shape: same ONE
+    fact-fact orderkey shuffle as geo_od_flows + one tile-key exchange.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    u = joined.selectExpr(
+        f"{_OD_STX} AS src_tx",
+        f"{_OD_STY} AS src_ty",
+        f"{_FB_DX} AS dx",
+        f"{_FB_DY} AS dy",
+    ).selectExpr(
+        "src_tx", "src_ty", f"{_FB_QU} AS qu", f"{_FB_QV} AS qv"
+    )
+    return (
+        u.groupBy("src_tx", "src_ty")
+        .agg(
+            F.count(F.lit(1)).alias("n_flows"),
+            F.sum("qu").cast("long").alias("su"),
+            F.sum("qv").cast("long").alias("sv"),
+        )
+        .selectExpr(
+            "src_tx",
+            "src_ty",
+            "n_flows",
+            f"{_FB_RES} AS resultant",
+            f"{_FB_DIR} AS mean_dir_deg",
+        )
+        .orderBy("src_tx", "src_ty")
+    )
+
+
 def _moran_oracle(cell: float) -> str:
     from iceberg_geospatial_api_server_spark.geo.tiles import MORAN_STEPS
 
@@ -6171,6 +6267,11 @@ _ORACLED_OVERFLOW = [
     "geo_nearest_join",  # driver-green r1+r2+r3 and perf-audited in
     # bench every round; the ring-search nearest kernel is graded via
     # overflow geo_knn/geo_haversine_knn (r5 queue) and recall tests
+    # r4 (cont. 3): circular-statistics entry lands with LOCAL 3-SF
+    # grading only — the remaining in-window multi-round-green entries
+    # each back a donor rationale already spent this round, so no
+    # honest donor is left; queued for the r5 rotation
+    "geo_flow_bearings",
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):
