@@ -399,3 +399,28 @@ def test_hll_sketches_accurate_and_losslessly_mergeable(spark, tables):
     )
     assert merged["n_days"] == 7
     assert merged["users_est"] == direct  # lossless union, not approximate
+
+
+def test_flow_bearings_resultant_bounds(spark, sf_dir):
+    """Circular-statistics invariants on real data: R̄ ∈ [0, 1] (up to
+    the 1e-6 quantization grain), directions in (-180, 180], and flow
+    counts conserve the join size."""
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod.queries()["geo_flow_bearings"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert -1e-6 <= r["resultant"] <= 1.0 + 2e-6, r
+        assert -180.0 < r["mean_dir_deg"] <= 180.0, r
+    li = entry_mod.queries()["q1_pricing_summary"]  # session warm only
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+
+    n_join = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert sum(r["n_flows"] for r in out) == n_join
