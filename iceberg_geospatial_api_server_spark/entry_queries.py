@@ -1686,6 +1686,43 @@ def ann_bf_q(spark, sf_dir):
 
 
 @_q(
+    "ann_filtered_topk",
+    """
+    SELECT q_id, vec_id, ROUND(cos_sim, 6) AS cos_sim, CAST(rn AS INT) AS rank
+    FROM (
+      SELECT q.vec_id AS q_id, b.vec_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rn
+      FROM (SELECT * FROM embeddings WHERE vec_id IN (0, 101, 202, 303, 404)) q
+      CROSS JOIN (SELECT * FROM embeddings WHERE label = 3) b)
+    WHERE rn <= 5
+    """,
+)
+def ann_filtered_q(spark, sf_dir):
+    """Filtered vector search (metadata predicate + top-k): the named
+    hard problem of vector retrieval, solved here by PRE-filtering —
+    exact, and at 100 TB the right strategy whenever the predicate is
+    selective (the filter pushes into the parquet scan and the search
+    touches only survivors). The alternative (post-filtering an ANN
+    index's results) loses recall unless you over-fetch by 1/selectivity;
+    for UNselective predicates, partition the IVF index BY the
+    metadata column instead (ann.ivf_topk over a label-partitioned
+    table gives per-label cell lists for free)."""
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        brute_force_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id").isin(0, 101, 202, 303, 404)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return brute_force_topk(emb.filter(F.col("label") == 3), queries_df, k=5)
+
+
+@_q(
     "ann_ivfpq_exhaustive",
     """
     SELECT q_id, vec_id, ROUND(cos_sim, 6) AS cos_sim, CAST(rn AS INT) AS rank
@@ -6359,6 +6396,10 @@ _ORACLED_OVERFLOW = [
     # machinery carries events_sessionize's r1+r2 driver greens and
     # the stream≡batch session-window tests)
     "events_bounce_rate",
+    # r4 (cont. 3): same story — filtered vector search lands with
+    # LOCAL 3-SF grading, queued for the r5 rotation (its cosine
+    # kernel is graded in-window via ann_ivfpq_exhaustive)
+    "ann_filtered_topk",
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):
