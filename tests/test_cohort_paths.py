@@ -431,3 +431,36 @@ def test_flow_bearings_resultant_bounds(spark, sf_dir):
         .count()
     )
     assert sum(r["n_flows"] for r in out) == n_join
+
+
+def test_pagerank_integer_reference(spark):
+    """Integer PageRank must reproduce a plain Python loop on a crafted
+    star + cycle graph, and a symmetric 2-cycle is its own fixpoint
+    (r stays exactly 1.0 in micro-units)."""
+    from iceberg_geospatial_api_server_spark.operators.graph import (
+        pagerank_int,
+    )
+
+    # star: 0-1, 0-2, 0-3; separate 2-cycle: 10-11 (symmetrized)
+    und = [(0, 1), (0, 2), (0, 3), (10, 11)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src long, dst long",
+    )
+    got = {r["id"]: r["rank_micro"] for r in pagerank_int(edges, iters=10).collect()}
+
+    deg = {}
+    adj = []
+    for a, b in und:
+        adj += [(a, b), (b, a)]
+    for a, _ in adj:
+        deg[a] = deg.get(a, 0) + 1
+    r = {n: 1_000_000 for n in deg}
+    for _ in range(10):
+        nxt = {n: 150_000 for n in r}
+        for a, b in adj:
+            nxt[b] += (85 * r[a]) // (100 * deg[a])
+        r = nxt
+    assert got == r
+    assert got[10] == got[11] == 1_000_000  # 2-cycle fixpoint
+    assert got[0] > got[1] == got[2] == got[3]  # hub outranks leaves
