@@ -4718,6 +4718,96 @@ def events_bounce_rate_q(spark, sf_dir):
     )
 
 
+@_q(
+    "events_attribution_lag",
+    """
+    WITH v AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+    ), p AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS total_micro
+      FROM events WHERE event_type = 'purchase'
+    ), pairs AS (
+      SELECT p.event_id AS p_id, p.total_micro,
+             epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+      FROM p JOIN v ON p.user_id = v.user_id
+       AND v.ts <= p.ts AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000
+    ), credited AS (
+      SELECT p_id, lag_us,
+             total_micro // COUNT(*) OVER (PARTITION BY p_id)
+               AS credit_micro
+      FROM pairs
+    )
+    SELECT CASE WHEN lag_us <= 300000000 THEN '01_0_5m'
+                WHEN lag_us <= 1800000000 THEN '02_5_30m'
+                ELSE '03_30_60m' END AS lag_bucket,
+           COUNT(*) AS n_touches,
+           CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases,
+           CAST(SUM(credit_micro) AS BIGINT) AS credit_micro
+    FROM credited GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_attribution_lag_q(spark, sf_dir):
+    """Linear multi-touch attribution by conversion lag: each purchase's
+    value (integer micro) splits equally over its qualifying prior
+    views within 1 h (integer DIV — deterministic, remainder dropped by
+    both engines identically), reported per lag bucket — the
+    time-to-conversion report, and the hash-graded batch twin of
+    streaming.windows.stream_stream_attribution's range join.
+
+    Scale shape: ONE user_id exchange joins views to purchases (the
+    horizon predicate bounds each user's pair fan-out by view density ×
+    1 h — the same bound the streaming form's watermark state relies
+    on); the per-purchase count window rides the join's partitioning;
+    the lag aggregate is 3 rows."""
+    from pyspark.sql import Window
+
+    from iceberg_geospatial_api_server_spark.util import epoch_of
+
+    events = _t(spark, sf_dir, "events")
+    us = epoch_of(events, "ts")
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), us("ts").alias("v_us")
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        us("ts").alias("p_us"),
+        F.col("event_id").alias("p_id"),
+        F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("total_micro"),
+    )
+    pairs = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_us") <= F.col("p_us"))
+        & (F.col("p_us") - F.col("v_us") <= F.lit(3_600_000_000)),
+    ).select("p_id", "total_micro", (F.col("p_us") - F.col("v_us")).alias("lag_us"))
+    w_p = Window.partitionBy("p_id")
+    credited = (
+        pairs.withColumn("__n", F.count(F.lit(1)).over(w_p))
+        .select(
+            "p_id",
+            "lag_us",
+            F.expr("total_micro DIV __n").alias("credit_micro"),
+        )
+    )
+    bucket = (
+        F.when(F.col("lag_us") <= 300_000_000, "01_0_5m")
+        .when(F.col("lag_us") <= 1_800_000_000, "02_5_30m")
+        .otherwise("03_30_60m")
+    )
+    return (
+        credited.groupBy(bucket.alias("lag_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.countDistinct("p_id").cast("long").alias("n_purchases"),
+            F.sum("credit_micro").cast("long").alias("credit_micro"),
+        )
+        .orderBy("lag_bucket")
+    )
+
+
 def _pagerank_oracle(iters: int) -> str:
     sql = """
     WITH e0 AS (
@@ -6464,6 +6554,10 @@ _ORACLED_OVERFLOW = [
     # LOCAL 3-SF grading (160 / 1600 / 15999 node-rows MATCH), queued
     # for the r5 rotation
     "graph_pagerank",
+    # r4 (cont. 3): same story — multi-touch attribution lands with
+    # LOCAL 3-SF grading, queued for the r5 rotation (its range-join
+    # kernel carries the stream≡batch attribution equivalence test)
+    "events_attribution_lag",
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):
