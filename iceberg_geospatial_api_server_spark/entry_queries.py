@@ -4808,6 +4808,72 @@ def events_attribution_lag_q(spark, sf_dir):
     )
 
 
+@_q(
+    "brand_supplier_hhi",
+    """
+    WITH bs AS (
+      SELECT p_brand, l_suppkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                                 * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ), sh AS (
+      SELECT p_brand, l_suppkey,
+             (cents * 1000000)
+               // SUM(cents) OVER (PARTITION BY p_brand) AS share_ppm
+      FROM bs
+    )
+    SELECT p_brand, COUNT(*) AS n_suppliers,
+           CAST(MAX(share_ppm) AS BIGINT) AS top_share_ppm,
+           CAST(SUM(share_ppm * share_ppm // 1000000) AS BIGINT)
+             AS hhi_micro
+    FROM sh GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def brand_supplier_hhi_q(spark, sf_dir):
+    """Supplier market concentration per part brand: the Herfindahl-
+    Hirschman index (Σ share², 1.0 = monopoly; antitrust flags >0.25)
+    plus the top supplier's share — the supply-risk report. Exactness:
+    revenue quantizes to integer cents per row (identical double op
+    sequence), shares to ppm by integer division against the exact
+    brand total, and each squared term floors at micro grain — every
+    hashed number is a BIGINT. Scale shape: one partkey join (dim
+    broadcastable, Spark decides), one (brand, supplier) exchange; the
+    share window and final aggregate ride the brand partitioning over
+    supplier-sized frames."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cents = F.expr(
+        "CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)"
+        " AS BIGINT)"
+    )
+    bs = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    w_b = Window.partitionBy("p_brand")
+    sh = bs.withColumn("__t", F.sum("cents").over(w_b)).selectExpr(
+        "p_brand",
+        "l_suppkey",
+        "(cents * 1000000) DIV __t AS share_ppm",
+    )
+    return (
+        sh.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.max("share_ppm").cast("long").alias("top_share_ppm"),
+            F.sum(F.expr("share_ppm * share_ppm DIV 1000000"))
+            .cast("long")
+            .alias("hhi_micro"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 def _pagerank_oracle(iters: int) -> str:
     sql = """
     WITH e0 AS (
@@ -6558,6 +6624,9 @@ _ORACLED_OVERFLOW = [
     # LOCAL 3-SF grading, queued for the r5 rotation (its range-join
     # kernel carries the stream≡batch attribution equivalence test)
     "events_attribution_lag",
+    # r4 (cont. 3): same story — supplier-concentration HHI lands with
+    # LOCAL 3-SF grading, queued for the r5 rotation
+    "brand_supplier_hhi",
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):
