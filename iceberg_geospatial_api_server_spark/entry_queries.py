@@ -5891,6 +5891,79 @@ def geo_od_flows_q(spark, sf_dir):
     )
 
 
+@_q(
+    "geo_tile_netflow",
+    f"""
+    WITH f AS (
+      SELECT {_OD_STX} AS src_tx, {_OD_STY} AS src_ty,
+             {_OD_DTX} AS dst_tx, {_OD_DTY} AS dst_ty,
+             CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), outf AS (
+      SELECT src_tx AS tx, src_ty AS ty,
+             COUNT(*) AS n_out, CAST(SUM(cents) AS BIGINT) AS out_cents
+      FROM f GROUP BY 1, 2
+    ), inf AS (
+      SELECT dst_tx AS tx, dst_ty AS ty,
+             COUNT(*) AS n_in, CAST(SUM(cents) AS BIGINT) AS in_cents
+      FROM f GROUP BY 1, 2
+    )
+    SELECT COALESCE(o.tx, i.tx) AS tx, COALESCE(o.ty, i.ty) AS ty,
+           CAST(COALESCE(n_in, 0) AS BIGINT) AS n_in,
+           CAST(COALESCE(n_out, 0) AS BIGINT) AS n_out,
+           CAST(COALESCE(in_cents, 0) - COALESCE(out_cents, 0) AS BIGINT)
+             AS net_cents
+    FROM outf o FULL OUTER JOIN inf i ON o.tx = i.tx AND o.ty = i.ty
+    ORDER BY tx, ty
+    """,
+)
+def geo_tile_netflow_q(spark, sf_dir):
+    """Net value flow per tile (inflow − outflow, the deck.gl net-
+    migration choropleth over the same OD fact join as geo_od_flows):
+    integer-cents sums, two tile aggregates off ONE fact-fact shuffle,
+    FULL OUTER merge so sink-only and source-only tiles both report."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.expr(
+        "CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+    )
+    f = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.expr(_OD_STX).alias("src_tx"),
+        F.expr(_OD_STY).alias("src_ty"),
+        F.expr(_OD_DTX).alias("dst_tx"),
+        F.expr(_OD_DTY).alias("dst_ty"),
+        cents.alias("cents"),
+    )
+    outf = f.groupBy(
+        F.col("src_tx").alias("tx"), F.col("src_ty").alias("ty")
+    ).agg(
+        F.count(F.lit(1)).alias("n_out"),
+        F.sum("cents").cast("long").alias("out_cents"),
+    )
+    inf = f.groupBy(
+        F.col("dst_tx").alias("tx"), F.col("dst_ty").alias("ty")
+    ).agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum("cents").cast("long").alias("in_cents"),
+    )
+    return (
+        outf.join(inf, ["tx", "ty"], "full_outer")
+        .select(
+            "tx",
+            "ty",
+            F.coalesce("n_in", F.lit(0)).cast("long").alias("n_in"),
+            F.coalesce("n_out", F.lit(0)).cast("long").alias("n_out"),
+            (
+                F.coalesce("in_cents", F.lit(0))
+                - F.coalesce("out_cents", F.lit(0))
+            )
+            .cast("long")
+            .alias("net_cents"),
+        )
+        .orderBy("tx", "ty")
+    )
+
+
 # flow-direction statistics: OD displacement components derived from
 # the SAME synthetic coordinate constants geo_od_flows uses (a literal
 # copy would silently diverge if sources/synthetic.py changed)
@@ -6627,6 +6700,9 @@ _ORACLED_OVERFLOW = [
     # r4 (cont. 3): same story — supplier-concentration HHI lands with
     # LOCAL 3-SF grading, queued for the r5 rotation
     "brand_supplier_hhi",
+    # r4 (cont. 3): same story — per-tile net flow lands with LOCAL
+    # 3-SF grading, queued for the r5 rotation
+    "geo_tile_netflow",
 ]
 
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):
