@@ -31,10 +31,11 @@ def pagerank_int(
     edges: DataFrame, iters: int = 10, checkpoint_every: int = 3
 ) -> DataFrame:
     """Integer-exact PageRank (damping 0.85, fixed ``iters`` rounds)
-    over a directed edge list (src, dst). Every node must appear as a
-    src at least once (undirected graphs symmetrized by the caller
-    satisfy this; otherwise dangling mass is dropped, matching the
-    oracle). Returns (id, rank_micro).
+    over a directed edge list (src, dst). The node set is DISTINCT src
+    (exactly the oracle's nodes CTE): a sink-only node — one appearing
+    only as dst — gets NO rank row and its inbound mass is dropped.
+    Symmetrize the graph (as graph_pagerank does) when every node
+    should rank. Returns (id, rank_micro).
 
     r₀ = 1.0; rᵢ₊₁(v) = 0.15 + Σ_{u→v} (85·rᵢ(u)) DIV (100·deg(u)),
     all in micro-units — exact BIGINT everywhere.
@@ -45,10 +46,7 @@ def pagerank_int(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ed = e.join(deg, "src").localCheckpoint()
     nodes = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
-        .distinct()
-        .localCheckpoint()
+        e.select(F.col("src").alias("id")).distinct().localCheckpoint()
     )
     ranks = nodes.withColumn("r", F.lit(MICRO).cast("long"))
     for i in range(iters):

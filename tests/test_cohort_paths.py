@@ -464,3 +464,36 @@ def test_pagerank_integer_reference(spark):
     assert got == r
     assert got[10] == got[11] == 1_000_000  # 2-cycle fixpoint
     assert got[0] > got[1] == got[2] == got[3]  # hub outranks leaves
+
+
+def test_attribution_lag_multitouch_split(spark, sf_dir, monkeypatch):
+    """The DIV-split path (never exercised by the synthetic corpus,
+    where every purchase has ≤1 qualifying view): three views inside
+    the hour split a 10.000000-value purchase as 3_333_333 micro each
+    (remainder dropped identically on both engines), bucketed by lag;
+    a view outside the horizon earns nothing."""
+    import __spark_entry__ as entry_mod
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0 - dt.timedelta(minutes=2), 7, "view", 0.0, "{}"),      # 01_0_5m
+        (2, t0 - dt.timedelta(minutes=20), 7, "view", 0.0, "{}"),     # 02_5_30m
+        (3, t0 - dt.timedelta(minutes=50), 7, "view", 0.0, "{}"),     # 03_30_60m
+        (4, t0 - dt.timedelta(minutes=90), 7, "view", 0.0, "{}"),     # outside
+        (5, t0, 7, "purchase", 10.0, "{}"),
+    ]
+    ev = spark.createDataFrame(rows, _EVENT_SCHEMA)
+
+    import iceberg_geospatial_api_server_spark.entry_queries as eq
+
+    monkeypatch.setattr(eq, "_t", lambda spark_, sf, name: ev)
+    out = {
+        r["lag_bucket"]: r
+        for r in entry_mod.queries()["events_attribution_lag"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(out) == {"01_0_5m", "02_5_30m", "03_30_60m"}
+    for b in out.values():
+        assert b["n_touches"] == 1 and b["n_purchases"] == 1
+        assert b["credit_micro"] == 3_333_333  # 10_000_000 DIV 3
