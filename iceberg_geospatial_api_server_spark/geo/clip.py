@@ -141,6 +141,12 @@ def clip_polyline(
             continue
         a = p + t0 * d
         b = p + t1 * d
+        if np.array_equal(a, b):
+            # single-point graze (t0 == t1): a zero-length sub-path is
+            # not a line — contribute nothing; a later segment re-opens
+            # the path only if it genuinely continues from cur[-1]
+            # (ADVICE r4)
+            continue
         if not cur or not np.array_equal(cur[-1], a):
             if len(cur) > 1:
                 paths.append(cur)
@@ -263,7 +269,12 @@ def _clip_axis_rects_np(geoms: pd.Series, bbox) -> "pd.DataFrame | None":
     horiz = (dy == 0.0) & (dx != 0.0)
     vert = (dx == 0.0) & (dy != 0.0)
     closed = (coords[:, 0] == coords[:, 4]).all(axis=1)
-    if not ((horiz | vert).all(axis=1) & closed).all():
+    # edges must ALTERNATE h/v: an h,h,v,v "bowtie" ring passes the
+    # axis-parallel + closed test but self-intersects with true area 0
+    # (the general kernel drops it via shoelace == 0) — closure + 4
+    # alternating axis edges ⇒ a proper rectangle (ADVICE r4)
+    alternating = (horiz[:, :-1] != horiz[:, 1:]).all(axis=1)
+    if not ((horiz | vert).all(axis=1) & closed & alternating).all():
         return None
     xmin, ymin, xmax, ymax = bbox
     rxmin = coords[:, :, 0].min(axis=1)

@@ -1273,7 +1273,16 @@ def nearest_join_broadcast(
         for pdf in batches:
             xs = pdf[lx].to_numpy("f8")
             ys = pdf[ly].to_numpy("f8")
+            # mirror the right-side coordinate filter on left rows
+            # (ADVICE r4): a null/NaN left coordinate would otherwise
+            # emit a NaN-distance row with an arbitrary neighbor
+            ok = ~(np.isnan(xs) | np.isnan(ys))
+            if not ok.all():
+                pdf = pdf.loc[ok].reset_index(drop=True)
+                xs, ys = xs[ok], ys[ok]
             n = len(pdf)
+            if n == 0:
+                continue
             idx = np.empty(n, dtype="i8")
             dist = np.empty(n, dtype="f8")
             # block the distance matrix so memory stays ~|block|·|R|·8B
@@ -1388,7 +1397,16 @@ def knn_join_broadcast(
         for pdf in batches:
             xs = pdf[lx].to_numpy("f8")
             ys = pdf[ly].to_numpy("f8")
+            # mirror the right-side coordinate filter on left rows
+            # (ADVICE r4): a null/NaN left coordinate would otherwise
+            # emit k NaN-distance rows in NaN-sort-arbitrary order
+            ok = ~(np.isnan(xs) | np.isnan(ys))
+            if not ok.all():
+                pdf = pdf.loc[ok].reset_index(drop=True)
+                xs, ys = xs[ok], ys[ok]
             n = len(pdf)
+            if n == 0:
+                continue
             sel = np.empty((n, kk), dtype="i8")
             sdist = np.empty((n, kk), dtype="f8")
             for s in range(0, n, 512):

@@ -879,6 +879,194 @@ def kmeans_cluster_profile(
     )
 
 
+def kmeans_exact_census(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Integer-grid spherical k-means census — the hash-gradable form of
+    the `kmeans_fit` machinery (VERDICT r4 item 3a; the graph_pagerank
+    pattern: run the whole recursion in exact integers so the cross-engine
+    hash is stable).
+
+    Vectors quantize to the 1e-6 grid (FLOOR(x·1e6 + 0.5), identical
+    IEEE both engines), seeds are the k hash-smallest ids (portable
+    id_hash, the production `_seed_vectors` rule), and each Lloyd
+    iteration is: dot products as EXACT BIGINT sums (order-independent,
+    unlike kmeans_fit's numpy matmul — float summation order is why the
+    production path cannot hash cross-engine), similarity = one double
+    division by one SQRT of an exact integer (both correctly rounded per
+    IEEE → identical), argmax with the (ratio DESC, cell ASC) tiebreak,
+    centroid update = FLOOR(sum/n + 0.5) back onto the grid with empty
+    cells keeping their previous centroid. Output: per-cell member count
+    + integer-quantized inertia Σ(1e6 − ⌊sim·1e6⌋).
+
+    Plan shape: assignment is pure JVM column arithmetic (no UDF, no
+    shuffle); per iteration one k-row aggregate reaches the driver (k×d
+    longs — the same bounded driver traffic contract as kmeans_fit);
+    census is one exchange. Scale-safe by the same argument as the
+    production path."""
+    import math
+    from functools import reduce
+    from operator import add
+
+    from iceberg_geospatial_api_server_spark.operators.sampling import id_hash
+
+    dim = len(df.select(vec_col).first()[0])
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    base = df.select(F.col(id_col).alias("__id"), qv.alias("__qv"))
+
+    seed_rows = (
+        base.orderBy(id_hash(F.col("__id")), F.col("__id")).limit(k).collect()
+    )
+    cents = [[int(v) for v in r["__qv"]] for r in seed_rows]
+
+    def _assign(cents_now):
+        structs = []
+        for j, c in enumerate(cents_now):
+            dot = reduce(
+                add, [F.col("__qv")[i] * F.lit(c[i]) for i in range(dim)]
+            )
+            n2 = sum(v * v for v in c)
+            if n2 == 0:
+                ratio = F.lit(0.0)
+            else:
+                ratio = dot.cast("double") / F.lit(math.sqrt(float(n2)))
+            structs.append(
+                F.struct(
+                    (-ratio).alias("nr"), F.lit(j).alias("cell")
+                )
+            )
+        best = F.array_min(F.array(*structs))
+        return base.select(
+            "__id",
+            "__qv",
+            best["cell"].alias("cell"),
+            (-best["nr"]).alias("ratio"),
+        )
+
+    assigned = None
+    for it in range(iters):
+        assigned = _assign(cents)
+        if it < iters - 1:
+            sums = assigned.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("__qv")[i]).alias(f"s{i}") for i in range(dim)],
+            ).collect()
+            new_cents = [list(c) for c in cents]
+            for r in sums:
+                n = r["n"]
+                new_cents[r["cell"]] = [
+                    int(math.floor(r[f"s{i}"] / n + 0.5)) for i in range(dim)
+                ]
+            cents = new_cents
+
+    return (
+        assigned.groupBy(F.col("cell").cast("long").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(
+                F.lit(1000000) - F.floor(F.col("ratio") * F.lit(1000000.0))
+            )
+            .cast("long")
+            .alias("inertia_q"),
+        )
+        .orderBy("cell")
+    )
+
+
+def embed_label_outlier_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-label embedding-health report: each vector's EXACT squared
+    distance to its own label centroid on the 1e-6 integer grid, with a
+    per-label outlier count (d² > 4·mean d², the mislabeled/corrupt-
+    vector screen) — mean/max distance and outlier flags are all exact
+    BIGINT arithmetic, so the whole report hash-grades.
+
+    Plan: one (label, idx) exchange builds grid centroids (bounded by
+    labels × d); centroids reshape to per-label arrays and BROADCAST
+    back; d² is a JVM integer fold per row (no Python, no second
+    corpus shuffle); the census is one label-key aggregate."""
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(
+            x.cast("double") * F.lit(1000000.0) + F.lit(0.5)
+        ).cast("long"),
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).cast("long").alias("label"),
+        qv.alias("__qv"),
+    )
+    cent = (
+        base.select("label", F.posexplode("__qv").alias("idx", "q"))
+        .groupBy("label", "idx")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "idx",
+            F.floor(
+                F.col("s").cast("double") / F.col("n") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("m"),
+        )
+    )
+    marr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "m"))),
+            lambda s: s["m"],
+        ).alias("__m")
+    )
+    d2 = F.aggregate(
+        F.zip_with("__qv", "__m", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    per = base.join(F.broadcast(marr), "label").select(
+        "label", d2.alias("d2")
+    )
+    stats = per.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("d2").alias("sd2"),
+        F.max("d2").alias("max_d2"),
+    )
+    return (
+        per.join(F.broadcast(stats), "label")
+        .groupBy(
+            "label",
+            "n_vectors",
+            F.expr("sd2 DIV n_vectors").alias("mean_d2"),
+            "max_d2",
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN d2 > (4 * sd2) DIV n_vectors"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "label", "n_vectors", "mean_d2", "n_outliers", "max_d2"
+        )
+        .orderBy("label")
+    )
+
+
 def dim_stats(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

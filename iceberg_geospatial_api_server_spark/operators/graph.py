@@ -28,14 +28,23 @@ BASE_MICRO = 150_000  # 0.15 damping complement in micro-units
 
 
 def pagerank_int(
-    edges: DataFrame, iters: int = 10, checkpoint_every: int = 3
+    edges: DataFrame,
+    iters: int = 10,
+    checkpoint_every: int = 3,
+    include_sinks: bool = False,
 ) -> DataFrame:
     """Integer-exact PageRank (damping 0.85, fixed ``iters`` rounds)
-    over a directed edge list (src, dst). The node set is DISTINCT src
-    (exactly the oracle's nodes CTE): a sink-only node — one appearing
-    only as dst — gets NO rank row and its inbound mass is dropped.
-    Symmetrize the graph (as graph_pagerank does) when every node
-    should rank. Returns (id, rank_micro).
+    over a directed edge list (src, dst). Returns (id, rank_micro).
+
+    Node set: DISTINCT src by default (exactly the oracle's nodes CTE —
+    a symmetrized graph, as graph_pagerank builds, has src ∪ dst = src).
+    For RAW directed graphs pass ``include_sinks=True``: nodes = src ∪
+    dst, so sink-only nodes (appearing only as dst) get rank rows and
+    their inbound mass is kept (they contribute nothing outward — deg
+    is 0 — matching the no-teleport-redistribution convention of this
+    integer form). With the default, a graph whose dst set exceeds its
+    src set RAISES rather than silently dropping inbound mass
+    (ADVICE r4: the silent drop was an easy correctness footgun).
 
     r₀ = 1.0; rᵢ₊₁(v) = 0.15 + Σ_{u→v} (85·rᵢ(u)) DIV (100·deg(u)),
     all in micro-units — exact BIGINT everywhere.
@@ -45,9 +54,30 @@ def pagerank_int(
     ).distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ed = e.join(deg, "src").localCheckpoint()
-    nodes = (
-        e.select(F.col("src").alias("id")).distinct().localCheckpoint()
-    )
+    if include_sinks:
+        node_col = e.select(F.col("src").alias("id")).union(
+            e.select(F.col("dst").alias("id"))
+        )
+    else:
+        n_sink_only = (
+            e.select(F.col("dst").alias("id"))
+            .distinct()
+            .join(
+                e.select(F.col("src").alias("id")).distinct(),
+                "id",
+                "left_anti",
+            )
+            .count()
+        )
+        if n_sink_only:
+            raise ValueError(
+                f"{n_sink_only} sink-only node(s) (appear only as dst) "
+                "would get no rank row and their inbound mass would be "
+                "dropped; pass include_sinks=True for raw directed "
+                "graphs, or symmetrize the edge list"
+            )
+        node_col = e.select(F.col("src").alias("id"))
+    nodes = node_col.distinct().localCheckpoint()
     ranks = nodes.withColumn("r", F.lit(MICRO).cast("long"))
     for i in range(iters):
         contrib = (
@@ -69,3 +99,62 @@ def pagerank_int(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint()
     return ranks.select("id", F.col("r").alias("rank_micro"))
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Exact triangle census over an UNDIRECTED edge list — the other
+    canonical distributed-graph workload next to PageRank (community
+    density / clustering analysis). Input: one row per undirected edge;
+    orientation, dedup, and self-loop drops happen here.
+
+    Algorithm: the oriented-edge join. Every edge is oriented a < b
+    (each triangle counted once, not 6×); triangles = e(a,b) ⋈ e(b,c)
+    ⋈ e(a,c) — two equi-join shuffles over the edge list, never a
+    cartesian. Wedges (open triads) come from the degree frame:
+    Σ d(d−1)/2. Global clustering coefficient = 3·triangles / wedges,
+    reported in exact ppm (BIGINT DIV) so the hash is stable.
+
+    At 100 TB: the standard refinement is degree-based orientation
+    (orient each edge from the lower-degree endpoint, bounding the
+    per-node fan-out of the first join by √m on skewed graphs); the
+    a < b orientation keeps the oracle SQL identical and is the right
+    default for the near-uniform key graphs here.
+
+    Returns one row: (n_nodes, n_edges, n_wedges, n_triangles,
+    clustering_ppm)."""
+    e = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).cast("long").alias("a"),
+            F.greatest(F.col("src"), F.col("dst")).cast("long").alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint()  # three consumers: degrees + two join legs
+    )
+    nodes = e.select(F.col("a").alias("id")).union(
+        e.select(F.col("b").alias("id"))
+    )
+    deg = nodes.groupBy("id").agg(F.count(F.lit(1)).alias("d"))
+    base = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("d").alias("deg_sum"),
+        F.sum(F.expr("d * (d - 1)")).alias("wedges2"),
+    )
+    ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    ac = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (
+        ab.join(bc, "y")
+        .join(ac, ["x", "z"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return base.crossJoin(tri).select(
+        "n_nodes",
+        (F.col("deg_sum") / F.lit(2)).cast("long").alias("n_edges"),
+        F.expr("wedges2 DIV 2").alias("n_wedges"),
+        "n_triangles",
+        F.expr(
+            "CASE WHEN wedges2 > 0 THEN (6 * n_triangles * 1000000)"
+            " DIV wedges2 ELSE 0 END"
+        ).alias("clustering_ppm"),
+    )

@@ -1762,3 +1762,56 @@ def corpus_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
             "ttr_micro"
         ),
     )
+
+
+def lexical_complexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_syll_ppm: int = 1_450_000,
+    max_complex_ppm: int = 60_000,
+) -> DataFrame:
+    """Flesch-style lexical-complexity profile — the readability half of
+    a curation battery (Flesch/FK readability over syllable density;
+    sentence features are meaningless on unpunctuated corpora, so the
+    word-level components carry the signal). Syllables ≈ vowel-group
+    runs ([aeiouy]+ — the standard heuristic); complex words have ≥3.
+
+    Everything is exact integers: counts from single-pass JVM
+    regexp_extract_all (RE2 ∩ java.regex — the pii_scrub portability
+    contract), densities on the ppm grid via BIGINT DIV. Zero shuffle —
+    pure scan-stage column math, the corpus_curate gate shape."""
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    n_syll = F.size(F.expr(f"regexp_extract_all({text_col}, '[aeiouy]+', 0)"))
+    n_complex = F.size(
+        F.filter(
+            words,
+            lambda w: F.size(
+                F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))
+            )
+            >= F.lit(3),
+        )
+    )
+    return (
+        df.filter(F.length(text_col) > 0)
+        .select(
+            id_col,
+            n_words.cast("long").alias("n_words"),
+            n_syll.cast("long").alias("n_syllables"),
+            n_complex.cast("long").alias("n_complex"),
+        )
+        .withColumn(
+            "syll_ppm",
+            F.expr("(n_syllables * 1000000) DIV n_words"),
+        )
+        .withColumn(
+            "complex_ppm",
+            F.expr("(n_complex * 1000000) DIV n_words"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("syll_ppm") <= F.lit(max_syll_ppm))
+            & (F.col("complex_ppm") <= F.lit(max_complex_ppm)),
+        )
+    )

@@ -1,0 +1,69 @@
+"""Ingest-time materialization of the decoded bbox columns.
+
+`geo.functions.with_bbox`'s docstring has always stated the 100 TB
+posture: the __bbox_* doubles should be PERSISTED at ingest so every
+later spatial query reads plain numerics instead of re-running the WKB
+decode per query (ref engine.py:232-279 keeps bbox pre-filter columns in
+the table for the same reason). This module is that write path
+(VERDICT r4 item 5): the point layer lands as parquet carrying geometry
+plus its __bbox_* doubles, z-order clustered on (xmin, ymin) via
+`sources.zorder` so row-group stats are tight in both dimensions —
+extent becomes a min/max over doubles (footer-stats answerable under
+parquet aggregate pushdown) and bbox filters prune row groups.
+
+The layer is built once per (sf_dir) and cached on disk keyed by the
+source path — exactly the persisted-signature-store contract the dedup
+family uses (pay the decode once at ingest, never per query). Writers
+race safely: the build lands in a unique temp dir and moves into place
+with an atomic rename; a loser discards its copy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def lineitem_bbox_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lineitem point layer with PERSISTED __bbox_* columns,
+    building (and z-order clustering) it on first use per source dir.
+    Returns a DataFrame over the materialized parquet."""
+    from iceberg_geospatial_api_server_spark.geo.functions import with_bbox
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        lineitem_point_geoms,
+    )
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+    from iceberg_geospatial_api_server_spark.sources.zorder import (
+        zorder_write,
+    )
+    from iceberg_geospatial_api_server_spark.util import spread
+
+    digest = hashlib.md5(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_layers")
+    path = os.path.join(root, f"li_bbox_{digest}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        os.makedirs(root, exist_ok=True)
+        geoms = with_bbox(
+            lineitem_point_geoms(
+                spread(load_table(spark, sf_dir, "lineitem"), None)
+            ).select("geometry", "l_orderkey", "l_linenumber", "l_quantity")
+        )
+        build = tempfile.mkdtemp(prefix=f"li_bbox_{digest}_", dir=root)
+        zorder_write(
+            geoms,
+            ["__bbox_xmin", "__bbox_ymin"],
+            build,
+            n_files=8,
+        )
+        try:
+            os.rename(build, path)
+        except OSError:
+            # another writer won the race — its layer is equivalent
+            shutil.rmtree(build, ignore_errors=True)
+    return spark.read.parquet(path)

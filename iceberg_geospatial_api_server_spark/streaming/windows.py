@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from iceberg_geospatial_api_server_spark.util import epoch_of
+
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -540,16 +542,22 @@ def streaming_seasonal_flags(
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "60 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("hour_start"), "c")
     )
     base = F.broadcast(baseline.select("how", "mean_c", "var_c"))
+    # hour-of-week via the epoch_of convention (NTZ-safe, UTC-pinned) —
+    # the baseline's `how` is built with epoch_of, so a unix_timestamp
+    # here would misalign the join for NTZ sources or non-UTC drivers
+    # (ADVICE r4, medium)
+    sec = epoch_of(hourly, "hour_start")
     how = F.pmod(
-        F.floor(F.unix_timestamp(F.col("w.start")) / F.lit(3600)), F.lit(168)
+        F.floor(sec("hour_start", "SECOND") / F.lit(3600)), F.lit(168)
     ).cast("long")
     return (
         hourly.withColumn("how", how)
         .join(base, "how", "left")
         .select(
-            F.col("w.start").alias("hour_start"),
+            "hour_start",
             "how",
             F.col("c").alias("n_events"),
             F.expr(SEASONAL_FLAG).alias("is_anomaly"),

@@ -149,3 +149,50 @@ def test_fast_rect_path_agrees_with_general_kernel(spark):
         r = out[fid]
         assert (r.clip_xmin, r.clip_ymin, r.clip_xmax, r.clip_ymax) == bx
         assert abs(r.clip_area - W.area(ref)) < 1e-9
+
+
+def test_polyline_single_point_graze_emits_nothing():
+    """A segment grazing the bbox at exactly one point (t0 == t1) must
+    not produce a zero-length 2-point sub-path (ADVICE r4)."""
+    # segment from outside to outside through the corner (10, 10)
+    path = np.array([[8.0, 12.0], [12.0, 8.0]])
+    assert clip_polyline(path, BOX) == []
+    # and a graze mid-path must not fuse the surrounding sub-paths
+    path2 = np.array(
+        [[2.0, 2.0], [5.0, 2.0],   # inside run 1
+         [5.0, 20.0],              # exits upward
+         [8.0, 12.0], [12.0, 8.0], # grazing segment at (10, 10)
+         [6.0, -20.0],             # still outside
+         [6.0, 5.0], [7.0, 5.0]]   # inside run 2
+    )
+    parts = clip_polyline(path2, BOX)
+    for p in parts:
+        assert len(p) >= 2
+        assert not np.array_equal(p[0], p[-1]) or len(p) > 2
+
+
+def test_fast_rect_path_rejects_bowtie(spark):
+    """A closed all-axis-parallel but NON-alternating ring (h,h,v,v
+    'bowtie', true area 0) must not take the rect fast path as its
+    bounding box; the general kernel drops it via shoelace == 0
+    (ADVICE r4)."""
+    import pandas as pd
+
+    from iceberg_geospatial_api_server_spark.geo.clip import (
+        _clip_axis_rects_np,
+        clip_features,
+    )
+
+    bowtie = W.encode_polygon(
+        [np.array([[0.0, 0.0], [5.0, 0.0], [0.0, 0.0], [0.0, 5.0], [0.0, 0.0]])]
+    )
+    rect = W.rects_to_wkb_np(
+        np.array([1.0]), np.array([1.0]), np.array([4.0]), np.array([4.0])
+    )[0]
+    # batch containing the bowtie: fast path must decline entirely
+    assert _clip_axis_rects_np(pd.Series([bowtie, rect]), BOX) is None
+    df = spark.createDataFrame(
+        pd.DataFrame({"fid": [0, 1], "geometry": [bowtie, rect]})
+    )
+    out = clip_features(df, BOX).select("fid").collect()
+    assert [r.fid for r in out] == [1]  # bowtie dropped, rect kept

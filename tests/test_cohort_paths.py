@@ -497,3 +497,36 @@ def test_attribution_lag_multitouch_split(spark, sf_dir, monkeypatch):
     for b in out.values():
         assert b["n_touches"] == 1 and b["n_purchases"] == 1
         assert b["credit_micro"] == 3_333_333  # 10_000_000 DIV 3
+
+
+def test_pagerank_sink_nodes_raise_or_rank(spark):
+    """A raw directed graph with sink-only nodes RAISES under the default
+    (silent inbound-mass drop was the ADVICE r4 footgun); with
+    include_sinks=True the sinks get rank rows matching the reference
+    loop (they receive mass, contribute none)."""
+    import pytest as _pytest
+
+    from iceberg_geospatial_api_server_spark.operators.graph import (
+        pagerank_int,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2)], "src long, dst long"
+    )  # node 2 appears only as dst
+    with _pytest.raises(ValueError, match="sink-only"):
+        pagerank_int(edges, iters=2)
+
+    got = {
+        r["id"]: r["rank_micro"]
+        for r in pagerank_int(edges, iters=3, include_sinks=True).collect()
+    }
+    adj = [(0, 1), (0, 2), (1, 2)]
+    deg = {0: 2, 1: 1}
+    r = {0: 1_000_000, 1: 1_000_000, 2: 1_000_000}
+    for _ in range(3):
+        nxt = {n: 150_000 for n in r}
+        for a, b in adj:
+            nxt[b] += (85 * r[a]) // (100 * deg[a])
+        r = nxt
+    assert got == r
+    assert got[2] > got[1] > got[0]  # sink accumulates the most mass

@@ -504,3 +504,49 @@ def test_scene_cuts_single_scene_video(spark):
     frames = synthesize_frame_corpus(docs, n_frames=6, scene_every=100)
     r = scene_cuts(frames, hamming_threshold=16).collect()[0]
     assert r.n_cuts == 0 and r.first_cut is None
+
+
+def test_decode_content_stats_hand_computed(spark):
+    """The crafted-media round trip on a hand-checkable doc pair: the
+    decoded integer content stats must equal pure-Python evaluation of
+    the closed forms (the same math mm_decode_parity's SQL oracle runs)."""
+    import numpy as np
+
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        decode_content_stats,
+        synthesize_crafted_media,
+    )
+
+    docs = spark.createDataFrame([(4,), (7,)], "doc_id long")
+    got = {
+        r["doc_id"]: r
+        for r in decode_content_stats(synthesize_crafted_media(docs)).collect()
+    }
+
+    # image doc 4 (h=16, w=20): gradient+checker closed forms
+    d = 4
+    h, w = 12 + d % 5, 16 + d % 7
+    yy, xx = np.mgrid[0:h, 0:w]
+    vals = np.concatenate(
+        [
+            (xx * 255 // (w - 1)).ravel(),
+            (yy * 255 // (h - 1)).ravel(),
+            (((xx + yy + d) % 2) * 255).ravel(),
+        ]
+    ).astype(np.int64)
+    r = got[4]
+    assert r["modality"] == "image"
+    assert r["n_values"] == 3 * h * w
+    assert r["sum_val"] == int(vals.sum())
+    assert r["sum_abs"] == int(vals.sum())
+    assert (r["min_val"], r["max_val"]) == (int(vals.min()), int(vals.max()))
+
+    # audio doc 7: modular sawtooth survives the PCM round trip exactly
+    i = np.arange(800, dtype=np.int64)
+    s = (7 * 1103 + i * 9973) % 65521 - 32760
+    a = got[7]
+    assert a["modality"] == "audio"
+    assert a["n_values"] == 800
+    assert a["sum_val"] == int(s.sum())
+    assert a["sum_abs"] == int(np.abs(s).sum())
+    assert (a["min_val"], a["max_val"]) == (int(s.min()), int(s.max()))

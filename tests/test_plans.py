@@ -712,3 +712,34 @@ def test_quality_report_plan_shape(tables):
     n_scans = len(re.findall(r"\(\d+\) Scan ", plan))
     assert n_scans <= 4, plan
     assert "LeftAnti" in plan
+
+
+def test_nearest_and_knn_join_drop_bad_left_rows(spark):
+    """LEFT rows with null/NaN coordinates must drop rather than emit
+    NaN-distance rows with arbitrary neighbors (ADVICE r4 — the mirror
+    of the right-side filter)."""
+    from iceberg_geospatial_api_server_spark.geo.functions import (
+        knn_join_broadcast,
+        nearest_join_broadcast,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, float("nan"), 0.0), (3, None, 5.0)],
+        "id long, x double, y double",
+    )
+    right = spark.createDataFrame(
+        [(10, 1.0, 1.0), (20, 6.0, 6.0)], "rid long, rx double, ry double"
+    )
+    out = nearest_join_broadcast(
+        left, right, "id", "x", "y", "rx", "ry", ["rid"]
+    ).collect()
+    assert sorted(r["id"] for r in out) == [1]
+    import math as _math
+
+    assert all(not _math.isnan(r["nn_dist"]) for r in out)
+
+    out_k = knn_join_broadcast(
+        left, right, "id", "x", "y", "rx", "ry", ["rid"], k=2
+    ).collect()
+    assert sorted(set(r["id"] for r in out_k)) == [1]
+    assert len(out_k) == 2  # k rows for the one valid left row

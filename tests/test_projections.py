@@ -232,7 +232,7 @@ def test_polar_stereographic_scale_factors():
         dlon = 1e-4
         x0, y0 = fwd(np.array([10.0]), np.array([lat]))
         x1, y1 = fwd(np.array([10.0 + dlon]), np.array([lat]))
-        arc = math.hypot(float(x1 - x0), float(y1 - y0)) * p.unit
+        arc = math.hypot(float(x1[0] - x0[0]), float(y1[0] - y0[0])) * p.unit
         phi = math.radians(lat)
         true_arc = a * _m(math.sin(phi), math.cos(phi), e2) * math.radians(dlon)
         return arc / true_arc
@@ -269,8 +269,8 @@ def test_polar_stereographic_spherical_limit():
         )
         ex = rho_s * math.sin(math.radians(lon))
         ey = -rho_s * math.cos(math.radians(lon))
-        assert abs(float(x) - ex) < 1e-3
-        assert abs(float(y) - ey) < 1e-3
+        assert abs(float(x[0]) - ex) < 1e-3
+        assert abs(float(y[0]) - ey) < 1e-3
 
 
 def test_polar_stereographic_known_geometry():

