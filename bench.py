@@ -98,6 +98,17 @@ BENCH_QUERIES = [
     "geo_tile_pyramid",
     "text_winnow_fingerprints",
     "events_cusum",
+    # r5 additions — the two NEW plan shapes: the degree-oriented
+    # double self-join triangle census and the driver-looped integer
+    # k-means (bounded per-iteration collects). The round's other new
+    # entries (mm_decode_parity, embed_label_outliers, text_readability)
+    # stay out: each duplicates a shape already benched (mapInPandas
+    # codec kernels ≡ mm_media_stats/embed_quantize_int8; posexplode →
+    # bounded-key agg ≡ embed_dim_stats; scan-stage regex battery ≡
+    # text_gopher_rules) and at sf0.1 they are sub-0.7s scheduling-floor
+    # rows that add no signal
+    "graph_triangles",
+    "embed_kmeans_stats",
 ]
 
 

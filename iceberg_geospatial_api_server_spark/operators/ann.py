@@ -903,18 +903,24 @@ def kmeans_exact_census(
     cells keeping their previous centroid. Output: per-cell member count
     + integer-quantized inertia Σ(1e6 − ⌊sim·1e6⌋).
 
-    Plan shape: assignment is pure JVM column arithmetic (no UDF, no
-    shuffle); per iteration one k-row aggregate reaches the driver (k×d
-    longs — the same bounded driver traffic contract as kmeans_fit);
-    census is one exchange. Scale-safe by the same argument as the
-    production path."""
+    Plan shape: vectors explode ONCE to (id, idx, q) long form
+    (localCheckpointed — 64 longs/vector, reused by every pass); each
+    assignment is a broadcast join against the k×d centroid frame +
+    one (id, cell) aggregate of exact products (a first literal-fold
+    formulation spent ~3.5s compiling 2×k×d-term codegen expressions —
+    the long-form join is the same exact math at DuckDB speed); per
+    iteration one k×d aggregate reaches the driver (the bounded
+    driver-traffic contract kmeans_fit keeps); census is one exchange.
+    Scale-safe by the same argument as the production path."""
     import math
-    from functools import reduce
-    from operator import add
 
     from iceberg_geospatial_api_server_spark.operators.sampling import id_hash
 
-    dim = len(df.select(vec_col).first()[0])
+    spark = df.sparkSession
+    # NULL/empty vectors drop EXPLICITLY (they cannot seed, dot, or be
+    # assigned) — the long-form SQL's UNNEST drops them implicitly, and
+    # an unfiltered seed pick would collect a NULL centroid
+    df = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
     qv = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
@@ -922,32 +928,56 @@ def kmeans_exact_census(
         ),
     )
     base = df.select(F.col(id_col).alias("__id"), qv.alias("__qv"))
+    qlong = base.select(
+        "__id", F.posexplode("__qv").alias("idx", "q")
+    ).localCheckpoint()
 
     seed_rows = (
         base.orderBy(id_hash(F.col("__id")), F.col("__id")).limit(k).collect()
     )
     cents = [[int(v) for v in r["__qv"]] for r in seed_rows]
+    dim = len(cents[0])
 
     def _assign(cents_now):
+        cent_rows = [
+            (j, i, int(c[i]))
+            for j, c in enumerate(cents_now)
+            for i in range(dim)
+        ]
+        centdf = spark.createDataFrame(
+            cent_rows, "cell int, idx int, c long"
+        )
+        # ONE exchange: k conditional product sums per vector, then the
+        # (ratio DESC, cell) argmax runs map-side over the k columns
+        dots = (
+            qlong.join(F.broadcast(centdf), "idx")
+            .groupBy("__id")
+            .agg(
+                *[
+                    F.sum(
+                        F.when(F.col("cell") == j, F.expr("q * c")).otherwise(
+                            F.lit(0)
+                        )
+                    ).alias(f"d{j}")
+                    for j in range(len(cents_now))
+                ]
+            )
+        )
         structs = []
         for j, c in enumerate(cents_now):
-            dot = reduce(
-                add, [F.col("__qv")[i] * F.lit(c[i]) for i in range(dim)]
-            )
             n2 = sum(v * v for v in c)
             if n2 == 0:
                 ratio = F.lit(0.0)
             else:
-                ratio = dot.cast("double") / F.lit(math.sqrt(float(n2)))
-            structs.append(
-                F.struct(
-                    (-ratio).alias("nr"), F.lit(j).alias("cell")
+                ratio = F.col(f"d{j}").cast("double") / F.lit(
+                    math.sqrt(float(n2))
                 )
+            structs.append(
+                F.struct((-ratio).alias("nr"), F.lit(j).alias("cell"))
             )
         best = F.array_min(F.array(*structs))
-        return base.select(
+        return dots.select(
             "__id",
-            "__qv",
             best["cell"].alias("cell"),
             (-best["nr"]).alias("ratio"),
         )
@@ -956,16 +986,17 @@ def kmeans_exact_census(
     for it in range(iters):
         assigned = _assign(cents)
         if it < iters - 1:
-            sums = assigned.groupBy("cell").agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.col("__qv")[i]).alias(f"s{i}") for i in range(dim)],
-            ).collect()
+            sums = (
+                assigned.join(qlong, "__id")
+                .groupBy("cell", "idx")
+                .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
             new_cents = [list(c) for c in cents]
             for r in sums:
-                n = r["n"]
-                new_cents[r["cell"]] = [
-                    int(math.floor(r[f"s{i}"] / n + 0.5)) for i in range(dim)
-                ]
+                new_cents[r["cell"]][r["idx"]] = int(
+                    math.floor(r["s"] / r["n"] + 0.5)
+                )
             cents = new_cents
 
     return (
@@ -998,6 +1029,10 @@ def embed_label_outlier_stats(
     labels × d); centroids reshape to per-label arrays and BROADCAST
     back; d² is a JVM integer fold per row (no Python, no second
     corpus shuffle); the census is one label-key aggregate."""
+    # NULL/empty vectors drop explicitly — the long-form SQL's UNNEST
+    # drops them from centroids, and a NULL array would otherwise ride
+    # into the census with a NULL d² instead of disappearing
+    df = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
     qv = F.transform(
         F.col(vec_col),
         lambda x: F.floor(

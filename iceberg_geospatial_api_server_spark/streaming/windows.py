@@ -28,6 +28,19 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
+def hour_of_week(df: DataFrame, col: str) -> "F.Column":
+    """Hour-of-week key via the epoch_of convention (NTZ-safe,
+    UTC-pinned) — the `how` every seasonal consumer must share: the
+    baseline builds it with epoch_of, so a unix_timestamp here would
+    misalign the stream-static join for NTZ sources or non-UTC drivers
+    (ADVICE r4, medium). Factored out so the TZ/NTZ agreement is
+    directly unit-testable on static frames."""
+    sec = epoch_of(df, col)
+    return F.pmod(
+        F.floor(sec(col, "SECOND") / F.lit(3600)), F.lit(168)
+    ).cast("long")
+
+
 def read_event_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 4
 ) -> DataFrame:
@@ -545,16 +558,8 @@ def streaming_seasonal_flags(
         .select(F.col("w.start").alias("hour_start"), "c")
     )
     base = F.broadcast(baseline.select("how", "mean_c", "var_c"))
-    # hour-of-week via the epoch_of convention (NTZ-safe, UTC-pinned) —
-    # the baseline's `how` is built with epoch_of, so a unix_timestamp
-    # here would misalign the join for NTZ sources or non-UTC drivers
-    # (ADVICE r4, medium)
-    sec = epoch_of(hourly, "hour_start")
-    how = F.pmod(
-        F.floor(sec("hour_start", "SECOND") / F.lit(3600)), F.lit(168)
-    ).cast("long")
     return (
-        hourly.withColumn("how", how)
+        hourly.withColumn("how", hour_of_week(hourly, "hour_start"))
         .join(base, "how", "left")
         .select(
             "hour_start",

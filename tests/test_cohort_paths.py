@@ -530,3 +530,30 @@ def test_pagerank_sink_nodes_raise_or_rank(spark):
         r = nxt
     assert got == r
     assert got[2] > got[1] > got[0]  # sink accumulates the most mass
+
+
+def test_triangle_stats_crafted_graphs(spark):
+    """K4 (every triple a triangle, clustering exactly 1.0), a path
+    (zero triangles), and duplicate/reversed edge rows collapsing —
+    against hand counts."""
+    from iceberg_geospatial_api_server_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    # feed duplicates + reversed orientations: the operator must dedup
+    edges = spark.createDataFrame(
+        k4 + [(b, a) for a, b in k4] + k4, "src long, dst long"
+    )
+    r = triangle_stats(edges).first()
+    assert (
+        r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]
+    ) == (4, 6, 12, 4)
+    assert r["clustering_ppm"] == 1_000_000
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    p = triangle_stats(path).first()
+    assert p["n_triangles"] == 0 and p["clustering_ppm"] == 0
+    assert p["n_wedges"] == 4  # each interior node contributes one

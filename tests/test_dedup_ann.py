@@ -835,3 +835,105 @@ def test_connected_components_string_ids_fast_path(spark):
     labels = {r.id: r.comp for r in out.collect()}
     assert labels["h1"] == labels["h2"] == labels["h3"] == "h1"
     assert labels["x8"] == labels["x9"] == "x8"
+
+
+def test_embed_label_outlier_stats_planted(spark):
+    """A planted far vector inside one label must be the only outlier;
+    a tight label reports zero. Values check against hand arithmetic on
+    the 1e-6 grid."""
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        embed_label_outlier_stats,
+    )
+
+    import math
+
+    n_near = 5
+    rows = [(i, [1.0, 0.0], 0) for i in range(n_near)]
+    rows.append((n_near, [-1.0, 0.0], 0))  # planted: far from centroid
+    rows += [(10, [0.0, 1.0], 1), (11, [0.0, 1.0], 1)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["label"]: r for r in embed_label_outlier_stats(df).collect()}
+
+    # reproduce the exact grid arithmetic
+    c0 = math.floor((n_near * 1_000_000 - 1_000_000) / (n_near + 1) + 0.5)
+    d_near = (1_000_000 - c0) ** 2
+    d_far = (-1_000_000 - c0) ** 2
+    sd2 = n_near * d_near + d_far
+    l0 = out[0]
+    assert l0["n_vectors"] == n_near + 1
+    assert l0["mean_d2"] == sd2 // (n_near + 1)
+    assert l0["max_d2"] == d_far
+    # the planted vector must actually cross the 4*mean screen
+    assert d_far > (4 * sd2) // (n_near + 1) >= d_near
+    assert l0["n_outliers"] == 1
+
+    l1 = out[1]
+    assert l1["n_vectors"] == 2 and l1["mean_d2"] == 0 and l1["n_outliers"] == 0
+
+
+def test_kmeans_exact_census_python_reference(spark):
+    """kmeans_exact_census must equal a pure-Python replay of its own
+    contract on a crafted two-lobe corpus: portable-hash seeding, exact
+    integer dots, (ratio DESC, cell) argmax, FLOOR(s/n + 0.5) grid
+    update, quantized inertia."""
+    import math
+
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        kmeans_exact_census,
+    )
+
+    rows = [
+        (0, [1.0, 0.05]), (1, [0.9, -0.05]), (2, [1.1, 0.0]),
+        (3, [-0.1, 1.0]), (4, [0.0, 0.9]), (5, [0.1, 1.1]),
+        (6, [0.8, 0.1]), (7, [-0.05, 0.85]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["cell"]: (r["n_vectors"], r["inertia_q"])
+        for r in kmeans_exact_census(df, k=2, iters=2).collect()
+    }
+
+    # --- pure-Python replay -------------------------------------------
+    def idh(i):
+        return ((i % 2147483647) * 506952114) % 2147483647
+
+    # quantize exactly like the operator: float32 -> double -> grid
+    import numpy as np
+
+    q = {
+        i: [int(math.floor(float(np.float32(x)) * 1e6 + 0.5)) for x in v]
+        for i, v in rows
+    }
+    seed_ids = sorted(q, key=lambda i: (idh(i), i))[:2]
+    cents = [list(q[i]) for i in seed_ids]
+    assigned = {}
+    for it in range(2):
+        assigned = {}
+        for i, vec in q.items():
+            best = None
+            for j, c in enumerate(cents):
+                n2 = sum(v * v for v in c)
+                dot = sum(a * b for a, b in zip(vec, c))
+                ratio = 0.0 if n2 == 0 else dot / math.sqrt(float(n2))
+                key = (-ratio, j)
+                if best is None or key < best[0]:
+                    best = (key, j, ratio)
+            assigned[i] = (best[1], best[2])
+        if it == 0:
+            for j in range(2):
+                members = [i for i in q if assigned[i][0] == j]
+                if members:
+                    n = len(members)
+                    cents[j] = [
+                        int(math.floor(sum(q[i][d] for i in members) / n + 0.5))
+                        for d in range(2)
+                    ]
+    want = {}
+    for i, (j, ratio) in assigned.items():
+        n, iq = want.get(j, (0, 0))
+        want[j] = (n + 1, iq + 1000000 - math.floor(ratio * 1e6))
+    assert got == want
+    # the crafted lobes must actually split across both cells
+    assert len(got) == 2 and all(v[0] >= 3 for v in got.values())

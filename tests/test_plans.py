@@ -743,3 +743,92 @@ def test_nearest_and_knn_join_drop_bad_left_rows(spark):
     ).collect()
     assert sorted(set(r["id"] for r in out_k)) == [1]
     assert len(out_k) == 2  # k rows for the one valid left row
+
+
+def test_triangle_census_no_cartesian_bounded_joins(tables):
+    """The oriented-edge triangle join must stay equi-join (never
+    cartesian), and readability is pure scan-stage (zero shuffles)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.operators.graph import (
+        triangle_stats,
+    )
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        lexical_complexity,
+    )
+    from iceberg_geospatial_api_server_spark.plans.explain import (
+        assert_no_cartesian,
+        shuffle_count,
+    )
+
+    li = tables["lineitem"].select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    out = triangle_stats(edges)
+    assert_no_cartesian(out)
+    row = out.first()
+    # sanity: wedges >= 3 * triangles always (each triangle closes 3 wedges)
+    assert row["n_wedges"] >= 3 * row["n_triangles"] > 0
+
+    assert shuffle_count(lexical_complexity(tables["documents"])) == 0
+
+
+def test_label_outliers_bounded_exchanges(tables):
+    """embed_label_outlier_stats: the corpus shuffles never — centroids
+    aggregate on (label, idx) (bounded labels x d) and broadcast back;
+    remaining exchanges are over label-sized frames only."""
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        embed_label_outlier_stats,
+    )
+    from iceberg_geospatial_api_server_spark.plans.explain import (
+        assert_broadcast_join,
+        assert_no_cartesian,
+    )
+
+    out = embed_label_outlier_stats(tables["embeddings"])
+    assert_no_cartesian(out)
+    assert_broadcast_join(out, min_count=2)  # centroid arrays + stats
+
+
+def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, sf_dir):
+    """The 100 TB semi-join-reduction path: with a selective filter on
+    one fact side of a shuffled fact-fact join, Catalyst injects a
+    runtime bloom filter on the probe side (bloom_filter_agg over the
+    join key). Default thresholds gate it to big scans (10 GB
+    application side) — exactly where it pays — so the test lowers the
+    gate to prove the session config keeps the rewrite REACHABLE."""
+    import pytest as _pytest
+
+    if spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    ) != "true":
+        _pytest.fail("runtime bloom filter must stay enabled in-session")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_scan = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        sel = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            li.join(sel, li["l_orderkey"] == sel["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold",
+            old_scan,
+        )

@@ -999,3 +999,41 @@ def test_streaming_quality_counters_match_batch(spark, events_path):
     assert got == want
     planted = got[dt.datetime(2024, 6, 1, 0, 0)]
     assert planted[2] == 1 and planted[3] == 2  # -5.0; zzz_bad + NULL type
+
+
+def test_hour_of_week_ntz_and_tz_agree(spark):
+    """The seasonal scorer's hour-of-week key must be identical for
+    TIMESTAMP and TIMESTAMP_NTZ columns holding the same wall times —
+    the ADVICE r4 misalignment (unix_timestamp is session-TZ-dependent
+    and rejects NTZ) regression-tested at the helper level."""
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.streaming.windows import (
+        hour_of_week,
+    )
+
+    walls = ["1995-01-01 00:00:00", "1995-01-03 07:00:00",
+             "1995-02-28 23:00:00", "2001-08-01 12:00:00"]
+    tz = spark.createDataFrame([(w,) for w in walls], "w string").select(
+        F.col("w").cast("timestamp").alias("ts")
+    )
+    ntz = spark.createDataFrame([(w,) for w in walls], "w string").select(
+        F.col("w").cast("timestamp_ntz").alias("ts")
+    )
+    got_tz = [r[0] for r in tz.select(hour_of_week(tz, "ts")).collect()]
+    got_ntz = [r[0] for r in ntz.select(hour_of_week(ntz, "ts")).collect()]
+    assert got_tz == got_ntz
+    # pinned values: epoch hours mod 168 (UTC session)
+    import datetime
+
+    want = [
+        int(
+            datetime.datetime.strptime(w, "%Y-%m-%d %H:%M:%S")
+            .replace(tzinfo=datetime.timezone.utc)
+            .timestamp()
+        )
+        // 3600
+        % 168
+        for w in walls
+    ]
+    assert got_tz == want
