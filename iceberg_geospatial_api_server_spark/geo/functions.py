@@ -1303,6 +1303,91 @@ def nearest_join_broadcast(
     return left.mapInPandas(gen, out_schema)
 
 
+def line_metrics(
+    df: DataFrame,
+    geom_col: str = "geometry",
+    id_cols: list[str] | None = None,
+    quant: float = 1000000.0,
+) -> DataFrame:
+    """Per-LineString vertex count + grid-quantized length (ST_NPoints /
+    ST_Length): decode the WKB path, per-segment IEEE hypot, quantize
+    EACH segment to the 1e-6 grid BEFORE summing — exact BIGINT sums on
+    any partitioning, so the whole LineString codec round trip is
+    value-gradable in SQL (the mm_decode_parity pattern applied to
+    geometry). mapInPandas; only two longs per line leave the stage."""
+    id_cols = id_cols or []
+    schema = ", ".join(
+        [f"{c} long" for c in id_cols] + ["n_vertices long", "length_q long"]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for tup in pdf.itertuples(index=False):
+                d = tup._asdict()
+                code, payload = W.decode(bytes(d[geom_col]))
+                if code != W.LINESTRING:
+                    raise ValueError(f"line_metrics expects LineString, got {code}")
+                v = np.asarray(payload, dtype="f8")
+                seg = np.sqrt(
+                    np.diff(v[:, 0]) ** 2 + np.diff(v[:, 1]) ** 2
+                )
+                q = np.floor(seg * quant + 0.5).astype(np.int64)
+                rows.append(
+                    tuple(d[c] for c in id_cols) + (len(v), int(q.sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=id_cols + ["n_vertices", "length_q"]
+            )
+
+    return df.select(*id_cols, geom_col).mapInPandas(kernel, schema)
+
+
+def polygon_metrics(
+    df: DataFrame,
+    geom_col: str = "geometry",
+    id_cols: list[str] | None = None,
+    quant: float = 10000.0,
+) -> DataFrame:
+    """Per-Polygon ring census + SIGNED grid-quantized shoelace sums
+    (outer ring vs holes separately): each cross term x_i·y_{i+1} −
+    x_{i+1}·y_i quantizes BEFORE summation, so ring orientation, vertex
+    order, and the ring/hole split of the WKB codec are all exact-BIGINT
+    gradable in SQL. mapInPandas; three longs per polygon leave the
+    stage."""
+    id_cols = id_cols or []
+    schema = ", ".join(
+        [f"{c} long" for c in id_cols]
+        + ["n_rings long", "outer_q long", "holes_q long"]
+    )
+
+    def ring_q(ring: np.ndarray) -> int:
+        x, y = ring[:-1, 0], ring[:-1, 1]
+        xn, yn = np.roll(x, -1), np.roll(y, -1)
+        terms = x * yn - xn * y
+        return int(np.floor(terms * quant + 0.5).astype(np.int64).sum())
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for tup in pdf.itertuples(index=False):
+                d = tup._asdict()
+                code, rings = W.decode(bytes(d[geom_col]))
+                if code != W.POLYGON:
+                    raise ValueError(f"polygon_metrics expects Polygon, got {code}")
+                qs = [ring_q(np.asarray(r, dtype="f8")) for r in rings]
+                rows.append(
+                    tuple(d[c] for c in id_cols)
+                    + (len(rings), qs[0], int(sum(qs[1:])))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=id_cols + ["n_rings", "outer_q", "holes_q"],
+            )
+
+    return df.select(*id_cols, geom_col).mapInPandas(kernel, schema)
+
+
 def convex_hull_by_group(
     df: DataFrame, group_col: str, x_col: str, y_col: str
 ) -> DataFrame:

@@ -41,6 +41,30 @@ def hour_of_week(df: DataFrame, col: str) -> "F.Column":
     ).cast("long")
 
 
+def write_ts_split_stream_files(spark, df: DataFrame, path: str) -> None:
+    """Materialize a bounded frame as TWO parquet files split at the
+    median ts, mtime-pinned so a file-source stream replays them in
+    order — the fixture both driver-graded streaming entries share
+    (ordered per-key arrival requires a global ts split; one file per
+    half because hash-partitioned halves would interleave a key's rows
+    across triggers)."""
+    import os
+
+    cut = df.agg(F.percentile_approx("ts", 0.5)).first()[0]
+    df.filter(F.col("ts") <= F.lit(cut)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    first_files = set(os.listdir(path))
+    t0 = max(os.path.getmtime(os.path.join(path, f)) for f in first_files)
+    df.filter(F.col("ts") > F.lit(cut)).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    late = t0 + 2.0
+    for f in os.listdir(path):
+        if f not in first_files:
+            os.utime(os.path.join(path, f), (late, late))
+
+
 def read_event_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 4
 ) -> DataFrame:
