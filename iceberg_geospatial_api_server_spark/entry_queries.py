@@ -1403,6 +1403,7 @@ def _line_lengths_oracle_sql() -> str:
       FROM v
     )
     SELECT q.k AS c_custkey,
+           CAST(1 AS BIGINT) AS n_parts,
            CAST(3 + q.k % 3 AS BIGINT) AS n_vertices,
            q1 + q2 + CASE WHEN q.k % 3 >= 1 THEN q3 ELSE 0 END
               + CASE WHEN q.k % 3 = 2 THEN q4 ELSE 0 END AS length_q
@@ -1452,6 +1453,82 @@ def geo_line_lengths_q(spark, sf_dir):
     lines = customer_points(_t(spark, sf_dir, "customer")).select(
         "c_custkey",
         make_line(F.col("x"), F.col("y"), F.col("c_custkey")).alias(
+            "geometry"
+        ),
+    )
+    return line_metrics(lines, id_cols=["c_custkey"]).orderBy("c_custkey")
+
+
+def _multiline_oracle_sql() -> str:
+    """Two crafted paths per key rebuilt arithmetically — the multi-part
+    walk of the codec graded with the geo_line_lengths conventions."""
+    return f"""
+    WITH c AS (
+      SELECT c_custkey AS k, {_CUST_X} AS x0, {_CUST_Y} AS y0
+      FROM customer
+    ), v AS (
+      SELECT k, x0, y0,
+             x0 + (k % 7 + 1) * 0.5 AS xa,
+             y0 + (k % 5 + 1) * 0.5 AS yb,
+             y0 - (k % 5 + 1) * 0.5 AS yc
+      FROM c
+    )
+    SELECT k AS c_custkey,
+           CAST(2 AS BIGINT) AS n_parts,
+           CAST(5 AS BIGINT) AS n_vertices,
+           CAST(FLOOR(SQRT((xa - x0) * (xa - x0) + (yb - y0) * (yb - y0))
+                      * 1000000.0 + 0.5) AS BIGINT)
+           + CAST(FLOOR(SQRT((xa - x0) * (xa - x0) + (yc - yc) * (yc - yc))
+                        * 1000000.0 + 0.5) AS BIGINT)
+           + CAST(FLOOR(SQRT((xa - xa) * (xa - xa) + (y0 - yc) * (y0 - yc))
+                        * 1000000.0 + 0.5) AS BIGINT) AS length_q
+    FROM v ORDER BY c_custkey
+    """
+
+
+@_q("geo_multiline_lengths", _multiline_oracle_sql())
+def geo_multiline_lengths_q(spark, sf_dir):
+    """The MULTILINESTRING codec path VALUE-graded (completing the
+    geometry-type grading family: points, rect + general polygons with
+    holes, linestrings, and now multi-part walks all carry driver
+    hashes): two crafted paths per key through the real multi-geometry
+    encoder and back through line_metrics' part walk; part/vertex
+    counts and the summed per-segment-quantized length must equal the
+    direct SQL arithmetic."""
+    from iceberg_geospatial_api_server_spark.geo.functions import (
+        line_metrics,
+    )
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        customer_points,
+    )
+    from pyspark.sql import types as TT
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(TT.BinaryType())
+    def make_mline(x: pd.Series, y: pd.Series, k: pd.Series) -> pd.Series:
+        from iceberg_geospatial_api_server_spark.geo import wkb as W_
+
+        out = []
+        for x0, y0, kk in zip(
+            x.astype("f8"), y.astype("f8"), k.astype("i8")
+        ):
+            kk = int(kk)
+            xa = x0 + (kk % 7 + 1) * 0.5
+            yb = y0 + (kk % 5 + 1) * 0.5
+            yc = y0 - (kk % 5 + 1) * 0.5
+            p1 = [(x0, y0), (xa, yb)]
+            p2 = [(x0, yc), (xa, yc), (xa, y0)]
+            out.append(
+                W_.encode_multi(
+                    W_.MULTILINESTRING,
+                    [W_.encode_linestring(p) for p in [p1, p2]],
+                )
+            )
+        return pd.Series(out)
+
+    lines = customer_points(_t(spark, sf_dir, "customer")).select(
+        "c_custkey",
+        make_mline(F.col("x"), F.col("y"), F.col("c_custkey")).alias(
             "geometry"
         ),
     )
@@ -7687,7 +7764,10 @@ _R5_PROMOTED = [
     "geo_dbscan_core",
     "geo_knn_join",
     "events_rfm",
-    "geo_dwithin_join",
+    # geo_dwithin_join stays queued (r6): geo_multiline_lengths (new
+    # this round, in window) takes its slot — the 3×3 grid equi-join +
+    # exact d² predicate is graded in-window by geo_dbscan_core, which
+    # runs the same kernel and grades core flags on top
     "geo_hotspot_gi",
     "geo_moran_i",
     "text_zipf_fit",

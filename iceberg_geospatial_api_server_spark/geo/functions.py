@@ -1317,7 +1317,8 @@ def line_metrics(
     geometry). mapInPandas; only two longs per line leave the stage."""
     id_cols = id_cols or []
     schema = ", ".join(
-        [f"{c} long" for c in id_cols] + ["n_vertices long", "length_q long"]
+        [f"{c} long" for c in id_cols]
+        + ["n_parts long", "n_vertices long", "length_q long"]
     )
 
     def kernel(batches):
@@ -1326,18 +1327,29 @@ def line_metrics(
             for tup in pdf.itertuples(index=False):
                 d = tup._asdict()
                 code, payload = W.decode(bytes(d[geom_col]))
-                if code != W.LINESTRING:
-                    raise ValueError(f"line_metrics expects LineString, got {code}")
-                v = np.asarray(payload, dtype="f8")
-                seg = np.sqrt(
-                    np.diff(v[:, 0]) ** 2 + np.diff(v[:, 1]) ** 2
-                )
-                q = np.floor(seg * quant + 0.5).astype(np.int64)
+                if code == W.LINESTRING:
+                    paths = [payload]
+                elif code == W.MULTILINESTRING:
+                    paths = payload
+                else:
+                    raise ValueError(
+                        f"line_metrics expects (Multi)LineString, got {code}"
+                    )
+                nv, lq = 0, 0
+                for p in paths:
+                    v = np.asarray(p, dtype="f8")
+                    seg = np.sqrt(
+                        np.diff(v[:, 0]) ** 2 + np.diff(v[:, 1]) ** 2
+                    )
+                    nv += len(v)
+                    lq += int(
+                        np.floor(seg * quant + 0.5).astype(np.int64).sum()
+                    )
                 rows.append(
-                    tuple(d[c] for c in id_cols) + (len(v), int(q.sum()))
+                    tuple(d[c] for c in id_cols) + (len(paths), nv, lq)
                 )
             yield pd.DataFrame(
-                rows, columns=id_cols + ["n_vertices", "length_q"]
+                rows, columns=id_cols + ["n_parts", "n_vertices", "length_q"]
             )
 
     return df.select(*id_cols, geom_col).mapInPandas(kernel, schema)
