@@ -2,7 +2,11 @@
 
 Prints ONE JSON line:
   {"metric": "headline_total", "value": <sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": <sf>}
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "duckdb_sec": {...}, "duckdb_ratio": <spark/duckdb over shared>,
+   "duckdb_shared_queries": <n>}
+The DuckDB reference comparison runs by default (pass --no-duckdb to
+skip): the recorded artifact carries the baseline-bar number itself.
 
 Query set = the scale-representative operators (scan-heavy agg, multi-join,
 window/sessionize, spatial grid + join + knn, dedup, ANN, text profile) —
@@ -182,12 +186,13 @@ def main() -> None:
         "sf": sf_val,
     }
 
-    if "--compare-duckdb" in sys.argv:
+    # DuckDB comparison runs BY DEFAULT so the recorded artifact itself
+    # carries the bar number (total Spark sec / total DuckDB sec over
+    # the shared oracle-bearing queries — the SURVEY §6 protocol number,
+    # ≤2.0 = pass); --no-duckdb skips it for Spark-only iteration
+    if "--no-duckdb" not in sys.argv:
         dd = _duckdb_reference_timings()
         out["duckdb_sec"] = dd
-        # the bar number IN the artifact (VERDICT r4 item 7): total
-        # Spark sec / total DuckDB sec over the shared oracle-bearing
-        # queries (the SURVEY §6 protocol number, ≤2.0 = pass)
         shared = [n for n in dd if n in timings]
         d_tot = sum(dd[n] for n in shared)
         s_tot = sum(timings[n] for n in shared)

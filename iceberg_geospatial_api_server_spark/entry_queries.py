@@ -7808,21 +7808,24 @@ _ORACLED_OVERFLOW = [
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):
 # placed directly after the active oracled block so they enter the
 # 50-slot window this round for at least a rows+schema check.
-# r5 NOTE: once these four have their r4 rows, swap in the late-r4
-# rows-only entries that landed with LOCAL grading only —
-# dedup_semantic, dedup_hybrid, dedup_clusters, corpus_bpe_stats,
-# mm_phash_pairs, and continuation-2's geo_dbscan (full clustering;
-# its kernel oracle geo_dbscan_core is in the r5 oracled queue) —
-# and cede more proven oracled slots to geo_ps / ann_ivf_exhaustive /
-# ann_lsh_exhaustive from the overflow tail (they carry oracles and
-# have never been driver-graded), then to the continuation-2/-3
-# oracled entries now in the overflow tail (registration order) —
-# continuation-3 graded its own 9 new oracles in-window
-# (events_error_rate, orders_cohort_ltv, events_seasonal_anomaly,
-# text_containment_pairs, events_session_paths, embed_centroid_drift,
-# corpus_entropy, orders_purchase_intervals, data_quality_report), so
-# the r5 queue is exactly: never-graded oracles first, then the
-# locally-3-SF-verified overflow in order.
+# (The r4-recorded r5 plan EXECUTED this round: the four r4-priority
+# entries got their rows, the 46 r4-green oracles retired, the
+# never-graded overflow promoted, and these six never-observed
+# rows-only entries took the priority slots.)
+#
+# r6 ROTATION PLAN (recorded now, the r4→r5 convention): after this
+# round every rows-only entry has at least one driver observation and
+# every oracle EXCEPT the eight r6-queued donors below has a
+# driver-green row. The r6 window should therefore be: (1) the eight
+# queued oracles first — geo_tile_aggregate, dedup_spans_scrub,
+# events_hopping_agg, text_winnow_pairs, geo_od_flows, customer_pareto,
+# events_bounce_rate, geo_dwithin_join (each locally 3-SF-verified;
+# their r5 donors' rationales are inline above); (2) any r6-new
+# oracled entries in the round they land; (3) the remaining ~36 slots
+# re-grade the LEAST-recently-green oracles (r1/r2 vintage first:
+# q4/q6/q12/q14/q17/q19, top3, events_pivot, orders_rollup,
+# events_user_stats, catalog_*, dedup_keep_first_prefix, ...) so every
+# oracle's green row stays fresh round-over-round.
 _ROWS_ONLY_PRIORITY = [
     # r5: the four r4-priority entries got their driver rows (and
     # mm_extract_features is now ORACLED after the entry-shape fix), so

@@ -192,3 +192,25 @@ def test_buffer_point():
     assert W.area(buf) == pytest.approx(math.pi * 4, rel=0.01)
     assert W.contains(buf, 10, 20)
     assert not W.contains(buf, 12.5, 20)
+
+
+def test_line_and_polygon_metrics_reject_wrong_types(spark):
+    """The metric kernels fail LOUD on the wrong geometry class (a
+    silent bbox-ish fallback would grade garbage)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from iceberg_geospatial_api_server_spark.geo import wkb as W
+    from iceberg_geospatial_api_server_spark.geo.functions import (
+        line_metrics,
+        polygon_metrics,
+    )
+
+    pt = W.encode_point(1.0, 2.0)
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1], "geometry": [pt]})
+    )
+    with _pytest.raises(Exception, match="LineString"):
+        line_metrics(df, id_cols=["id"]).collect()
+    with _pytest.raises(Exception, match="Polygon"):
+        polygon_metrics(df, id_cols=["id"]).collect()
