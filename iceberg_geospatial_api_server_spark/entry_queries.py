@@ -433,7 +433,9 @@ def geo_extent(spark, sf_dir):
     doubles z-order clustered (sources/geo_layer.py — the ref
     engine.py:232-279 persisted-pre-filter-column design); the extent
     query itself is a MIN/MAX over plain parquet doubles, answerable
-    from footer stats under aggregate pushdown. First call per corpus
+    from footer stats under aggregate pushdown (session-wide opt-in in
+    session.get_spark — an entry must NOT flip planner confs mid-run,
+    that would skew every later query's plan). First call per corpus
     pays the build (the signature-store contract); every query after
     reads no geometry at all."""
     from iceberg_geospatial_api_server_spark.geo.functions import extent
@@ -441,7 +443,6 @@ def geo_extent(spark, sf_dir):
         lineitem_bbox_layer,
     )
 
-    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     layer = lineitem_bbox_layer(spark, sf_dir).select(
         "__bbox_xmin", "__bbox_ymin", "__bbox_xmax", "__bbox_ymax"
     )
@@ -5709,7 +5710,11 @@ def graph_pagerank_q(spark, sf_dir):
     edges = e0.union(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return pagerank_int(edges, iters=10).orderBy("id")
+    # assume_symmetric: this entry BUILDS the symmetric union above, so
+    # the sink-only guard's anti-join job is provably vacuous here
+    return pagerank_int(edges, iters=10, assume_symmetric=True).orderBy(
+        "id"
+    )
 
 
 @_q(
@@ -6308,12 +6313,18 @@ def streaming_cusum_state_q(spark, sf_dir):
             name,
             mode="update",
         )
-        return spark.sql(
+        final = spark.sql(
             f"""SELECT user_id, n_events, n_alarms, max_cusum, first_alarm_s
                 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                                                    ORDER BY n_events DESC) rn
                       FROM {name}) WHERE rn = 1"""
         )
+        # materialize the users-sized final state and DROP the memory
+        # sink table: repeated entry runs in one long grading session
+        # must not accumulate uuid-named in-memory result sets
+        rows, schema = final.collect(), final.schema
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -6379,7 +6390,7 @@ def streaming_window_counts_q(spark, sf_dir):
         run_to_memory_sink(agg, name, mode="complete")
         out = spark.table(name)
         sec = epoch_of(out, "hour_start")
-        return out.select(
+        final = out.select(
             sec("hour_start", "SECOND").cast("long").alias(
                 "window_start_s"
             ),
@@ -6387,6 +6398,11 @@ def streaming_window_counts_q(spark, sf_dir):
             "n_events",
             "sum_cents",
         ).orderBy("window_start_s", "event_type")
+        # materialize the hours×types-sized result and DROP the memory
+        # sink table (see streaming_cusum_state)
+        rows, schema = final.collect(), final.schema
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

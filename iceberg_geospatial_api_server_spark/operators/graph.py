@@ -32,6 +32,7 @@ def pagerank_int(
     iters: int = 10,
     checkpoint_every: int = 3,
     include_sinks: bool = False,
+    assume_symmetric: bool = False,
 ) -> DataFrame:
     """Integer-exact PageRank (damping 0.85, fixed ``iters`` rounds)
     over a directed edge list (src, dst). Returns (id, rank_micro).
@@ -45,6 +46,9 @@ def pagerank_int(
     integer form). With the default, a graph whose dst set exceeds its
     src set RAISES rather than silently dropping inbound mass
     (ADVICE r4: the silent drop was an easy correctness footgun).
+    ``assume_symmetric=True`` skips that guard's extra anti-join job —
+    for callers that construct the symmetric union themselves (the
+    guard is provably vacuous there; keep it on for raw inputs).
 
     r₀ = 1.0; rᵢ₊₁(v) = 0.15 + Σ_{u→v} (85·rᵢ(u)) DIV (100·deg(u)),
     all in micro-units — exact BIGINT everywhere.
@@ -58,6 +62,8 @@ def pagerank_int(
         node_col = e.select(F.col("src").alias("id")).union(
             e.select(F.col("dst").alias("id"))
         )
+    elif assume_symmetric:
+        node_col = e.select(F.col("src").alias("id"))
     else:
         n_sink_only = (
             e.select(F.col("dst").alias("id"))

@@ -63,6 +63,24 @@ def synthesize_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _gradient_checker_image(d: int) -> np.ndarray:
+    """The deterministic fixture image for even doc ids, shared by
+    synthesize_real_media and synthesize_crafted_media (and mirrored by
+    the mm_decode_parity/mm_resize_parity closed-form SQL): h=12+d%5,
+    w=16+d%7, channels [x-gradient, y-gradient, parity checker]. One
+    definition — an edit here must be reflected in BOTH oracles."""
+    h, w = 12 + d % 5, 16 + d % 7
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            (xx * 255 // (w - 1)).astype(np.uint8),
+            (yy * 255 // (h - 1)).astype(np.uint8),
+            (((xx + yy + d) % 2) * 255).astype(np.uint8),
+        ],
+        axis=2,
+    )
+
+
 def synthesize_real_media(docs: DataFrame) -> DataFrame:
     """Build a multimodal table whose payloads are REAL encoded media:
     even doc_ids carry a PNG (deterministic gradient+checker image seeded
@@ -79,16 +97,7 @@ def synthesize_real_media(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 if d % 2 == 0:
-                    h, w = 12 + d % 5, 16 + d % 7
-                    yy, xx = np.mgrid[0:h, 0:w]
-                    img = np.stack(
-                        [
-                            (xx * 255 // max(w - 1, 1)).astype(np.uint8),
-                            (yy * 255 // max(h - 1, 1)).astype(np.uint8),
-                            (((xx + yy + d) % 2) * 255).astype(np.uint8),
-                        ],
-                        axis=2,
-                    )
+                    img = _gradient_checker_image(d)
                     rows.append((d, media_codecs.encode_png(img), "image", "png"))
                 else:
                     rate = 8000
@@ -127,16 +136,7 @@ def synthesize_crafted_media(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 if d % 2 == 0:
-                    h, w = 12 + d % 5, 16 + d % 7
-                    yy, xx = np.mgrid[0:h, 0:w]
-                    img = np.stack(
-                        [
-                            (xx * 255 // (w - 1)).astype(np.uint8),
-                            (yy * 255 // (h - 1)).astype(np.uint8),
-                            (((xx + yy + d) % 2) * 255).astype(np.uint8),
-                        ],
-                        axis=2,
-                    )
+                    img = _gradient_checker_image(d)
                     rows.append((d, media_codecs.encode_png(img), "image", "png"))
                 else:
                     i = np.arange(800, dtype=np.int64)

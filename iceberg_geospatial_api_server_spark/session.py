@@ -61,6 +61,11 @@ def get_spark(
         # --- scan sizing: keep partitions memory-friendly at scale ---
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # MIN/MAX/COUNT answered from parquet footer stats where legal
+        # (no filters, non-nested) — set session-wide and from the start
+        # so plans stay uniform across a bench/grading run (a mid-run
+        # conf flip would skew round-over-round comparisons)
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         # --- python interop: Arrow batches for the pandas-UDF kernels ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -27,6 +27,9 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
+# bump when the layer's schema/derivation changes — part of the cache key
+_LAYER_VERSION = 2
+
 
 def lineitem_bbox_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The lineitem point layer with PERSISTED __bbox_* columns,
@@ -42,8 +45,14 @@ def lineitem_bbox_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from iceberg_geospatial_api_server_spark.util import spread
 
+    # cache key covers the source path AND its content identity (file
+    # sizes + mtimes) AND a builder version tag: a regenerated corpus at
+    # the same path, or a change to the ingest logic, must MISS rather
+    # than silently serve the previous layer
+    src = os.path.join(os.path.abspath(sf_dir), "lineitem.parquet")
+    st = os.stat(src)
     digest = hashlib.md5(
-        os.path.abspath(sf_dir).encode()
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|{_LAYER_VERSION}".encode()
     ).hexdigest()[:16]
     root = os.path.join(tempfile.gettempdir(), "spark_graft_layers")
     path = os.path.join(root, f"li_bbox_{digest}")

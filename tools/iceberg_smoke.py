@@ -87,7 +87,11 @@ def main() -> int:
         snaps = io.snapshots(spark, tbl).collect()
         assert len(snaps) >= 2
         first_snapshot = min(r["snapshot_id"] for r in snaps)
-        ts_before_merge = time.time()
+        # time-travel anchor = the LAST committed snapshot's own
+        # committed_at (with sub-second precision): a wall-clock
+        # timestamp truncated to the second can land BEFORE the append
+        # commit and resolve to the wrong snapshot (or none)
+        ts_before_merge = max(r["committed_at"] for r in snaps)
         print(f"ok: snapshots metadata table ({len(snaps)} snapshots)")
 
         io.merge_upsert(
@@ -109,9 +113,7 @@ def main() -> int:
         asof = io.read_as_of(
             spark,
             tbl,
-            time.strftime(
-                "%Y-%m-%d %H:%M:%S", time.gmtime(ts_before_merge)
-            ),
+            ts_before_merge.strftime("%Y-%m-%d %H:%M:%S.%f"),
         )
         assert asof.count() == 3
         print("ok: VERSION AS OF + TIMESTAMP AS OF time travel")
@@ -127,7 +129,11 @@ def main() -> int:
         io.expire_snapshots(
             spark,
             tbl,
-            time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime(time.time())),
+            # +2s so truncation to the second still covers snapshots
+            # committed within the current second
+            time.strftime(
+                "%Y-%m-%d %H:%M:%S", time.gmtime(time.time() + 2)
+            ),
         )
         remaining = io.snapshots(spark, tbl).count()
         assert remaining >= 1
