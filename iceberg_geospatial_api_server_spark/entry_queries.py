@@ -1575,6 +1575,7 @@ def _polygon_areas_oracle_sql() -> str:
       FROM customer
     )
     SELECT k AS c_custkey,
+           CAST(1 AS BIGINT) AS n_parts,
            CAST(CASE WHEN k % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
              AS n_rings,
            {terms(outer)} AS outer_q,
@@ -1635,6 +1636,109 @@ def geo_polygon_areas_q(spark, sf_dir):
     polys = customer_points(_t(spark, sf_dir, "customer")).select(
         "c_custkey",
         make_poly(F.col("x"), F.col("y"), F.col("c_custkey")).alias(
+            "geometry"
+        ),
+    )
+    return polygon_metrics(polys, id_cols=["c_custkey"]).orderBy(
+        "c_custkey"
+    )
+
+
+def _multipolygon_oracle_sql() -> str:
+    """Two crafted rects per key (first with a conditional hole) — the
+    MULTIPOLYGON part walk graded with geo_polygon_areas' quantized
+    signed-shoelace conventions. Rect rings are written CCW, holes CW;
+    each cross term quantizes before the sum."""
+
+    def rect_terms(x0, y0, x1, y1, ccw=True):
+        pts = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+        if not ccw:
+            pts = pts[::-1]
+        out = []
+        for i in range(4):
+            xa, ya = pts[i]
+            xb, yb = pts[(i + 1) % 4]
+            out.append(
+                f"CAST(FLOOR((({xa}) * ({yb}) - ({xb}) * ({ya}))"
+                f" * 10000.0 + 0.5) AS BIGINT)"
+            )
+        return " + ".join(out)
+
+    r1 = rect_terms("x0", "y0", "x0 + w", "y0 + h")
+    r2 = rect_terms("x0 + w + 1.0", "y0", "x0 + w + 1.0 + 2.0", "y0 + 1.5")
+    hole = rect_terms(
+        "x0 + 0.5", "y0 + 0.5", "x0 + 1.0", "y0 + 1.0", ccw=False
+    )
+    return f"""
+    WITH c AS (
+      SELECT c_custkey AS k, {_CUST_X} AS x0, {_CUST_Y} AS y0,
+             (c_custkey % 5 + 2) * 1.0 AS w,
+             (c_custkey % 4 + 2) * 1.0 AS h
+      FROM customer
+    )
+    SELECT k AS c_custkey,
+           CAST(2 AS BIGINT) AS n_parts,
+           CAST(CASE WHEN k % 2 = 0 THEN 3 ELSE 2 END AS BIGINT)
+             AS n_rings,
+           ({r1}) + ({r2}) AS outer_q,
+           CASE WHEN k % 2 = 0 THEN {hole} ELSE 0 END AS holes_q
+    FROM c ORDER BY c_custkey
+    """
+
+
+@_q("geo_multipolygon_areas", _multipolygon_oracle_sql())
+def geo_multipolygon_areas_q(spark, sf_dir):
+    """The MULTIPOLYGON codec path VALUE-graded (closing the multi-part
+    family next to geo_multiline_lengths): two crafted rects per key —
+    the first with a conditional CW hole — through encode_multi and
+    back through polygon_metrics' part walk; part/ring counts and the
+    summed signed shoelace per ring class must equal direct SQL
+    arithmetic."""
+    from iceberg_geospatial_api_server_spark.geo.functions import (
+        polygon_metrics,
+    )
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        customer_points,
+    )
+    from pyspark.sql import types as TT
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(TT.BinaryType())
+    def make_mpoly(x: pd.Series, y: pd.Series, k: pd.Series) -> pd.Series:
+        from iceberg_geospatial_api_server_spark.geo import wkb as W_
+
+        def rect(x0, y0, x1, y1, ccw=True):
+            pts = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+            if not ccw:
+                pts = pts[::-1]
+            return pts + [pts[0]]
+
+        out = []
+        for x0, y0, kk in zip(
+            x.astype("f8"), y.astype("f8"), k.astype("i8")
+        ):
+            kk = int(kk)
+            w = (kk % 5 + 2) * 1.0
+            h = (kk % 4 + 2) * 1.0
+            rings1 = [rect(x0, y0, x0 + w, y0 + h)]
+            if kk % 2 == 0:
+                rings1.append(
+                    rect(x0 + 0.5, y0 + 0.5, x0 + 1.0, y0 + 1.0, ccw=False)
+                )
+            rings2 = [
+                rect(x0 + w + 1.0, y0, x0 + w + 1.0 + 2.0, y0 + 1.5)
+            ]
+            out.append(
+                W_.encode_multi(
+                    W_.MULTIPOLYGON,
+                    [W_.encode_polygon(r) for r in [rings1, rings2]],
+                )
+            )
+        return pd.Series(out)
+
+    polys = customer_points(_t(spark, sf_dir, "customer")).select(
+        "c_custkey",
+        make_mpoly(F.col("x"), F.col("y"), F.col("c_custkey")).alias(
             "geometry"
         ),
     )
@@ -7686,6 +7790,12 @@ _ORACLED_OVERFLOW = [
     # r4 (cont. 3): same story — per-tile net flow lands with LOCAL
     # 3-SF grading, queued for the r5 rotation
     "geo_tile_netflow",
+    # r5 (late): the MULTIPOLYGON codec entry lands with LOCAL 3-SF
+    # grading — the window's donor rationales are spent this round, so
+    # it queues for r6 first alongside the eight r6-queued donors (its
+    # single-polygon sibling geo_polygon_areas is in-window and grades
+    # the same ring_q kernel)
+    "geo_multipolygon_areas",
     # ----- r5 rotation: the 46 r4-green window entries retire to the
     # overflow (every one carries a fresh CORRECTNESS_r04 hash-MATCH, so
     # each cedes its slot with a driver-verified row on record), making

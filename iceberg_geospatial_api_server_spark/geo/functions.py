@@ -1370,7 +1370,7 @@ def polygon_metrics(
     id_cols = id_cols or []
     schema = ", ".join(
         [f"{c} long" for c in id_cols]
-        + ["n_rings long", "outer_q long", "holes_q long"]
+        + ["n_parts long", "n_rings long", "outer_q long", "holes_q long"]
     )
 
     def ring_q(ring: np.ndarray) -> int:
@@ -1384,17 +1384,28 @@ def polygon_metrics(
             rows = []
             for tup in pdf.itertuples(index=False):
                 d = tup._asdict()
-                code, rings = W.decode(bytes(d[geom_col]))
-                if code != W.POLYGON:
-                    raise ValueError(f"polygon_metrics expects Polygon, got {code}")
-                qs = [ring_q(np.asarray(r, dtype="f8")) for r in rings]
+                code, payload = W.decode(bytes(d[geom_col]))
+                if code == W.POLYGON:
+                    parts = [payload]
+                elif code == W.MULTIPOLYGON:
+                    parts = payload
+                else:
+                    raise ValueError(
+                        f"polygon_metrics expects (Multi)Polygon, got {code}"
+                    )
+                nr, oq, hq = 0, 0, 0
+                for rings in parts:
+                    qs = [ring_q(np.asarray(r, dtype="f8")) for r in rings]
+                    nr += len(rings)
+                    oq += qs[0]
+                    hq += int(sum(qs[1:]))
                 rows.append(
-                    tuple(d[c] for c in id_cols)
-                    + (len(rings), qs[0], int(sum(qs[1:])))
+                    tuple(d[c] for c in id_cols) + (len(parts), nr, oq, hq)
                 )
             yield pd.DataFrame(
                 rows,
-                columns=id_cols + ["n_rings", "outer_q", "holes_q"],
+                columns=id_cols
+                + ["n_parts", "n_rings", "outer_q", "holes_q"],
             )
 
     return df.select(*id_cols, geom_col).mapInPandas(kernel, schema)
