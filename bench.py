@@ -6,7 +6,12 @@ Prints ONE JSON line:
    "duckdb_sec": {...}, "duckdb_ratio": <spark/duckdb over shared>,
    "duckdb_shared_queries": <n>}
 The DuckDB reference comparison runs by default (pass --no-duckdb to
-skip): the recorded artifact carries the baseline-bar number itself.
+skip; a missing duckdb module degrades to a Spark-only artifact with a
+"duckdb_skipped" marker): the recorded artifact carries the baseline-bar
+number itself. The DuckDB side executes as TWO full passes bracketing the
+Spark pass with per-query MIN across both, and the artifact carries a
+per-query ratio table ("duckdb_ratio_per_query") — so the recorded ratio
+is reproducible against host-state noise and drifts are attributable.
 
 Query set = the scale-representative operators (scan-heavy agg, multi-join,
 window/sessionize, spatial grid + join + knn, dedup, ANN, text profile) —
@@ -162,6 +167,19 @@ def main() -> None:
         spark.catalog.clearCache()
         return dt
 
+    # first DuckDB bracket runs BEFORE the Spark loop (see the noise-
+    # hardening note below); a missing duckdb module degrades to a
+    # Spark-only artifact instead of crashing (ADVICE r5)
+    skip_duckdb = "--no-duckdb" in sys.argv
+    sys_argv_skipped_reason = None
+    dd_pre = None
+    if not skip_duckdb:
+        try:
+            dd_pre = _duckdb_reference_timings()
+        except ImportError:
+            skip_duckdb = True
+            sys_argv_skipped_reason = "duckdb not installed"
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         run = lambda: qs[name](spark, SF_DIR).write.format(  # noqa: E731
@@ -189,15 +207,29 @@ def main() -> None:
     # DuckDB comparison runs BY DEFAULT so the recorded artifact itself
     # carries the bar number (total Spark sec / total DuckDB sec over
     # the shared oracle-bearing queries — the SURVEY §6 protocol number,
-    # ≤2.0 = pass); --no-duckdb skips it for Spark-only iteration
-    if "--no-duckdb" not in sys.argv:
-        dd = _duckdb_reference_timings()
+    # ≤2.0 = pass); --no-duckdb skips it for Spark-only iteration.
+    # Noise hardening (VERDICT r5 item 7): the DuckDB side runs as TWO
+    # full passes bracketing the Spark pass (one ran above, before the
+    # Spark loop; one here, after), per-query MIN across both — host-state
+    # noise (cache pressure from the co-resident JVM, CPU thermal state)
+    # hits whichever pass is unlucky, and the min of the brackets is what
+    # a fair same-host measurement looks like. Per-query ratios land in
+    # the artifact so a drift is attributable to a query, not the total.
+    if not skip_duckdb and dd_pre is not None:
+        dd_post = _duckdb_reference_timings()
+        dd = {n: min(dd_pre[n], dd_post[n]) for n in dd_pre}
         out["duckdb_sec"] = dd
         shared = [n for n in dd if n in timings]
         d_tot = sum(dd[n] for n in shared)
         s_tot = sum(timings[n] for n in shared)
         out["duckdb_ratio"] = round(s_tot / d_tot, 3) if d_tot else None
         out["duckdb_shared_queries"] = len(shared)
+        out["duckdb_ratio_per_query"] = {
+            n: (round(timings[n] / dd[n], 2) if dd[n] > 0 else None)
+            for n in shared
+        }
+    elif skip_duckdb and sys_argv_skipped_reason:
+        out["duckdb_skipped"] = sys_argv_skipped_reason
 
     print(json.dumps(out))
 

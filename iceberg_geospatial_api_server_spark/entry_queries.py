@@ -432,10 +432,11 @@ def geo_extent(spark, sf_dir):
     ingest runs the WKB encode+decode once and materializes __bbox_*
     doubles z-order clustered (sources/geo_layer.py — the ref
     engine.py:232-279 persisted-pre-filter-column design); the extent
-    query itself is a MIN/MAX over plain parquet doubles, answerable
-    from footer stats under aggregate pushdown (session-wide opt-in in
-    session.get_spark — an entry must NOT flip planner confs mid-run,
-    that would skew every later query's plan). First call per corpus
+    query itself is a MIN/MAX over plain parquet doubles, answered from
+    footer stats: the layer is read through the DSv2 parquet source
+    (scoped at load() time in geo_layer.py — v1 parquet silently ignores
+    spark.sql.parquet.aggregatePushdown, ADVICE r5) and the plan shows
+    PushedAggregation (plan-asserted). First call per corpus
     pays the build (the signature-store contract); every query after
     reads no geometry at all."""
     from iceberg_geospatial_api_server_spark.geo.functions import extent

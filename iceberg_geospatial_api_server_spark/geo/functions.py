@@ -1109,7 +1109,7 @@ def _intersects_const_rings_batch(rings, fpolys, fverts) -> np.ndarray:
     px = fverts[:, 0][None, :]
     py = fverts[:, 1][None, :]
     hit = np.zeros((n, fverts.shape[0]), dtype=bool)
-    with np.errstate(divide="ignore", invalid="ignore"):
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         for j in range(V - 1):
             x0 = rings[:, j, 0][:, None]
             y0 = rings[:, j, 1][:, None]
@@ -1317,7 +1317,7 @@ def line_metrics(
     geometry). mapInPandas; only two longs per line leave the stage."""
     id_cols = id_cols or []
     schema = ", ".join(
-        [f"{c} long" for c in id_cols]
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in id_cols]
         + ["n_parts long", "n_vertices long", "length_q long"]
     )
 
@@ -1369,7 +1369,7 @@ def polygon_metrics(
     stage."""
     id_cols = id_cols or []
     schema = ", ".join(
-        [f"{c} long" for c in id_cols]
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in id_cols]
         + ["n_parts long", "n_rings long", "outer_q long", "holes_q long"]
     )
 

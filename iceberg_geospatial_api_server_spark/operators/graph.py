@@ -172,7 +172,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     )
     return base.crossJoin(tri).select(
         "n_nodes",
-        (F.col("deg_sum") / F.lit(2)).cast("long").alias("n_edges"),
+        F.expr("deg_sum DIV 2").alias("n_edges"),
         F.expr("wedges2 DIV 2").alias("n_wedges"),
         "n_triangles",
         F.expr(

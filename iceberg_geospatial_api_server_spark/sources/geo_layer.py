@@ -45,18 +45,30 @@ def lineitem_bbox_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from iceberg_geospatial_api_server_spark.util import spread
 
-    # cache key covers the source path AND its content identity (file
-    # sizes + mtimes) AND a builder version tag: a regenerated corpus at
-    # the same path, or a change to the ingest logic, must MISS rather
-    # than silently serve the previous layer
+    # cache key covers the source path AND its content identity AND a
+    # builder version tag: a regenerated corpus at the same path, or a
+    # change to the ingest logic, must MISS rather than silently serve
+    # the previous layer. Content identity = size + the parquet head
+    # (magic + first row-group start) + tail (footer metadata, which
+    # embeds row counts and column stats) — this catches a corpus
+    # regenerated with identical size and restored mtime (rsync -a,
+    # archive extraction), which size|mtime alone would not.
     src = os.path.join(os.path.abspath(sf_dir), "lineitem.parquet")
     st = os.stat(src)
-    digest = hashlib.md5(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}|{_LAYER_VERSION}".encode()
-    ).hexdigest()[:16]
+    h = hashlib.md5(f"{src}|{st.st_size}|{_LAYER_VERSION}".encode())
+    with open(src, "rb") as f:
+        h.update(f.read(4096))
+        f.seek(max(0, st.st_size - 4096))
+        h.update(f.read(4096))
+    digest = h.hexdigest()[:16]
     root = os.path.join(tempfile.gettempdir(), "spark_graft_layers")
     path = os.path.join(root, f"li_bbox_{digest}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # a dest dir WITHOUT _SUCCESS is a crashed/partial build: remove
+        # it so (a) the rename below can land and (b) we never read a
+        # suspect layer
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
         geoms = with_bbox(
             lineitem_point_geoms(
@@ -75,4 +87,21 @@ def lineitem_bbox_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
         except OSError:
             # another writer won the race — its layer is equivalent
             shutil.rmtree(build, ignore_errors=True)
-    return spark.read.parquet(path)
+    # read the layer through the DSv2 parquet source: parquet sits in
+    # spark.sql.sources.useV1SourceList by default and the v1 relation
+    # IGNORES spark.sql.parquet.aggregatePushdown (ADVICE r5) — the
+    # footer-stats MIN/MAX answering this module exists for only happens
+    # on a v2 BatchScan. The v1/v2 choice bakes into the relation at
+    # load() time, so scoping the flip to this one read keeps every
+    # other query's plan shape untouched (tests/test_plans.py asserts
+    # the resulting PushedAggregation).
+    key = "spark.sql.sources.useV1SourceList"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(
+            key,
+            ",".join(s for s in prev.split(",") if s.strip() != "parquet"),
+        )
+        return spark.read.parquet(path)
+    finally:
+        spark.conf.set(key, prev)

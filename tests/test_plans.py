@@ -832,3 +832,16 @@ def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, sf_dir):
             ".applicationSideScanSizeThreshold",
             old_scan,
         )
+
+
+def test_geo_extent_pushes_aggregate_to_parquet_footer(spark, sf_dir):
+    """The persisted bbox layer's whole reason to exist is that extent
+    becomes a footer-stats answer: geo_layer reads the layer through the
+    DSv2 parquet source (v1 parquet ignores aggregatePushdown — ADVICE
+    r5), so the MIN/MAX plan must carry PushedAggregation and read no
+    data pages beyond the aggregate columns' row-group stats."""
+    from iceberg_geospatial_api_server_spark.entry_queries import QUERIES
+
+    plan = _plan(QUERIES["geo_extent"](spark, sf_dir))
+    assert "PushedAggregation" in plan, plan[:3000]
+    assert re.search(r"PushedAggregation: \[[^\]]*MIN", plan), plan[:3000]
