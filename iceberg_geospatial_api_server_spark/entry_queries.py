@@ -4144,9 +4144,11 @@ def corpus_perplexity_q(spark, sf_dir):
     from iceberg_geospatial_api_server_spark.operators.text import (
         perplexity_profile,
     )
-    from iceberg_geospatial_api_server_spark.util import spread
 
-    return perplexity_profile(spread(_t(spark, sf_dir, "documents"), None))
+    # no spread: the tokenize pass is regex-split-cheap, so exchanging
+    # the full text payload costs more than the serial scan (the tfidf
+    # lesson, re-measured here r6: 1.7s with spread+persist → 1.0s)
+    return perplexity_profile(_t(spark, sf_dir, "documents"))
 
 
 # duplicate-occurrence ratio over a list expression, as DuckDB SQL
@@ -7932,6 +7934,127 @@ _ORACLED_OVERFLOW = [
     n for n in _ORACLED_OVERFLOW if n not in set(_R5_PROMOTED)
 ]
 
+# ----- r6 rotation (executing the plan recorded below in r5 and in
+# VERDICT r5 item 2): the 44 r5-green window entries retire to the
+# overflow — every one carries a fresh CORRECTNESS_r05 hash-MATCH (or,
+# for streaming_cusum_state/streaming_window_counts, a driver MATCH of
+# the real micro-batch run), so each cedes its slot with a
+# driver-verified row on record. Donor rationale uniform:
+# "driver-green r5". -----
+_ORACLED_OVERFLOW += [
+    "ann_filtered_topk",
+    "ann_ivf_exhaustive",
+    "ann_lsh_exhaustive",
+    "brand_supplier_hhi",
+    "corpus_decontaminate_spans",
+    "corpus_dedup_materialize",
+    "embed_kmeans_stats",
+    "embed_label_outliers",
+    "events_attribution_lag",
+    "events_autocorr",
+    "events_cusum",
+    "events_dau_rolling",
+    "events_outliers_mad",
+    "events_rfm",
+    "events_session_overlap",
+    "events_transitions",
+    "geo_clip_rects",
+    "geo_dbscan_core",
+    "geo_flow_bearings",
+    "geo_haversine_knn",
+    "geo_heatmap",
+    "geo_hex_aggregate",
+    "geo_hotspot_gi",
+    "geo_knn_join",
+    "geo_line_lengths",
+    "geo_moran_i",
+    "geo_multiline_lengths",
+    "geo_polygon_areas",
+    "geo_ps",
+    "geo_tile_netflow",
+    "geo_tile_pyramid",
+    "graph_pagerank",
+    "graph_triangles",
+    "mm_decode_parity",
+    "mm_extract_features",
+    "mm_resize_parity",
+    "orders_forecast_linreg",
+    "streaming_cusum_state",
+    "streaming_window_counts",
+    "text_lang_confusion",
+    "text_ngram_novelty",
+    "text_readability",
+    "text_winnow_fingerprints",
+    "text_zipf_fit",
+]
+
+# r6 window refill, per the recorded plan: (1) the nine r6-queued
+# oracles — each locally 3-SF-verified in r5 AND independently MATCHed
+# by the r5 judge's own drive.py runs, so expect green; (2) this
+# round's new oracled entries in the round they land (registered
+# outside the overflow, so they enter the window automatically — each
+# new landing displaces one name from the r3-vintage TAIL of the
+# re-grade block below back into the overflow, keeping the window at
+# exactly 50); (3) the remaining slots re-grade the LEAST-recently-
+# green oracles, r1/r2 vintage first, so every oracle's green row
+# stays fresh round-over-round.
+_R6_PROMOTED = [
+    # (1) the nine r6-queued oracles
+    "geo_tile_aggregate",
+    "dedup_spans_scrub",
+    "events_hopping_agg",
+    "text_winnow_pairs",
+    "geo_od_flows",
+    "customer_pareto",
+    "events_bounce_rate",
+    "geo_dwithin_join",
+    "geo_multipolygon_areas",
+    # (3) stale re-grades: r1/r2-vintage greens first (last driver row
+    # is two-plus rounds old), then r2-only, then the oldest r3s
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q12_shipmode_priority",
+    "q14_promo_revenue",
+    "q17_small_qty_revenue",
+    "q19_disjunctive",
+    "top3_orders_per_priority",
+    "events_pivot",
+    "orders_rollup",
+    "events_user_stats",
+    "catalog_row_counts",
+    "catalog_table_files",
+    "dedup_keep_first_prefix",
+    "q10_returned_items",
+    "events_windowed_agg",
+    "q13_customer_distribution",
+    "q18_large_volume",
+    "mm_frame_sample",
+    "text_ngram_topk",
+    "sample_per_lang",
+    "geo_grid_aggregate",
+    "embed_neardup_cosine",
+    "events_sessionize",
+    "geo_dwithin",
+    "corpus_mixture",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "ngram_jaccard_pairs",
+    # r3-vintage tail — displaced first (in reverse order) as new r6
+    # oracled entries land
+    "part_type_stats",
+    "doc_length_histogram",
+    "fq_count_only",
+    "fq_ids_only",
+    "geo_mercator",
+    "events_funnel",
+    "corpus_split",
+    "events_retention",
+    "events_props_stats",
+]
+_ORACLED_OVERFLOW = [
+    n for n in _ORACLED_OVERFLOW if n not in set(_R6_PROMOTED)
+]
+
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):
 # placed directly after the active oracled block so they enter the
 # 50-slot window this round for at least a rows+schema check.
@@ -7954,16 +8077,15 @@ _ORACLED_OVERFLOW = [
 # events_user_stats, catalog_*, dedup_keep_first_prefix, ...) so every
 # oracle's green row stays fresh round-over-round.
 _ROWS_ONLY_PRIORITY = [
-    # r5: the four r4-priority entries got their driver rows (and
-    # mm_extract_features is now ORACLED after the entry-shape fix), so
-    # per the recorded plan the six never-observed rows-only entries
-    # take the priority slots this round.
-    "dedup_semantic",
-    "dedup_hybrid",
-    "dedup_clusters",
-    "corpus_bpe_stats",
-    "mm_phash_pairs",
-    "geo_dbscan",
+    # r6: the six r5-priority entries got their driver rows, so per the
+    # recorded plan the LAST four never-driver-observed rows-only
+    # entries take the priority slots this round (VERDICT r5 item 3) —
+    # after this round every registry entry has at least one driver
+    # observation.
+    "events_hll_dau",
+    "embed_pca_project",
+    "mm_audio_fp_pairs",
+    "mm_scene_cuts",
 ]
 
 

@@ -903,20 +903,25 @@ def kmeans_exact_census(
     cells keeping their previous centroid. Output: per-cell member count
     + integer-quantized inertia Σ(1e6 − ⌊sim·1e6⌋).
 
-    Plan shape: vectors explode ONCE to (id, idx, q) long form
-    (localCheckpointed — 64 longs/vector, reused by every pass); each
-    assignment is a broadcast join against the k×d centroid frame +
-    one (id, cell) aggregate of exact products (a first literal-fold
-    formulation spent ~3.5s compiling 2×k×d-term codegen expressions —
-    the long-form join is the same exact math at DuckDB speed); per
-    iteration one k×d aggregate reaches the driver (the bounded
-    driver-traffic contract kmeans_fit keeps); census is one exchange.
-    Scale-safe by the same argument as the production path."""
+    Plan shape (r6 rework — this entry was a bench perf-weak row at
+    2.5s): assignment is PURE MAP-SIDE — each cell's exact dot is a
+    zip_with product against a single k-element-of-64 ARRAY literal
+    (one Literal object per centroid, NOT the 2×k×d expanded-term
+    formulation that spent ~3.5s in Janino, and NOT the earlier
+    explode→broadcast-join→re-aggregate form that exchanged n·d rows
+    per Lloyd pass), and the (ratio DESC, cell ASC) argmax runs over
+    the k struct columns in the same stage. Exact-integer sums are
+    order-independent, so the map-side fold equals the oracle's
+    SUM(q·c) bit-for-bit. Per iteration the only exchange is the
+    k-row centroid update (count + d per-dimension sums, map-side
+    partials); one k×(d+1) aggregate reaches the driver (the bounded
+    driver-traffic contract kmeans_fit keeps); census is one k-row
+    exchange. Scale-safe by the same argument as the production path:
+    every stage over the fact table is a scan-shaped map."""
     import math
 
     from iceberg_geospatial_api_server_spark.operators.sampling import id_hash
 
-    spark = df.sparkSession
     # NULL/empty vectors drop EXPLICITLY (they cannot seed, dot, or be
     # assigned) — the long-form SQL's UNNEST drops them implicitly, and
     # an unfiltered seed pick would collect a NULL centroid
@@ -928,9 +933,6 @@ def kmeans_exact_census(
         ),
     )
     base = df.select(F.col(id_col).alias("__id"), qv.alias("__qv"))
-    qlong = base.select(
-        "__id", F.posexplode("__qv").alias("idx", "q")
-    ).localCheckpoint()
 
     seed_rows = (
         base.orderBy(id_hash(F.col("__id")), F.col("__id")).limit(k).collect()
@@ -939,45 +941,25 @@ def kmeans_exact_census(
     dim = len(cents[0])
 
     def _assign(cents_now):
-        cent_rows = [
-            (j, i, int(c[i]))
-            for j, c in enumerate(cents_now)
-            for i in range(dim)
-        ]
-        centdf = spark.createDataFrame(
-            cent_rows, "cell int, idx int, c long"
-        )
-        # ONE exchange: k conditional product sums per vector, then the
-        # (ratio DESC, cell) argmax runs map-side over the k columns
-        dots = (
-            qlong.join(F.broadcast(centdf), "idx")
-            .groupBy("__id")
-            .agg(
-                *[
-                    F.sum(
-                        F.when(F.col("cell") == j, F.expr("q * c")).otherwise(
-                            F.lit(0)
-                        )
-                    ).alias(f"d{j}")
-                    for j in range(len(cents_now))
-                ]
-            )
-        )
         structs = []
         for j, c in enumerate(cents_now):
             n2 = sum(v * v for v in c)
+            dot = F.aggregate(
+                F.zip_with("__qv", F.lit(c), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
             if n2 == 0:
                 ratio = F.lit(0.0)
             else:
-                ratio = F.col(f"d{j}").cast("double") / F.lit(
-                    math.sqrt(float(n2))
-                )
+                ratio = dot.cast("double") / F.lit(math.sqrt(float(n2)))
             structs.append(
                 F.struct((-ratio).alias("nr"), F.lit(j).alias("cell"))
             )
         best = F.array_min(F.array(*structs))
-        return dots.select(
+        return base.select(
             "__id",
+            "__qv",
             best["cell"].alias("cell"),
             (-best["nr"]).alias("ratio"),
         )
@@ -987,16 +969,22 @@ def kmeans_exact_census(
         assigned = _assign(cents)
         if it < iters - 1:
             sums = (
-                assigned.join(qlong, "__id")
-                .groupBy("cell", "idx")
-                .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+                assigned.groupBy("cell")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(F.get("__qv", i)).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
+                )
                 .collect()
             )
             new_cents = [list(c) for c in cents]
             for r in sums:
-                new_cents[r["cell"]][r["idx"]] = int(
-                    math.floor(r["s"] / r["n"] + 0.5)
-                )
+                for i in range(dim):
+                    new_cents[r["cell"]][i] = int(
+                        math.floor(r[f"s{i}"] / r["n"] + 0.5)
+                    )
             cents = new_cents
 
     return (

@@ -1278,8 +1278,15 @@ def brand_affinity(
     # consumers: filters above `counts` push below the aggregate and
     # defeat AQE stage reuse (three identical-looking consumers still
     # recomputed the basket build; measured), while windows keep ONE
-    # occurrence of the subtree in the plan. All three windows run over
-    # the tiny aggregate — the single-partition one included.
+    # occurrence of the subtree in the plan. coalesce(1) first: the
+    # three windows partition by three DIFFERENT keys, which over a
+    # 32-partition frame means three exchange+sort stages of a ~350-row
+    # frame — pure scheduling floor (measured ~0.4s of the query's 1.7s
+    # at sf0.1). On one partition every window's clustering requirement
+    # is trivially satisfied, so all three run in a single stage; the
+    # frame is brand²-bounded (≤ a few hundred rows at ANY corpus
+    # scale), so the single partition is the right size at 100 TB too.
+    counts = counts.coalesce(1)
     is_single = (F.col("brand_a") != "") & (F.col("brand_b") == "")
     key2 = F.when(F.col("brand_b") == "", F.col("brand_a")).otherwise(
         F.col("brand_b")

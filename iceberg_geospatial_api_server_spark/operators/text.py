@@ -17,7 +17,7 @@ from iceberg_geospatial_api_server_spark.operators.dedup import MERSENNE, word_h
 # stream, per-doc token counts) and Spark has no cross-branch common
 # subexpression reuse — uncached, each branch re-scans and re-splits the
 # corpus. MEMORY_AND_DISK spills, never OOMs; pass None to run cache-free.
-_PPL_DEFAULT_STORAGE = StorageLevel.MEMORY_AND_DISK
+_PPL_DEFAULT_STORAGE = None
 
 # Small public stopword marker sets per language (enough for a ratio
 # heuristic; real corpora would use larger lists — same plan shape).
@@ -931,13 +931,16 @@ def perplexity_profile(
     toks = tokens(F.col(text_col))
     base = df.select(F.col(id_col), train_pred.alias("__train"), toks.alias("__t"))
     # Four consumers below (train unigrams/bigrams, scoring stream, doc
-    # token counts): pin the tokenized form so the corpus scan + regex
-    # split run once, not per branch. At sf0.1 this is a wash (the whole
-    # query is shuffle-floor-dominated at ~1s) — the pin is for the 100 TB
-    # posture, where four full corpus re-scans are the dominant I/O. The
-    # pinned frame is (id, bool, token array) — a fraction of the raw
-    # corpus — and spills under MEMORY_AND_DISK; storage_level=None
-    # recomputes per branch.
+    # token counts) CAN pin the tokenized form so the corpus scan + regex
+    # split run once, not per branch — pass storage_level=
+    # StorageLevel.MEMORY_AND_DISK for the 100 TB posture, where four
+    # full corpus re-scans are the dominant I/O (the pinned frame is
+    # (id, bool, token array) — a fraction of the raw corpus — and
+    # spills). The default is None because at bench scale the persist
+    # is NOT a wash: materializing + re-reading the token arrays costs
+    # ~0.7s of the query's 1.7s at sf0.1 while the four re-scans of a
+    # 5k-doc parquet cost ~nothing (measured r6; the spread() lesson
+    # again — per-pipeline measurement beats blanket caching).
     if storage_level is not None:
         base = base.persist(storage_level)
 
