@@ -188,31 +188,49 @@ def tile_pyramid(
     every level; the oracle grades exactly that claim).
 
     Scale: the corpus is scanned and shuffled ONCE (the zmax exchange);
-    every rollup exchange is over the previous LEVEL's tiles — at most
-    4^z rows, shrinking geometrically — which is why tile servers build
-    pyramids bottom-up instead of re-binning per zoom. Counts and
-    DECIMAL sums are rollup-exact by associativity.
+    the rollup then runs over the zmax TILE table (≤ min(4^zmax, n)
+    rows — corpus-independent) as a single explode-to-ancestors pass:
+    each zmax tile emits one (zoom, tile DIV 2^(zmax−z)) row per level,
+    and ONE (zoom, x, y) aggregate sums them. Two exchanges total for
+    the whole pyramid — the r6 rework of the per-level rollup chain,
+    which paid one (tiny) exchange + query stage PER LEVEL (measured
+    ~0.5s of stage floor at sf0.1, zmax=6) for the same associative
+    sums. Parent keys are exact: tile DIV 2^k ≡ k successive DIV 2
+    halvings, so rollup ≡ direct binning at every level (the oracle
+    grades exactly that claim).
     """
     aggs = [F.count(F.lit(1)).alias("n")]
     roll = [F.sum("n").alias("n")]
     if value_col is not None:
         aggs.append(F.sum(value_col).alias("sum_val"))
         roll.append(F.sum("sum_val").alias("sum_val"))
-    cur = tile_aggregate(df, x_col, y_col, zmax, aggs=aggs)
-    levels = [cur.withColumn("zoom", F.lit(zmax).cast("int"))]
-    for z in range(zmax - 1, zmin - 1, -1):
-        cur = (
-            cur.groupBy(
-                F.expr("CAST(tile_x DIV 2 AS BIGINT)").alias("tile_x"),
-                F.expr("CAST(tile_y DIV 2 AS BIGINT)").alias("tile_y"),
-            )
-            .agg(*roll)
+    base = tile_aggregate(df, x_col, y_col, zmax, aggs=aggs)
+    levels = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(z).cast("int").alias("zoom"),
+                    F.expr(
+                        f"CAST(tile_x DIV {2 ** (zmax - z)} AS BIGINT)"
+                    ).alias("tile_x"),
+                    F.expr(
+                        f"CAST(tile_y DIV {2 ** (zmax - z)} AS BIGINT)"
+                    ).alias("tile_y"),
+                )
+                for z in range(zmax, zmin - 1, -1)
+            ]
         )
-        levels.append(cur.withColumn("zoom", F.lit(z).cast("int")))
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionByName(lv)
-    return out
+    )
+    return (
+        base.select(levels.alias("__l"), *[a for a in ["n", "sum_val"] if a in base.columns])
+        .groupBy(
+            F.col("__l.tile_x").alias("tile_x"),
+            F.col("__l.tile_y").alias("tile_y"),
+            F.col("__l.zoom").alias("zoom"),
+        )
+        .agg(*roll)
+        .select("tile_x", "tile_y", *[c for c in ["n", "sum_val"] if c in base.columns], "zoom")
+    )
 
 
 def hex_oracle_cte(base_sql: str, x: str, y: str, size: float) -> str:

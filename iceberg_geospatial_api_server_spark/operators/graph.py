@@ -137,7 +137,11 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("u") < F.col("v"))
         .distinct()
-        .localCheckpoint()  # consumers: degrees + the orientation join
+        # NO eager pin (r6): every consumer below reads und through the
+        # identical distinct-exchange, which AQE deduplicates via
+        # ReusedExchange — a localCheckpoint added a blocking
+        # materialization job and measured SLOWER (2.5-2.7s vs 2.3-2.6s
+        # at sf0.1) than letting the shuffle output be shared
     )
     nodes = und.select(F.col("u").alias("id")).union(
         und.select(F.col("v").alias("id"))
@@ -160,7 +164,8 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
             F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         )
-        .localCheckpoint()  # three join legs below
+        # three join legs below share e's exchanges the same way —
+        # ReusedExchange beats an eager checkpoint (measured, see und)
     )
     ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
