@@ -1461,6 +1461,86 @@ def geo_line_lengths_q(spark, sf_dir):
     return line_metrics(lines, id_cols=["c_custkey"]).orderBy("c_custkey")
 
 
+def _multipoint_oracle_sql() -> str:
+    """Crafted multipoints rebuilt arithmetically: every coordinate is
+    the SAME float expression the entry's builder runs, quantized to
+    the 1e-6 grid per point BEFORE summation — exact BIGINT checksums
+    of the codec's multi-part point walk."""
+    return f"""
+    WITH c AS (
+      SELECT c_custkey AS k, {_CUST_X} AS x0, {_CUST_Y} AS y0
+      FROM customer
+    ), pts AS (
+      SELECT k, x0, y0, UNNEST(generate_series(0, k % 4 + 1)) AS i
+      FROM c
+    ), q AS (
+      SELECT k,
+        CAST(FLOOR((x0 + i * ((k % 3 + 1) * 0.5)) * 1000000.0 + 0.5)
+             AS BIGINT) AS qx,
+        CAST(FLOOR((y0 - i * ((k % 5 + 1) * 0.25)) * 1000000.0 + 0.5)
+             AS BIGINT) AS qy
+      FROM pts
+    )
+    SELECT k AS c_custkey,
+           CAST(k % 4 + 2 AS BIGINT) AS n_points,
+           CAST(SUM(qx) AS BIGINT) AS x_sum_q,
+           CAST(SUM(qy) AS BIGINT) AS y_sum_q
+    FROM q GROUP BY k ORDER BY k
+    """
+
+
+@_q("geo_multipoint_checksums", _multipoint_oracle_sql())
+def geo_multipoint_checksums_q(spark, sf_dir):
+    """The MULTIPOINT codec path VALUE-graded — the last WKB container
+    without a value oracle (VERDICT r5 item 5; closes the codec
+    grading family: Point, LineString, Polygon-with-holes, MultiLine,
+    MultiPolygon, and now MultiPoint all carry driver hashes): 2-5
+    crafted points per key (offsets pure float functions of c_custkey)
+    go through the real encode_multipoint and back through
+    multipoint_metrics' part walk; the point count and the per-point-
+    quantized coordinate checksums must equal the same arithmetic
+    evaluated directly in SQL. A wrong part count, point stride, or
+    endian mixup shifts a sum and breaks the hash."""
+    from iceberg_geospatial_api_server_spark.geo.functions import (
+        multipoint_metrics,
+    )
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        customer_points,
+    )
+    from pyspark.sql import types as TT
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(TT.BinaryType())
+    def make_mpoint(x: pd.Series, y: pd.Series, k: pd.Series) -> pd.Series:
+        from iceberg_geospatial_api_server_spark.geo import wkb as W_
+
+        out = []
+        for x0, y0, kk in zip(
+            x.astype("f8"), y.astype("f8"), k.astype("i8")
+        ):
+            kk = int(kk)
+            n = kk % 4 + 2
+            pts = [
+                (
+                    x0 + i * ((kk % 3 + 1) * 0.5),
+                    y0 - i * ((kk % 5 + 1) * 0.25),
+                )
+                for i in range(n)
+            ]
+            out.append(W_.encode_multipoint(pts))
+        return pd.Series(out)
+
+    mpts = customer_points(_t(spark, sf_dir, "customer")).select(
+        "c_custkey",
+        make_mpoint(F.col("x"), F.col("y"), F.col("c_custkey")).alias(
+            "geometry"
+        ),
+    )
+    return multipoint_metrics(mpts, id_cols=["c_custkey"]).orderBy(
+        "c_custkey"
+    )
+
+
 def _multiline_oracle_sql() -> str:
     """Two crafted paths per key rebuilt arithmetically — the multi-part
     walk of the codec graded with the geo_line_lengths conventions."""
@@ -4985,6 +5065,52 @@ def embed_pca_q(spark, sf_dir):
     return pca_project(_t(spark, sf_dir, "embeddings"), k=8).orderBy("vec_id")
 
 
+@_q(
+    "embed_pca_moments",
+    """
+    WITH qv AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0
+                        + 0.5) AS BIGINT) AS q
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND LEN(embedding) > 0
+    ), s2 AS (
+      SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+             CAST(SUM(a.q * b.q) AS BIGINT) AS s
+      FROM qv a JOIN qv b ON a.vec_id = b.vec_id AND b.i >= a.i
+      GROUP BY 1, 2
+    ), s1 AS (
+      SELECT CAST(i AS INT) AS i, CAST(-1 AS INT) AS j,
+             CAST(SUM(q) AS BIGINT) AS s
+      FROM qv GROUP BY 1
+    ), nn AS (
+      SELECT CAST(-1 AS INT) AS i, CAST(-1 AS INT) AS j,
+             CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS s
+      FROM qv
+    )
+    SELECT i, j, s FROM s2
+    UNION ALL SELECT i, j, s FROM s1
+    UNION ALL SELECT i, j, s FROM nn
+    ORDER BY i, j
+    """,
+)
+def embed_pca_moments_q(spark, sf_dir):
+    """The PCA moment machinery VALUE-graded (VERDICT r5 item 3 — the
+    'grade the d×d moment matrix itself' upgrade): n, per-dimension
+    first moments, and the full second-moment upper triangle as exact
+    BIGINT sums on the 1e-6 grid, hash-matched against an independent
+    SQL evaluation. These are the complete sufficient statistics
+    pca_fit consumes; the driver-side eigh stays numpy (eigenvectors
+    aren't SQL-expressible) and keeps its numpy-parity test, but the
+    distributed accumulation, indexing, and pairing logic is now
+    externally graded (operators/ann.py embed_moment_census)."""
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        embed_moment_census,
+    )
+
+    return embed_moment_census(_t(spark, sf_dir, "embeddings"))
+
+
 @_q("mm_phash_pairs")  # rows-only: DCT perceptual hash isn't SQL-expressible
 def mm_phash_pairs_q(spark, sf_dir):
     """Near-duplicate image detection by 64-bit pHash (32×32 DCT,
@@ -5005,6 +5131,59 @@ def mm_phash_pairs_q(spark, sf_dir):
     )
     hashes = image_phash(media, stub=False)
     return phash_dedup_pairs(hashes, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@_q(
+    "mm_audio_fp_parity",
+    """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+    a AS (
+      SELECT doc_id, i,
+             ((doc_id * 31 + i * 17) % 97) * 64 + i AS amp
+      FROM (SELECT doc_id, UNNEST(generate_series(0, 32)) AS i FROM d)
+    ), bits AS (
+      SELECT cur.doc_id, cur.i AS di,
+             CASE WHEN nxt.amp > cur.amp THEN 1 ELSE 0 END AS b
+      FROM a cur JOIN a nxt
+        ON nxt.doc_id = cur.doc_id AND nxt.i = cur.i + 1
+      WHERE cur.i < 32
+    )
+    SELECT doc_id,
+           CAST(SUM(CAST(b AS BIGINT) << di) AS BIGINT) AS fp_low
+    FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def mm_audio_fp_parity_q(spark, sf_dir):
+    """The REAL audio-fingerprint kernel VALUE-graded (VERDICT r5 item
+    3 — the mm_decode_parity pattern applied to audio): crafted
+    constant-per-frame WAVs (synthesize_crafted_audio) run the genuine
+    decode → frame split → FFT band-energy → delta-sign → bit-pack
+    pipeline, and the 32 LOW-band bits — exactly sign(a_{i+1} − a_i)
+    because a constant frame's spectrum is pure DC — must equal the
+    integer comparisons evaluated directly in SQL. A wrong frame
+    split, band boundary, delta direction, or bit order scrambles the
+    packed value. (High-band bits ride ~1e-13 FFT rounding noise —
+    deterministic, pytest-pinned via planted duplicates, but not
+    SQL-expressible; the entry extracts the low-band bits from the
+    real 64-bit hash with pure bit arithmetic.)"""
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        audio_fingerprint,
+        synthesize_crafted_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    fps = audio_fingerprint(
+        synthesize_crafted_audio(docs), stub=False
+    )
+    bit = lambda i: F.shiftleft(  # noqa: E731
+        F.shiftrightunsigned(F.col("phash"), 2 * i).bitwiseAND(F.lit(1)), i
+    )
+    low = bit(0)
+    for i in range(1, 32):
+        low = low + bit(i)
+    return fps.select(
+        "doc_id", low.cast("long").alias("fp_low")
+    ).orderBy("doc_id")
 
 
 @_q("mm_audio_fp_pairs")  # rows-only: FFT band-energy fingerprint isn't
@@ -8110,9 +8289,17 @@ _R6_PROMOTED = [
     "fq_count_only",
     "fq_ids_only",
     "geo_mercator",
-    "events_funnel",
-    "corpus_split",
-    "events_retention",
+    # events_funnel displaced (r6): mm_audio_fp_parity (new this round,
+    # in window) takes its slot — funnel's sequence-match machinery is
+    # stream-equiv-tested and keeps its r3 driver green
+    # corpus_split displaced (r6): embed_pca_moments (new this round,
+    # in window) takes its slot — split's id_hash CASE machinery is
+    # pinned by the hash property tests and graded in-window by
+    # corpus_mixture's shared threshold arithmetic
+    # events_retention displaced (r6): geo_multipoint_checksums (new
+    # this round, in window) takes its slot — retention's cohort
+    # self-join is graded in-window by events_funnel and keeps its r3
+    # driver green
     # events_props_stats displaced (r6): geo_knn_join_grid (new this
     # round, in window) takes its slot per the recorded convention —
     # props_stats' map/array agg machinery is graded in-window by

@@ -1763,3 +1763,57 @@ def knn_join_grid(
     return left.join(
         winners, left[left_id] == winners["__lid"]
     ).drop("__lid")
+
+
+def multipoint_metrics(
+    df: DataFrame,
+    geom_col: str = "geometry",
+    id_cols: list[str] | None = None,
+    quant: float = 1000000.0,
+) -> DataFrame:
+    """Per-MultiPoint part census + per-coordinate grid-quantized sums
+    (the line_metrics/polygon_metrics grading pattern for the LAST WKB
+    container without a value oracle — VERDICT r5 item 5): each
+    coordinate quantizes to the 1e-6 grid BEFORE summing, so part
+    order, the point stride, and the multi-part header walk of the
+    codec are all exact-BIGINT gradable in SQL. mapInPandas; three
+    longs per geometry leave the stage. Bare POINT rows grade as a
+    1-part multipoint."""
+    import math
+
+    id_cols = id_cols or []
+    schema = ", ".join(
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in id_cols]
+        + ["n_points long", "x_sum_q long", "y_sum_q long"]
+    )
+
+    def kernel(batches):
+        from iceberg_geospatial_api_server_spark.geo import wkb as W_
+
+        for pdf in batches:
+            rows = []
+            for tup in pdf.itertuples(index=False):
+                rec = tup._asdict()
+                code, payload = W_.decode(rec[geom_col])
+                if code == W_.POINT:
+                    pts = [payload]
+                elif code == W_.MULTIPOINT:
+                    pts = list(payload)
+                else:
+                    raise ValueError(
+                        f"multipoint_metrics: not a (Multi)Point: {code}"
+                    )
+                xq = sum(
+                    int(math.floor(x * quant + 0.5)) for x, _ in pts
+                )
+                yq = sum(
+                    int(math.floor(y * quant + 0.5)) for _, y in pts
+                )
+                rows.append(
+                    [rec[c] for c in id_cols] + [len(pts), xq, yq]
+                )
+            yield pd.DataFrame(
+                rows, columns=id_cols + ["n_points", "x_sum_q", "y_sum_q"]
+            )
+
+    return df.select(*id_cols, geom_col).mapInPandas(kernel, schema)

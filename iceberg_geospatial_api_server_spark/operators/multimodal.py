@@ -793,3 +793,47 @@ def scene_cuts(
         )
         .orderBy("doc_id")
     )
+
+
+def synthesize_crafted_audio(docs: DataFrame) -> DataFrame:
+    """Real WAV clips whose audio FINGERPRINT is closed-form — the
+    value-oracle fixture for `mm_audio_fp_parity` (VERDICT r5 item 3,
+    the mm_decode_parity pattern applied to the fingerprint kernel):
+    each clip is 33 frames of 10 CONSTANT samples v_i = s_i·a_i with
+    a_i = ((id·31 + i·17) % 97)·64 + i (the +i term makes every |v|
+    in a clip distinct, so no frame-energy tie can leave a bit to
+    float noise) and alternating sign s_i (exercises the |·| in the
+    band energy). The FFT of a constant frame is exactly DC, so the
+    LOW band energy is exactly 10·a_i and the 32 low-band delta bits
+    equal sign(a_{i+1} − a_i) — pure integer comparisons an oracle
+    reproduces in SQL. (High-band energies are ~1e-13 FFT rounding
+    noise — deterministic but not closed-form, so the graded entry
+    extracts the low-band bits; the full-hash pipeline keeps its
+    planted-duplicate pytest.) Payloads go through the REAL encoder,
+    so the graded path is decode → frame split → FFT band energy →
+    delta sign → bit packing, end to end."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from iceberg_geospatial_api_server_spark.operators import (
+            media_codecs,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                samples = np.empty(330, dtype="f8")
+                for i in range(33):
+                    a = ((d * 31 + i * 17) % 97) * 64 + i
+                    v = a if (d + i) % 2 == 0 else -a
+                    samples[i * 10 : (i + 1) * 10] = v / 32767.0
+                rows.append(
+                    (d, media_codecs.encode_wav(samples), "audio", "wav")
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "modality", "codec"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        kernel, "doc_id long, payload binary, modality string, codec string"
+    )
