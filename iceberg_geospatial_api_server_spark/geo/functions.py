@@ -635,18 +635,22 @@ def _cross(v: np.ndarray, w: np.ndarray) -> np.ndarray:
 
 def _rings_contain(polys, px: np.ndarray, py: np.ndarray) -> np.ndarray:
     inside = np.zeros(len(px), dtype=bool)
-    for rings in polys:  # list of (n,2) vertex arrays, even-odd rule
-        hit = np.zeros(len(px), dtype=bool)
-        for ring in rings:
-            rx, ry = ring[:, 0], ring[:, 1]
-            for j in range(len(ring) - 1):
-                x0, y0, x1, y1 = rx[j], ry[j], rx[j + 1], ry[j + 1]
-                if y0 == y1:
-                    continue
-                hit ^= ((y0 > py) != (y1 > py)) & (
-                    px < (x1 - x0) * (py - y0) / (y1 - y0) + x0
-                )
-        inside |= hit
+    # near-horizontal edges make the crossing-x division overflow to
+    # ±inf; the comparison is still sign-correct, so just silence the
+    # benign warnings (same guard as the batched kernel below)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        for rings in polys:  # list of (n,2) vertex arrays, even-odd rule
+            hit = np.zeros(len(px), dtype=bool)
+            for ring in rings:
+                rx, ry = ring[:, 0], ring[:, 1]
+                for j in range(len(ring) - 1):
+                    x0, y0, x1, y1 = rx[j], ry[j], rx[j + 1], ry[j + 1]
+                    if y0 == y1:
+                        continue
+                    hit ^= ((y0 > py) != (y1 > py)) & (
+                        px < (x1 - x0) * (py - y0) / (y1 - y0) + x0
+                    )
+            inside |= hit
     return inside
 
 

@@ -540,7 +540,9 @@ def render_tiles(
         .select("tile_x", "tile_y", geom_col, *cols)
     )
 
-    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    # no type hints: a PARTIALLY hinted (key, pdf) signature makes
+    # applyInPandas warn that it cannot infer the eval type
+    def build(key, pdf):
         tx, ty = int(key[0]), int(key[1])
         xmin, ymin, xmax, ymax = tile_bbox(z, tx, ty)
         bxd = (xmax - xmin) * buffer_px / extent

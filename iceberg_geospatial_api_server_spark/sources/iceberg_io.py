@@ -109,19 +109,21 @@ def _partition_transform(F, spec: str):
     'bucket(16, col)', 'truncate(10, col)'."""
     import re
 
+    # Spark 4 moved the DSv2 partition transforms to
+    # pyspark.sql.functions.partitioning (the top-level F.days/F.bucket
+    # aliases emit FutureWarnings)
+    from pyspark.sql.functions import partitioning as P
+
     m = re.fullmatch(r"(\w+)\(([^)]*)\)", spec.strip())
     if not m:
         return F.col(spec.strip())
     fn, args = m.group(1).lower(), [a.strip() for a in m.group(2).split(",")]
     if fn in ("days", "months", "years", "hours"):
-        return getattr(F, fn)(F.col(args[0]))
+        return getattr(P, fn)(F.col(args[0]))
     if fn == "bucket":
-        return F.bucket(int(args[0]), F.col(args[1]))
+        return P.bucket(int(args[0]), F.col(args[1]))
     if fn == "truncate":
-        # pyspark >= 3.4 exposes partitioning.truncate; fall back to years
-        from pyspark.sql.functions import partitioning
-
-        return partitioning.truncate(int(args[0]), F.col(args[1]))
+        return P.truncate(int(args[0]), F.col(args[1]))
     raise ValueError(f"unsupported partition transform: {spec}")
 
 
