@@ -8309,6 +8309,25 @@ _ORACLED_OVERFLOW = [
     n for n in _ORACLED_OVERFLOW if n not in set(_R6_PROMOTED)
 ]
 
+# r7 ROTATION PLAN (recorded now, the r4→r5→r6 convention): after this
+# round every rows-only entry has a driver observation and the freshest
+# greens are the r6 window's 46. The r7 window should be: (1) any
+# r7-new oracled entries in the round they land; (2) the four
+# r3-vintage re-grades displaced by this round's new entries —
+# events_funnel, corpus_split, events_retention, events_props_stats —
+# plus the rest of the r3-vintage stale set (text_language_id,
+# q22_lapsed_customers, text_profile, dedup_exact, q3_shipping_priority,
+# mm_media_stats, q5_local_supplier, geo_knn, asof_join_events_orders,
+# fq_bbox_filter, corpus_clean, doc_chunks, q15_top_supplier, geo_utm,
+# events_distinct_salted, q20_excess_suppliers, text_repetition_profile,
+# dedup_cluster_assign, q1_pricing_summary, ann_bruteforce_topk,
+# geo_extent, q16_supplier_part_count, fq_attribute_filter,
+# fq_aggregate_mode, geo_pip_join_count, geo_nearest_join); (3) the
+# remaining slots start re-greening the r4-vintage block
+# (alphabetical from ann_ivfpq_exhaustive). The r6 window's 46 retire
+# to the overflow with "driver-green r6" rationale once
+# CORRECTNESS_r06 lands.
+
 # rows-only entries the driver has NEVER observed (r3 VERDICT item 4):
 # placed directly after the active oracled block so they enter the
 # 50-slot window this round for at least a rows+schema check.
