@@ -937,3 +937,55 @@ def test_kmeans_exact_census_python_reference(spark):
     assert got == want
     # the crafted lobes must actually split across both cells
     assert len(got) == 2 and all(v[0] >= 3 for v in got.values())
+
+
+def test_window_fold_equals_array_shingles(spark):
+    """The r6 signature kernel builds shingle hashes via a window-lead
+    Horner fold; the exact-verify slice still builds arrays via
+    fast_shingle_hashes. The two MUST evaluate the same values (the
+    persisted-store ≡ recompute ≡ verify contract rides on it) — pin
+    the per-doc shingle MULTISETS equal on texts with short tails,
+    repeated tokens, and unicode."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        MERSENNE,
+        fast_shingle_hashes,
+    )
+
+    rows = [
+        (1, "a b c d e f g"),
+        (2, "x x x x"),
+        (3, "one two"),          # shorter than k=3: no shingles
+        (4, "föö bär baz föö bär baz"),
+        (5, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    arr = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in df.select(
+            "doc_id",
+            fast_shingle_hashes(F.split("text", " "), 3).alias("sh"),
+        ).collect()
+    }
+    toks = df.repartition(F.col("doc_id")).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("__pos", "__w")
+    )
+    h = toks.select(
+        "doc_id",
+        "__pos",
+        F.pmod(F.xxhash64("__w"), F.lit(MERSENNE)).alias("__h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("__pos")
+    fold = F.col("__h")
+    for j in range(1, 3):
+        fold = (fold * 41 + F.lead("__h", j).over(w)) % MERSENNE
+    win = {}
+    for r in h.select("doc_id", fold.alias("s")).filter(
+        F.col("s").isNotNull()
+    ).collect():
+        win.setdefault(r["doc_id"], []).append(r["s"])
+    win = {k: sorted(v) for k, v in win.items()}
+    arr = {k: v for k, v in arr.items() if v}
+    assert win == arr
