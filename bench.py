@@ -137,6 +137,14 @@ EAGER_ENTRIES = {
     "ann_ivfpq_topk",       # IVF-PQ index build (kmeans_fit + codebooks)
     "embed_pca_project",    # d×d moment-matrix collect
     "embed_kmeans_stats",   # Lloyd iterations (seed + update collects)
+    # entries whose CONSTRUCTION registers persists (cache-manager scan
+    # with warm tables): under build-once, rep 1 would populate the
+    # cache, clearCache() would unregister it, and reps 2+ would time a
+    # different (uncached, recompute-per-consumer) plan than both rep 1
+    # and the documented steady state — rebuild per rep so every rep
+    # pays and uses its own persist, the r5-and-earlier behavior
+    "dedup_minhash_lsh",
+    "dedup_simhash",
 }
 
 

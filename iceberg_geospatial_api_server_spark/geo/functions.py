@@ -1669,8 +1669,13 @@ def knn_join_grid(
         (F.col("__lx") - F.col("__rx")) * (F.col("__lx") - F.col("__rx"))
         + (F.col("__ly") - F.col("__ry")) * (F.col("__ly") - F.col("__ry"))
     )
+    # NULLS LAST on the keep columns: Spark windows default NULLS FIRST,
+    # but both the broadcast kernel (None-last sort key) and SQL
+    # ROW_NUMBER (DuckDB NULLS LAST default) rank a NULL-keyed tie after
+    # the non-null row — match them exactly
     rank_w = Window.partitionBy("__lid").orderBy(
-        "nn_dist", *[f"nn_{c}" for c in right_keep]
+        F.col("nn_dist").asc(),
+        *[F.col(f"nn_{c}").asc_nulls_last() for c in right_keep],
     )
     out_cols = ["__lid"] + [f"nn_{c}" for c in right_keep] + [
         "nn_dist", "__rk",

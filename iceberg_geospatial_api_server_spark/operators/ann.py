@@ -944,8 +944,17 @@ def kmeans_exact_census(
         structs = []
         for j, c in enumerate(cents_now):
             n2 = sum(v * v for v in c)
+            # coalesce the per-element product, not the fold: zip_with
+            # pads the shorter array with NULL on ragged input, and a
+            # NULL term would poison the whole dot — coalescing to 0
+            # reproduces the oracle's (and the previous explode-join
+            # form's) PARTIAL dot over the index intersection
             dot = F.aggregate(
-                F.zip_with("__qv", F.lit(c), lambda x, y: x * y),
+                F.zip_with(
+                    "__qv",
+                    F.lit(c),
+                    lambda x, y: F.coalesce(x * y, F.lit(0).cast("long")),
+                ),
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
             )
@@ -968,12 +977,22 @@ def kmeans_exact_census(
     for it in range(iters):
         assigned = _assign(cents)
         if it < iters - 1:
+            # per-DIMENSION counts, not the whole-cell count: on ragged
+            # input F.sum skips a missing index while a cell-level count
+            # would still divide by it — count(F.get) counts exactly the
+            # rows the sum saw, matching the oracle's per-(cell, idx)
+            # COUNT(*) and the previous explode-join form. An absent
+            # dimension (sum NULL) keeps the previous centroid, the
+            # empty-cell rule applied per coordinate.
             sums = (
                 assigned.groupBy("cell")
                 .agg(
-                    F.count(F.lit(1)).alias("n"),
                     *[
                         F.sum(F.get("__qv", i)).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
+                    *[
+                        F.count(F.get("__qv", i)).alias(f"n{i}")
                         for i in range(dim)
                     ],
                 )
@@ -982,9 +1001,10 @@ def kmeans_exact_census(
             new_cents = [list(c) for c in cents]
             for r in sums:
                 for i in range(dim):
-                    new_cents[r["cell"]][i] = int(
-                        math.floor(r[f"s{i}"] / r["n"] + 0.5)
-                    )
+                    if r[f"n{i}"]:
+                        new_cents[r["cell"]][i] = int(
+                            math.floor(r[f"s{i}"] / r[f"n{i}"] + 0.5)
+                        )
             cents = new_cents
 
     return (

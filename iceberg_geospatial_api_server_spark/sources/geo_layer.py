@@ -55,7 +55,13 @@ def lineitem_bbox_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # archive extraction), which size|mtime alone would not.
     src = os.path.join(os.path.abspath(sf_dir), "lineitem.parquet")
     st = os.stat(src)
-    h = hashlib.md5(f"{src}|{st.st_size}|{_LAYER_VERSION}".encode())
+    # mtime stays IN the key alongside the content probe (strictly
+    # stronger): a rewrite whose size, first 4KB, and last 4KB all
+    # coincide would otherwise collide, and mtime catches any rewrite
+    # that didn't deliberately restore it
+    h = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|{_LAYER_VERSION}".encode()
+    )
     with open(src, "rb") as f:
         h.update(f.read(4096))
         f.seek(max(0, st.st_size - 4096))

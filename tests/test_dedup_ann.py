@@ -940,52 +940,47 @@ def test_kmeans_exact_census_python_reference(spark):
 
 
 def test_window_fold_equals_array_shingles(spark):
-    """The r6 signature kernel builds shingle hashes via a window-lead
-    Horner fold; the exact-verify slice still builds arrays via
-    fast_shingle_hashes. The two MUST evaluate the same values (the
-    persisted-store ≡ recompute ≡ verify contract rides on it) — pin
-    the per-doc shingle MULTISETS equal on texts with short tails,
-    repeated tokens, and unicode."""
+    """The r6 signature kernel (_minhash_sig_frame, exercised through
+    the public minhash_signatures) builds shingle hashes via a
+    window-lead Horner fold; the exact-verify slice still builds arrays
+    via fast_shingle_hashes. The SIGNATURES the real kernel emits must
+    equal signatures derived from the array form (the persisted-store ≡
+    recompute ≡ verify contract rides on it) — pinned on texts with
+    short tails, repeated tokens, and unicode. Testing through the
+    production entry point, not a re-implementation: a drift in the
+    kernel's constant, lead offset, or null filter fails HERE."""
     import pyspark.sql.functions as F
-    from pyspark.sql import Window
 
     from iceberg_geospatial_api_server_spark.operators.dedup import (
-        MERSENNE,
+        _minhash_min_aggs,
         fast_shingle_hashes,
+        minhash_signatures,
     )
 
     rows = [
         (1, "a b c d e f g"),
         (2, "x x x x"),
-        (3, "one two"),          # shorter than k=3: no shingles
+        (3, "one two"),          # shorter than k=3: no signature row
         (4, "föö bär baz föö bär baz"),
         (5, "solo"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    arr = {
-        r["doc_id"]: sorted(r["sh"])
-        for r in df.select(
-            "doc_id",
-            fast_shingle_hashes(F.split("text", " "), 3).alias("sh"),
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signatures(df, num_hashes=8, shingle_k=3).collect()
+    }
+    want = {
+        r["doc_id"]: [r[f"__h{i}"] for i in range(8)]
+        for r in (
+            df.select(
+                "doc_id",
+                fast_shingle_hashes(F.split("text", " "), 3).alias("__sh"),
+            )
+            .filter(F.size("__sh") > 0)
+            .select("doc_id", F.explode("__sh").alias("__s"))
+            .groupBy("doc_id")
+            .agg(*_minhash_min_aggs(8))
         ).collect()
     }
-    toks = df.repartition(F.col("doc_id")).select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("__pos", "__w")
-    )
-    h = toks.select(
-        "doc_id",
-        "__pos",
-        F.pmod(F.xxhash64("__w"), F.lit(MERSENNE)).alias("__h"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("__pos")
-    fold = F.col("__h")
-    for j in range(1, 3):
-        fold = (fold * 41 + F.lead("__h", j).over(w)) % MERSENNE
-    win = {}
-    for r in h.select("doc_id", fold.alias("s")).filter(
-        F.col("s").isNotNull()
-    ).collect():
-        win.setdefault(r["doc_id"], []).append(r["s"])
-    win = {k: sorted(v) for k, v in win.items()}
-    arr = {k: v for k, v in arr.items() if v}
-    assert win == arr
+    assert got == want
+    assert set(got) == {1, 2, 4}  # <k-token docs emit no signature

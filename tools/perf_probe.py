@@ -1,5 +1,11 @@
-"""Spot-measure a subset of bench queries at sf0.1 with the exact bench
-protocol (warm pool, noop write, clearCache between reps, min of 2-3).
+"""Spot-measure a subset of bench queries at sf0.1 (warm pool, noop
+write, clearCache between reps, min of 2-3).
+
+NOT byte-identical to bench.py's protocol by design: every rep here
+rebuilds the DataFrame inside the timer (bench.py builds lazy entries
+once and has a host-noise guard), so probe numbers include 0.1-0.35s
+of py4j construction per query and run systematically ABOVE the
+recorded artifact — compare probes to probes, artifacts to artifacts.
 Usage: python tools/perf_probe.py name1 name2 ... [--duckdb]"""
 
 import os
