@@ -169,6 +169,16 @@ def main() -> None:
     # the steady state of any long-lived deployment (spark.python.worker.reuse
     # is on by default).
     qs["q1_pricing_summary"](spark, SF_DIR).collect()
+    # warm every table handle (memoized spark.read.parquet) so the
+    # lazy-build job check below never sees a first-load schema-
+    # inference job and misclassifies a pure plan as eager
+    from iceberg_geospatial_api_server_spark.sources.tables import (
+        TABLE_NAMES,
+        load_table,
+    )
+
+    for t in TABLE_NAMES:
+        load_table(spark, SF_DIR, t)
     from pyspark.sql.functions import pandas_udf
 
     spark.range(0, CPUS, 1, CPUS).mapInPandas(
@@ -207,29 +217,60 @@ def main() -> None:
             skip_duckdb = True
             sys_argv_skipped_reason = "duckdb not installed"
 
+    # runtime enforcement of the lazy/eager split (review r6): the
+    # EAGER_ENTRIES list is empirical, so VERIFY it — a lazy build that
+    # runs jobs or registers persists would otherwise mis-time reps 2+
+    # (cache populated on rep 1, cleared, then recomputed-per-consumer).
+    # Any entry that trips the check is promoted to eager on the spot,
+    # loudly.
+    status = spark.sparkContext.statusTracker()
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+
+    def _build_checked(name):
+        before = len(status.getJobIdsForGroup(None) or [])
+        df = qs[name](spark, SF_DIR)
+        dirty = (
+            len(status.getJobIdsForGroup(None) or []) > before
+            or not cache_mgr.isEmpty()
+        )
+        if dirty:
+            print(
+                f"# {name}: construction ran jobs/persists — "
+                "promoted to eager timing",
+                file=sys.stderr,
+            )
+            spark.catalog.clearCache()
+        return df, dirty
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        if name in EAGER_ENTRIES:
-            # the entry call itself does driver-looped work (Lloyd
-            # iterations, index builds, bounded dim collects) that a
-            # recurring run re-pays — rebuild INSIDE the timer so that
-            # work is counted every rep
+        df = None
+        if name not in EAGER_ENTRIES:
+            # lazy entry: the DataFrame is a pure plan (verified by the
+            # check above). Build it ONCE outside the timer and time the
+            # execution — the Spark analogue of a prepared statement /
+            # registered view, which is how a recurring query runs in
+            # any real deployment. Rebuilding the Python expression tree
+            # per rep measured 0.1-0.35s of pure py4j client chatter per
+            # query (×~56 queries ≈ 6-9s of the headline) that no engine
+            # executes. Analysis, optimization, physical planning,
+            # codegen, and execution all still run inside the timer on
+            # every rep (each .save() call re-plans the action).
+            df, dirty = _build_checked(name)
+            if dirty:
+                EAGER_ENTRIES.add(name)
+                df = None
+        if df is None:
+            # eager entry: the entry call itself does driver-looped work
+            # (Lloyd iterations, index builds, bounded dim collects,
+            # construction-time persists) that a recurring run re-pays —
+            # rebuild INSIDE the timer so that work is counted every rep
             run = lambda: qs[name](spark, SF_DIR).write.format(  # noqa: E731
                 "noop"
             ).mode("overwrite").save()
         else:
-            # lazy entry: the DataFrame is a pure plan. Build it ONCE
-            # outside the timer and time the execution — the Spark
-            # analogue of a prepared statement / registered view, which
-            # is how a recurring query runs in any real deployment.
-            # Rebuilding the Python expression tree per rep measured
-            # 0.1-0.35s of pure py4j client chatter per query (×58
-            # queries ≈ 6-9s of the headline) that no engine executes.
-            # Analysis, optimization, physical planning, codegen, and
-            # execution all still run inside the timer on every rep
-            # (each .save() call re-plans the action).
-            df = qs[name](spark, SF_DIR)
-            run = lambda: df.write.format(  # noqa: E731
+            prepared = df
+            run = lambda: prepared.write.format(  # noqa: E731
                 "noop"
             ).mode("overwrite").save()
         samples = [time_once(run), time_once(run)]
@@ -308,10 +349,13 @@ def _duckdb_reference_timings() -> dict[str, float]:
 
     import __spark_entry__ as entry_mod
 
+    from iceberg_geospatial_api_server_spark.sources.tables import (
+        TABLE_NAMES,
+    )
+
     con = duckdb.connect()
     con.execute(f"SET threads={CPUS}")
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
+    for t in TABLE_NAMES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )

@@ -8297,9 +8297,11 @@ _R6_PROMOTED = [
     # pinned by the hash property tests and graded in-window by
     # corpus_mixture's shared threshold arithmetic
     # events_retention displaced (r6): geo_multipoint_checksums (new
-    # this round, in window) takes its slot — retention's cohort
-    # self-join is graded in-window by events_funnel and keeps its r3
-    # driver green
+    # this round, in window) takes its slot — retention keeps its r3
+    # driver green and is queued FIRST for the r7 window alongside
+    # funnel (both displaced this round; see the recorded r7 plan —
+    # no in-window sibling covers the cohort self-join this round,
+    # which is why both head the r7 queue)
     # events_props_stats displaced (r6): geo_knn_join_grid (new this
     # round, in window) takes its slot per the recorded convention —
     # props_stats' map/array agg machinery is graded in-window by

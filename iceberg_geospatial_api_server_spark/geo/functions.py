@@ -1659,11 +1659,16 @@ def knn_join_grid(
         complete_s = 1
     else:
         lxmin, lxmax, lymin, lymax = lext
+        # +1 margin (review r6): ceil(span/cell) is exact only in real
+        # arithmetic — when span/cell lands on an exact float integer,
+        # S·cell can round BELOW the true span (e.g. 10·0.3 < 3.0) and
+        # the "complete" block could miss a boundary point; one extra
+        # supercell absorbs any such rounding for free
         complete_s = max(
             int(math.ceil((max(lxmax, xmax) - min(lxmin, xmin)) / cell)),
             int(math.ceil((max(lymax, ymax) - min(lymin, ymin)) / cell)),
             1,
-        )
+        ) + 1
 
     dist = F.sqrt(
         (F.col("__lx") - F.col("__rx")) * (F.col("__lx") - F.col("__rx"))

@@ -306,18 +306,37 @@ def _minhash_sig_frame(
     Only signatures (id + num_hashes longs) flow out of the stage."""
     from pyspark.sql import Window
 
-    toks = corpus.repartition(F.col(id_col)).select(
-        id_col,
-        "__new",
-        F.posexplode(F.split(F.col(text_col), " ")).alias("__pos", "__w"),
+    # per-SOURCE-ROW window key (review r6): a duplicate id on two rows
+    # would otherwise interleave both texts' positions in one window
+    # partition and fold shingles ACROSS rows nondeterministically —
+    # the array form computed shingles per row, and min-over-rows is
+    # what the groupBy(id) below must see. monotonically_increasing_id
+    # is assigned per source row BEFORE the explode, so every token of
+    # a row shares its key and distinct rows never merge; which row
+    # gets which key value is immaterial (the fold is per-row and the
+    # id-level min is order-free). HashPartitioning(id) still satisfies
+    # the (id, __rk) window clustering, so the single-exchange plan is
+    # unchanged.
+    toks = (
+        corpus.repartition(F.col(id_col))
+        .withColumn("__rk", F.monotonically_increasing_id())
+        .select(
+            id_col,
+            "__new",
+            "__rk",
+            F.posexplode(F.split(F.col(text_col), " ")).alias(
+                "__pos", "__w"
+            ),
+        )
     )
     h = toks.select(
         id_col,
         "__new",
+        "__rk",
         "__pos",
         F.pmod(F.xxhash64("__w"), F.lit(MERSENNE)).alias("__h"),
     )
-    w = Window.partitionBy(id_col).orderBy("__pos")
+    w = Window.partitionBy(id_col, "__rk").orderBy("__pos")
     fold = F.col("__h")
     for j in range(1, shingle_k):
         # x < M = 2^31-1: x*41 + y < 2^37 — safely inside long range;
@@ -748,10 +767,14 @@ def _simhash_fingerprints(
     all three provably run the same vote machinery.
 
     Distinct-word semantics WITHOUT the interpreted array_distinct
-    (r6): explode the raw token stream and dedup via groupBy(id, word)
-    — the id repartition satisfies that grouping's clustering AND the
-    vote groupBy below, so both aggregates run on the one exchange and
-    every per-row op (split, explode, hash, votes) stays in codegen.
+    (r6): explode the raw token stream and dedup via
+    groupBy(id, row, word) — the id repartition satisfies that
+    grouping's clustering AND the vote groupBy below, so both
+    aggregates run on the one exchange and every per-row op (split,
+    explode, hash, votes) stays in codegen. The per-source-row key
+    (monotonically_increasing_id BEFORE the explode) preserves the
+    array form's PER-ROW distinct: a word appearing on two duplicate-id
+    rows votes twice, exactly as two array_distinct arrays would.
     Verified fingerprint-identical to the array_distinct form; measured
     1.02s → 0.84s at sf0.1."""
     if portable_hash:
@@ -760,12 +783,14 @@ def _simhash_fingerprints(
         hasher = lambda w: F.pmod(F.xxhash64(w), F.lit(MERSENNE))  # noqa: E731
     exploded = (
         corpus.repartition(F.col(id_col))
+        .withColumn("__rk", F.monotonically_increasing_id())
         .select(
             F.col(id_col),
             F.col("__new"),
+            F.col("__rk"),
             F.explode(F.split(F.col(text_col), " ")).alias("__w"),
         )
-        .groupBy(id_col, "__w")
+        .groupBy(id_col, "__rk", "__w")
         .agg(F.first("__new").alias("__new"))
         .select(
             F.col(id_col), F.col("__new"), hasher(F.col("__w")).alias("__h")
@@ -1032,21 +1057,33 @@ def minhash_band_stats(
     array_distinct is dropped outright: min() over a multiset equals
     min() over its support, so duplicate shingles cannot change any
     signature component (the oracle keeps list_distinct — same values
-    either way, verified equal at 3 SFs). Measured 2.75s → ~1.3s at
-    sf0.1 with bit-identical output. Band explode map-side, one
-    (band, bsig) exchange, one band-key aggregate over the bucket
-    frame. 100 TB posture: one doc-granular text exchange + local sort,
-    everything else map-side or agg-partial."""
+    either way, verified equal at 3 SFs). Measured 2.7s → 0.9s at
+    sf0.1 with bit-identical output (the production LSH entry, which
+    adds the bucket/verify stages, went 2.75s → 1.6s under the same
+    kernel). Band explode map-side, one (band, bsig) exchange, one
+    band-key aggregate over the bucket frame. 100 TB posture: one
+    doc-granular text exchange + local sort, everything else map-side
+    or agg-partial."""
     nbands = num_hashes // band_size
     from pyspark.sql import Window
 
-    toks = df.repartition(F.col(id_col)).select(
-        id_col, F.posexplode(F.split(F.col(text_col), " ")).alias(
-            "__pos", "__w"
+    # per-source-row window key — same duplicate-id guard as
+    # _minhash_sig_frame (see its comment)
+    toks = (
+        df.repartition(F.col(id_col))
+        .withColumn("__rk", F.monotonically_increasing_id())
+        .select(
+            id_col,
+            "__rk",
+            F.posexplode(F.split(F.col(text_col), " ")).alias(
+                "__pos", "__w"
+            ),
         )
     )
-    h = toks.select(id_col, "__pos", word_hash(F.col("__w")).alias("__h"))
-    w = Window.partitionBy(id_col).orderBy("__pos")
+    h = toks.select(
+        id_col, "__rk", "__pos", word_hash(F.col("__w")).alias("__h")
+    )
+    w = Window.partitionBy(id_col, "__rk").orderBy("__pos")
     # Horner fold over the k-window: identical math to shingle_hashes
     # (fold opens 0·P+h₁ = h₁ since h₁ < M); lead past the end is NULL,
     # which propagates so short tails drop in the filter

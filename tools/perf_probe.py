@@ -51,10 +51,13 @@ def main() -> None:
     if "--duckdb" in sys.argv:
         import duckdb
 
+        from iceberg_geospatial_api_server_spark.sources.tables import (
+            TABLE_NAMES,
+        )
+
         con = duckdb.connect()
         con.execute(f"SET threads={CPUS}")
-        for t in ["region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "events", "documents", "embeddings"]:
+        for t in TABLE_NAMES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{SF_DIR}/{t}.parquet')"
