@@ -823,6 +823,95 @@ def geo_ps(spark, sf_dir):
     )
 
 
+@_q(
+    "geo_hull_parity",
+    """
+    WITH n AS (
+      SELECT n_nationkey,
+             CAST(n_nationkey % 5 + 2 AS BIGINT) AS w,
+             CAST(n_nationkey % 3 + 1 AS BIGINT) AS h
+      FROM nation
+    ), cc AS (
+      SELECT c_nationkey, COUNT(*) AS nc FROM customer GROUP BY 1
+    )
+    SELECT CAST(n.n_nationkey AS VARCHAR) AS grp,
+           CAST(5 AS BIGINT) AS hull_vertices,
+           CAST(w * h AS DOUBLE) AS hull_area,
+           CAST(4 + COALESCE(cc.nc, 0) AS BIGINT) AS point_count
+    FROM n LEFT JOIN cc ON cc.c_nationkey = n.n_nationkey
+    ORDER BY n.n_nationkey
+    """,
+)
+def geo_hull_parity_q(spark, sf_dir):
+    """The convex-hull kernel VALUE-graded (the crafted-fixture form of
+    geo_convex_hull, which stays rows-only over organic points): per
+    nation, an exact integer rectangle's four corners plus its
+    customers as strictly-interior points — the monotone-chain hull
+    must come back as exactly the closed 4-corner ring (5 vertices,
+    the closing-point convention) with the exact integer shoelace area
+    w·h, and point_count counts corners + members. Interior points are
+    inexact floats by construction and must NOT affect any graded
+    value — a hull that leaks an interior point or drops a corner
+    shifts vertices/area and breaks the hash."""
+    from iceberg_geospatial_api_server_spark.geo.functions import (
+        convex_hull_by_group,
+    )
+
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"),
+        ((F.col("n_nationkey") % 5) * 20).cast("double").alias("x0"),
+        ((F.col("n_nationkey") - F.col("n_nationkey") % 5) / 5 * 15)
+        .cast("double")
+        .alias("y0"),
+        (F.col("n_nationkey") % 5 + 2).cast("double").alias("w"),
+        (F.col("n_nationkey") % 3 + 1).cast("double").alias("h"),
+    )
+    corners = nat.select(
+        F.col("n_nationkey").cast("string").alias("grp"),
+        F.explode(
+            F.array(
+                F.struct(F.col("x0").alias("x"), F.col("y0").alias("y")),
+                F.struct(
+                    (F.col("x0") + F.col("w")).alias("x"),
+                    F.col("y0").alias("y"),
+                ),
+                F.struct(
+                    (F.col("x0") + F.col("w")).alias("x"),
+                    (F.col("y0") + F.col("h")).alias("y"),
+                ),
+                F.struct(
+                    F.col("x0").alias("x"),
+                    (F.col("y0") + F.col("h")).alias("y"),
+                ),
+            )
+        ).alias("__p"),
+    ).select("grp", "__p.x", "__p.y")
+    interior = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat["n_nationkey"])
+        .select(
+            F.col("n_nationkey").cast("string").alias("grp"),
+            (
+                F.col("x0")
+                + F.col("w")
+                * ((F.col("c_custkey") % 7 + 1) / F.lit(9.0))
+            ).alias("x"),
+            (
+                F.col("y0")
+                + F.col("h")
+                * ((F.col("c_custkey") % 5 + 1) / F.lit(7.0))
+            ).alias("y"),
+        )
+    )
+    pts = corners.unionByName(interior)
+    return (
+        convex_hull_by_group(pts, "grp", "x", "y")
+        .select("grp", "hull_vertices", "hull_area", "point_count")
+        .orderBy(F.col("grp").cast("int"))
+    )
+
+
 @_q("geo_convex_hull")  # no SQL oracle (hull not expressible without spatial ext)
 def geo_hull(spark, sf_dir):
     from iceberg_geospatial_api_server_spark.geo.functions import (
@@ -6391,6 +6480,39 @@ def mm_scene_cuts_q(spark, sf_dir):
     return scene_cuts(frames, hamming_threshold=16)
 
 
+@_q(
+    "mm_scene_cuts_parity",
+    """
+    SELECT doc_id,
+           CAST(24 AS BIGINT) AS n_frames,
+           CAST(23 // (6 + doc_id % 5) AS BIGINT) AS n_cuts,
+           CAST(6 + doc_id % 5 AS INT) AS first_cut
+    FROM documents WHERE doc_id < 40 ORDER BY doc_id
+    """,
+)
+def mm_scene_cuts_parity_q(spark, sf_dir):
+    """Shot-boundary DETECTION value-graded (the planted-truth oracle
+    form of mm_scene_cuts): each doc's frame sequence plants scene
+    boundaries at the PER-DOC period 6 + doc_id % 5, so the expected
+    cut count and first-cut frame are closed-form integer arithmetic —
+    the real PNG encode → decode → DCT pHash → lag + Hamming-threshold
+    pipeline must recover exactly ⌊23/period⌋ cuts with the first at
+    `period` for every document. The Hamming-mean diagnostics stay on
+    the rows-only sibling (jitter-dependent DCT values are
+    deterministic but not SQL-expressible); this entry grades the
+    DECISIONS, which are."""
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        scene_cuts,
+        synthesize_frame_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    frames = synthesize_frame_corpus(docs, n_frames=24, scene_every=None)
+    return scene_cuts(frames, hamming_threshold=16).select(
+        "doc_id", "n_frames", "n_cuts", "first_cut"
+    )
+
+
 @_q("ann_ivfpq_topk")  # rows-only: approximate by design (recall tested)
 def ann_ivfpq_q(spark, sf_dir):
     """IVF-PQ: inverted lists bound what's scored, 8-byte PQ codes bound
@@ -8287,8 +8409,14 @@ _R6_PROMOTED = [
     "part_type_stats",
     "doc_length_histogram",
     "fq_count_only",
-    "fq_ids_only",
-    "geo_mercator",
+    # geo_mercator displaced (r6): geo_hull_parity (new this round, in
+    # window) takes its slot — mercator's kernel is graded via the
+    # conic/polar family's r4-r5 greens and the api outSR tests, and it
+    # keeps its r3 driver green
+    # fq_ids_only displaced (r6): mm_scene_cuts_parity (new this round,
+    # in window) takes its slot — the OID projection facet is graded
+    # in-window by fq_object_ids' machinery (same path) via
+    # fq_count_only, and it keeps its r3 driver green
     # events_funnel displaced (r6): mm_audio_fp_parity (new this round,
     # in window) takes its slot — funnel's sequence-match machinery is
     # stream-equiv-tested and keeps its r3 driver green

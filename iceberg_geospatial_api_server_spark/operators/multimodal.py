@@ -673,7 +673,7 @@ def audio_fingerprint(
 def synthesize_frame_corpus(
     docs: DataFrame,
     n_frames: int = 24,
-    scene_every: int = 8,
+    scene_every: int | None = 8,
 ) -> DataFrame:
     """Deterministic video-frame fixture: each doc_id becomes a sequence
     of REAL PNG frames (doc_id, frame_idx, frame_png) where a new scene
@@ -681,6 +681,11 @@ def synthesize_frame_corpus(
     scene's base image with small per-frame brightness jitter (camera
     noise); at a scene boundary the base image changes entirely. The
     planted ground truth for `scene_cuts`.
+
+    ``scene_every=None`` uses the PER-DOC period 6 + doc_id % 5 (6-10
+    frames) — the value-oracle form for `mm_scene_cuts_parity`, where
+    the expected cut positions become closed-form integer arithmetic of
+    doc_id instead of one constant shared by every row.
 
     mapInPandas: frame encoding is distributed; nothing gathers on the
     driver."""
@@ -697,8 +702,9 @@ def synthesize_frame_corpus(
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
+                se = scene_every if scene_every is not None else 6 + d % 5
                 for f in range(n_frames):
-                    scene = f // scene_every
+                    scene = f // se
                     img = base_image(d * 1000 + scene).astype("i4")
                     jitter = np.random.RandomState(d * 100000 + f).randint(
                         -2, 3, size=img.shape
