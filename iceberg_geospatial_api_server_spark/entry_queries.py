@@ -1397,6 +1397,86 @@ def fq_agg_mode(spark, sf_dir):
     return get_features(geoms, mode="aggregate", resolution=5.0)
 
 
+@_q(
+    "geo_buffer_parity",
+    """
+    SELECT n.n_nationkey,
+           CAST(COALESCE(SUM(CASE WHEN c.c_custkey % 3 < 2
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS customers_within
+    FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_nationkey ORDER BY n.n_nationkey
+    """,
+)
+def geo_buffer_parity_q(spark, sf_dir):
+    """The buffer→polygon→PIP-join pipeline VALUE-graded (the
+    crafted-fixture form of geo_buffer_overlap, which stays rows-only
+    over organic points): one radius-2 16-gon buffer per nation anchor
+    (anchors 10 apart), probe points for each customer at distance
+    1.0/1.5/3.0 from their nation's anchor by c_custkey % 3. The
+    16-gon's apothem is 2·cos(π/16) ≈ 1.9616, so d ≤ 1.5 is inside
+    for ANY vertex rotation and d = 3.0 > 2 is outside — the in/out
+    decision has a structural margin (≥ 0.46) no float wobble can
+    cross, and anchors are far enough apart (10 > 2 + 3) that no probe
+    can touch a foreign buffer. customers_within per nation is then a
+    pure modular count in SQL. Probe angles use trig in the FIXTURE
+    only (positions aren't graded; the count is)."""
+    from iceberg_geospatial_api_server_spark.geo.functions import (
+        point_in_polygon_join,
+        st_buffer_point,
+    )
+
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        ((F.col("n_nationkey") % 5) * 10).cast("double").alias("cx"),
+        ((F.col("n_nationkey") - F.col("n_nationkey") % 5) / 5 * 10)
+        .cast("double")
+        .alias("cy"),
+    )
+    buffers = nat.select(
+        "n_nationkey",
+        st_buffer_point(2.0, 16)(F.col("cx"), F.col("cy")).alias(
+            "geometry"
+        ),
+    )
+    d = (
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(1.0))
+        .when(F.col("c_custkey") % 3 == 1, F.lit(1.5))
+        .otherwise(F.lit(3.0))
+    )
+    theta = F.col("c_custkey").cast("double") * F.lit(0.7)
+    probes = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(nat),
+            F.col("c_nationkey") == nat["n_nationkey"],
+        )
+        .select(
+            "c_custkey",
+            (F.col("cx") + d * F.cos(theta)).alias("x"),
+            (F.col("cy") + d * F.sin(theta)).alias("y"),
+        )
+    )
+    joined = point_in_polygon_join(
+        probes, buffers, "x", "y", "geometry", res=4.0
+    )
+    counts = joined.groupBy("n_nationkey").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        nat.select("n_nationkey")
+        .join(counts, "n_nationkey", "left")
+        .select(
+            "n_nationkey",
+            F.coalesce("__n", F.lit(0))
+            .cast("long")
+            .alias("customers_within"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
 @_q("geo_buffer_overlap")  # rows-only (buffer polygons not SQL-expressible)
 def geo_buffer_overlap(spark, sf_dir):
     """Cookbook §1.6: buffer supplier points ~2° and count customer points
@@ -1419,6 +1499,115 @@ def geo_buffer_overlap(spark, sf_dir):
         joined.groupBy("s_suppkey")
         .agg(F.count(F.lit(1)).alias("customers_within"))
         .filter(F.col("customers_within") >= 1)
+    )
+
+
+@_q(
+    "geo_line_join_parity",
+    """
+    SELECT n.n_nationkey,
+           CAST(COALESCE(SUM(CASE WHEN c.c_custkey % 3 < 2
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_lines
+    FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_nationkey ORDER BY n.n_nationkey
+    """,
+)
+def geo_line_join_parity_q(spark, sf_dir):
+    """The line-polygon ST_Intersects join VALUE-graded (the
+    crafted-fixture form of geo_line_join, which stays rows-only over
+    organic polylines): one exact integer 4×2 rectangle per nation
+    (anchors 10 apart), one 2-point segment per customer placed by
+    c_custkey % 3 — wholly INSIDE the rect (containment intersects),
+    CROSSING its left edge (proper crossing), or wholly OUTSIDE with a
+    ≥2-unit gap to every rect. Each case sits a full unit from any
+    boundary, so the in/cross/out decision has structural margin, and
+    the per-nation intersecting-line count is a pure modular count in
+    SQL. Exercises both ST_Intersects branches (containment + edge
+    crossing) of the segment/ray-cast kernel under the grid-cell
+    candidate join."""
+    from iceberg_geospatial_api_server_spark.geo.functions import (
+        line_polygon_intersect_join,
+    )
+    from pyspark.sql import types as TT
+    from pyspark.sql.functions import pandas_udf
+
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        ((F.col("n_nationkey") % 5) * 10).cast("double").alias("x0"),
+        ((F.col("n_nationkey") - F.col("n_nationkey") % 5) / 5 * 10)
+        .cast("double")
+        .alias("y0"),
+    )
+
+    @pandas_udf(TT.BinaryType())
+    def make_rect(x0: pd.Series, y0: pd.Series) -> pd.Series:
+        from iceberg_geospatial_api_server_spark.geo import wkb as W_
+
+        out = []
+        for a, b in zip(x0.astype("f8"), y0.astype("f8")):
+            out.append(
+                W_.encode_polygon(
+                    [
+                        [
+                            (a, b),
+                            (a + 4.0, b),
+                            (a + 4.0, b + 2.0),
+                            (a, b + 2.0),
+                            (a, b),
+                        ]
+                    ]
+                )
+            )
+        return pd.Series(out)
+
+    polys = nat.select(
+        "n_nationkey", make_rect(F.col("x0"), F.col("y0")).alias("geometry")
+    )
+
+    @pandas_udf(TT.BinaryType())
+    def make_seg(k: pd.Series, x0: pd.Series, y0: pd.Series) -> pd.Series:
+        from iceberg_geospatial_api_server_spark.geo import wkb as W_
+
+        out = []
+        for kk, a, b in zip(
+            k.astype("i8"), x0.astype("f8"), y0.astype("f8")
+        ):
+            m = int(kk) % 3
+            if m == 0:  # wholly inside
+                p = [(a + 1.0, b + 1.0), (a + 2.0, b + 1.0)]
+            elif m == 1:  # crosses the left edge
+                p = [(a - 1.0, b + 1.0), (a + 1.0, b + 1.0)]
+            else:  # wholly outside, ≥2 from every rect
+                p = [(a + 6.0, b + 1.0), (a + 7.0, b + 1.0)]
+            out.append(W_.encode_linestring(p))
+        return pd.Series(out)
+
+    lines = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(nat), F.col("c_nationkey") == nat["n_nationkey"]
+        )
+        .select(
+            "c_custkey",
+            make_seg(
+                F.col("c_custkey"), F.col("x0"), F.col("y0")
+            ).alias("geometry"),
+        )
+    )
+    joined = line_polygon_intersect_join(lines, polys, res=4.0)
+    counts = joined.groupBy("n_nationkey").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        nat.select("n_nationkey")
+        .join(counts, "n_nationkey", "left")
+        .select(
+            "n_nationkey",
+            F.coalesce("__n", F.lit(0)).cast("long").alias("n_lines"),
+        )
+        .orderBy("n_nationkey")
     )
 
 
@@ -8507,10 +8696,17 @@ _R6_PROMOTED = [
     "corpus_mixture",
     "q7_volume_shipping",
     "q8_market_share",
-    "ngram_jaccard_pairs",
+    # ngram_jaccard_pairs displaced (r6): geo_line_join_parity (new
+    # this round, in window) takes its slot — the trigram-hash blocked-
+    # pair machinery is graded in-window via corpus_decontaminate's r6
+    # re-grade slot (same _GRAMS kernel) and it keeps its r1 green;
+    # r7-queued
     # r3-vintage tail — displaced first (in reverse order) as new r6
     # oracled entries land
-    "part_type_stats",
+    # part_type_stats displaced (r6): geo_buffer_parity (new this
+    # round, in window) takes its slot — the plain groupBy-agg shape is
+    # graded in-window by q1/q16-family machinery and it keeps its r3
+    # driver green
     # doc_length_histogram displaced (r6): geo_simplify_parity (new
     # this round, in window) takes its slot — the width_bucket binning
     # is graded in-window under text_profile's machinery and it keeps
