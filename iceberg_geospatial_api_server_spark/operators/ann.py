@@ -1700,7 +1700,11 @@ def embed_moment_census(
         .agg(F.sum("q").cast("long").alias("s"))
         .select("i", F.lit(-1).cast("int").alias("j"), "s")
     )
-    n = df.agg(F.count(F.lit(1)).cast("long").alias("s")).select(
+    # COUNT(DISTINCT id), not COUNT(*): the oracle counts distinct
+    # vec_ids, and the s2 self-join cross-pairs duplicated ids
+    # identically on both engines — only a raw-count n row would drift
+    # under a duplicate id (ADVICE r6 item 4).
+    n = df.agg(F.countDistinct(F.col(id_col)).cast("long").alias("s")).select(
         F.lit(-1).cast("int").alias("i"),
         F.lit(-1).cast("int").alias("j"),
         "s",
