@@ -941,31 +941,36 @@ def kmeans_exact_census(
     dim = len(cents[0])
 
     def _assign(cents_now):
+        # the whole argmax expression is built as ONE SQL string parsed
+        # JVM-side (r7 — this entry was still a bench perf-weak row):
+        # constructing k zip_with/aggregate folds through py4j Python
+        # lambdas measured 0.36-0.44s of pure client chatter PER LLOYD
+        # ROUND (two rounds ≈ 0.8s of the entry's ~1.7s); the identical
+        # expression as text is one parse call. Semantics unchanged:
+        # coalesce the per-element PRODUCT, not the fold — zip_with pads
+        # ragged input with NULL, and a NULL term would poison the whole
+        # dot; coalescing to 0 reproduces the oracle's partial dot over
+        # the index intersection.
         structs = []
         for j, c in enumerate(cents_now):
             n2 = sum(v * v for v in c)
-            # coalesce the per-element product, not the fold: zip_with
-            # pads the shorter array with NULL on ragged input, and a
-            # NULL term would poison the whole dot — coalescing to 0
-            # reproduces the oracle's (and the previous explode-join
-            # form's) PARTIAL dot over the index intersection
-            dot = F.aggregate(
-                F.zip_with(
-                    "__qv",
-                    F.lit(c),
-                    lambda x, y: F.coalesce(x * y, F.lit(0).cast("long")),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
+            arr = "array(" + ",".join(f"{v}L" for v in c) + ")"
+            dot = (
+                f"aggregate(zip_with(__qv, {arr},"
+                " (x, y) -> coalesce(x * y, 0L)),"
+                " 0L, (acc, x) -> acc + x)"
             )
             if n2 == 0:
-                ratio = F.lit(0.0)
+                ratio = "CAST(0.0 AS DOUBLE)"
             else:
-                ratio = dot.cast("double") / F.lit(math.sqrt(float(n2)))
+                ratio = (
+                    f"CAST({dot} AS DOUBLE)"
+                    f" / CAST({float(math.sqrt(float(n2)))!r} AS DOUBLE)"
+                )
             structs.append(
-                F.struct((-ratio).alias("nr"), F.lit(j).alias("cell"))
+                f"struct(-({ratio}) AS nr, {j} AS cell)"
             )
-        best = F.array_min(F.array(*structs))
+        best = F.expr(f"array_min(array({', '.join(structs)}))")
         return base.select(
             "__id",
             "__qv",
@@ -984,27 +989,30 @@ def kmeans_exact_census(
             # COUNT(*) and the previous explode-join form. An absent
             # dimension (sum NULL) keeps the previous centroid, the
             # empty-cell rule applied per coordinate.
+            # LONG-FORM update (r7 — this entry was still a bench
+            # perf-weak row at ~1.4s): the previous wide groupBy with
+            # 2·d aggregate expressions compiled a 128-field HashAggregate
+            # buffer per Lloyd round (~1.3s of Janino per round, warm —
+            # the r5 "k×d constants in codegen" lesson in aggregate
+            # form). posexplode → groupBy(cell, i) is a 3-expression
+            # aggregate whose exchange carries ≤ k·d rows per map task
+            # after partial combine — same exact integers, same
+            # per-(cell, idx) count semantics (posexplode emits NULL q
+            # for NULL elements and nothing beyond a ragged array's
+            # length; count("q") skips both, exactly like the previous
+            # F.count(F.get(...)) per index). Measured 1.3s → 0.42s.
             sums = (
-                assigned.groupBy("cell")
-                .agg(
-                    *[
-                        F.sum(F.get("__qv", i)).alias(f"s{i}")
-                        for i in range(dim)
-                    ],
-                    *[
-                        F.count(F.get("__qv", i)).alias(f"n{i}")
-                        for i in range(dim)
-                    ],
-                )
+                assigned.select("cell", F.posexplode("__qv").alias("i", "q"))
+                .groupBy("cell", "i")
+                .agg(F.sum("q").alias("s"), F.count("q").alias("n"))
                 .collect()
             )
             new_cents = [list(c) for c in cents]
             for r in sums:
-                for i in range(dim):
-                    if r[f"n{i}"]:
-                        new_cents[r["cell"]][i] = int(
-                            math.floor(r[f"s{i}"] / r[f"n{i}"] + 0.5)
-                        )
+                if r["n"]:
+                    new_cents[r["cell"]][r["i"]] = int(
+                        math.floor(r["s"] / r["n"] + 0.5)
+                    )
             cents = new_cents
 
     return (

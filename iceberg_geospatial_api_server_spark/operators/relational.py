@@ -1212,97 +1212,132 @@ def brand_affinity(
     n_both·N / (n_a·n_b) — the classic co-occurrence/association
     analysis over order baskets.
 
-    Scale shape: the fact table joins the part DIMENSION broadcast, then
-    ONE orderkey exchange builds each order's sorted brand set
-    (collect_set — bounded by the ≤25-brand dimension, so it is an agg
-    buffer, not a skew hazard); in-basket pairs, per-brand singles
-    (sentinel brand_b="") and one basket-total sentinel all emit
-    MAP-SIDE from the set array into ONE (brand_a, brand_b) aggregation
-    (the minhash-bucket pair-emission pattern — no self-join), and the
-    per-pair lift inputs attach via WINDOWS over that brand²-sized
-    aggregate rather than filter+join consumers — three consumers of
-    the same subtree defeated AQE stage reuse and recomputed the basket
-    build three times (measured 2.0s → 0.9s at sf0.1). Lift's numerator
-    and denominator are exact integers, divided once in DOUBLE on both
-    engines — cross-engine-identical before the 6-dp round."""
-    baskets = (
+    Scale shape (r7 rework — this was the last relational bench
+    perf-weak row, three rounds running; measured 1.42s → 0.92s exec at
+    sf0.1): each order's basket is ONE 64-bit BRAND BITMASK built by a
+    map-side-combining `bit_or` aggregate — the only corpus-sized
+    exchange carries (orderkey, long) pairs, already partially OR-ed
+    per map task. Downstream is corpus-size-free: baskets contract to
+    DISTINCT masks with counts (≤ min(n_orders, 2^brands) rows), and
+    the pair census is two broadcast joins against the (brands+1)-row
+    dimension — first the set-bit test for brand_a, then (idx_b ≥
+    idx_a AND bit_b set) — all whole-stage codegen, ≤ (brands+1)²
+    integer ops per distinct mask. Bit 0 is a SENTINEL present in
+    every mask, so the same aggregation yields the pair counts
+    (a, b), the per-brand order counts ("", b), and the distinct-order
+    total ("", "") in one pass — no extra consumers of the fact table
+    (three consumers defeated AQE stage reuse in the r6 formulation;
+    measured). Earlier formulations and why they lost: per-order
+    collect_set + nested transform/slice/flatten pair explosion (array
+    higher-order functions evaluate INTERPRETED — the r6 minhash
+    lesson; 1.42s), and a (order, brand)-distinct self-join (SMJ sorts
+    + double dedup aggregate over the exchange; 1.2s).
+
+    The bitmask requires ≤ 62 distinct brands (bit 0 is the sentinel,
+    shiftleft wraps mod 64 past 63) — enforced with raise_error, not a
+    silent wrap. For wider dimensions the general path is the
+    (order, brand)-distinct self-join sketched above. Lift's numerator
+    and denominator are exact integers, divided once in DOUBLE —
+    cross-engine-identical before the half-free 6-dp grid.
+
+    Parity: reference has no basket operator; the oracle SQL in
+    entry_queries.py evaluates the same census via a relational
+    self-join, so the bitmask machinery is value-graded against an
+    independent formulation."""
+    # brand → dense alphabetical index (1-based; 0 is the sentinel),
+    # computed as a lazy subplan (bounded: the window runs on the
+    # ≤brands-row distinct frame, single partition by construction)
+    bdim = (
+        part.select("p_brand")
+        .distinct()
+        .withColumn("__idx", F.row_number().over(Window.orderBy("p_brand")))
+    )
+    spark = part.sparkSession
+    bdim_s = bdim.unionByName(
+        spark.range(1).select(
+            F.lit("").alias("p_brand"), F.lit(0).cast("int").alias("__idx")
+        )
+    )
+    # LEFT join + coalesce(bit, 0): a NULL p_brand contributes no bit
+    # but keeps its order in the sentinel total, matching the oracle's
+    # COUNT(DISTINCT l_orderkey) over the unfiltered distinct frame
+    bit = F.expr(
+        "CASE WHEN __idx > 62 THEN CAST(raise_error("
+        "'brand_affinity: >62 distinct brands — bitmask formulation "
+        "requires a bounded brand dimension; use a (order, brand) "
+        "self-join for wider dims') AS BIGINT) "
+        "ELSE coalesce(shiftleft(1L, __idx), 0L) END"
+    )
+    joined = (
         lineitem.join(
-            F.broadcast(part),
+            F.broadcast(part.select("p_partkey", "p_brand")),
             lineitem["l_partkey"] == part["p_partkey"],
         )
-        .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("p_brand")).alias("__brands"))
+        .join(F.broadcast(bdim), "p_brand", "left")
+        .select("l_orderkey", bit.alias("__bit"))
     )
-    # sorted members ⇒ each unordered pair emitted once as (a < b)
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("__brands"),
-            lambda a, i: F.transform(
-                F.slice(F.col("__brands"), i + 2, F.size("__brands")),
-                lambda b: F.struct(
-                    a.alias("brand_a"), b.alias("brand_b")
-                ),
-            ),
-        )
+    masks = joined.groupBy("l_orderkey").agg(
+        F.bit_or("__bit").bitwiseOR(F.lit(1).cast("long")).alias("__mask")
     )
-    # single-pass emission: pairs + per-brand singles (sentinel "" in
-    # brand_b) + one basket-total sentinel ("", "") all explode into ONE
-    # (brand_a, brand_b) aggregation. The three consumers below then
-    # share an IDENTICAL counts subtree, which AQE fuses into one query
-    # stage — the previous three-consumer formulation (pair counts,
-    # brand counts, basket count each aggregating `baskets` under
-    # different projections) defeated exchange reuse and recomputed the
-    # fact-scan + basket build three times (measured 2.03s → 0.93s at
-    # sf0.1)
-    singles = F.transform(
-        F.col("__brands"),
-        lambda b: F.struct(b.alias("brand_a"), F.lit("").alias("brand_b")),
+    # distinct-mask contraction: the nested-loop pair emission below
+    # runs per DISTINCT basket, not per order (55k vs 147k at sf0.1;
+    # bounded by 2^brands as the corpus grows)
+    mcounts = masks.groupBy("__mask").agg(
+        F.count(F.lit(1)).cast("long").alias("__mc")
     )
-    total = F.array(
-        F.struct(
-            F.lit("").alias("brand_a"), F.lit("").alias("brand_b")
-        )
+    ba = bdim_s.select(
+        F.col("p_brand").alias("brand_a"), F.col("__idx").alias("__ia")
+    )
+    bb = bdim_s.select(
+        F.col("p_brand").alias("brand_b"), F.col("__idx").alias("__ib")
     )
     counts = (
-        baskets.select(
-            F.explode(F.concat(pair_structs, singles, total)).alias("__p")
+        mcounts.join(
+            F.broadcast(ba), F.expr("(__mask & shiftleft(1L, __ia)) != 0")
         )
-        .groupBy(
-            F.col("__p.brand_a").alias("brand_a"),
-            F.col("__p.brand_b").alias("brand_b"),
+        .join(
+            F.broadcast(bb),
+            F.expr("__ib >= __ia AND (__mask & shiftleft(1L, __ib)) != 0"),
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.sum("__mc").cast("long").alias("__cnt"))
     )
     # enrich pair rows with the single/total counts via WINDOWS over the
-    # ≤(brands²/2 + brands + 1)-row aggregate instead of filter+self-join
-    # consumers: filters above `counts` push below the aggregate and
-    # defeat AQE stage reuse (three identical-looking consumers still
-    # recomputed the basket build; measured), while windows keep ONE
-    # occurrence of the subtree in the plan. coalesce(1) first: the
-    # three windows partition by three DIFFERENT keys, which over a
-    # 32-partition frame means three exchange+sort stages of a ~350-row
-    # frame — pure scheduling floor (measured ~0.4s of the query's 1.7s
-    # at sf0.1). On one partition every window's clustering requirement
-    # is trivially satisfied, so all three run in a single stage; the
-    # frame is brand²-bounded (≤ a few hundred rows at ANY corpus
-    # scale), so the single partition is the right size at 100 TB too.
+    # ≤((brands+1)²/2)-row aggregate instead of filter+join consumers
+    # (filters above `counts` push below the aggregate and defeat AQE
+    # stage reuse; measured r6). coalesce(1) first: the windows
+    # partition by different keys, which over a 32-partition frame
+    # means exchange+sort stages of a ~350-row frame — pure scheduling
+    # floor. The frame is brand²-bounded at ANY corpus scale, so one
+    # partition is right at 100 TB too.
     counts = counts.coalesce(1)
-    is_single = (F.col("brand_a") != "") & (F.col("brand_b") == "")
-    key2 = F.when(F.col("brand_b") == "", F.col("brand_a")).otherwise(
-        F.col("brand_b")
+    # row taxonomy: ("", "") = distinct-order total; ("", x) = orders
+    # containing brand x; (a, b) with "" < a < b = pair rows; (a, a)
+    # real diagonals are dropped by the final a < b filter
+    is_single = (F.col("brand_a") == "") & (F.col("brand_b") != "")
+    key1 = F.when(F.col("brand_a") == "", F.col("brand_b")).otherwise(
+        F.col("brand_a")
     )
     w_all = Window.partitionBy(F.lit(1))
-    w_a = Window.partitionBy("brand_a")
-    w_b = Window.partitionBy(key2)
+    w_a = Window.partitionBy(key1)
+    w_b = Window.partitionBy("brand_b")
     single_cnt = F.when(is_single, F.col("__cnt"))
     pc = (
         counts.withColumn(
             "__n_orders",
-            F.max(F.when(F.col("brand_a") == "", F.col("__cnt"))).over(w_all),
+            F.max(
+                F.when(
+                    (F.col("brand_a") == "") & (F.col("brand_b") == ""),
+                    F.col("__cnt"),
+                )
+            ).over(w_all),
         )
         .withColumn("__na", F.max(single_cnt).over(w_a))
         .withColumn("__nb", F.max(single_cnt).over(w_b))
-        .filter((F.col("brand_a") != "") & (F.col("brand_b") != ""))
+        .filter(
+            (F.col("brand_a") != "")
+            & (F.col("brand_a") < F.col("brand_b"))
+        )
         .withColumnRenamed("__cnt", "n_both")
     )
     # half-free 6-dp rounding: the exact-integer ratio can land on a

@@ -829,12 +829,13 @@ def test_brand_affinity_crafted_lift(spark):
 
 
 def test_brand_affinity_plan_shape(spark, sf_dir):
-    """Single-pass shape: the part dimension joins broadcast, no
-    cartesian, and — the point of the sentinel-emission rewrite — the
-    lineitem fact table is SCANNED EXACTLY ONCE (the old
-    three-consumer formulation recomputed the basket build per
-    consumer; the lift inputs now attach via windows over the
-    brand²-sized aggregate)."""
+    """Scale shape of the r7 bitmask rewrite: the part dimension joins
+    broadcast, no cartesian, and the lineitem FACT table is SCANNED
+    EXACTLY ONCE (the old three-consumer formulation recomputed the
+    basket build per consumer). The part DIMENSION may appear a few
+    times (the brand-index subplan and the pair-emission sides are all
+    ≤brands-row broadcast subtrees — corpus-size-free by construction),
+    but never more than 4."""
     from iceberg_geospatial_api_server_spark.operators.relational import (
         brand_affinity,
     )
@@ -852,13 +853,10 @@ def test_brand_affinity_plan_shape(spark, sf_dir):
     assert_no_cartesian(out)
     assert_broadcast_join(out, min_count=1)
     plan = formatted_plan(out)
-    # exactly two scans in the whole plan: lineitem once, part once
-    # (formatted-mode node lines don't carry the table name; the old
-    # shape had 16 scans)
-    import re
-
-    scans = re.findall(r"\(\d+\) Scan parquet", plan)
-    assert len(scans) == 2, plan
+    fact_scans = plan.count("lineitem.parquet")
+    dim_scans = plan.count("part.parquet")
+    assert fact_scans == 1, plan
+    assert dim_scans <= 4, plan
 
 
 def test_mad_outlier_profile_crafted(spark):
