@@ -1570,6 +1570,11 @@ def knn_join_grid(
     coordinates dropped on both sides; up to k rows per left row,
     ranked) — distances are the same IEEE mul/add/sqrt sequence in JVM
     codegen as in numpy, so even exact ties resolve the same way.
+    Duplicate left_id values are handled per-row (ADVICE r6): the
+    search is keyed by the composite (id, x, y) and winners fan back on
+    the same composite, so two rows sharing an id each receive the
+    top-k of their OWN coordinates (identical-composite duplicates
+    each receive the one shared ranking).
 
     Algorithm: right points bin once to a square base grid (cell side
     sized so ~k points land per cell along the longer extent axis —
@@ -1638,15 +1643,26 @@ def knn_join_grid(
         else:
             cell = span / max(1.0, math.sqrt(n_r / float(k)))
 
-    l0 = left.select(
-        F.col(left_id).alias("__lid"),
-        F.col(lx).cast("double").alias("__lx"),
-        F.col(ly).cast("double").alias("__ly"),
-    ).filter(
-        F.col("__lx").isNotNull()
-        & F.col("__ly").isNotNull()
-        & ~F.isnan("__lx")
-        & ~F.isnan("__ly")
+    # the search frame is keyed by the COMPOSITE (id, x, y), not id
+    # alone (ADVICE r6): duplicate left_id values would otherwise merge
+    # both rows' candidate pools into one ranked list and fan the
+    # merged winners back to every duplicate. Distinct first — dupes
+    # of the same composite search once and the final composite join
+    # fans each left row exactly its own neighbors, preserving
+    # knn_join_broadcast's strictly per-row semantics.
+    l0 = (
+        left.select(
+            F.col(left_id).alias("__lid"),
+            F.col(lx).cast("double").alias("__lx"),
+            F.col(ly).cast("double").alias("__ly"),
+        )
+        .filter(
+            F.col("__lx").isNotNull()
+            & F.col("__ly").isNotNull()
+            & ~F.isnan("__lx")
+            & ~F.isnan("__ly")
+        )
+        .distinct()
     )
     # completeness bound: the 3x3 supercell block at scale S extends at
     # least S·cell beyond the row in every direction, so once S covers
@@ -1678,13 +1694,13 @@ def knn_join_grid(
     # but both the broadcast kernel (None-last sort key) and SQL
     # ROW_NUMBER (DuckDB NULLS LAST default) rank a NULL-keyed tie after
     # the non-null row — match them exactly
-    rank_w = Window.partitionBy("__lid").orderBy(
+    rank_w = Window.partitionBy("__lid", "__lx", "__ly").orderBy(
         F.col("nn_dist").asc(),
         *[F.col(f"nn_{c}").asc_nulls_last() for c in right_keep],
     )
-    out_cols = ["__lid"] + [f"nn_{c}" for c in right_keep] + [
-        "nn_dist", "__rk",
-    ]
+    out_cols = ["__lid", "__lx", "__ly"] + [
+        f"nn_{c}" for c in right_keep
+    ] + ["nn_dist", "__rk"]
 
     def probe_topk(pend: DataFrame, scale: int) -> DataFrame:
         """Per-row top-k from the 3x3 supercell block at ``scale``."""
@@ -1721,6 +1737,8 @@ def knn_join_grid(
             probes.join(rg, ["__scx", "__scy"])
             .select(
                 "__lid",
+                "__lx",
+                "__ly",
                 *[F.col(c).alias(f"nn_{c}") for c in right_keep],
                 dist.alias("nn_dist"),
             )
@@ -1745,22 +1763,26 @@ def knn_join_grid(
             # candidates complete, hence exact; no distance test needed
             done_parts.append(cand.select(*out_cols))
             break
-        per = cand.groupBy("__lid").agg(
+        per = cand.groupBy("__lid", "__lx", "__ly").agg(
             F.count(F.lit(1)).alias("__nc"), F.max("nn_dist").alias("__kd")
         )
         proven_ids = per.filter(
             (F.col("__nc") >= k)
             & (F.col("__kd") <= F.lit(float(S) * cell))
-        ).select("__lid")
+        ).select("__lid", "__lx", "__ly")
         done_parts.append(
-            cand.join(proven_ids, "__lid", "semi").select(*out_cols)
+            cand.join(
+                proven_ids, ["__lid", "__lx", "__ly"], "semi"
+            ).select(*out_cols)
         )
         # pending = every left row NOT proven — the anti-join against
         # the LEFT set (not the candidate set) is load-bearing: a row
         # whose block held no right point at all has NO candidate rows,
         # and a candidate-side filter would silently drop it instead of
         # expanding its search
-        pend = pend.join(proven_ids, "__lid", "anti").localCheckpoint()
+        pend = pend.join(
+            proven_ids, ["__lid", "__lx", "__ly"], "anti"
+        ).localCheckpoint()
         if pend.isEmpty():
             break
         S = min(S * 2, complete_s)
@@ -1770,13 +1792,20 @@ def knn_join_grid(
         out = out.unionByName(p)
     winners = out.select(
         F.col("__lid"),
+        F.col("__lx"),
+        F.col("__ly"),
         F.col("__rk").cast("int").alias("nn_rank"),
         *[f"nn_{c}" for c in right_keep],
         "nn_dist",
     )
+    # fan back on the full composite: each left row — duplicate ids
+    # included — receives exactly the winners of ITS OWN coordinates
     return left.join(
-        winners, left[left_id] == winners["__lid"]
-    ).drop("__lid")
+        winners,
+        (left[left_id] == winners["__lid"])
+        & (left[lx].cast("double") == winners["__lx"])
+        & (left[ly].cast("double") == winners["__ly"]),
+    ).drop("__lid", "__lx", "__ly")
 
 
 def multipoint_metrics(

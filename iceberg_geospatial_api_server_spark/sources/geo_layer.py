@@ -24,11 +24,22 @@ import hashlib
 import os
 import shutil
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
 # bump when the layer's schema/derivation changes — part of the cache key
 _LAYER_VERSION = 2
+
+# serializes the session-conf useV1SourceList flip below: the flip
+# mutates SHARED SparkSession state, and a concurrent thread planning a
+# parquet read inside the flip window would silently get a DSv2
+# relation — exactly the cross-query plan-shape drift the flip's
+# scoping exists to prevent (ADVICE r6). The lock covers the mutation
+# itself; a concurrent read elsewhere in the session is still exposed
+# for the duration of one load() — callers running multi-threaded
+# drivers should pre-build the layer once at startup.
+_V1_FLIP_LOCK = threading.Lock()
 
 
 def lineitem_bbox_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,12 +113,15 @@ def lineitem_bbox_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # other query's plan shape untouched (tests/test_plans.py asserts
     # the resulting PushedAggregation).
     key = "spark.sql.sources.useV1SourceList"
-    prev = spark.conf.get(key)
-    try:
-        spark.conf.set(
-            key,
-            ",".join(s for s in prev.split(",") if s.strip() != "parquet"),
-        )
-        return spark.read.parquet(path)
-    finally:
-        spark.conf.set(key, prev)
+    with _V1_FLIP_LOCK:
+        prev = spark.conf.get(key)
+        try:
+            spark.conf.set(
+                key,
+                ",".join(
+                    s for s in prev.split(",") if s.strip() != "parquet"
+                ),
+            )
+            return spark.read.parquet(path)
+        finally:
+            spark.conf.set(key, prev)

@@ -104,3 +104,25 @@ def test_grid_plan_no_cartesian_no_fact_broadcast(spark, tables):
         assert "BroadcastExchange" not in plan, plan[:2000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_grid_duplicate_left_ids_rank_per_row(spark):
+    """Duplicate left_id values must each get the top-k of their OWN
+    coordinates (ADVICE r6: the id-keyed search merged both rows'
+    candidate pools and fanned the merged winners to every duplicate).
+    Two rows share lid=1 at opposite ends of the axis; each must rank
+    its own nearest neighbor first."""
+    left = spark.createDataFrame(
+        [(1, 0.0, 0.0), (1, 100.0, 0.0), (2, 50.0, 0.0)],
+        "lid long, x double, y double",
+    )
+    right = spark.createDataFrame(
+        [(10, 1.0, 0.0), (11, 99.0, 0.0), (12, 49.0, 0.0)],
+        "rid long, x double, y double",
+    )
+    out = knn_join_grid(
+        left, right, "lid", "x", "y", "x", "y", ["rid"], k=1
+    ).collect()
+    got = {(r["lid"], r["x"]): r["nn_rid"] for r in out}
+    assert got == {(1, 0.0): 10, (1, 100.0): 11, (2, 50.0): 12}
+    assert len(out) == 3  # no fan-out beyond one winner per left ROW
