@@ -3217,6 +3217,122 @@ def embed_kmeans_q(spark, sf_dir):
     )
 
 
+def _bpe_merges_oracle(num_merges: int = 8) -> str:
+    """The BPE merge RECURSION unrolled as chained CTEs (the
+    kmeans_exact_census grading pattern applied to the last
+    rows-only-by-nature family, VERDICT r6 missing-item 3): per merge,
+    the weighted adjacent-pair argmax (count DESC, pair ASC — the
+    Sennrich tiebreak bpe_train uses) and the leftmost-greedy rewrite.
+
+    The rewrite rides plain string REPLACE: each symbol is wrapped
+    `|s|` and the state is their concatenation, so the merge (a, b) is
+    `replace(state, '|a||b|', '|ab|')` — REPLACE consumes
+    non-overlapping matches left-to-right, which IS leftmost-greedy
+    ("a a a" + (a,a) → "aa a"; "a b a b" → "ab ab" — both pinned in
+    tests/test_bpe.py for the Spark fold). Sound because the corpus is
+    ASCII 32-121 with no '|' (checked at oracle-authoring time; a '|'
+    in data would break only the ORACLE, loudly). Early stop
+    (min_pair_count=2) is emulated: a filtered-out merge row makes the
+    pattern coalesce to chr(1) (a no-op replace), the state freezes,
+    and every later argmax re-finds the same sub-threshold pair and is
+    filtered too — exactly the Spark break.
+
+    Every CTE is MATERIALIZED: each level references its predecessor
+    three times (the FROM plus two scalar subqueries in the replace),
+    so DuckDB's default CTE inlining re-expands the whole chain
+    3^merges times — the plain form never finishes at 8 merges; the
+    materialized form runs in ~0.1s."""
+    parts = [
+        """
+    WITH s0 AS MATERIALIZED (
+      SELECT '|' || array_to_string(
+               list_append(string_split_regex(w, ''), '</w>'), '||'
+             ) || '|' AS s,
+             CAST(freq AS BIGINT) AS freq
+      FROM (
+        SELECT w, COUNT(*) AS freq
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+        WHERE w != '' GROUP BY w
+      )
+    )"""
+    ]
+    for i in range(num_merges):
+        parts.append(
+            f"""
+    p{i} AS MATERIALIZED (
+      SELECT u[1] AS a, u[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT freq,
+               UNNEST(list_zip(syms, syms[2:])) AS u
+        FROM (SELECT freq,
+                     string_split(substring(s, 2, length(s) - 2), '||')
+                       AS syms
+              FROM s{i})
+      )
+      WHERE u[2] IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    m{i} AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1
+      ) WHERE cnt >= 2
+    ),
+    s{i + 1} AS MATERIALIZED (
+      SELECT replace(
+               s,
+               coalesce((SELECT '|' || a || '||' || b || '|' FROM m{i}),
+                        chr(1)),
+               coalesce((SELECT '|' || a || b || '|' FROM m{i}), chr(1))
+             ) AS s,
+             freq
+      FROM s{i}
+    )"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT {i} AS rank, a AS left_sym, b AS right_sym, cnt AS"
+        f" pair_count FROM m{i}"
+        for i in range(num_merges)
+    )
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT CAST(rank AS BIGINT) AS rank, left_sym, right_sym, pair_count
+    FROM ({union})
+    ORDER BY rank
+    """
+    )
+
+
+@_q("corpus_bpe_merges", _bpe_merges_oracle(8))
+def corpus_bpe_merges_q(spark, sf_dir):
+    """The BPE merge LEARNING value-graded (VERDICT r6 missing-item 3 —
+    the last no-value-oracle family outside real binary decode): 8
+    frequency-greedy merges over the uncapped corpus word table, each
+    (rank, left, right, pair_count) hash-matched against the same
+    recursion unrolled as chained CTEs in DuckDB. Proves the word
+    census, the adjacent-pair weighting, the argmax tiebreak, and the
+    leftmost-greedy rewrite — the whole distributed loop — value for
+    value. corpus_bpe_stats keeps grading the ENCODE side's aggregate
+    downstream. max_words=None: the cap is a top-N the oracle could
+    express, but the uncapped table grades strictly more of the
+    census."""
+    from iceberg_geospatial_api_server_spark.operators.bpe import bpe_train
+
+    merges = bpe_train(
+        _t(spark, sf_dir, "documents"),
+        num_merges=8,
+        max_words=None,
+        with_counts=True,
+    )
+    rows = [
+        (i, a, b, c) for i, (a, b, c) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rank long, left_sym string, right_sym string, pair_count long",
+    ).orderBy("rank")
+
+
 @_q("corpus_bpe_stats")  # rows-only: BPE merge learning is iterative
 # (frequency-greedy) — the textbook Sennrich merge sequence, lossless
 # round-trip, and overlap semantics are pinned in tests/test_bpe.py
@@ -8990,7 +9106,11 @@ _R7_PROMOTED = [
     "corpus_decontaminate",
     "corpus_diff",
     "corpus_entropy",
-    "corpus_epoch_order",
+    # corpus_epoch_order displaced (r7): corpus_bpe_merges (new this
+    # round, in window) takes its slot per the recorded convention —
+    # epoch_order keeps its r4 driver green and heads the r8 r4-vintage
+    # block; its scan-stage hash-threshold machinery is graded
+    # in-window by corpus_split this round (same id_hash kernel)
 ]
 _ORACLED_OVERFLOW = [
     n for n in _ORACLED_OVERFLOW if n not in set(_R7_PROMOTED)

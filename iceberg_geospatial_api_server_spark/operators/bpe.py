@@ -83,9 +83,12 @@ def bpe_train(
     text_col: str = "text",
     max_words: int | None = 100_000,
     min_pair_count: int = 2,
-) -> list[tuple[str, str]]:
+    with_counts: bool = False,
+) -> list[tuple[str, str]] | list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges from the corpus; returns the
-    ordered merge list [(a, b), ...] (rank = list position).
+    ordered merge list [(a, b), ...] (rank = list position), or
+    [(a, b, pair_count), ...] with ``with_counts`` (the form the
+    corpus_bpe_merges value oracle grades).
 
     Stops early when the best remaining pair occurs fewer than
     ``min_pair_count`` times (nothing left worth fusing). Driver
@@ -105,7 +108,7 @@ def bpe_train(
         ).alias("syms"),
     ).persist()
 
-    merges: list[tuple[str, str]] = []
+    merges: list = []
     to_release = None
     try:
         for it in range(int(num_merges)):
@@ -138,7 +141,9 @@ def bpe_train(
             if best is None or best["cnt"] < min_pair_count:
                 break
             a, b = best["a"], best["b"]
-            merges.append((a, b))
+            merges.append(
+                (a, b, int(best["cnt"])) if with_counts else (a, b)
+            )
             nxt = vocab.select(
                 "freq", _merge_fold(F.col("syms"), a, b).alias("syms")
             )
