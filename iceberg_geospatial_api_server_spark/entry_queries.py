@@ -1331,13 +1331,92 @@ def part_stats(spark, sf_dir):
 
 
 @_q("events_approx_stats")  # rows-only: HLL/quantile sketches are
-# algorithm-specific (Spark HyperLogLog++ vs DuckDB's sketch differ by design)
+# algorithm-specific (Spark HyperLogLog++ vs DuckDB's sketch differ by
+# design). Its accuracy contract IS value-graded: events_approx_contract.
 def ev_approx(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.percentile_approx("value", 0.5).alias("p50_value"),
         F.percentile_approx("value", 0.99).alias("p99_value"),
+    )
+
+
+@_q(
+    "events_approx_contract",
+    """
+    SELECT event_type,
+           CAST(COUNT(value) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_exact,
+           TRUE AS users_within_5pct,
+           TRUE AS p50_rank_ok,
+           TRUE AS p99_rank_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_approx_contract_q(spark, sf_dir):
+    """The sketch-accuracy contracts of events_approx_stats VALUE-graded
+    (r7 — the events_hll_contract pattern, VERDICT r6 missing-item 3):
+    sketch internals are engine-specific and can never hash, but the
+    contracts the operator is sold on can, in exact integer arithmetic:
+
+    - distinct-count: ``20·|est − exact| ≤ exact`` (<5% error; HLL++ at
+      rsd=0.01 is register-exact in sparse mode at these cardinalities,
+      so the band has orders-of-magnitude slack);
+    - quantiles: percentile_approx guarantees rank error ≤ n/accuracy,
+      so the count of values ≤ the returned p50/p99 element must sit
+      within ±(0.01·n + 2) of the target rank — ``|100·cnt − q·n| ≤
+      n + 200`` after clearing denominators (accuracy=10000 gives rank
+      error ≤ n/10000, ~50× inside the graded band at every test SF).
+
+    The oracle computes the exact side (one GROUP BY) and asserts TRUE;
+    a drifting sketch flips the Spark boolean and the hash goes red.
+    Scale shape: two events scans — the sketch aggregate ships
+    constant-size partials per partition (map-side combine), the
+    rank-check aggregate rides a 5-row broadcast of the estimates —
+    no corpus-sized exchange anywhere."""
+    ev = _t(spark, sf_dir, "events")
+    est = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("users_est"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99"),
+    )
+    return (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("value").cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("users_exact"),
+            F.max("users_est").alias("users_est"),
+            F.sum(
+                F.when(F.col("value") <= F.col("p50"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("cnt50"),
+            F.sum(
+                F.when(F.col("value") <= F.col("p99"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("cnt99"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "users_exact",
+            (
+                F.abs(F.col("users_est") - F.col("users_exact")) * F.lit(20)
+                <= F.col("users_exact")
+            ).alias("users_within_5pct"),
+            (
+                F.abs(F.col("cnt50") * F.lit(100) - F.col("n") * F.lit(50))
+                <= F.col("n") + F.lit(200)
+            ).alias("p50_rank_ok"),
+            (
+                F.abs(F.col("cnt99") * F.lit(100) - F.col("n") * F.lit(99))
+                <= F.col("n") + F.lit(200)
+            ).alias("p99_rank_ok"),
+        )
+        .orderBy("event_type")
     )
 
 
@@ -9053,8 +9132,9 @@ _ORACLED_OVERFLOW += [
 #     corpus_source_stats);
 # (3) the first 6 of the r4-vintage block, alphabetical from
 #     ann_ivfpq_exhaustive (skipping jump-queue members).
-# 48 promoted + events_hll_contract (new r7 oracle, registers outside
-# the overflow) + 1 rows-only priority slot = exactly 50.
+# 46 promoted + the three r7-new oracles (corpus_bpe_merges,
+# events_hll_contract, events_approx_contract — new entries register
+# outside the overflow) + 1 rows-only priority slot = exactly 50.
 _R7_PROMOTED = [
     # (1) jump-queue: reworked-kernel re-grades + the never-windowed
     "dedup_cluster_assign",
@@ -9105,12 +9185,15 @@ _R7_PROMOTED = [
     "corpus_curate",
     "corpus_decontaminate",
     "corpus_diff",
-    "corpus_entropy",
     # corpus_epoch_order displaced (r7): corpus_bpe_merges (new this
     # round, in window) takes its slot per the recorded convention —
     # epoch_order keeps its r4 driver green and heads the r8 r4-vintage
     # block; its scan-stage hash-threshold machinery is graded
     # in-window by corpus_split this round (same id_hash kernel)
+    # corpus_entropy displaced (r7, same convention): the slot goes to
+    # events_approx_contract (new r7 oracle — the approx-sketch accuracy
+    # contract, VERDICT r6 missing-item 3); entropy keeps its r4 driver
+    # green and joins epoch_order at the head of the r8 r4-vintage block.
 ]
 _ORACLED_OVERFLOW = [
     n for n in _ORACLED_OVERFLOW if n not in set(_R7_PROMOTED)
@@ -9120,7 +9203,9 @@ _ORACLED_OVERFLOW = [
 # round no oracle's freshest green is older than r4. The r8 window
 # should be: (1) any r8-new oracled entries in the round they land;
 # (2) any entry whose kernel changes in r7 after its last green —
-# "kernel changed" always outranks "least recently green"; (3) the
+# "kernel changed" always outranks "least recently green"; (3) the two
+# r7-displaced r4-vintage entries first — corpus_epoch_order and
+# corpus_entropy (each ceded its slot to an r7-new oracle) — then the
 # remaining r4-vintage block, alphabetical from corpus_pii_scrub
 # (corpus_quality_classifier, corpus_segment_dedup,
 # corpus_temperature_mixture, corpus_token_budget, cross_source_overlap,

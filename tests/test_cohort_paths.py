@@ -401,7 +401,48 @@ def test_hll_sketches_accurate_and_losslessly_mergeable(spark, tables):
     assert merged["users_est"] == direct  # lossless union, not approximate
 
 
-def test_flow_bearings_resultant_bounds(spark, sf_dir):
+def test_approx_contract_booleans_hold_with_slack(spark, sf_dir, tables):
+    """The events_approx_contract graded booleans must hold — and with
+    real margin, checked here at tighter bands than the oracle grades
+    (distinct: register-exact; quantile rank error: 5x tighter), so a
+    sketch drift trips pytest long before the driver hash flips."""
+    from iceberg_geospatial_api_server_spark.entry_queries import QUERIES
+
+    rows = QUERIES["events_approx_contract"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["users_within_5pct"] and r["p50_rank_ok"] and r["p99_rank_ok"]
+
+    ev = tables["events"]
+    est = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("users_est"),
+            F.percentile_approx("value", 0.5, 10000).alias("p50"),
+            F.percentile_approx("value", 0.99, 10000).alias("p99"),
+        )
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users_exact"),
+            F.count("value").alias("n"),
+        )
+        .collect()
+    }
+    for et, e in est.items():
+        x = exact[et]
+        # sparse-mode HLL++ is register-exact at test-SF cardinalities
+        assert e["users_est"] == x["users_exact"], et
+        for q, p in ((0.5, e["p50"]), (0.99, e["p99"])):
+            cnt = ev.filter(
+                (F.col("event_type") == et) & (F.col("value") <= F.lit(p))
+            ).count()
+            # 5x tighter than the graded |cnt - q*n| <= 0.01*n + 2 band
+            assert abs(cnt - q * x["n"]) <= 0.002 * x["n"] + 2, (et, q)
     """Circular-statistics invariants on real data: R̄ ∈ [0, 1] (up to
     the 1e-6 quantization grain), the client-side direction (derived
     from the exact su/sv integers — the graded output carries no libm
