@@ -2722,6 +2722,79 @@ def ann_lsh_q(spark, sf_dir):
 
 
 @_q(
+    "ann_recall_contract",
+    """
+    WITH p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes
+               FROM embeddings
+               WHERE vec_id % 29 = 0 AND embedding IS NOT NULL
+                 AND LEN(embedding) > 0)
+    SELECT m.method, p.n_probes, CAST(10 AS BIGINT) AS k,
+           TRUE AS recall_ge_half
+    FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh') m, p
+    ORDER BY m.method
+    """,
+)
+def ann_recall_contract_q(spark, sf_dir):
+    """The approximate-ANN RECALL CONTRACT value-graded (r7 — the
+    events_hll_contract pattern applied to retrieval quality): the
+    approximate result sets themselves are config/method-specific and
+    can never hash, but the contract a production ANN path is sold on —
+    aggregate recall@10 against the exact top-k over a deterministic
+    probe workload (vec_id % 29) — is a hashable boolean per method, in
+    exact integer arithmetic (``2·hits ≥ k·n_probes``).
+
+    Graded at the PRODUCTION configs of the rows-only entries
+    (ann_ivf_topk: nlist=8/nprobe=4; ann_lsh_topk: 6 bits × 4 tables).
+    Measured aggregate recall across the three test SFs: IVF
+    0.711/0.722/0.732, LSH 0.661/0.722/0.730 — the ≥0.5 bar has ≥1.32×
+    margin everywhere, and both quantizers are fully deterministic
+    (hash-threshold seed vectors; seed-7 hyperplanes), so the booleans
+    are stable. A broken cell assignment, band indexing, or probe
+    routing collapses recall toward random (k/n ≈ 0.02) and the hash
+    goes red. Exact-side scoring is itself value-graded by
+    ann_bruteforce_topk (full top-10 ids + 6dp cosines vs DuckDB).
+
+    Scale shape: probes broadcast (both kernels), exact side is one
+    scan × |probes| map-side dot products, hit-counting joins are
+    probe×k-bounded, and the two 1-row aggregate crossJoins are the
+    blessed bounded-extent pattern."""
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    probes = emb.filter(F.col("vec_id") % 29 == 0)
+    q = probes.select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = brute_force_topk(emb, q, k=10).select("q_id", "vec_id")
+    n_probes_df = q.agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+
+    def method_row(approx, name):
+        hits = exact.join(
+            approx.select("q_id", "vec_id"), ["q_id", "vec_id"]
+        ).agg(F.count(F.lit(1)).cast("long").alias("hits"))
+        return hits.crossJoin(n_probes_df).select(
+            F.lit(name).alias("method"),
+            "n_probes",
+            F.lit(10).cast("long").alias("k"),
+            (F.col("hits") * 2 >= F.col("n_probes") * 10).alias(
+                "recall_ge_half"
+            ),
+        )
+
+    ivf = ivf_topk(emb, q, k=10, nlist=8, nprobe=4)
+    lsh = lsh_topk(emb, q, k=10, nbits=6, dim=64, num_tables=4)
+    return (
+        method_row(ivf, "ivf")
+        .unionByName(method_row(lsh, "lsh"))
+        .orderBy("method")
+    )
+
+
+@_q(
     "mm_media_stats",
     """
     SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -9132,9 +9205,10 @@ _ORACLED_OVERFLOW += [
 #     corpus_source_stats);
 # (3) the first 6 of the r4-vintage block, alphabetical from
 #     ann_ivfpq_exhaustive (skipping jump-queue members).
-# 46 promoted + the three r7-new oracles (corpus_bpe_merges,
-# events_hll_contract, events_approx_contract — new entries register
-# outside the overflow) + 1 rows-only priority slot = exactly 50.
+# 45 promoted + the four r7-new oracles (corpus_bpe_merges,
+# events_hll_contract, events_approx_contract, ann_recall_contract —
+# new entries register outside the overflow) + 1 rows-only priority
+# slot = exactly 50.
 _R7_PROMOTED = [
     # (1) jump-queue: reworked-kernel re-grades + the never-windowed
     "dedup_cluster_assign",
@@ -9184,7 +9258,11 @@ _R7_PROMOTED = [
     "ann_ivfpq_exhaustive",
     "corpus_curate",
     "corpus_decontaminate",
-    "corpus_diff",
+    # corpus_diff displaced (r7, same convention): the slot goes to
+    # ann_recall_contract (new r7 oracle — aggregate recall@10 of the
+    # production IVF/LSH configs vs exact, the events_hll_contract
+    # pattern applied to retrieval quality); diff keeps its r4 driver
+    # green and joins the displaced pair at the head of the r8 block.
     # corpus_epoch_order displaced (r7): corpus_bpe_merges (new this
     # round, in window) takes its slot per the recorded convention —
     # epoch_order keeps its r4 driver green and heads the r8 r4-vintage
@@ -9203,10 +9281,11 @@ _ORACLED_OVERFLOW = [
 # round no oracle's freshest green is older than r4. The r8 window
 # should be: (1) any r8-new oracled entries in the round they land;
 # (2) any entry whose kernel changes in r7 after its last green —
-# "kernel changed" always outranks "least recently green"; (3) the two
-# r7-displaced r4-vintage entries first — corpus_epoch_order and
-# corpus_entropy (each ceded its slot to an r7-new oracle) — then the
-# remaining r4-vintage block, alphabetical from corpus_pii_scrub
+# "kernel changed" always outranks "least recently green"; (3) the
+# three r7-displaced r4-vintage entries first — corpus_epoch_order,
+# corpus_entropy, corpus_diff (each ceded its slot to an r7-new
+# oracle) — then the remaining r4-vintage block, alphabetical from
+# corpus_pii_scrub
 # (corpus_quality_classifier, corpus_segment_dedup,
 # corpus_temperature_mixture, corpus_token_budget, cross_source_overlap,
 # data_quality_report, dedup_keep_best, dedup_simhash_stats,
