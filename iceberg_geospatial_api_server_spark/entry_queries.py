@@ -2729,8 +2729,10 @@ def ann_lsh_q(spark, sf_dir):
                WHERE vec_id % 29 = 0 AND embedding IS NOT NULL
                  AND LEN(embedding) > 0)
     SELECT m.method, p.n_probes, CAST(10 AS BIGINT) AS k,
-           TRUE AS recall_ge_half
-    FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh') m, p
+           CAST(m.bar_pct AS BIGINT) AS bar_pct, TRUE AS recall_ok
+    FROM (SELECT 'ivf' AS method, 50 AS bar_pct
+          UNION ALL SELECT 'ivfpq', 30
+          UNION ALL SELECT 'lsh', 50) m, p
     ORDER BY m.method
     """,
 )
@@ -2741,26 +2743,31 @@ def ann_recall_contract_q(spark, sf_dir):
     can never hash, but the contract a production ANN path is sold on —
     aggregate recall@10 against the exact top-k over a deterministic
     probe workload (vec_id % 29) — is a hashable boolean per method, in
-    exact integer arithmetic (``2·hits ≥ k·n_probes``).
+    exact integer arithmetic (``100·hits ≥ bar_pct·k·n_probes``).
 
     Graded at the PRODUCTION configs of the rows-only entries
-    (ann_ivf_topk: nlist=8/nprobe=4; ann_lsh_topk: 6 bits × 4 tables).
-    Measured aggregate recall across the three test SFs: IVF
-    0.711/0.722/0.732, LSH 0.661/0.722/0.730 — the ≥0.5 bar has ≥1.32×
-    margin everywhere, and both quantizers are fully deterministic
-    (hash-threshold seed vectors; seed-7 hyperplanes), so the booleans
-    are stable. A broken cell assignment, band indexing, or probe
-    routing collapses recall toward random (k/n ≈ 0.02) and the hash
-    goes red. Exact-side scoring is itself value-graded by
-    ann_bruteforce_topk (full top-10 ids + 6dp cosines vs DuckDB).
+    (ann_ivf_topk: nlist=8/nprobe=4; ann_lsh_topk: 6 bits × 4 tables;
+    ann_ivfpq_topk: defaults — 8×16 codebooks, refine=4), each at its
+    documented bar. Measured aggregate recall across the three test
+    SFs: IVF 0.711/0.722/0.732 and LSH 0.661/0.722/0.730 vs bar 50%
+    (≥1.32× margin); IVF-PQ 0.583/0.561/0.423 vs bar 30% (≥1.41× — PQ
+    trades recall for a 32× scan-mass cut by design, hence the lower
+    documented bar). All three quantizers are fully deterministic
+    (hash-threshold seed vectors; seed-7 hyperplanes; bounded-sample
+    k-means codebooks), so the booleans are stable. A broken cell
+    assignment, band indexing, codebook encode, or probe routing
+    collapses recall toward random (k/n ≈ 0.02) and the hash goes red.
+    Exact-side scoring is itself value-graded by ann_bruteforce_topk
+    (full top-10 ids + 6dp cosines vs DuckDB).
 
-    Scale shape: probes broadcast (both kernels), exact side is one
+    Scale shape: probes broadcast (all kernels), exact side is one
     scan × |probes| map-side dot products, hit-counting joins are
-    probe×k-bounded, and the two 1-row aggregate crossJoins are the
+    probe×k-bounded, and the 1-row aggregate crossJoins are the
     blessed bounded-extent pattern."""
     from iceberg_geospatial_api_server_spark.operators.ann import (
         brute_force_topk,
         ivf_topk,
+        ivfpq_topk,
         lsh_topk,
     )
 
@@ -2772,7 +2779,7 @@ def ann_recall_contract_q(spark, sf_dir):
     exact = brute_force_topk(emb, q, k=10).select("q_id", "vec_id")
     n_probes_df = q.agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
 
-    def method_row(approx, name):
+    def method_row(approx, name, bar_pct):
         hits = exact.join(
             approx.select("q_id", "vec_id"), ["q_id", "vec_id"]
         ).agg(F.count(F.lit(1)).cast("long").alias("hits"))
@@ -2780,16 +2787,20 @@ def ann_recall_contract_q(spark, sf_dir):
             F.lit(name).alias("method"),
             "n_probes",
             F.lit(10).cast("long").alias("k"),
-            (F.col("hits") * 2 >= F.col("n_probes") * 10).alias(
-                "recall_ge_half"
-            ),
+            F.lit(bar_pct).cast("long").alias("bar_pct"),
+            (
+                F.col("hits") * 100
+                >= F.lit(bar_pct) * F.col("n_probes") * 10
+            ).alias("recall_ok"),
         )
 
     ivf = ivf_topk(emb, q, k=10, nlist=8, nprobe=4)
     lsh = lsh_topk(emb, q, k=10, nbits=6, dim=64, num_tables=4)
+    pq = ivfpq_topk(emb, q, k=10)
     return (
-        method_row(ivf, "ivf")
-        .unionByName(method_row(lsh, "lsh"))
+        method_row(ivf, "ivf", 50)
+        .unionByName(method_row(pq, "ivfpq", 30))
+        .unionByName(method_row(lsh, "lsh", 50))
         .orderBy("method")
     )
 
