@@ -1008,8 +1008,14 @@ def kmeans_exact_census(
                 .collect()
             )
             new_cents = [list(c) for c in cents]
+            dim = len(new_cents[0]) if new_cents else 0
             for r in sums:
-                if r["n"]:
+                # i >= dim: a ragged vector LONGER than the centroid
+                # width emits trailing indices the wide form never read
+                # (its F.get loop ran range(dim)); skip them — the
+                # _assign dot above likewise intersects indices, so the
+                # extra coordinates never participate anywhere
+                if r["n"] and r["i"] < dim:
                     new_cents[r["cell"]][r["i"]] = int(
                         math.floor(r["s"] / r["n"] + 0.5)
                     )

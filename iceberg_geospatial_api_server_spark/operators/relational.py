@@ -1247,8 +1247,14 @@ def brand_affinity(
     # brand → dense alphabetical index (1-based; 0 is the sentinel),
     # computed as a lazy subplan (bounded: the window runs on the
     # ≤brands-row distinct frame, single partition by construction)
+    # NULL p_brand must not consume a bitmask slot (row_number's
+    # NULLS FIRST would hand it __idx 1, shifting every real brand and
+    # firing the >62 guard one brand early): drop it from the index —
+    # the LEFT join + coalesce(bit, 0) below already gives NULL-brand
+    # rows no bit while keeping their orders in the sentinel total.
     bdim = (
         part.select("p_brand")
+        .filter(F.col("p_brand").isNotNull())
         .distinct()
         .withColumn("__idx", F.row_number().over(Window.orderBy("p_brand")))
     )

@@ -438,11 +438,20 @@ def test_approx_contract_booleans_hold_with_slack(spark, sf_dir, tables):
         # sparse-mode HLL++ is register-exact at test-SF cardinalities
         assert e["users_est"] == x["users_exact"], et
         for q, p in ((0.5, e["p50"]), (0.99, e["p99"])):
-            cnt = ev.filter(
+            # tie-robust rank-range check, 5x tighter than the graded
+            # ±(0.01·n + 2) band: [cnt_lt+1, cnt_le] ∩ q·n ± band ≠ ∅
+            cnt_lt = ev.filter(
+                (F.col("event_type") == et) & (F.col("value") < F.lit(p))
+            ).count()
+            cnt_le = ev.filter(
                 (F.col("event_type") == et) & (F.col("value") <= F.lit(p))
             ).count()
-            # 5x tighter than the graded |cnt - q*n| <= 0.01*n + 2 band
-            assert abs(cnt - q * x["n"]) <= 0.002 * x["n"] + 2, (et, q)
+            band = 0.002 * x["n"] + 2
+            assert cnt_lt + 1 <= q * x["n"] + band, (et, q)
+            assert cnt_le >= q * x["n"] - band, (et, q)
+
+
+def test_flow_bearings_resultant_bounds(spark, sf_dir):
     """Circular-statistics invariants on real data: R̄ ∈ [0, 1] (up to
     the 1e-6 quantization grain), the client-side direction (derived
     from the exact su/sv integers — the graded output carries no libm

@@ -183,10 +183,9 @@ def test_ann_recall_contract_holds_with_slack(spark, sf_dir, tables):
     from iceberg_geospatial_api_server_spark.operators.ann import (
         brute_force_topk,
         ivf_topk,
+        ivfpq_topk,
         lsh_topk,
     )
-
-    from iceberg_geospatial_api_server_spark.operators.ann import ivfpq_topk
 
     rows = {r["method"]: r for r in QUERIES["ann_recall_contract"](
         spark, sf_dir
