@@ -194,9 +194,9 @@ def test_ann_recall_contract_holds_with_slack(spark, sf_dir, tables):
     assert all(r["recall_ok"] for r in rows.values())
 
     emb = tables["embeddings"]
-    q = emb.filter(F.col("vec_id") % 29 == 0).select(
-        F.col("vec_id").alias("q_id"), "embedding"
-    )
+    q = emb.filter(
+        (F.col("vec_id") % 29 == 0) & (F.col("vec_id") <= 2900)
+    ).select(F.col("vec_id").alias("q_id"), "embedding")
     exact = {(r.q_id, r.vec_id) for r in brute_force_topk(emb, q, k=10).collect()}
     # tighter-than-graded bands (graded: ivf/lsh 0.5, ivfpq 0.3)
     for name, bar, approx_df in (
