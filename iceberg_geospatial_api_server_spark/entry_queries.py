@@ -7502,6 +7502,84 @@ def streaming_window_counts_q(spark, sf_dir):
 
 
 @_q(
+    "streaming_attribution_pairs",
+    """
+    SELECT t.user_id,
+           t.event_id AS trigger_id,
+           o.event_id AS outcome_id,
+           CAST(FLOOR(o.value * 100.0 + 0.5) AS BIGINT) AS outcome_cents
+    FROM events t JOIN events o
+      ON t.user_id = o.user_id
+     AND t.event_type = 'view' AND o.event_type = 'purchase'
+     AND o.ts >= t.ts AND o.ts <= t.ts + INTERVAL 1 HOUR
+    ORDER BY trigger_id, outcome_id
+    """,
+)
+def streaming_attribution_pairs_q(spark, sf_dir):
+    """The watermarked STREAM-STREAM range join under the driver's hash
+    oracle (r7 — the third driver-graded streaming entry, and the first
+    to grade a two-sided stateful join rather than an aggregation): a
+    real two-micro-batch file stream self-joins view→purchase pairs
+    within a 1-hour horizon (streaming.windows.stream_stream_attribution
+    — the click-attribution shape whose range bound is what makes the
+    join runnable continuously at 100 TB), and the emitted pair set
+    must equal the batch range join the oracle evaluates in SQL.
+
+    Why the streamed pair set is EXACTLY the batch join: inner
+    stream-stream matches emit in the micro-batch where the second side
+    arrives (no watermark finalization wait), and state eviction cannot
+    lose a future match — after micro-batch 1 (ts ≤ cut) the watermark
+    stands at cut − 2h, which evicts only triggers older than cut − 3h,
+    while any cross-batch match needs its trigger within 1h of a
+    post-cut outcome (≥ cut − 1h). Emitted columns are key/value-derived
+    only (ids + pre-quantized cents), so within-batch row order cannot
+    move the hash."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from iceberg_geospatial_api_server_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory_sink,
+        stream_stream_attribution,
+        write_ts_split_stream_files,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="attr_stream_")
+    try:
+        path = os.path.join(base, "events")
+        write_ts_split_stream_files(spark, events, path)
+        stream = read_event_stream(spark, path, max_files_per_trigger=1)
+        pairs = stream_stream_attribution(
+            stream,
+            trigger_type="view",
+            outcome_type="purchase",
+            horizon="1 hour",
+            watermark="2 hours",
+        ).select(
+            "user_id",
+            "trigger_id",
+            "outcome_id",
+            F.floor(F.col("outcome_value") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("outcome_cents"),
+        )
+        name = f"attr_pairs_{uuid.uuid4().hex}"
+        run_to_memory_sink(pairs, name, mode="append")
+        out = spark.table(name)
+        final = out.orderBy("trigger_id", "outcome_id")
+        # materialize the pair-sized result and DROP the memory sink
+        # table (the streaming_cusum_state convention)
+        rows, schema = final.collect(), final.schema
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@_q(
     "events_hopping_agg",
     """
     WITH e AS (
@@ -9258,10 +9336,10 @@ _ORACLED_OVERFLOW += [
 #     corpus_source_stats);
 # (3) the first 6 of the r4-vintage block, alphabetical from
 #     ann_ivfpq_exhaustive (skipping jump-queue members).
-# 45 promoted + the four r7-new oracles (corpus_bpe_merges,
-# events_hll_contract, events_approx_contract, ann_recall_contract —
-# new entries register outside the overflow) + 1 rows-only priority
-# slot = exactly 50.
+# 44 promoted + the five r7-new oracles (corpus_bpe_merges,
+# events_hll_contract, events_approx_contract, ann_recall_contract,
+# streaming_attribution_pairs — new entries register outside the
+# overflow) + 1 rows-only priority slot = exactly 50.
 _R7_PROMOTED = [
     # (1) jump-queue: reworked-kernel re-grades + the never-windowed
     "dedup_cluster_assign",
@@ -9309,8 +9387,15 @@ _R7_PROMOTED = [
     "text_repetition_profile",
     # (3) r4-vintage block start (alphabetical)
     "ann_ivfpq_exhaustive",
-    "corpus_curate",
     "corpus_decontaminate",
+    # corpus_curate displaced (r7, same convention): the slot goes to
+    # streaming_attribution_pairs (new r7 oracle — the stream-stream
+    # range join under a real two-micro-batch file stream, the third
+    # driver-graded streaming entry); curate keeps its r4 driver green
+    # and joins the displaced r4-vintage group at the head of the r8
+    # block. Its composed gates are each graded in-window this round
+    # (perplexity, decontaminate, split — the same kernels curate
+    # chains).
     # corpus_diff displaced (r7, same convention): the slot goes to
     # ann_recall_contract (new r7 oracle — aggregate recall@10 of the
     # production IVF/LSH configs vs exact, the events_hll_contract
@@ -9335,10 +9420,10 @@ _ORACLED_OVERFLOW = [
 # should be: (1) any r8-new oracled entries in the round they land;
 # (2) any entry whose kernel changes in r7 after its last green —
 # "kernel changed" always outranks "least recently green"; (3) the
-# three r7-displaced r4-vintage entries first — corpus_epoch_order,
-# corpus_entropy, corpus_diff (each ceded its slot to an r7-new
-# oracle) — then the remaining r4-vintage block, alphabetical from
-# corpus_pii_scrub
+# four r7-displaced r4-vintage entries first — corpus_epoch_order,
+# corpus_entropy, corpus_diff, corpus_curate (each ceded its slot to
+# an r7-new oracle) — then the remaining r4-vintage block,
+# alphabetical from corpus_pii_scrub
 # (corpus_quality_classifier, corpus_segment_dedup,
 # corpus_temperature_mixture, corpus_token_budget, cross_source_overlap,
 # data_quality_report, dedup_keep_best, dedup_simhash_stats,
