@@ -1390,17 +1390,18 @@ def winnow_fingerprints(
     # boundary for small positions
     unpack_hash = F.expr(f"CAST(sel DIV {_POS_BASE} AS BIGINT)")
     if detailed:
-        return (
-            wmin.select(
-                id_col,
-                (F.lit(_POS_BASE - 1) - F.col("sel") % _POS_BASE)
-                .cast("long")
-                .alias("fp_pos"),
-                unpack_hash.alias("fp_hash"),
-            )
-            .distinct()
-            .orderBy(id_col, "fp_pos")
-        )
+        # no presentation orderBy: a global sort's RangePartitioning
+        # SAMPLES its child, re-executing the whole post-shuffle stage
+        # (the window sort + selection live in ONE stage with the
+        # aggregate) — measured 0.55s of pure recompute at sf0.1 on the
+        # summary branch. Consumers (winnow_pairs) re-shuffle anyway.
+        return wmin.select(
+            id_col,
+            (F.lit(_POS_BASE - 1) - F.col("sel") % _POS_BASE)
+            .cast("long")
+            .alias("fp_pos"),
+            unpack_hash.alias("fp_hash"),
+        ).distinct()
     # dedup selections FIRST — and on the SAME doc exchange: a position
     # selected by several windows is always selected by a CONSECUTIVE
     # run of them (any window between two selectors contains the
@@ -1414,20 +1415,27 @@ def winnow_fingerprints(
         .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("sel")))
         .select(id_col, "sel", "m")
     )
-    return (
-        fps.groupBy(id_col)
-        .agg(
-            F.first("m").cast("long").alias("n_grams"),
-            F.greatest(F.first("m") - F.lit(w - 1), F.lit(1))
-            .cast("long")
-            .alias("n_windows"),
-            F.count(F.lit(1)).alias("n_fingerprints"),
-            F.countDistinct(unpack_hash).alias("n_distinct_hashes"),
-            F.expr(f"CAST(MIN(sel) DIV {_POS_BASE} AS BIGINT)").alias(
-                "min_fp"
-            ),
-        )
-        .orderBy(id_col)
+    # size(collect_set) instead of countDistinct: the distinct
+    # aggregate plans as a two-phase Expand over the full selection
+    # stream, while a per-group hash set is one aggregate pass — the
+    # set is bounded by the doc's window count, never the corpus
+    # (measured 0.93s → 0.79s at sf0.1 before the sort removal).
+    # No final orderBy: RangePartitioning samples its child and
+    # re-executes the whole single-exchange window+agg stage — measured
+    # 0.79s → 0.24s at sf0.1. The driver canonicalizer and every test
+    # compare order-insensitively.
+    return fps.groupBy(id_col).agg(
+        F.first("m").cast("long").alias("n_grams"),
+        F.greatest(F.first("m") - F.lit(w - 1), F.lit(1))
+        .cast("long")
+        .alias("n_windows"),
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.size(F.collect_set(unpack_hash))
+        .cast("long")
+        .alias("n_distinct_hashes"),
+        F.expr(f"CAST(MIN(sel) DIV {_POS_BASE} AS BIGINT)").alias(
+            "min_fp"
+        ),
     )
 
 
