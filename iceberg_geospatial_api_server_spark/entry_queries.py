@@ -9419,10 +9419,12 @@ _ORACLED_OVERFLOW = [
 # round no oracle's freshest green is older than r4. The r8 window
 # should be: (1) any r8-new oracled entries in the round they land;
 # (2) any entry whose kernel changes in r7 after its last green —
-# "kernel changed" always outranks "least recently green" — two known
-# members already: text_winnow_fingerprints and text_winnow_pairs
-# (final-sort removal + collect_set distinct landed r7 AFTER their
-# last greens; locally MATCH at 3 SFs post-change); (3) the
+# "kernel changed" always outranks "least recently green" — four known
+# members already: text_winnow_fingerprints, text_winnow_pairs,
+# events_sessionize, text_tfidf_topk (the r7 final-sort-removal sweep —
+# a presentational orderBy's RangePartitioning sampling re-executes the
+# window+agg stage — landed AFTER their last greens; each locally MATCH
+# at 3 SFs post-change); (3) the
 # four r7-displaced r4-vintage entries first — corpus_epoch_order,
 # corpus_entropy, corpus_diff, corpus_curate (each ceded its slot to
 # an r7-new oracle) — then the remaining r4-vintage block,

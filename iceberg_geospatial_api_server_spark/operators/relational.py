@@ -329,15 +329,16 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     session_tagged). One shuffle on user_id end-to-end."""
     us = epoch_of(events, "ts")
     with_sid = session_tagged(events, gap_minutes)
-    return (
-        with_sid.groupBy("user_id", "session_seq")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            us(F.min("ts"), "SECOND").alias("session_start"),
-            us(F.max("ts"), "SECOND").alias("session_end"),
-            F.round(F.sum("value"), 4).alias("session_value"),
-        )
-        .orderBy("user_id", "session_seq")
+    # no presentational orderBy: the session windows and this aggregate
+    # share ONE user exchange (hash(user_id) satisfies the two-key
+    # grouping), so a final sort's RangePartitioning sampling job would
+    # re-execute the whole window+agg stage (the winnow r7 lesson);
+    # every consumer compares order-insensitively
+    return with_sid.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        us(F.min("ts"), "SECOND").alias("session_start"),
+        us(F.max("ts"), "SECOND").alias("session_end"),
+        F.round(F.sum("value"), 4).alias("session_value"),
     )
 
 

@@ -1310,7 +1310,10 @@ def tfidf_top_terms(
                 / F.lit(10000.0)
             ).alias("tfidf"),
         )
-        .orderBy("source", F.col("tfidf").desc(), "term")
+        # no presentational orderBy: its RangePartitioning sampling job
+        # re-executes the top-k window stage over the vocab-sized scored
+        # frame (the winnow r7 lesson); consumers compare
+        # order-insensitively
     )
 
 
