@@ -2771,7 +2771,8 @@ def ann_recall_contract_q(spark, sf_dir):
     Exact-side scoring is itself value-graded by ann_bruteforce_topk
     (full top-10 ids + 6dp cosines vs DuckDB).
 
-    Scale shape: the probe workload is BOUNDED (vec_id % 29 ≤ 2900 →
+    Scale shape: the probe workload is BOUNDED (vec_id % 29 = 0 AND
+    vec_id ≤ 2900 →
     ≤101 probes at any corpus size; identical sets at every test SF,
     where max vec_id < 2900) so the exact side stays one scan ×
     O(bounded-probes) map-side dot products instead of growing
@@ -2827,9 +2828,11 @@ def ann_recall_contract_q(spark, sf_dir):
         .groupBy("method")
         .agg(F.count(F.lit(1)).cast("long").alias("hits"))
     )
+    # broadcast the RIGHT (build) side: a LeftOuter BroadcastHashJoin
+    # can only build right, so a hint on the left would be silently
+    # dropped by the planner
     return (
-        F.broadcast(mdim)
-        .join(hits, "method", "left")
+        mdim.join(F.broadcast(hits), "method", "left")
         .crossJoin(n_probes_df)
         .select(
             "method",

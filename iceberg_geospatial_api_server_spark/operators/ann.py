@@ -1008,14 +1008,15 @@ def kmeans_exact_census(
                 .collect()
             )
             new_cents = [list(c) for c in cents]
-            dim = len(new_cents[0]) if new_cents else 0
             for r in sums:
-                # i >= dim: a ragged vector LONGER than the centroid
-                # width emits trailing indices the wide form never read
-                # (its F.get loop ran range(dim)); skip them — the
-                # _assign dot above likewise intersects indices, so the
-                # extra coordinates never participate anywhere
-                if r["n"] and r["i"] < dim:
+                # bound i by the TARGET CELL's own centroid width (seed
+                # vectors can be ragged, so widths differ per cell): a
+                # vector longer than its cell's centroid emits trailing
+                # indices the wide form never read (its F.get loop ran
+                # range(dim)); skip them — the _assign dot above
+                # likewise intersects indices, so the extra coordinates
+                # never participate anywhere
+                if r["n"] and r["i"] < len(new_cents[r["cell"]]):
                     new_cents[r["cell"]][r["i"]] = int(
                         math.floor(r["s"] / r["n"] + 0.5)
                     )

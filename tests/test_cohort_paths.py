@@ -413,7 +413,9 @@ def test_approx_contract_booleans_hold_with_slack(spark, sf_dir, tables):
     for r in rows:
         assert r["users_within_5pct"] and r["p50_rank_ok"] and r["p99_rank_ok"]
 
-    ev = tables["events"]
+    # mirror the entry's null-group exclusion: the per-group recount
+    # below uses `== et`, which is always-false for a None key
+    ev = tables["events"].filter(F.col("event_type").isNotNull())
     est = {
         r["event_type"]: r
         for r in ev.groupBy("event_type")
