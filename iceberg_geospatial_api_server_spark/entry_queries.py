@@ -6854,6 +6854,156 @@ def graph_triangles_q(spark, sf_dir):
     return triangle_stats(edges)
 
 
+@_q(
+    "graph_common_neighbors",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem
+      WHERE l_partkey % 4 = 0 AND l_quantity >= 25
+    ),
+    pe AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj AS (SELECT u AS c, v AS n FROM pe
+            UNION ALL SELECT v AS c, u AS n FROM pe),
+    deg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+    cn AS (
+      SELECT a.n AS x, b.n AS z, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM adj a JOIN adj b ON a.c = b.c AND a.n < b.n
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    nonadj AS (
+      SELECT cn.x, cn.z, cn.cn FROM cn
+      WHERE NOT EXISTS (SELECT 1 FROM pe
+                        WHERE pe.u = cn.x AND pe.v = cn.z)
+    ),
+    scored AS (
+      SELECT x, z, cn,
+             CAST((cn * 1000000) // (dx.d + dz.d - cn) AS BIGINT)
+               AS jaccard_ppm
+      FROM nonadj JOIN deg dx ON dx.c = nonadj.x
+                  JOIN deg dz ON dz.c = nonadj.z
+    )
+    SELECT x, z, cn, jaccard_ppm FROM scored
+    ORDER BY jaccard_ppm DESC, cn DESC, x, z LIMIT 25
+    """,
+)
+def graph_common_neighbors_q(spark, sf_dir):
+    """Link prediction over the part co-purchase graph — the third
+    canonical graph workload next to PageRank and the triangle census:
+    top-25 NOT-yet-connected part pairs by common-neighbor count +
+    Jaccard neighbor similarity (Liben-Nowell & Kleinberg 2003), the
+    recommendation primitive ("parts bought alongside the same parts").
+    Hash-graded end-to-end: one center-keyed equi-join enumerates each
+    (pair, witness) once, exact BIGINT counts, ppm Jaccard via integer
+    DIV, totally-tiebroken top-k. Graded on the sparser
+    partkey%4 ∧ qty≥25 subgraph (20.6k edges, 180k wedges, dmax 25 at
+    sf0.1): exact CN's wedge stream is inherently Σd² — hub-center
+    capping is the production knob (operators/graph.py
+    common_neighbor_pairs, center_degree_cap)."""
+    from iceberg_geospatial_api_server_spark.operators.graph import (
+        common_neighbor_pairs,
+    )
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_partkey") % 4 == 0) & (F.col("l_quantity") >= 25)
+        )
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return common_neighbor_pairs(edges, k=25, min_cn=2)
+
+
+def _zorder_oracle() -> str:
+    # independent re-derivation of the Morton interleave: bit b of each
+    # quantized coordinate extracted by integer DIV/MOD (no shift
+    # functions — portable text on both engines) and placed at output
+    # position 2b (x) / 2b+1 (y), exactly zorder_key's b·n_cols+i rule
+    terms = []
+    for b in range(16):
+        terms.append(f"((qx // {1 << b}) % 2) * {1 << (2 * b)}")
+        terms.append(f"((qy // {1 << b}) % 2) * {1 << (2 * b + 1)}")
+    z = " + ".join(terms)
+    return f"""
+    WITH p AS (SELECT x, y FROM {_LI_PTS} pts),
+    b AS (SELECT MIN(x) AS mnx, MAX(x) AS mxx,
+                 MIN(y) AS mny, MAX(y) AS mxy FROM p),
+    q AS (
+      SELECT
+        LEAST(GREATEST(CAST(FLOOR((x - mnx) / (mxx - mnx) * 65535)
+                            AS BIGINT), 0), 65535) AS qx,
+        LEAST(GREATEST(CAST(FLOOR((y - mny) / (mxy - mny) * 65535)
+                            AS BIGINT), 0), 65535) AS qy
+      FROM p, b
+    ),
+    zk AS (SELECT {z} AS z FROM q)
+    SELECT z // 16777216 AS z_byte,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(z) AS BIGINT) AS z_sum,
+           CAST(MIN(z) AS BIGINT) AS z_min,
+           CAST(MAX(z) AS BIGINT) AS z_max
+    FROM zk GROUP BY 1
+    """
+
+
+@_q("geo_zorder_keys", _zorder_oracle())
+def geo_zorder_keys_q(spark, sf_dir):
+    """The Z-ORDER clustering key machinery VALUE-graded (late r7 — the
+    write-time layout decision behind sources/zorder.py's measured
+    row-group pruning, until now pytest-only): the PRODUCTION _quantize
+    (min/max grid scaling, truncating cast, clamp) and zorder_key
+    (shiftleft-interleave) run over the lineitem points, and every
+    32-bit Morton key must equal an independent DIV/MOD re-derivation
+    in SQL — graded as per-top-byte census rows (count + exact BIGINT
+    key sum/min/max), so a wrong bit position, clamp, or rounding in
+    any key shifts a sum and breaks the hash. Bounds come from one
+    1-row aggregate exactly as zorder_write computes them; the scaling
+    chain is single IEEE ops (sub, div, mul) so both engines truncate
+    the identical double."""
+    from iceberg_geospatial_api_server_spark.sources.synthetic import (
+        lineitem_points,
+    )
+    from iceberg_geospatial_api_server_spark.sources.zorder import (
+        _quantize,
+        zorder_key,
+    )
+
+    pts = lineitem_points(_t(spark, sf_dir, "lineitem")).select("x", "y")
+    row = pts.agg(
+        F.min("x").alias("mnx"),
+        F.max("x").alias("mxx"),
+        F.min("y").alias("mny"),
+        F.max("y").alias("mxy"),
+    ).first()
+    qx = _quantize(F.col("x"), row["mnx"], row["mxx"], 16)
+    qy = _quantize(F.col("y"), row["mny"], row["mxy"], 16)
+    z = zorder_key([qx, qy], 16)
+    return (
+        pts.select(z.alias("z"))
+        .groupBy(F.expr("z DIV 16777216").alias("z_byte"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("z").alias("z_sum"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        )
+    )
+
+
 def _entropy_oracle() -> str:
     from iceberg_geospatial_api_server_spark.operators.text import (
         ENTROPY_STEPS,
@@ -7497,6 +7647,59 @@ def streaming_window_counts_q(spark, sf_dir):
         ).orderBy("window_start_s", "event_type")
         # materialize the hours×types-sized result and DROP the memory
         # sink table (see streaming_cusum_state)
+        rows, schema = final.collect(), final.schema
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@_q(
+    "streaming_dedup_state",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_state_q(spark, sf_dir):
+    """STREAMING DEDUPLICATION under the driver's hash oracle (late r7
+    — the fourth driver-graded streaming entry; window agg, stateful
+    CUSUM, and the stream-stream join are graded, this closes the core
+    stateful-operator set with the dedup state store): the shared
+    two-micro-batch file stream runs through
+    ``dropDuplicatesWithinWatermark`` on (user_id, event_type), and the
+    emitted key set must equal the batch SELECT DISTINCT. The watermark
+    delay (960 h) exceeds the corpus' 30-day span, so no state evicts
+    mid-stream and the streamed set is PROVABLY the exact distinct —
+    the production bounded-state behavior (late re-emission after
+    eviction) is the documented semantic difference, pytest-covered in
+    tests/test_streaming.py's planted-duplicate case. Emitted columns
+    are the key columns only, so which physical duplicate won each
+    key's race is invisible to the hash."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from iceberg_geospatial_api_server_spark.streaming.windows import (
+        read_event_stream,
+        run_to_memory_sink,
+        write_ts_split_stream_files,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="dedup_stream_")
+    try:
+        path = os.path.join(base, "events")
+        write_ts_split_stream_files(spark, events, path)
+        stream = read_event_stream(spark, path, max_files_per_trigger=1)
+        kept = (
+            stream.withWatermark("ts", "960 hours")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+        name = f"dedup_state_{uuid.uuid4().hex}"
+        run_to_memory_sink(kept, name, mode="append")
+        final = spark.table(name).select("user_id", "event_type")
+        # materialize the keys-sized result and DROP the memory sink
+        # table (see streaming_cusum_state)
         rows, schema = final.collect(), final.schema
         spark.catalog.dropTempView(name)
         return spark.createDataFrame(rows, schema)
@@ -9418,9 +9621,26 @@ _ORACLED_OVERFLOW = [
     n for n in _ORACLED_OVERFLOW if n not in set(_R7_PROMOTED)
 ]
 
+# LATE-r7 oracled additions (landed after the r7 window was sealed):
+# the r7 window executes VERDICT r6's directives verbatim — the six
+# jump-queued re-grades plus the complete r3-vintage stale block — and
+# displacing any of those donors would break directive 3 ("no oracle's
+# freshest green older than r4") for the displaced entry. So, uniquely
+# this round, late additions register in the overflow and HEAD the r8
+# window per plan item (1) below; each is locally verified MATCH at
+# sf0.001 + sf0.01 + sf0.1 through tools/drive.py on landing.
+_ORACLED_OVERFLOW = [
+    "graph_common_neighbors",  # late-r7: link-prediction CN/Jaccard
+    "geo_zorder_keys",  # late-r7: Morton key machinery value-graded
+    "streaming_dedup_state",  # late-r7: 4th driver-graded stream op
+] + _ORACLED_OVERFLOW
+
 # r8 ROTATION PLAN (recorded now, the r4→…→r7 convention): after this
 # round no oracle's freshest green is older than r4. The r8 window
-# should be: (1) any r8-new oracled entries in the round they land;
+# should be: (1) any r8-new oracled entries in the round they land,
+# PLUS the three late-r7 overflow-registered entries above
+# (graph_common_neighbors, geo_zorder_keys, streaming_dedup_state) —
+# new oracles the driver has never observed always head the window;
 # (2) any entry whose kernel changes in r7 after its last green —
 # "kernel changed" always outranks "least recently green" — four known
 # members already: text_winnow_fingerprints, text_winnow_pairs,

@@ -609,3 +609,80 @@ def test_triangle_stats_crafted_graphs(spark):
     p = triangle_stats(path).first()
     assert p["n_triangles"] == 0 and p["clustering_ppm"] == 0
     assert p["n_wedges"] == 4  # each interior node contributes one
+
+
+def test_common_neighbor_pairs_brute_force(spark):
+    """Exact CN + Jaccard against a pure-Python brute force on a crafted
+    graph with duplicate/reversed input rows, plus the min_cn filter and
+    the total tiebreak order."""
+    from iceberg_geospatial_api_server_spark.operators.graph import (
+        common_neighbor_pairs,
+    )
+
+    # two 4-cliques sharing node 3, plus a pendant 8-3
+    cliq = [(a, b) for a in range(4) for b in range(4) if a < b]
+    cliq += [(a, b) for a in range(3, 7) for b in range(3, 7) if a < b]
+    cliq += [(3, 8)]
+    edges = spark.createDataFrame(
+        cliq + [(b, a) for a, b in cliq] + cliq, "src long, dst long"
+    )
+    got = [
+        (r["x"], r["z"], r["cn"], r["jaccard_ppm"])
+        for r in common_neighbor_pairs(edges, k=100, min_cn=1).collect()
+    ]
+
+    import itertools
+
+    adj = {}
+    for a, b in set(cliq):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    exp = []
+    for x, z in itertools.combinations(sorted(adj), 2):
+        if z in adj[x]:
+            continue
+        cn = len(adj[x] & adj[z])
+        if cn < 1:
+            continue
+        exp.append(
+            (x, z, cn, cn * 1_000_000 // (len(adj[x]) + len(adj[z]) - cn))
+        )
+    exp.sort(key=lambda t: (-t[3], -t[2], t[0], t[1]))
+    assert got == exp
+
+    # min_cn drops the cn=1 pairs (pendant 8 shares only node 3)
+    got2 = {
+        (r["x"], r["z"])
+        for r in common_neighbor_pairs(edges, k=100, min_cn=2).collect()
+    }
+    assert got2 == {(x, z) for x, z, cn, _ in exp if cn >= 2}
+    assert all(cn == 1 for x, z, cn, _ in exp if (x, z) not in got2)
+
+
+def test_common_neighbor_pairs_center_cap(spark):
+    """center_degree_cap excludes hub WITNESSES but keeps full degrees
+    in the Jaccard denominator: a star hub shared by everyone stops
+    producing pairs once capped below its degree."""
+    from iceberg_geospatial_api_server_spark.operators.graph import (
+        common_neighbor_pairs,
+    )
+
+    # star hub 0 → 1..5, plus a 1-2-3 chain so the non-adjacent pair
+    # (1,3) keeps a low-degree witness (node 2) after the hub is capped
+    star = [(0, i) for i in range(1, 6)] + [(1, 2), (2, 3)]
+    edges = spark.createDataFrame(star, "src long, dst long")
+    uncapped = {
+        (r["x"], r["z"]): r["cn"]
+        for r in common_neighbor_pairs(edges, k=100).collect()
+    }
+    # hub witnesses every non-adjacent spoke pair
+    assert uncapped[(4, 5)] == 1 and uncapped[(1, 3)] == 2
+    capped = {
+        (r["x"], r["z"]): r["cn"]
+        for r in common_neighbor_pairs(
+            edges, k=100, center_degree_cap=3
+        ).collect()
+    }
+    # hub (degree 5) no longer witnesses; node 2 (degree 3) still does
+    assert (4, 5) not in capped
+    assert capped[(1, 3)] == 1
