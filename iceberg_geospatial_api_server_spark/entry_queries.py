@@ -2619,6 +2619,60 @@ def ann_filtered_q(spark, sf_dir):
 
 
 @_q(
+    "embed_hard_negatives",
+    """
+    WITH q AS (
+      SELECT vec_id AS q_id, label AS ql,
+             CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id IN (0, 101, 202, 303, 404)
+    ),
+    s AS (
+      SELECT q.q_id, q.ql, b.vec_id, b.label AS bl,
+             list_cosine_similarity(q.qv,
+                                    CAST(b.embedding AS DOUBLE[]))
+               AS cos_sim
+      FROM q CROSS JOIN embeddings b
+    ),
+    neg AS (
+      SELECT q_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM s WHERE bl <> ql
+    ),
+    pos AS (
+      SELECT q_id, MAX(cos_sim) AS pos_raw FROM s
+      WHERE bl = ql AND vec_id <> q_id GROUP BY 1
+    )
+    SELECT n.q_id, n.vec_id, ROUND(n.cos_sim, 6) AS cos_sim,
+           CAST(n.rn AS INT) AS rank,
+           ROUND(p.pos_raw, 6) AS pos_sim,
+           n.cos_sim > p.pos_raw AS harder_than_pos
+    FROM neg n LEFT JOIN pos p ON p.q_id = n.q_id
+    WHERE n.rn <= 5
+    """,
+)
+def embed_hard_negatives_q(spark, sf_dir):
+    """Hard-negative mining for contrastive training (late r7 — the
+    missing embedding-pipeline op between dedup and retrieval): per
+    probe query, the 5 most-similar DIFFERENT-label vectors, the
+    hardest same-label positive, and the loss-violating flag
+    (`harder_than_pos`) — the exact reference a triplet/DPR pipeline
+    mines against. Bounded broadcast probe set, base scored map-side
+    (no corpus shuffle); the cosine fold is the bit-reproducible
+    sequential kernel every ANN oracle shares
+    (operators/ann.py hard_negative_topk)."""
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        hard_negative_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(
+        F.col("vec_id").isin(0, 101, 202, 303, 404)
+    ).select(F.col("vec_id").alias("q_id"), "embedding", "label")
+    return hard_negative_topk(emb, queries_df, k=5)
+
+
+@_q(
     "ann_ivfpq_exhaustive",
     """
     SELECT q_id, vec_id, ROUND(cos_sim, 6) AS cos_sim, CAST(rn AS INT) AS rank
@@ -9633,13 +9687,15 @@ _ORACLED_OVERFLOW = [
     "graph_common_neighbors",  # late-r7: link-prediction CN/Jaccard
     "geo_zorder_keys",  # late-r7: Morton key machinery value-graded
     "streaming_dedup_state",  # late-r7: 4th driver-graded stream op
+    "embed_hard_negatives",  # late-r7: contrastive mining reference
 ] + _ORACLED_OVERFLOW
 
 # r8 ROTATION PLAN (recorded now, the r4→…→r7 convention): after this
 # round no oracle's freshest green is older than r4. The r8 window
 # should be: (1) any r8-new oracled entries in the round they land,
-# PLUS the three late-r7 overflow-registered entries above
-# (graph_common_neighbors, geo_zorder_keys, streaming_dedup_state) —
+# PLUS the late-r7 overflow-registered entries above
+# (graph_common_neighbors, geo_zorder_keys, streaming_dedup_state,
+# embed_hard_negatives) —
 # new oracles the driver has never observed always head the window;
 # (2) any entry whose kernel changes in r7 after its last green —
 # "kernel changed" always outranks "least recently green" — four known

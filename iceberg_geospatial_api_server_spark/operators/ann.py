@@ -105,6 +105,75 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (SimCLR/DPR/triplet
+    pipelines): for each query vector, the k most-similar vectors with a
+    DIFFERENT label — the negatives whose gradient actually moves the
+    model — plus the query's hardest POSITIVE similarity (max same-label
+    cosine excluding self) and a ``harder_than_pos`` flag marking
+    loss-violating negatives (closer than the positive, the FaceNet
+    mining category). Returns (q_id, vec_id, cos_sim, rank, pos_sim,
+    harder_than_pos).
+
+    Scale: the query workload is BOUNDED and broadcast (the
+    ann_recall_contract convention); the base side is scored map-side in
+    one pass — no shuffle of the corpus, one per-query window over the
+    broadcast-join output. At 100 TB, mine from an ANN candidate list
+    instead of the full scan: feed ``ivf_topk``'s over-fetched output
+    through the same different-label filter (exact mining is the graded
+    reference; ANN mining trades the tail for the 32× scan cut exactly
+    as in retrieval)."""
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(label_col).alias("__ql"),
+        _as_double(F.col(vec_col)).alias("__qv"),
+    )
+    b = base.select(
+        F.col(id_col),
+        F.col(label_col).alias("__bl"),
+        _as_double(F.col(vec_col)).alias("__bv"),
+    )
+    scored = b.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        "__ql",
+        "__bl",
+        cosine(F.col("__qv"), F.col("__bv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.col(id_col)
+    )
+    neg = (
+        scored.filter(F.col("__bl") != F.col("__ql"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    pos = (
+        scored.filter(
+            (F.col("__bl") == F.col("__ql"))
+            & (F.col(id_col) != F.col(query_id_col))
+        )
+        .groupBy(query_id_col)
+        .agg(F.max("cos_sim").alias("__pos"))
+    )
+    return neg.join(pos, query_id_col, "left").select(
+        query_id_col,
+        id_col,
+        F.round("cos_sim", 6).alias("cos_sim"),
+        "rank",
+        F.round("__pos", 6).alias("pos_sim"),
+        (F.col("cos_sim") > F.col("__pos")).alias("harder_than_pos"),
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float,

@@ -1019,3 +1019,37 @@ def test_window_fold_equals_array_shingles(spark):
     }
     assert got == want
     assert set(got) == {1, 2, 4}  # <k-token docs emit no signature
+
+
+def test_hard_negative_topk_planted(spark):
+    """Planted geometry: the query's nearest different-label vector is
+    CLOSER than its best positive (harder_than_pos true), the next
+    negative is orthogonal-ish (flag false), and same-label vectors
+    never appear as negatives."""
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        hard_negative_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),      # query
+        (1, [0.9, 0.1, 0.0], 0),      # positive, cos ~0.994
+        (2, [0.99, 0.01, 0.0], 1),    # negative HARDER than positive
+        (3, [0.0, 1.0, 0.0], 1),      # weak negative
+        (4, [0.5, 0.5, 0.0], 0),      # weaker positive (must not rank)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("q_id"), "embedding", "label"
+    )
+    got = hard_negative_topk(emb, q, k=2).orderBy("rank").collect()
+    assert [r["vec_id"] for r in got] == [2, 3]
+    assert got[0]["harder_than_pos"] is True
+    assert got[1]["harder_than_pos"] is False
+    # pos_sim is the BEST positive (vec 1), not the weaker vec 4
+    import math
+
+    exp_pos = 0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1)
+    assert abs(got[0]["pos_sim"] - round(exp_pos, 6)) < 1e-9
+    assert got[0]["pos_sim"] == got[1]["pos_sim"]
