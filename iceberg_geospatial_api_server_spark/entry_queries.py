@@ -5828,6 +5828,73 @@ def events_hll_contract_q(spark, sf_dir):
     )
 
 
+@_q(
+    "events_theta_retention",
+    """
+    WITH du AS (
+      SELECT DISTINCT
+             CAST(FLOOR(CAST(FLOOR(epoch_us(ts) / 1000000) AS BIGINT)
+                        / 86400) AS BIGINT) AS day,
+             user_id
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    )
+    SELECT a.day, CAST(COUNT(*) AS BIGINT) AS overlap_exact,
+           TRUE AS within_5pct
+    FROM du a JOIN du b
+      ON b.user_id = a.user_id AND b.day = a.day + 1
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_theta_retention_q(spark, sf_dir):
+    """THETA-sketch day-over-day retention under an accuracy-contract
+    oracle (late r7 — the third sketch family after HLL and
+    approx_count_distinct/percentile, and the first SET-OPERATION one):
+    |active(d) ∩ active(d+1)| from intersecting persisted per-day theta
+    sketches — the overlap/retention/churn query HLL structurally
+    cannot answer (inclusion-exclusion on unions amplifies error; theta
+    intersects natively). Registers are engine-specific so the estimate
+    can't hash; the CONTRACT can (the events_hll_contract pattern): per
+    day pair, the exact overlap (one SQL self-join on both engines)
+    plus `20·|est − exact| ≤ exact` in exact integer arithmetic. At the
+    default lgk the sketch is exact-mode below ~4k users/day — the
+    contract holds with zero slack consumed at every test SF, and a
+    broken intersection or hash mapping flips the boolean
+    (operators/sketches.py theta_day_overlap)."""
+    from iceberg_geospatial_api_server_spark.operators.sketches import (
+        theta_day_overlap,
+    )
+    from iceberg_geospatial_api_server_spark.util import epoch_of
+
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    sec = epoch_of(events, "ts")
+    day = F.floor(sec("ts", "SECOND") / F.lit(86_400)).cast("long")
+    du = events.select(day.alias("day"), "user_id").distinct()
+    nxt = du.select(
+        (F.col("day") - F.lit(1)).alias("day"), "user_id"
+    )
+    exact = (
+        du.join(nxt, ["day", "user_id"])
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap_exact"))
+    )
+    est = theta_day_overlap(events)
+    return (
+        exact.join(est, "day")
+        .select(
+            "day",
+            "overlap_exact",
+            (
+                F.abs(F.col("overlap_est") - F.col("overlap_exact"))
+                * F.lit(20)
+                <= F.col("overlap_exact")
+            ).alias("within_5pct"),
+        )
+        .orderBy("day")
+    )
+
+
 @_q("embed_pca_project")  # rows-only: eigendecomposition isn't SQL-expressible
 def embed_pca_q(spark, sf_dir):
     """Distributed PCA: moment partial-sums (one bounded row per Arrow
@@ -9688,6 +9755,7 @@ _ORACLED_OVERFLOW = [
     "geo_zorder_keys",  # late-r7: Morton key machinery value-graded
     "streaming_dedup_state",  # late-r7: 4th driver-graded stream op
     "embed_hard_negatives",  # late-r7: contrastive mining reference
+    "events_theta_retention",  # late-r7: theta-intersection contract
 ] + _ORACLED_OVERFLOW
 
 # r8 ROTATION PLAN (recorded now, the r4→…→r7 convention): after this
@@ -9695,7 +9763,7 @@ _ORACLED_OVERFLOW = [
 # should be: (1) any r8-new oracled entries in the round they land,
 # PLUS the late-r7 overflow-registered entries above
 # (graph_common_neighbors, geo_zorder_keys, streaming_dedup_state,
-# embed_hard_negatives) —
+# embed_hard_negatives, events_theta_retention) —
 # new oracles the driver has never observed always head the window;
 # (2) any entry whose kernel changes in r7 after its last green —
 # "kernel changed" always outranks "least recently green" — four known

@@ -686,3 +686,34 @@ def test_common_neighbor_pairs_center_cap(spark):
     # hub (degree 5) no longer witnesses; node 2 (degree 3) still does
     assert (4, 5) not in capped
     assert capped[(1, 3)] == 1
+
+
+def test_theta_overlap_exact_mode_planted(spark):
+    """Theta intersection on planted day populations: in exact mode
+    (n < 4096 per day) the overlap estimate equals the true set
+    intersection, and days without successors emit nothing."""
+    from iceberg_geospatial_api_server_spark.operators.sketches import (
+        theta_day_overlap,
+    )
+
+    # day 0: users 0..99; day 1: users 50..149 (overlap 50);
+    # day 2: users 200..209 (overlap with day 1: 0); day 4: isolated
+    rows = []
+    import datetime
+
+    def ts(day):
+        return datetime.datetime(1970, 1, day + 1, 12, 0, 0)
+
+    for u in range(100):
+        rows.append((ts(0), u))
+    for u in range(50, 150):
+        rows.append((ts(1), u))
+    for u in range(200, 210):
+        rows.append((ts(2), u))
+    rows.append((ts(4), 0))
+    events = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    got = {
+        r["day"]: r["overlap_est"]
+        for r in theta_day_overlap(events).collect()
+    }
+    assert got == {0: 50, 1: 0}  # day 2→3 and 4→5 have no successor
