@@ -5837,12 +5837,18 @@ def events_hll_contract_q(spark, sf_dir):
                         / 86400) AS BIGINT) AS day,
              user_id
       FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    pairs AS (SELECT a.day FROM days a JOIN days b ON b.day = a.day + 1),
+    ov AS (
+      SELECT a.day, CAST(COUNT(*) AS BIGINT) AS c
+      FROM du a JOIN du b
+        ON b.user_id = a.user_id AND b.day = a.day + 1
+      GROUP BY 1
     )
-    SELECT a.day, CAST(COUNT(*) AS BIGINT) AS overlap_exact,
+    SELECT p.day, CAST(COALESCE(ov.c, 0) AS BIGINT) AS overlap_exact,
            TRUE AS within_5pct
-    FROM du a JOIN du b
-      ON b.user_id = a.user_id AND b.day = a.day + 1
-    GROUP BY 1 ORDER BY 1
+    FROM pairs p LEFT JOIN ov ON ov.day = p.day ORDER BY 1
     """,
 )
 def events_theta_retention_q(spark, sf_dir):
@@ -5874,10 +5880,24 @@ def events_theta_retention_q(spark, sf_dir):
     nxt = du.select(
         (F.col("day") - F.lit(1)).alias("day"), "user_id"
     )
-    exact = (
+    days = du.select("day").distinct()
+    # every consecutive-day pair, INCLUDING zero-overlap ones: a sketch
+    # that fabricates overlap on disjoint days must fail the contract
+    # (20·|est − 0| ≤ 0 forces est = 0), not silently drop out of the
+    # graded frame (review finding)
+    pairs = days.join(
+        days.select((F.col("day") - F.lit(1)).alias("day")), "day"
+    )
+    ov = (
         du.join(nxt, ["day", "user_id"])
         .groupBy("day")
-        .agg(F.count(F.lit(1)).cast("long").alias("overlap_exact"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ov"))
+    )
+    exact = pairs.join(ov, "day", "left").select(
+        "day",
+        F.coalesce(F.col("ov"), F.lit(0)).cast("long").alias(
+            "overlap_exact"
+        ),
     )
     est = theta_day_overlap(events)
     return (
@@ -7065,10 +7085,12 @@ def _zorder_oracle() -> str:
                  MIN(y) AS mny, MAX(y) AS mxy FROM p),
     q AS (
       SELECT
-        LEAST(GREATEST(CAST(FLOOR((x - mnx) / (mxx - mnx) * 65535)
-                            AS BIGINT), 0), 65535) AS qx,
-        LEAST(GREATEST(CAST(FLOOR((y - mny) / (mxy - mny) * 65535)
-                            AS BIGINT), 0), 65535) AS qy
+        CASE WHEN mxx <= mnx THEN 0 ELSE
+          LEAST(GREATEST(CAST(FLOOR((x - mnx) / (mxx - mnx) * 65535)
+                              AS BIGINT), 0), 65535) END AS qx,
+        CASE WHEN mxy <= mny THEN 0 ELSE
+          LEAST(GREATEST(CAST(FLOOR((y - mny) / (mxy - mny) * 65535)
+                              AS BIGINT), 0), 65535) END AS qy
       FROM p, b
     ),
     zk AS (SELECT {z} AS z FROM q)
@@ -7777,7 +7799,8 @@ def streaming_window_counts_q(spark, sf_dir):
 
 @_q(
     "streaming_dedup_state",
-    "SELECT DISTINCT user_id, event_type FROM events",
+    "SELECT DISTINCT user_id, event_type FROM events"
+    " WHERE ts IS NOT NULL",
 )
 def streaming_dedup_state_q(spark, sf_dir):
     """STREAMING DEDUPLICATION under the driver's hash oracle (late r7
@@ -7793,7 +7816,11 @@ def streaming_dedup_state_q(spark, sf_dir):
     eviction) is the documented semantic difference, pytest-covered in
     tests/test_streaming.py's planted-duplicate case. Emitted columns
     are the key columns only, so which physical duplicate won each
-    key's race is invisible to the hash."""
+    key's race is invisible to the hash. NULL-ts rows are excluded on
+    BOTH sides: the ts-split fixture writer's `<= cut` / `> cut`
+    predicates drop them from the stream, and event-time dedup on a
+    NULL watermark column is undefined anyway (review finding —
+    mirrored guard, the events_theta_retention convention)."""
     import os
     import shutil
     import tempfile
@@ -7805,7 +7832,7 @@ def streaming_dedup_state_q(spark, sf_dir):
         write_ts_split_stream_files,
     )
 
-    events = _t(spark, sf_dir, "events")
+    events = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     base = tempfile.mkdtemp(prefix="dedup_stream_")
     try:
         path = os.path.join(base, "events")

@@ -125,12 +125,14 @@ def hard_negative_topk(
 
     Scale: the query workload is BOUNDED and broadcast (the
     ann_recall_contract convention); the base side is scored map-side in
-    one pass — no shuffle of the corpus, one per-query window over the
-    broadcast-join output. At 100 TB, mine from an ANN candidate list
-    instead of the full scan: feed ``ivf_topk``'s over-fetched output
-    through the same different-label filter (exact mining is the graded
-    reference; ANN mining trades the tail for the 32× scan cut exactly
-    as in retrieval)."""
+    ONE pass — the negative rank and the hardest-positive max are two
+    window functions sharing the single q_id exchange over the scored
+    stream (a two-branch neg/pos formulation re-executed the broadcast
+    join and cosine fold per branch — review finding). At 100 TB, mine
+    from an ANN candidate list instead of the full scan: feed
+    ``ivf_topk``'s over-fetched output through the same different-label
+    filter (exact mining is the graded reference; ANN mining trades the
+    tail for the 32× scan cut exactly as in retrieval)."""
     q = queries.select(
         F.col(query_id_col),
         F.col(label_col).alias("__ql"),
@@ -148,27 +150,33 @@ def hard_negative_topk(
         "__bl",
         cosine(F.col("__qv"), F.col("__bv")).alias("cos_sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cos_sim"), F.col(id_col)
+    # NULL labels drop from both roles, exactly like the filter forms
+    # (<> and = are null-rejecting; F.when(NULL, ...) takes otherwise)
+    is_neg = F.col("__bl") != F.col("__ql")
+    is_pos = (F.col("__bl") == F.col("__ql")) & (
+        F.col(id_col) != F.col(query_id_col)
     )
-    neg = (
-        scored.filter(F.col("__bl") != F.col("__ql"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    wr = (
+        Window.partitionBy(query_id_col)
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    pos = (
-        scored.filter(
-            (F.col("__bl") == F.col("__ql"))
-            & (F.col(id_col) != F.col(query_id_col))
-        )
-        .groupBy(query_id_col)
-        .agg(F.max("cos_sim").alias("__pos"))
+    wp = Window.partitionBy(query_id_col)
+    ranked = scored.select(
+        query_id_col,
+        id_col,
+        "cos_sim",
+        is_neg.alias("__is_neg"),
+        F.sum(F.when(is_neg, 1).otherwise(0)).over(wr).alias("rank"),
+        F.max(F.when(is_pos, F.col("cos_sim"))).over(wp).alias("__pos"),
     )
-    return neg.join(pos, query_id_col, "left").select(
+    return ranked.filter(
+        F.col("__is_neg") & (F.col("rank") <= k)
+    ).select(
         query_id_col,
         id_col,
         F.round("cos_sim", 6).alias("cos_sim"),
-        "rank",
+        F.col("rank").cast("int").alias("rank"),
         F.round("__pos", 6).alias("pos_sim"),
         (F.col("cos_sim") > F.col("__pos")).alias("harder_than_pos"),
     )

@@ -68,23 +68,30 @@ def hll_range_estimate(
     )
 
 
-def theta_daily_user_sketches(events: DataFrame) -> DataFrame:
+def theta_daily_user_sketches(
+    events: DataFrame, lg_nom_entries: int = 12
+) -> DataFrame:
     """One THETA sketch of distinct user_ids per UTC day: (day, sketch
     binary). Theta is the SET-OPERATION sketch family: unlike HLL (union
     only), persisted theta sketches support INTERSECTION and DIFFERENCE
     — overlap/retention/churn between any two day ranges without
     rescanning events. Same shape as the HLL table: a few KB per day,
-    one day-key exchange, map-side partial combine. Default lgk (4096
-    retained hashes) keeps the sketch in exact mode below ~4k distinct
-    keys per day and ~1.6% RSE beyond."""
+    one day-key exchange, map-side partial combine. ``lg_nom_entries``
+    = 12 (4096 retained hashes, the hll lg_k convention) keeps the
+    sketch in exact mode below ~4k distinct keys per day and ~1.6% RSE
+    beyond."""
     sec = epoch_of(events, "ts")
     day = F.floor(sec("ts", "SECOND") / F.lit(86_400)).cast("long")
     return events.groupBy(day.alias("day")).agg(
-        F.expr("theta_sketch_agg(user_id)").alias("sketch")
+        F.theta_sketch_agg("user_id", F.lit(lg_nom_entries)).alias(
+            "sketch"
+        )
     )
 
 
-def theta_day_overlap(events: DataFrame) -> DataFrame:
+def theta_day_overlap(
+    events: DataFrame, lg_nom_entries: int = 12
+) -> DataFrame:
     """Day-over-day retained users via theta-sketch INTERSECTION — the
     retention/overlap query HLL structurally cannot answer (inclusion-
     exclusion on HLL unions amplifies error; theta intersects natively).
@@ -92,7 +99,7 @@ def theta_day_overlap(events: DataFrame) -> DataFrame:
     estimated |active(day) ∩ active(day+1)|. Built from the persisted
     daily sketch table — at 100 TB this never rescans events; here the
     sketch build is inlined for a self-contained operator."""
-    daily = theta_daily_user_sketches(events)
+    daily = theta_daily_user_sketches(events, lg_nom_entries)
     nxt = daily.select(
         (F.col("day") - F.lit(1)).alias("day"),
         F.col("sketch").alias("sketch_next"),
@@ -101,9 +108,8 @@ def theta_day_overlap(events: DataFrame) -> DataFrame:
         daily.join(nxt, "day")
         .select(
             "day",
-            F.expr(
-                "theta_sketch_estimate("
-                "theta_intersection(sketch, sketch_next))"
+            F.theta_sketch_estimate(
+                F.theta_intersection("sketch", "sketch_next")
             )
             .cast("long")
             .alias("overlap_est"),
