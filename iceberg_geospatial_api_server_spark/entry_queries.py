@@ -2467,6 +2467,67 @@ def ngram_jaccard_q(spark, sf_dir):
 
 
 @_q(
+    "dedup_recall_contract",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_GRAMS} AS grams FROM documents),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE LEN(list_intersect(a.grams, b.grams))::DOUBLE /
+              (LEN(a.grams) + LEN(b.grams)
+               - LEN(list_intersect(a.grams, b.grams)))::DOUBLE >= 0.5
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_truth, TRUE AS recall_ok
+    FROM truth
+    """,
+)
+def dedup_recall_contract_q(spark, sf_dir):
+    """The production minhash-LSH dedup path's RECALL CONTRACT
+    value-graded (late r7 — the ann_recall_contract pattern applied to
+    dedup: the LSH entry is rows-only by nature and its recall was
+    pytest-asserted only): ground truth = exact lang-blocked trigram
+    Jaccard ≥ 0.5 pairs (one SQL join both engines — the already-graded
+    ngram_jaccard machinery), candidates = `dedup_minhash_lsh` at its
+    PRODUCTION defaults (16 hashes × 4 bands, verify 0.5,
+    storage_level=None for the bare grading session). Graded as the
+    integer-exact boolean `100·hits ≥ 60·n_truth` — measured recall is
+    1.0 at all 3 SFs (truth 8/6/79 pairs, all recovered: this corpus'
+    J≥0.5 mass sits at high similarity where 4-band collision ≈ 1; the
+    60% bar leaves room for a corpus with genuine J≈0.5 boundary pairs,
+    where banded LSH's collision probability is ~0.23 by design — the
+    price of never scanning the pair space). Every stage is
+    deterministic (fixed
+    permutation family), so the measured recall is a constant of the
+    corpus, not a distribution; a broken band index or signature kernel
+    collapses hits to ~0 and the hash goes red. The truth subtree is
+    consumed ONCE (left-join indicator, not count+semi-join — the r7
+    single-pass convention); pytest re-checks at a 0.7 bar
+    (tests/test_dedup_ann.py)."""
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, ["lang"], n=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    lsh = (
+        dedup_minhash_lsh(docs, verify_threshold=0.5, storage_level=None)
+        .select("id_a", "id_b")
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = truth.join(lsh, ["id_a", "id_b"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        (
+            F.lit(100) * F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            >= F.lit(60) * F.count(F.lit(1))
+        ).alias("recall_ok"),
+    )
+
+
+@_q(
     "text_ngram_topk",
     """
     SELECT gram, COUNT(*) AS freq FROM (
@@ -9783,6 +9844,7 @@ _ORACLED_OVERFLOW = [
     "streaming_dedup_state",  # late-r7: 4th driver-graded stream op
     "embed_hard_negatives",  # late-r7: contrastive mining reference
     "events_theta_retention",  # late-r7: theta-intersection contract
+    "dedup_recall_contract",  # late-r7: LSH recall externally graded
 ] + _ORACLED_OVERFLOW
 
 # r8 ROTATION PLAN (recorded now, the r4→…→r7 convention): after this
@@ -9790,8 +9852,8 @@ _ORACLED_OVERFLOW = [
 # should be: (1) any r8-new oracled entries in the round they land,
 # PLUS the late-r7 overflow-registered entries above
 # (graph_common_neighbors, geo_zorder_keys, streaming_dedup_state,
-# embed_hard_negatives, events_theta_retention) —
-# new oracles the driver has never observed always head the window;
+# embed_hard_negatives, events_theta_retention, dedup_recall_contract)
+# — new oracles the driver has never observed always head the window;
 # (2) any entry whose kernel changes in r7 after its last green —
 # "kernel changed" always outranks "least recently green" — four known
 # members already: text_winnow_fingerprints, text_winnow_pairs,
