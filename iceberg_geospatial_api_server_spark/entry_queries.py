@@ -7130,6 +7130,50 @@ def graph_common_neighbors_q(spark, sf_dir):
     return common_neighbor_pairs(edges, k=25, min_cn=2)
 
 
+@_q(
+    "lineitem_key_skew",
+    """
+    WITH c AS (
+      SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             quantile_cont(cnt, 0.5) AS p50_cnt,
+             quantile_cont(cnt, 0.99) AS p99_cnt,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM c
+    ),
+    t AS (
+      SELECT key, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rn
+      FROM c
+    )
+    SELECT CAST(t.rn AS INT) AS rank, t.key AS key, t.cnt AS cnt,
+           CAST((t.cnt * 1000000) // s.n_rows AS BIGINT) AS share_ppm,
+           s.n_keys, s.n_rows, s.p50_cnt, s.p99_cnt, s.max_cnt
+    FROM t, s WHERE t.rn <= 10
+    """,
+)
+def lineitem_key_skew_q(spark, sf_dir):
+    """Join-key skew profile (late r7 — the MEASUREMENT half of the H
+    skew story: the diagnostic a data engineer runs BEFORE reaching for
+    `salted_topk_per_key`/AQE): per-key count distribution over
+    l_partkey — top-10 hottest keys with exact ppm share plus n_keys /
+    n_rows / R-7 p50+p99 / max. One key exchange, TakeOrderedAndProject
+    top-k (never a global sort or a key-frame-sized single-partition
+    window), summary as a 1-row broadcast
+    (operators/skew.py key_skew_profile)."""
+    from iceberg_geospatial_api_server_spark.operators.skew import (
+        key_skew_profile,
+    )
+
+    return key_skew_profile(
+        _t(spark, sf_dir, "lineitem"), "l_partkey", k=10
+    )
+
+
 def _zorder_oracle() -> str:
     # independent re-derivation of the Morton interleave: bit b of each
     # quantized coordinate extracted by integer DIV/MOD (no shift
@@ -9845,6 +9889,7 @@ _ORACLED_OVERFLOW = [
     "embed_hard_negatives",  # late-r7: contrastive mining reference
     "events_theta_retention",  # late-r7: theta-intersection contract
     "dedup_recall_contract",  # late-r7: LSH recall externally graded
+    "lineitem_key_skew",  # late-r7: the skew-measurement diagnostic
 ] + _ORACLED_OVERFLOW
 
 # r8 ROTATION PLAN (recorded now, the r4→…→r7 convention): after this
@@ -9852,7 +9897,8 @@ _ORACLED_OVERFLOW = [
 # should be: (1) any r8-new oracled entries in the round they land,
 # PLUS the late-r7 overflow-registered entries above
 # (graph_common_neighbors, geo_zorder_keys, streaming_dedup_state,
-# embed_hard_negatives, events_theta_retention, dedup_recall_contract)
+# embed_hard_negatives, events_theta_retention, dedup_recall_contract,
+# lineitem_key_skew)
 # — new oracles the driver has never observed always head the window;
 # (2) any entry whose kernel changes in r7 after its last green —
 # "kernel changed" always outranks "least recently green" — four known

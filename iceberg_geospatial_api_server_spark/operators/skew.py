@@ -97,3 +97,49 @@ def salted_topk_per_key(
         pruned.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
+    """The MEASUREMENT half of skew handling — the diagnostic a data
+    engineer runs BEFORE reaching for salting/AQE: per-key count
+    distribution over a prospective join/aggregation key. Returns the
+    top-``k`` hottest keys, each row carrying (rank, key, cnt,
+    share_ppm) plus the distribution summary (n_keys, n_rows, p50_cnt,
+    p99_cnt, max_cnt). A top key holding whole-percent share at 100 TB
+    is the signal to salt (`salted_topk_per_key`) or pre-aggregate;
+    p99/p50 spread quantifies the tail AQE's skew-join split must
+    absorb.
+
+    Plan: one key exchange for the count, TakeOrderedAndProject for the
+    top-k (parallel partial top-k — never a global sort or a
+    single-partition window over the key frame), the summary as a 1-row
+    broadcast. Exact integers everywhere except the R-7 interpolated
+    percentiles (portable: Spark `percentile` ≡ DuckDB `quantile_cont`,
+    the doc_length_quantiles precedent)."""
+    c = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    s = c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.expr("percentile(cnt, 0.5)").alias("p50_cnt"),
+        F.expr("percentile(cnt, 0.99)").alias("p99_cnt"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    top = c.orderBy(F.desc("cnt"), F.col("key")).limit(k)
+    w = Window.orderBy(F.desc("cnt"), F.col("key"))
+    return (
+        top.crossJoin(F.broadcast(s))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "key",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.expr("(cnt * 1000000) DIV n_rows").alias("share_ppm"),
+            "n_keys",
+            "n_rows",
+            "p50_cnt",
+            "p99_cnt",
+            "max_cnt",
+        )
+    )

@@ -90,3 +90,30 @@ def test_salted_topk_prunes_before_final_window(skewed):
         )
     )
     assert plan.count("RunningWindowFunction") + plan.count("Window") >= 2, plan
+
+
+def test_key_skew_profile_planted_hot_key(spark):
+    """90%-hot-key data: every profile number is hand-checkable — the
+    hot key leads with its exact ppm share, and the p50/p99 spread
+    separates the tail from the head."""
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.operators.skew import (
+        key_skew_profile,
+    )
+
+    # key 7 holds 90 rows; keys 0..9 (excl. 7) hold 1 row each
+    df = spark.range(0, 90).select(F.lit(7).alias("k")).unionByName(
+        spark.range(0, 10).filter("id != 7").select(F.col("id").alias("k"))
+    )
+    rows = key_skew_profile(df, "k", k=3).collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    top = rows[0]
+    assert top["key"] == 7 and top["cnt"] == 90
+    assert top["n_rows"] == 99 and top["n_keys"] == 10
+    assert top["share_ppm"] == 90 * 1_000_000 // 99
+    assert top["max_cnt"] == 90
+    assert top["p50_cnt"] == 1.0  # 9 of 10 keys hold exactly one row
+    # rank 2/3 are the smallest-keyed singleton keys (total tiebreak)
+    assert (rows[1]["key"], rows[2]["key"]) == (0, 1)
+    assert rows[1]["cnt"] == 1
