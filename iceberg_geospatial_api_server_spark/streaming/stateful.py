@@ -387,3 +387,88 @@ def streaming_cusum(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithState (Spark 4's arbitrary-state API, successor to
+# applyInPandasWithState): typed state handles (ValueState/ListState/
+# MapState), timers, TTL, and schema evolution over the RocksDB store.
+# ENVIRONMENT-GATED in this container exactly like the Iceberg runtime
+# jar: the TWS state protocol needs the `protobuf` Python package
+# (pyspark's StateMessage_pb2 imports google.protobuf at worker init —
+# probed: ImportError, no network route to install). The processor logic
+# is therefore tested DIRECTLY (fake state handle, cross-batch replay in
+# tests/test_streaming.py) and the end-to-end stream ≡ batch test is
+# skip-marked until the one pip install lands — the tools/iceberg_smoke
+# pattern applied to a Python dependency.
+# --------------------------------------------------------------------------
+
+
+def tws_available() -> bool:
+    """True when transformWithStateInPandas can actually run: its state
+    server protocol imports google.protobuf in the Python driver
+    worker."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+try:  # the base class imports cleanly without protobuf; guard anyway
+    from pyspark.sql.streaming import StatefulProcessor as _StatefulProcessor
+except ImportError:  # pragma: no cover - ancient pyspark
+    _StatefulProcessor = object
+
+
+class RunningCountsProcessor(_StatefulProcessor):
+    """Per-user running (n_events, sum_cents) on the NEW typed-state
+    API: one ValueState row per user, integer-cents accumulation (the
+    events_cusum convention — cross-batch merge order cannot move a
+    double). Emits the running totals for the key once per micro-batch
+    it appears in (update semantics, same contract as
+    running_user_totals)."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("agg", "n long, cents long")
+
+    def handleInputRows(self, key, rows, timer_values):
+        import numpy as np
+
+        if self._state.exists():
+            n, cents = self._state.get()
+        else:
+            n, cents = 0, 0
+        for pdf in rows:
+            n += len(pdf)
+            cents += int(
+                np.floor(pdf["value"].to_numpy() * 100.0 + 0.5)
+                .astype("int64")
+                .sum()
+            )
+        self._state.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_cents": [cents],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_user_counts_tws(events: DataFrame) -> DataFrame:
+    """running_user_totals' twin on transformWithStateInPandas. Caller
+    must run on a session whose state store provider is RocksDB (TWS
+    requires it) and an environment where ``tws_available()``."""
+    return events.select("user_id", "ts", "value").groupBy(
+        "user_id"
+    ).transformWithStateInPandas(
+        RunningCountsProcessor(),
+        "user_id long, n_events long, sum_cents long",
+        "Update",
+        "none",
+    )
