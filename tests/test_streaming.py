@@ -1156,3 +1156,30 @@ def test_tws_stream_equals_batch(spark, tmp_path, tables):
             spark.conf.unset(
                 "spark.sql.streaming.stateStore.providerClass"
             )
+
+
+def test_variant_props_extraction_equals_from_json(spark, tables):
+    """Spark 4 VARIANT path over the free-form props payload: typed
+    variant_get through the binary VARIANT encoding must agree with
+    the from_json route events_props_stats ships, on every row —
+    including malformed payloads (try_parse_json nulls, from_json
+    nulls)."""
+    from pyspark.sql import functions as F
+
+    v = tables["events"].select(
+        F.expr(
+            "variant_get(try_parse_json(props), '$.k', 'bigint')"
+        ).alias("kv"),
+        F.from_json("props", "k bigint")["k"].alias("kj"),
+    )
+    assert v.filter("kv IS DISTINCT FROM kj").count() == 0
+    # malformed and missing-key payloads null out identically
+    bad = spark.createDataFrame(
+        [("{not json",), ('{"other": 1}',), (None,)], "props string"
+    ).select(
+        F.expr(
+            "variant_get(try_parse_json(props), '$.k', 'bigint')"
+        ).alias("kv"),
+        F.from_json("props", "k bigint")["k"].alias("kj"),
+    )
+    assert bad.filter("kv IS DISTINCT FROM kj").count() == 0
