@@ -9844,9 +9844,19 @@ _R7_PROMOTED = [
     "text_language_id",
     "text_profile",
     "text_repetition_profile",
-    # (3) r4-vintage block start (alphabetical)
-    "ann_ivfpq_exhaustive",
-    "corpus_decontaminate",
+    # (3) late-r7 swap (the never-graded-outranks-least-recently-green
+    # convention): the two r4-vintage block starters below were BONUS
+    # progress into the r4 block — directive 3 ("no oracle older than
+    # r4") is already satisfied for them — so they cede to two of the
+    # late-r7 never-observed oracles and head the r8 r4-vintage block
+    # instead (ann_ivfpq_exhaustive's exhaustive-config machinery is
+    # graded in-window this round by ann_recall_contract's production
+    # configs + the ivf/lsh exhaustive siblings' r5 greens;
+    # corpus_decontaminate keeps its r4 green and its gram machinery is
+    # graded in-window by corpus_bpe_merges' word-table kernel this
+    # round).
+    "dedup_recall_contract",  # late r7: production LSH recall contract
+    "graph_common_neighbors",  # late r7: link-prediction CN/Jaccard
     # corpus_curate displaced (r7, same convention): the slot goes to
     # streaming_attribution_pairs (new r7 oracle — the stream-stream
     # range join under a real two-micro-batch file stream, the third
@@ -9878,28 +9888,36 @@ _ORACLED_OVERFLOW = [
 # the r7 window executes VERDICT r6's directives verbatim — the six
 # jump-queued re-grades plus the complete r3-vintage stale block — and
 # displacing any of those donors would break directive 3 ("no oracle's
-# freshest green older than r4") for the displaced entry. So, uniquely
-# this round, late additions register in the overflow and HEAD the r8
-# window per plan item (1) below; each is locally verified MATCH at
-# sf0.001 + sf0.01 + sf0.1 through tools/drive.py on landing.
+# freshest green older than r4") for the displaced entry. The ONLY
+# ceding-eligible window members were the two bonus r4-vintage block
+# starters (directive 3 already holds for them), which ceded to
+# dedup_recall_contract + graph_common_neighbors above; the remaining
+# five late additions register in the overflow and HEAD the r8 window
+# per plan item (1) below. Each is locally verified MATCH at sf0.001 +
+# sf0.01 + sf0.1 through tools/drive.py on landing.
 _ORACLED_OVERFLOW = [
-    "graph_common_neighbors",  # late-r7: link-prediction CN/Jaccard
+    # (dedup_recall_contract and graph_common_neighbors took the two
+    # ceded window slots above; the rest head the r8 window)
     "geo_zorder_keys",  # late-r7: Morton key machinery value-graded
     "streaming_dedup_state",  # late-r7: 4th driver-graded stream op
     "embed_hard_negatives",  # late-r7: contrastive mining reference
     "events_theta_retention",  # late-r7: theta-intersection contract
-    "dedup_recall_contract",  # late-r7: LSH recall externally graded
     "lineitem_key_skew",  # late-r7: the skew-measurement diagnostic
+    # (the displaced r4-vintage starters ann_ivfpq_exhaustive /
+    # corpus_decontaminate remain in the base overflow list below now
+    # that they are no longer promoted; they head the r8 r4-vintage
+    # block)
 ] + _ORACLED_OVERFLOW
 
 # r8 ROTATION PLAN (recorded now, the r4→…→r7 convention): after this
 # round no oracle's freshest green is older than r4. The r8 window
 # should be: (1) any r8-new oracled entries in the round they land,
-# PLUS the late-r7 overflow-registered entries above
-# (graph_common_neighbors, geo_zorder_keys, streaming_dedup_state,
-# embed_hard_negatives, events_theta_retention, dedup_recall_contract,
-# lineitem_key_skew)
-# — new oracles the driver has never observed always head the window;
+# PLUS the five late-r7 overflow-registered entries above
+# (geo_zorder_keys, streaming_dedup_state, embed_hard_negatives,
+# events_theta_retention, lineitem_key_skew; dedup_recall_contract and
+# graph_common_neighbors took the two ceded r7 slots and grade this
+# round) — new oracles the driver has never observed always head the
+# window;
 # (2) any entry whose kernel changes in r7 after its last green —
 # "kernel changed" always outranks "least recently green" — four known
 # members already: text_winnow_fingerprints, text_winnow_pairs,
