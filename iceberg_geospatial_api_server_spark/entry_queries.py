@@ -5976,6 +5976,44 @@ def events_theta_retention_q(spark, sf_dir):
     )
 
 
+@_q(
+    "events_topk_sketch",
+    """
+    SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE event_type IS NOT NULL GROUP BY 1
+    """,
+)
+def events_topk_sketch_q(spark, sf_dir):
+    """Mergeable HEAVY-HITTERS sketches value-graded in the exact
+    regime (late r7 — the fourth sketch family beside HLL, theta, and
+    the GK quantile contract, completing the frequency side): per-day
+    approx_top_k ACCUMULATE states combine across the range and the
+    estimate must equal the exact GROUP BY value-for-value — exact
+    because max_items_tracked (64) exceeds the column's cardinality,
+    the hll-sparse/theta-exact-mode grading stance (the
+    ann_*_exhaustive pattern applied to frequent-items: the full
+    accumulate → combine → estimate machinery executes, the exhaustive
+    configuration makes it exactly checkable). k=16 > NDV so the
+    result set carries every item and no tie-at-the-boundary can make
+    set membership arbitrary; deterministic (probed: identical across
+    runs — unlike KLL, which was probed randomized and rejected).
+    Beyond the tracked bound the counts degrade to the frequent-items
+    guarantee — documented, and the production store keeps per-day NDV
+    under it by keying coarse columns
+    (operators/sketches.py topk_merged_counts)."""
+    from iceberg_geospatial_api_server_spark.operators.sketches import (
+        topk_merged_counts,
+    )
+
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    out = topk_merged_counts(
+        events, "event_type", k=16, max_items_tracked=64
+    )
+    return out.select("item", F.col("count").cast("long").alias("n"))
+
+
 @_q("embed_pca_project")  # rows-only: eigendecomposition isn't SQL-expressible
 def embed_pca_q(spark, sf_dir):
     """Distributed PCA: moment partial-sums (one bounded row per Arrow
@@ -9903,6 +9941,7 @@ _ORACLED_OVERFLOW = [
     "embed_hard_negatives",  # late-r7: contrastive mining reference
     "events_theta_retention",  # late-r7: theta-intersection contract
     "lineitem_key_skew",  # late-r7: the skew-measurement diagnostic
+    "events_topk_sketch",  # late-r7: mergeable heavy-hitters exact-mode
     # (the displaced r4-vintage starters ann_ivfpq_exhaustive /
     # corpus_decontaminate remain in the base overflow list below now
     # that they are no longer promoted; they head the r8 r4-vintage

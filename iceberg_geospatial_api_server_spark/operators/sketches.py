@@ -115,3 +115,48 @@ def theta_day_overlap(
             .alias("overlap_est"),
         )
     )
+
+
+def topk_daily_sketches(
+    events: DataFrame,
+    item_col: str = "event_type",
+    max_items_tracked: int = 64,
+) -> DataFrame:
+    """One mergeable HEAVY-HITTERS sketch per UTC day (approx_top_k
+    accumulate state) — the fourth sketch family beside HLL (distinct),
+    theta (set ops), and the GK quantile contract: re-aggregable
+    frequent-items state that answers "top items over any day range"
+    without rescanning events. Exact while the per-sketch distinct item
+    count stays ≤ ``max_items_tracked`` (the hll-sparse/theta-exact
+    analog); beyond it counts degrade to the frequent-items guarantee.
+    Same table shape as the HLL/theta stores: one day-key exchange,
+    map-side partial accumulate."""
+    sec = epoch_of(events, "ts")
+    day = F.floor(sec("ts", "SECOND") / F.lit(86_400)).cast("long")
+    return events.groupBy(day.alias("day")).agg(
+        F.expr(
+            f"approx_top_k_accumulate({item_col}, {int(max_items_tracked)})"
+        ).alias("sketch")
+    )
+
+
+def topk_merged_counts(
+    events: DataFrame,
+    item_col: str = "event_type",
+    k: int = 5,
+    max_items_tracked: int = 64,
+) -> DataFrame:
+    """Top-k items over the whole range by COMBINING the per-day
+    sketches (never rescanning events): accumulate → combine →
+    estimate. Returns (item, count)."""
+    daily = topk_daily_sketches(events, item_col, max_items_tracked)
+    merged = daily.agg(
+        F.expr(
+            f"approx_top_k_combine(sketch, {int(max_items_tracked)})"
+        ).alias("sketch")
+    )
+    return merged.select(
+        F.explode(F.expr(f"approx_top_k_estimate(sketch, {int(k)})")).alias(
+            "e"
+        )
+    ).select("e.item", "e.count")

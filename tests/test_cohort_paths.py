@@ -717,3 +717,42 @@ def test_theta_overlap_exact_mode_planted(spark):
         for r in theta_day_overlap(events).collect()
     }
     assert got == {0: 50, 1: 0}  # day 2→3 and 4→5 have no successor
+
+
+def test_topk_sketch_merged_equals_direct_and_exact(spark):
+    """Heavy-hitters sketches: per-day accumulate + combine must equal
+    the direct exact counts in the exact regime (tracked >= NDV), and
+    the estimate honors k."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.operators.sketches import (
+        topk_merged_counts,
+    )
+
+    rows = []
+    counts = {"a": 7, "b": 5, "c": 3, "d": 1}
+    i = 0
+    for item, n in counts.items():
+        for j in range(n):
+            # spread each item's rows across two days to force a merge
+            rows.append(
+                (datetime.datetime(1970, 1, 1 + (j % 2), 12), item)
+            )
+            i += 1
+    events = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    got = {
+        r["item"]: r["count"]
+        for r in topk_merged_counts(
+            events, "event_type", k=10, max_items_tracked=16
+        ).collect()
+    }
+    assert got == counts
+    top2 = {
+        r["item"]
+        for r in topk_merged_counts(
+            events, "event_type", k=2, max_items_tracked=16
+        ).collect()
+    }
+    assert top2 == {"a", "b"}
