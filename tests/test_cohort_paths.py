@@ -733,14 +733,12 @@ def test_topk_sketch_merged_equals_direct_and_exact(spark):
 
     rows = []
     counts = {"a": 7, "b": 5, "c": 3, "d": 1}
-    i = 0
     for item, n in counts.items():
         for j in range(n):
             # spread each item's rows across two days to force a merge
             rows.append(
                 (datetime.datetime(1970, 1, 1 + (j % 2), 12), item)
             )
-            i += 1
     events = spark.createDataFrame(rows, "ts timestamp, event_type string")
     got = {
         r["item"]: r["count"]

@@ -1076,19 +1076,21 @@ def test_tws_processor_logic_cross_batch(spark):
     handle = FakeHandle()
     proc.init(handle)
     b1 = pd.DataFrame({"value": [1.004, 2.005]})   # 100 + 201 cents
-    b2 = pd.DataFrame({"value": [0.994, 10.0]})    # 99 + 1000 cents
+    # NULL value arrives as NaN: must be SKIPPED (SQL SUM semantics),
+    # not floored into INT64_MIN garbage
+    b2 = pd.DataFrame({"value": [0.994, 10.0, float("nan")]})
     out1 = list(proc.handleInputRows((7,), iter([b1]), None))
     out2 = list(proc.handleInputRows((7,), iter([b2]), None))
     assert out1[0]["n_events"].iloc[0] == 2
     assert out1[0]["sum_cents"].iloc[0] == 301
-    assert out2[0]["n_events"].iloc[0] == 4
+    assert out2[0]["n_events"].iloc[0] == 5
     exp = int(
         np.floor(
             np.array([1.004, 2.005, 0.994, 10.0]) * 100.0 + 0.5
         ).sum()
     )
     assert out2[0]["sum_cents"].iloc[0] == exp == 1400
-    assert handle.state.get() == (4, 1400)
+    assert handle.state.get() == (5, 1400)
 
 
 @pytest.mark.skipif(
