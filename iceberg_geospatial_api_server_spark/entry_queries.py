@@ -4484,6 +4484,88 @@ def sample_per_lang_q(spark, sf_dir):
 
 
 @_q(
+    "corpus_split_leakage",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_GRAMS} AS grams FROM documents),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN {_IDHASH.format(id='doc_id')}
+                       < CAST(0.8 * 2147483647 AS BIGINT) THEN 'train'
+                  WHEN {_IDHASH.format(id='doc_id')}
+                       < CAST(0.9 * 2147483647 AS BIGINT) THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE LEN(list_intersect(a.grams, b.grams))::DOUBLE /
+              (LEN(a.grams) + LEN(b.grams)
+               - LEN(list_intersect(a.grams, b.grams)))::DOUBLE >= 0.5
+    )
+    SELECT sa.split AS split_a, sb.split AS split_b,
+           sa.split <> sb.split AS is_leak,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(id_a * 1000003 + id_b) AS BIGINT) AS id_checksum
+    FROM truth JOIN sp sa ON sa.doc_id = truth.id_a
+               JOIN sp sb ON sb.doc_id = truth.id_b
+    GROUP BY 1, 2, 3
+    """,
+)
+def corpus_split_leakage_q(spark, sf_dir):
+    """SPLIT-LEAKAGE audit (late r7 — the train/eval contamination
+    check every training pipeline needs and the composition the
+    existing pieces were built for): near-duplicate pairs (exact
+    lang-blocked trigram Jaccard ≥ 0.5, the dedup_recall_contract
+    ground truth) that STRADDLE the deterministic train/val/test
+    assignment (the corpus_split hash rule) — a train doc near-dup of
+    a val/test doc is eval contamination that document-level
+    decontamination against external benchmarks cannot see. Graded as
+    the FULL split×split duplication matrix — the diagonal carries the
+    within-split dup mass (never-empty output even when no pair leaks
+    at a given SF, so the graded scale cannot go vacuously 0-row) and
+    `is_leak` marks the contaminating cells — with exact pair counts
+    AND an id-checksum over each cell's pair SET. At 100 TB the truth side swaps for the
+    minhash-LSH candidates (recall-contracted above) — the blocked
+    exact join is the grading reference."""
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from iceberg_geospatial_api_server_spark.operators.sampling import (
+        hash_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, ["lang"], n=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    sp = hash_split(docs).select("doc_id", "split")
+    sa = sp.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = sp.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        truth.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            "split_a",
+            "split_b",
+            (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(
+                F.col("id_a") * F.lit(1000003) + F.col("id_b")
+            )
+            .cast("long")
+            .alias("id_checksum"),
+        )
+    )
+
+
+@_q(
     "corpus_mixture",
     f"""
     SELECT lang, COUNT(*) AS n_kept FROM documents
@@ -9947,6 +10029,7 @@ _ORACLED_OVERFLOW = [
     "events_theta_retention",  # late-r7: theta-intersection contract
     "lineitem_key_skew",  # late-r7: the skew-measurement diagnostic
     "events_topk_sketch",  # late-r7: mergeable heavy-hitters exact-mode
+    "corpus_split_leakage",  # late-r7: train/eval contamination audit
     # (the displaced r4-vintage starters ann_ivfpq_exhaustive /
     # corpus_decontaminate remain in the base overflow list below now
     # that they are no longer promoted; they head the r8 r4-vintage

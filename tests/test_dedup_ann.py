@@ -1085,3 +1085,55 @@ def test_lsh_recall_contract_vs_exact_truth(spark, sf_dir):
     )
     assert r["n"] > 0  # the contract must not be vacuous on testdata
     assert 10 * r["h"] >= 7 * r["n"]
+
+
+def test_split_leakage_matrix_planted_pair(spark):
+    """A planted near-dup pair must land in exactly the (split_a,
+    split_b) cell the hash rule assigns, with is_leak = (splits
+    differ); an unrelated doc contributes nothing."""
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from iceberg_geospatial_api_server_spark.operators.sampling import (
+        hash_split,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (11, text, "en", "s", len(text)),
+            (12, text + " lambda", "en", "s", 0),
+            (13, "wholly unrelated content about something else", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    splits = {
+        r["doc_id"]: r["split"] for r in hash_split(docs).collect()
+    }
+    truth = ngram_jaccard_pairs(docs, ["lang"], n=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    sp = hash_split(docs).select("doc_id", "split")
+    got = (
+        truth.join(
+            sp.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("split").alias("split_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("split").alias("split_b"),
+            ),
+            "id_b",
+        )
+        .collect()
+    )
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"]) == (11, 12)
+    assert (r["split_a"], r["split_b"]) == (splits[11], splits[12])
