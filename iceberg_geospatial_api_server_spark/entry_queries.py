@@ -4579,11 +4579,16 @@ def sample_per_lang_q(spark, sf_dir):
     f"""
     WITH t AS (SELECT doc_id, lang, {_GRAMS} AS grams FROM documents),
     sp AS (
+      -- split bounds pinned to the EXACT integers hash_split computes
+      -- (Python int() truncates: int(0.8*2147483647) = 1717986917,
+      -- int(0.9*2147483647) = 1932735282). DuckDB's CAST rounds-half-up
+      -- to 1717986918, so the expression form is off by one at the
+      -- boundary hash value (ADVICE r7 item 1).
       SELECT doc_id,
              CASE WHEN {_IDHASH.format(id='doc_id')}
-                       < CAST(0.8 * 2147483647 AS BIGINT) THEN 'train'
+                       < 1717986917 THEN 'train'
                   WHEN {_IDHASH.format(id='doc_id')}
-                       < CAST(0.9 * 2147483647 AS BIGINT) THEN 'val'
+                       < 1932735282 THEN 'val'
                   ELSE 'test' END AS split
       FROM documents
     ),
@@ -4687,11 +4692,14 @@ def corpus_mixture_q(spark, sf_dir):
     "corpus_split",
     f"""
     SELECT lang, split, COUNT(*) AS n_docs FROM (
+      -- bounds pinned to hash_split's truncated ints (1717986917 /
+      -- 1932735282); CAST(0.8*2147483647 AS BIGINT) rounds to ...918
+      -- in DuckDB — off by one at the boundary (ADVICE r7 item 1)
       SELECT lang,
              CASE WHEN {_IDHASH.format(id='doc_id')}
-                       < CAST(0.8 * 2147483647 AS BIGINT) THEN 'train'
+                       < 1717986917 THEN 'train'
                   WHEN {_IDHASH.format(id='doc_id')}
-                       < CAST(0.9 * 2147483647 AS BIGINT) THEN 'val'
+                       < 1932735282 THEN 'val'
                   ELSE 'test' END AS split
       FROM documents)
     GROUP BY lang, split ORDER BY lang, split
@@ -6116,6 +6124,29 @@ def events_theta_retention_q(spark, sf_dir):
     sec = epoch_of(events, "ts")
     day = F.floor(sec("ts", "SECOND") / F.lit(86_400)).cast("long")
     du = events.select(day.alias("day"), "user_id").distinct()
+    # ADVICE r7 item 3: the 5% bar is only ~3 sigma of theta RSE
+    # (~1.6% at lg_nom_entries=12) once a day exceeds ~4k distinct
+    # users — in estimation mode a single within-spec day pair could
+    # flip within_5pct and redden the hash. The contract is CERTIFIED
+    # for exact-mode days (per-day distinct users <= 4096 = 2^12
+    # nominal entries, where the sketch retains every hash and the
+    # bar holds with zero slack); assert the precondition so a larger
+    # corpus fails loudly HERE instead of as an opaque mismatch.
+    max_day_users = (
+        du.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    if max_day_users is not None and max_day_users > 4096:
+        raise AssertionError(
+            "events_theta_retention contract precondition broken: "
+            f"max per-day distinct users {max_day_users} > 4096 "
+            "(lg_nom_entries=12 exact mode) — the sketch enters "
+            "estimation mode and the 5% bar is no longer a "
+            "deterministic certificate; raise lg_nom_entries or widen "
+            "the bar for estimation-mode days before grading."
+        )
     nxt = du.select(
         (F.col("day") - F.lit(1)).alias("day"), "user_id"
     )
@@ -6182,10 +6213,43 @@ def events_topk_sketch_q(spark, sf_dir):
     from iceberg_geospatial_api_server_spark.operators.sketches import (
         topk_merged_counts,
     )
+    from iceberg_geospatial_api_server_spark.util import epoch_of
 
     events = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isNotNull()
     )
+    # ADVICE r7 item 2: the exact regime silently depends on
+    # NDV(event_type) <= k (result carries every item) and per-day
+    # NDV <= max_items_tracked (each daily sketch stays exact). A
+    # corpus/SF that breaks either turns the sketch approximate and the
+    # exact GROUP BY oracle reds with an opaque hash mismatch — assert
+    # the precondition HERE so a corpus change fails loudly at the
+    # entry. One tiny job over the distinct (day, item) pairs (same day
+    # derivation as topk_daily_sketches).
+    sec = epoch_of(events, "ts")
+    day = F.floor(sec("ts", "SECOND") / F.lit(86_400)).cast("long")
+    pairs = events.select(
+        day.alias("day"), F.col("event_type").alias("item")
+    ).distinct()
+    prow = (
+        pairs.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(
+            F.max("d").alias("max_day_ndv"),
+            F.sum("d").alias("pair_total"),
+        )
+        .crossJoin(pairs.agg(F.countDistinct("item").alias("ndv")))
+        .collect()[0]
+    )
+    if prow["ndv"] > 16 or prow["max_day_ndv"] > 64:
+        raise AssertionError(
+            "events_topk_sketch exact-regime precondition broken: "
+            f"NDV(event_type)={prow['ndv']} (bar 16), max per-day "
+            f"NDV={prow['max_day_ndv']} (bar 64) — the sketch is "
+            "approximate at this corpus and the exact oracle no longer "
+            "applies; raise k/max_items_tracked or re-grade under an "
+            "accuracy contract (the theta/HLL pattern)."
+        )
     out = topk_merged_counts(
         events, "event_type", k=16, max_items_tracked=64
     )
