@@ -6335,6 +6335,128 @@ def embed_pca_moments_q(spark, sf_dir):
 
 
 @_q(
+    "embed_pca_checksums",
+    """
+    WITH qv AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000.0
+                        + 0.5) AS BIGINT) AS q
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND LEN(embedding) > 0
+    ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+              WHERE embedding IS NOT NULL AND LEN(embedding) > 0),
+    s1 AS (SELECT i, CAST(SUM(q) AS BIGINT) AS s FROM qv GROUP BY 1)
+    SELECT qv.vec_id,
+           CAST(SUM(
+             ((((qv.q * nn.n - s1.s) % 2147483647) + 2147483647)
+               % 2147483647)
+             * ((((qv.q * nn.n - s1.s) % 2147483647) + 2147483647)
+               % 2147483647)
+             % 2147483647
+           ) % 2147483647 AS BIGINT) AS energy_mod,
+           TRUE AS within_tol
+    FROM qv CROSS JOIN nn JOIN s1 ON s1.i = qv.i
+    GROUP BY qv.vec_id
+    """,
+)
+def embed_pca_checksums_q(spark, sf_dir):
+    """Per-vector PCA value oracle (VERDICT r7 item 6 — closing the
+    last rows-only-by-convenience gap in the embedding family): a
+    FULL-RANK (k = d = 64) principal rotation must preserve each
+    vector's centered energy exactly, because eigh's basis is
+    orthonormal and complete — so the eigh → broadcast matmul
+    projection machinery (pca_fit mean/moments, basis orthonormality,
+    the mapInPandas matmul) is graded per VECTOR, not just via its
+    sufficient statistics (embed_pca_moments) or aggregate parity
+    tests.
+
+    Two graded columns per vector (the events_theta_retention
+    exact-value + contract-boolean pattern):
+    - ``energy_mod``: the centered energy checksum
+      SUM_i(((q_i*n - S_i) mod M)^2 mod M) mod M on the 1e-6 grid
+      (M = 2^31-1) — EXACT integer arithmetic, engine-identical by
+      construction (q*n <= ~1.2e9 and (x mod M)^2 < 4.7e18 both fit
+      BIGINT at any plausible corpus size; the mod runs BEFORE the
+      square precisely so the square cannot overflow).
+    - ``within_tol``: |sum_k proj_k^2 - exact centered energy| <= 1e-2,
+      where proj comes from the REAL pca_project path at k=d. The
+      error floor is ~1e-4 (1e-6 component quantization x d=64 terms),
+      so the band has ~100x headroom while any basis defect — a
+      non-orthonormal eigh, a truncated component, a wrong mean —
+      shifts energy by O(1) and flips the boolean. The oracle asserts
+      TRUE (the contract side is only computable where eigh runs).
+
+    Top-k subspace SELECTION stays covered by the numpy-parity pytest
+    (eigenvectors aren't SQL-expressible); this entry pins everything
+    around the eigh. Ref parity: the reference has no PCA — this is
+    pipeline-extension surface (operators/ann.py pca_project)."""
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        pca_project,
+    )
+
+    M = 2147483647
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    # exact-integer side: engine-identical checksum of the centered
+    # 1e-6-quantized vector (one posexplode + one dim-keyed join; the
+    # s1/n frames are d-row / 1-row broadcasts)
+    qv = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("i", "v"),
+    ).select(
+        "vec_id",
+        "i",
+        F.floor(F.col("v").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    n_row = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    s1 = qv.groupBy("i").agg(F.sum("q").cast("long").alias("s"))
+    cm = (
+        ((F.col("q") * F.col("n") - F.col("s")) % F.lit(M) + F.lit(M))
+        % F.lit(M)
+    )
+    exact = (
+        qv.crossJoin(F.broadcast(n_row))
+        .join(F.broadcast(s1), "i")
+        .withColumn("term", (cm * cm) % F.lit(M))
+        .groupBy("vec_id")
+        .agg(
+            (F.sum("term") % F.lit(M)).cast("long").alias("energy_mod"),
+            # float twin of the exact energy for the tolerance check:
+            # ((q*n - S)/(n*1e6))^2 summed — only feeds the boolean,
+            # never the hash, so float order-sensitivity is harmless
+            F.sum(
+                F.pow(
+                    (F.col("q") * F.col("n") - F.col("s")).cast("double")
+                    / (F.col("n").cast("double") * F.lit(1000000.0)),
+                    F.lit(2.0),
+                )
+            ).alias("energy_float"),
+        )
+    )
+    # eigh side: the production projection at full rank
+    proj = pca_project(emb, k=64)
+    e_proj = proj.select(
+        "vec_id",
+        F.aggregate(
+            "proj",
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        ).alias("energy_proj"),
+    )
+    return exact.join(e_proj, "vec_id").select(
+        "vec_id",
+        "energy_mod",
+        (
+            F.abs(F.col("energy_proj") - F.col("energy_float"))
+            <= F.lit(0.01)
+        ).alias("within_tol"),
+    )
+
+
+@_q(
     "mm_phash_parity",
     """
     SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -10227,6 +10349,163 @@ _ORACLED_OVERFLOW = [
 # spillover, fits the window with room); (4) leftover slots start the
 # r5-vintage block alphabetically. The r7 window's greens retire to the
 # overflow with "driver-green r7" rationale once CORRECTNESS_r07 lands.
+
+# ----- r8 rotation (executing the plan above + VERDICT r7 items 1/5):
+# CORRECTNESS_r07 landed 49/49 hash-MATCH, 0 FAIL — every r7 window
+# oracle retires to the overflow with a fresh driver-verified row on
+# record (rationale uniform: "driver-green r7"). The 50th slot's
+# embed_pca_project got its clean rows+schema observation (4000 rows),
+# so NO rows-only entry is observation-less anymore and the priority
+# slot retires too: the r8 window is 50 oracles (the first all-oracle
+# window). -----
+_ORACLED_OVERFLOW += [
+    # driver-green r7 (CORRECTNESS_r07 hash-MATCH), each cedes its slot
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "asof_join_events_orders",
+    "geo_knn",
+    "geo_extent",
+    "geo_pip_join_count",
+    "geo_nearest_join",
+    "geo_mercator",
+    "geo_utm",
+    "fq_attribute_filter",
+    "fq_ids_only",
+    "fq_count_only",
+    "fq_bbox_filter",
+    "part_type_stats",
+    "events_approx_contract",
+    "fq_aggregate_mode",
+    "text_profile",
+    "text_language_id",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "dedup_recall_contract",
+    "doc_length_histogram",
+    "ann_bruteforce_topk",
+    "ann_recall_contract",
+    "mm_media_stats",
+    "q15_top_supplier",
+    "q22_lapsed_customers",
+    "corpus_bpe_merges",
+    "dedup_cluster_assign",
+    "orders_brand_affinity",
+    "dedup_minhash_stats",
+    "doc_chunks",
+    "corpus_clean",
+    "embed_kmeans_stats",
+    # corpus_split is r7-green but NOT retired: its ORACLE text changed
+    # this round (ADVICE r7 item 1 — the split-boundary literals were
+    # pinned to hash_split's truncated ints), and "changed since last
+    # green" outranks vintage, so it re-grades in the r8 window.
+    "corpus_perplexity",
+    "text_repetition_profile",
+    "events_funnel",
+    "events_props_stats",
+    "events_retention",
+    "q16_supplier_part_count",
+    "q20_excess_suppliers",
+    "corpus_source_stats",
+    "events_distinct_salted",
+    "events_hll_contract",
+    "graph_common_neighbors",
+    "geo_tile_pyramid",
+    "streaming_attribution_pairs",
+]
+
+# r8 window refill, executing the recorded plan verbatim. Order of
+# precedence (the r7 convention): never-driver-observed first, then
+# kernel-or-oracle-changed-since-last-green, then the stale-vintage
+# rotation (r4 block). 49 promoted + 1 r8-new oracle
+# (embed_pca_checksums — VERDICT r7 item 6, registers outside the
+# overflow) = exactly 50, all oracled.
+_R8_PROMOTED = [
+    # (1) the EIGHT late-r7 oracles the driver has never observed
+    # (VERDICT r7 directive 1 — judge-MATCH only; external green is the
+    # standard)
+    "geo_zorder_keys",
+    "streaming_dedup_state",
+    "embed_hard_negatives",
+    "events_theta_retention",
+    "lineitem_key_skew",
+    "events_topk_sketch",
+    "corpus_split_leakage",
+    "embed_matryoshka_recall",
+    # (2) jump-queue: kernel or oracle changed AFTER the last external
+    # green. The four r7 final-sort-sweep kernels (directive 1's second
+    # half)...
+    "text_winnow_fingerprints",
+    "text_winnow_pairs",
+    "events_sessionize",
+    "text_tfidf_topk",
+    # ...plus corpus_split, whose ORACLE text changed this round
+    # (ADVICE r7 item 1 boundary-literal pin; kernel unchanged, but the
+    # graded PAIR changed — re-driven MATCH at 3 SFs post-change)
+    "corpus_split",
+    # (3) the four r7-displaced r4-vintage entries (each ceded its r7
+    # slot to an r7-new oracle; recorded plan item 3)
+    "corpus_epoch_order",
+    "corpus_entropy",
+    "corpus_diff",
+    "corpus_curate",
+    # (4) the r4-vintage block starters displaced by the late-r7 swaps
+    "ann_ivfpq_exhaustive",
+    "corpus_decontaminate",
+    # (5) the r4-vintage block, alphabetical from corpus_pii_scrub
+    # (text_tfidf_topk already in the jump queue) — first 30 fit; the
+    # leftover six (q21_waiting_suppliers, q2_min_cost_supplier,
+    # q9_product_type_profit, text_containment_pairs, text_dup_spans,
+    # text_gopher_rules) head the r9 r4-vintage block
+    "corpus_pii_scrub",
+    "corpus_quality_classifier",
+    "corpus_segment_dedup",
+    "corpus_temperature_mixture",
+    "corpus_token_budget",
+    "cross_source_overlap",
+    "data_quality_report",
+    "dedup_keep_best",
+    "dedup_simhash_stats",
+    "doc_length_quantiles",
+    "embed_centroid_drift",
+    "embed_dim_stats",
+    "embed_quantize_int8",
+    "embed_semantic_decontaminate",
+    "events_error_rate",
+    "events_outliers",
+    "events_seasonal_anomaly",
+    "events_session_paths",
+    "events_topk_salted",
+    "fq_geometry_filter",
+    "fq_geometry_filter_rects",
+    "fq_object_ids",
+    "geo_albers",
+    "geo_lcc",
+    "mm_features_stats",
+    "orders_cohort_ltv",
+    "orders_purchase_intervals",
+    "pack_materialize",
+    "pack_sequences",
+    "q11_important_stock",
+]
+_ORACLED_OVERFLOW = [
+    n for n in _ORACLED_OVERFLOW if n not in set(_R8_PROMOTED)
+]
+
+# the rows-only priority slot retires this round (see the r8 rotation
+# note above): every rows-only entry now has a driver observation, so
+# the window carries 50 oracles
+_ROWS_ONLY_PRIORITY = []
+
+# r9 ROTATION PLAN (recorded now, the standing convention): (1) any
+# r9-new oracles plus any entry whose kernel/oracle changes in r8 after
+# its last green; (2) the six r4-vintage leftovers above
+# (q21_waiting_suppliers, q2_min_cost_supplier, q9_product_type_profit,
+# text_containment_pairs, text_dup_spans, text_gopher_rules); (3) the
+# r5-vintage block (42 entries — ann_filtered_topk ... text_zipf_fit),
+# alphabetical; (4) leftover slots start the r6-vintage block. The r8
+# window's greens retire with "driver-green r8" rationale once
+# CORRECTNESS_r08 lands.
 
 
 def _reorder_registry() -> None:
