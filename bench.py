@@ -128,7 +128,30 @@ BENCH_QUERIES = [
     # rows that add no signal
     "graph_triangles",
     "embed_kmeans_stats",
+    # r8 round-start refresh (VERDICT r7 directive 2, executed BEFORE
+    # any r8 perf work): the five late-r7 plan shapes — wedge equi-join
+    # link prediction, theta-sketch intersection + its exact contract
+    # side, per-key skew profiling, mergeable heavy-hitters, and
+    # broadcast-probe hard-negative mining. The artifact now carries
+    # BOTH denominators: duckdb_ratio over the full refreshed set and
+    # duckdb_ratio_r7_intersection over the 58 queries shared with
+    # BENCH_r07, so r7→r8 compares like-for-like.
+    "graph_common_neighbors",
+    "events_theta_retention",
+    "lineitem_key_skew",
+    "events_topk_sketch",
+    "embed_hard_negatives",
 ]
+
+# the r8 round-start additions, kept as a set so the artifact can
+# report the r7-intersection denominator (= shared queries minus these)
+R8_ADDITIONS = {
+    "graph_common_neighbors",
+    "events_theta_retention",
+    "lineitem_key_skew",
+    "events_topk_sketch",
+    "embed_hard_negatives",
+}
 
 # entries whose CONSTRUCTION runs Spark jobs (driver-looped iterations,
 # eager index builds, bounded dim-side collects) — verified empirically
@@ -150,6 +173,12 @@ EAGER_ENTRIES = {
     # pays and uses its own persist, the r5-and-earlier behavior
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # r8: both sketch-contract entries assert their exact-regime
+    # precondition at construction (ADVICE r7 items 2-3 — a bounded
+    # NDV collect), so construction runs jobs and the guard's cost is
+    # counted every rep like any other construction-time work
+    "events_theta_retention",
+    "events_topk_sketch",
 }
 
 
@@ -217,7 +246,7 @@ def main() -> None:
     dd_pre = None
     if not skip_duckdb:
         try:
-            dd_pre = _duckdb_reference_timings()
+            dd_pre, _ = _duckdb_reference_timings()
         except ImportError:
             skip_duckdb = True
             sys_argv_skipped_reason = "duckdb not installed"
@@ -332,7 +361,9 @@ def main() -> None:
     # a fair same-host measurement looks like. Per-query ratios land in
     # the artifact so a drift is attributable to a query, not the total.
     if not skip_duckdb and dd_pre is not None:
-        dd_post = _duckdb_reference_timings(spark_ref=timings)
+        dd_post, dd_suspects = _duckdb_reference_timings(
+            spark_ref=timings
+        )
         dd = {n: min(dd_pre[n], dd_post[n]) for n in dd_pre}
         out["duckdb_sec"] = dd
         shared = [n for n in dd if n in timings]
@@ -342,11 +373,44 @@ def main() -> None:
             n: (round(timings[n] / dd[n], 2) if dd[n] > 0 else None)
             for n in shared
         }
+        # burst annotation (VERDICT r7 item 4 — the events_cusum case:
+        # a 40x row in a kept artifact with no in-artifact flag). A
+        # per-query ratio that moved >=3x in EITHER direction against
+        # the most recent recorded artifact is flagged with both values
+        # so the table is readable without the SURVEY narrative. The
+        # key is HISTORY, not the raw cross-engine ratio: sub-second
+        # scheduling-floor rows run 10-100x DuckDB every round by
+        # design and are not noise. Flags with spark-side times under
+        # 0.3s are suppressed (jitter at the scheduling floor).
+        hist = _latest_recorded_ratios()
+        if hist:
+            flags = {}
+            for n, r in out["duckdb_ratio_per_query"].items():
+                h = hist.get(n)
+                if not h or not r or timings[n] < 0.3:
+                    continue
+                if r >= 3.0 * h or r <= h / 3.0:
+                    flags[n] = {"ratio": r, "prev_recorded": h}
+            if flags:
+                out["ratio_outliers_vs_prev"] = flags
+        if dd_suspects:
+            out["duckdb_guard_exhausted"] = sorted(dd_suspects)
         # the headline numbers go LAST: the driver's recorded artifact
         # keeps only the TAIL of a too-long output line (observed in
         # BENCH_r05.json, whose stored line starts mid-JSON), so the
         # fields a reader must never lose sit at the end
         out["duckdb_shared_queries"] = len(shared)
+        # r7→r8 like-for-like comparison (VERDICT r7 directive 2): the
+        # ratio over the 58 queries shared with the BENCH_r07 set (=
+        # the refreshed shared set minus the five r8 additions), so the
+        # round-over-round trend is read on a constant denominator
+        inter = [n for n in shared if n not in R8_ADDITIONS]
+        di_tot = sum(dd[n] for n in inter)
+        si_tot = sum(timings[n] for n in inter)
+        out["r7_intersection_queries"] = len(inter)
+        out["duckdb_ratio_r7_intersection"] = (
+            round(si_tot / di_tot, 3) if di_tot else None
+        )
         out["duckdb_ratio"] = round(s_tot / d_tot, 3) if d_tot else None
     elif skip_duckdb and sys_argv_skipped_reason:
         out["duckdb_skipped"] = sys_argv_skipped_reason
@@ -354,9 +418,49 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def _latest_recorded_ratios() -> dict[str, float]:
+    """Per-query ratio table of the newest driver-recorded BENCH_r*.json
+    next to this file (empty when none parse — e.g. a fresh clone).
+
+    The driver's record is a wrapper {n, rc, ..., tail} keeping only the
+    LAST 2000 chars of the output line; the ratio table sits near the
+    end by design, so when its '"duckdb_ratio_per_query": {' marker
+    survives in the tail the whole table does (everything before the
+    marker is truncated duckdb_sec and is ignored)."""
+    import glob
+    import re
+
+    marker = '"duckdb_ratio_per_query": {'
+    best: tuple[int, dict] | None = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            table = data.get("duckdb_ratio_per_query")
+            if table is None:
+                tail = data.get("tail", "")
+                at = tail.find(marker)
+                end = tail.find("}", at)
+                if at < 0 or end < 0:
+                    continue
+                table = json.loads(tail[at + len(marker) - 1 : end + 1])
+        except (OSError, ValueError):
+            continue
+        table = {
+            k: v for k, v in (table or {}).items() if v is not None
+        }
+        if table and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), table)
+    return best[1] if best else {}
+
+
 def _duckdb_reference_timings(
     spark_ref: dict[str, float] | None = None,
-) -> dict[str, float]:
+) -> tuple[dict[str, float], list[str]]:
     """Time the oracle SQL in DuckDB on the same data — the reference
     engine IS DuckDB (query/engine.py builds DuckDB SQL), so this is the
     'reference single-node throughput' yardstick at the same SF.
@@ -383,6 +487,7 @@ def _duckdb_reference_timings(
         )
     oracles = entry_mod.oracle_sql()
     timings: dict[str, float] = {}
+    suspects: list[str] = []
     for name in BENCH_QUERIES:
         if name not in oracles:
             continue
@@ -407,8 +512,10 @@ def _duckdb_reference_timings(
                 con.execute(oracles[name]).fetchall()
                 samples.append(time.perf_counter() - t0)
                 extra += 1
+            if ref is not None and min(samples) > max(0.5, 3.0 * ref):
+                suspects.append(name)  # mirrored burst annotation
         timings[name] = round(min(samples), 3)
-    return timings
+    return timings, suspects
 
 
 if __name__ == "__main__":

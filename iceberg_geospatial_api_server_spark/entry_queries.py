@@ -6457,6 +6457,88 @@ def embed_pca_checksums_q(spark, sf_dir):
 
 
 @_q(
+    "merge_upsert_scd2",
+    """
+    WITH cl AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_type) AS attr
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ), dd AS (
+      SELECT user_id, ts_us, attr,
+             LAG(attr) OVER (PARTITION BY user_id ORDER BY ts_us)
+               AS prev
+      FROM cl
+    ), kept AS (
+      SELECT user_id, ts_us, attr FROM dd
+      WHERE prev IS NULL OR attr <> prev
+    )
+    SELECT user_id, attr, ts_us AS eff_from_us,
+           LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+             AS eff_to_us,
+           LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+             IS NULL AS is_current
+    FROM kept
+    """,
+)
+def merge_upsert_scd2_q(spark, sf_dir):
+    """SCD TYPE-2 incremental MERGE value-graded by the merged≡direct
+    equivalence (r8 — the runnable analog of Iceberg ``MERGE INTO``
+    upsert semantics, ref api/main.py:492-604 / duckdb-init.sql:24-36,
+    applied to dimension maintenance the way the sketch stores apply it
+    to aggregates): the events changelog (user_id, ts, event_type
+    normalized to one row per (key, ts) via MAX — both engines need an
+    agreed tie rule) is SPLIT at its midpoint day; the entry builds the
+    dimension from the OLD half (scd2_from_changelog), then MERGES the
+    new half through the incremental path (scd2_merge: untouched keys
+    byte-identical pass-through, closed versions immutable, only open
+    versions + batch re-windowed). The oracle rebuilds from the FULL
+    changelog in one SQL window pass — the incremental result must
+    equal the rebuild row-for-row, so a wrong pass-through filter, a
+    dropped open version, a broken run-dedup seam at the split
+    boundary, or a batch-scoped window leak all flip the hash. The
+    midpoint-day split guarantees the merge's append-order
+    precondition globally (batch ts ≥ every open eff_from).
+    Construction runs one bounded min/max-day aggregate (the split
+    point — 1 row to the driver). Scale: merge cost is batch-sized
+    (broadcast key semi/anti joins against the dimension), the 100 TB
+    property that matters (operators/relational.py scd2_merge)."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        scd2_from_changelog,
+        scd2_merge,
+    )
+    from iceberg_geospatial_api_server_spark.util import epoch_of
+
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    sec = epoch_of(events, "ts")
+    cl = (
+        events.select(
+            "user_id",
+            sec("ts", "MICROSECOND").alias("ts_us"),
+            "event_type",
+        )
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_type").alias("attr"))
+    )
+    day = (F.col("ts_us") / F.lit(86_400_000_000)).cast("long")
+    bounds = cl.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    ).collect()[0]
+    cutoff_us = (
+        (bounds["lo"] + bounds["hi"]) // 2 + 1
+    ) * 86_400_000_000
+    old = cl.filter(F.col("ts_us") < F.lit(cutoff_us))
+    batch = cl.filter(F.col("ts_us") >= F.lit(cutoff_us))
+    dim = scd2_from_changelog(old)
+    return scd2_merge(dim, batch)
+
+
+@_q(
     "mm_phash_parity",
     """
     SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -10417,9 +10499,9 @@ _ORACLED_OVERFLOW += [
 # r8 window refill, executing the recorded plan verbatim. Order of
 # precedence (the r7 convention): never-driver-observed first, then
 # kernel-or-oracle-changed-since-last-green, then the stale-vintage
-# rotation (r4 block). 49 promoted + 1 r8-new oracle
-# (embed_pca_checksums — VERDICT r7 item 6, registers outside the
-# overflow) = exactly 50, all oracled.
+# rotation (r4 block). 48 promoted + 2 r8-new oracles
+# (embed_pca_checksums — VERDICT r7 item 6 — and merge_upsert_scd2,
+# both registering outside the overflow) = exactly 50, all oracled.
 _R8_PROMOTED = [
     # (1) the EIGHT late-r7 oracles the driver has never observed
     # (VERDICT r7 directive 1 — judge-MATCH only; external green is the
@@ -10453,8 +10535,10 @@ _R8_PROMOTED = [
     "ann_ivfpq_exhaustive",
     "corpus_decontaminate",
     # (5) the r4-vintage block, alphabetical from corpus_pii_scrub
-    # (text_tfidf_topk already in the jump queue) — first 30 fit; the
-    # leftover six (q21_waiting_suppliers, q2_min_cost_supplier,
+    # (text_tfidf_topk already in the jump queue) — first 29 fit; the
+    # leftover seven (q11_important_stock — ceded its slot to the
+    # r8-new merge_upsert_scd2 oracle per the new-outranks-vintage
+    # convention — q21_waiting_suppliers, q2_min_cost_supplier,
     # q9_product_type_profit, text_containment_pairs, text_dup_spans,
     # text_gopher_rules) head the r9 r4-vintage block
     "corpus_pii_scrub",
@@ -10486,7 +10570,6 @@ _R8_PROMOTED = [
     "orders_purchase_intervals",
     "pack_materialize",
     "pack_sequences",
-    "q11_important_stock",
 ]
 _ORACLED_OVERFLOW = [
     n for n in _ORACLED_OVERFLOW if n not in set(_R8_PROMOTED)
