@@ -10523,8 +10523,14 @@ _R8_PROMOTED = [
     "text_tfidf_topk",
     # ...plus corpus_split, whose ORACLE text changed this round
     # (ADVICE r7 item 1 boundary-literal pin; kernel unchanged, but the
-    # graded PAIR changed — re-driven MATCH at 3 SFs post-change)
+    # graded PAIR changed — re-driven MATCH at 3 SFs post-change)...
     "corpus_split",
+    # ...plus graph_triangles, whose KERNEL was reworked this round
+    # (VERDICT r7 item 3: wedge-stream equi-joins → degree-oriented
+    # adjacency intersection) after its r5 green — re-driven MATCH at
+    # 3 SFs post-rework; pack_sequences cedes its block slot (joins
+    # the r9 r4-vintage head)
+    "graph_triangles",
     # (3) the four r7-displaced r4-vintage entries (each ceded its r7
     # slot to an r7-new oracle; recorded plan item 3)
     "corpus_epoch_order",
@@ -10535,12 +10541,13 @@ _R8_PROMOTED = [
     "ann_ivfpq_exhaustive",
     "corpus_decontaminate",
     # (5) the r4-vintage block, alphabetical from corpus_pii_scrub
-    # (text_tfidf_topk already in the jump queue) — first 29 fit; the
-    # leftover seven (q11_important_stock — ceded its slot to the
-    # r8-new merge_upsert_scd2 oracle per the new-outranks-vintage
-    # convention — q21_waiting_suppliers, q2_min_cost_supplier,
-    # q9_product_type_profit, text_containment_pairs, text_dup_spans,
-    # text_gopher_rules) head the r9 r4-vintage block
+    # (text_tfidf_topk already in the jump queue) — first 28 fit; the
+    # leftover eight (q11_important_stock — ceded to the r8-new
+    # merge_upsert_scd2 oracle — pack_sequences — ceded to the
+    # graph_triangles kernel re-grade — q21_waiting_suppliers,
+    # q2_min_cost_supplier, q9_product_type_profit,
+    # text_containment_pairs, text_dup_spans, text_gopher_rules) head
+    # the r9 r4-vintage block
     "corpus_pii_scrub",
     "corpus_quality_classifier",
     "corpus_segment_dedup",
@@ -10569,7 +10576,6 @@ _R8_PROMOTED = [
     "orders_cohort_ltv",
     "orders_purchase_intervals",
     "pack_materialize",
-    "pack_sequences",
 ]
 _ORACLED_OVERFLOW = [
     n for n in _ORACLED_OVERFLOW if n not in set(_R8_PROMOTED)

@@ -192,26 +192,38 @@ def common_neighbor_pairs(
     ).limit(k)
 
 
-def triangle_stats(edges: DataFrame) -> DataFrame:
+def triangle_stats(
+    edges: DataFrame, broadcast_adj: bool = True
+) -> DataFrame:
     """Exact triangle census over an UNDIRECTED edge list — the other
     canonical distributed-graph workload next to PageRank (community
     density / clustering analysis). Input: one row per undirected edge;
     orientation, dedup, and self-loop drops happen here.
 
-    Algorithm: the DEGREE-ORIENTED edge join (the standard wedge-stream
-    bound): every edge orients from its (degree, id)-smaller endpoint,
-    so each triangle has exactly one node with two out-edges — its
-    (degree, id)-minimum — and triangles = e(a,b) ⋈ e(b,c) ⋈ e(a,c)
-    counts each once via two equi-join shuffles, never a cartesian.
-    The orientation is load-bearing at scale: the intermediate wedge
-    stream is Σ d_out(d_out−1)/2, which degree-ordering bounds by
-    O(m^1.5) on ANY graph (naive id-ordering leaves it Σ d²-sized —
-    the full sf0.1 co-purchase graph's 144M-row wedge stream killed a
-    default-heap session; oriented it is ~4× smaller on uniform
-    degrees and ~√m-bounded on skewed ones). Wedges (open triads)
-    still come from the UNDIRECTED degree frame: Σ d(d−1)/2. Global
-    clustering coefficient = 3·triangles / wedges, reported in exact
-    ppm (BIGINT DIV) so the hash is stable.
+    Algorithm (r8 rework — VERDICT r7 item 3): DEGREE-ORIENTED
+    adjacency intersection. Every edge orients from its (degree,
+    id)-smaller endpoint, so each triangle is counted exactly once at
+    its (degree, id)-minimum edge as |N⁺(a) ∩ N⁺(b)|. The oriented
+    out-neighborhoods are collected once (`adj`, one node-keyed
+    exchange) and each edge's intersection evaluates MAP-SIDE against
+    the broadcast adjacency — the wedge stream (Σ d_out(d_out−1)/2
+    rows, the O(m^1.5) intermediate the previous two-equi-join kernel
+    materialized and re-shuffled on (x,z)) never exists. Measured at
+    sf0.1 (299k edges / 18.5M wedges / 236k triangles): 1.7-2.0s vs
+    2.4-3.5s for the wedge join in the same sessions — the win is the
+    two dropped wedge-sized exchanges.
+
+    The orientation stays load-bearing at scale: it bounds every
+    out-neighborhood by O(√m) (naive id-ordering leaves hub arrays
+    d-sized), so per-row intersection work totals Σ|N⁺(a)|+|N⁺(b)| =
+    O(m^1.5) worst-case — the same bound as the wedge join but with
+    NO shuffled intermediate. `broadcast_adj` gates the broadcast (adj
+    is edge-count longs ≈ 8m bytes — fine to ~100M edges on executor
+    heaps); at billion-edge scale pass False and the same plan runs as
+    two node-keyed shuffle joins, still wedge-stream-free. Wedges
+    (open triads) still come from the UNDIRECTED degree frame:
+    Σ d(d−1)/2. Global clustering coefficient = 3·triangles / wedges,
+    reported in exact ppm (BIGINT DIV) so the hash is stable.
 
     Returns one row: (n_nodes, n_edges, n_wedges, n_triangles,
     clustering_ppm)."""
@@ -252,13 +264,22 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         # three join legs below share e's exchanges the same way —
         # ReusedExchange beats an eager checkpoint (measured, see und)
     )
-    ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    ac = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    adj = e.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+    na = adj.select(F.col("a").alias("__ka"), F.col("nbrs").alias("__na"))
+    nb = adj.select(F.col("a").alias("__kb"), F.col("nbrs").alias("__nb"))
+    if broadcast_adj:
+        na, nb = F.broadcast(na), F.broadcast(nb)
     tri = (
-        ab.join(bc, "y")
-        .join(ac, ["x", "z"])
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        e.join(na, F.col("a") == F.col("__ka"))
+        .join(nb, F.col("b") == F.col("__kb"))
+        .select(F.size(F.array_intersect("__na", "__nb")).alias("__c"))
+        # SUM over zero rows is NULL where COUNT(*) was 0 — coalesce so
+        # a triangle-free (or empty) graph still reports 0
+        .agg(
+            F.coalesce(F.sum("__c"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles")
+        )
     )
     return base.crossJoin(tri).select(
         "n_nodes",
