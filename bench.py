@@ -173,12 +173,9 @@ EAGER_ENTRIES = {
     # pays and uses its own persist, the r5-and-earlier behavior
     "dedup_minhash_lsh",
     "dedup_simhash",
-    # r8: both sketch-contract entries assert their exact-regime
-    # precondition at construction (ADVICE r7 items 2-3 — a bounded
-    # NDV collect), so construction runs jobs and the guard's cost is
-    # counted every rep like any other construction-time work
-    "events_theta_retention",
-    "events_topk_sketch",
+    # (the r8 sketch-contract precondition guards ship IN-PLAN as
+    # assert_true over 1-row broadcast aggregates — ADVICE r7 items
+    # 2-3 — so those entries remain pure lazy plans)
 }
 
 

@@ -6130,23 +6130,35 @@ def events_theta_retention_q(spark, sf_dir):
     # flip within_5pct and redden the hash. The contract is CERTIFIED
     # for exact-mode days (per-day distinct users <= 4096 = 2^12
     # nominal entries, where the sketch retains every hash and the
-    # bar holds with zero slack); assert the precondition so a larger
-    # corpus fails loudly HERE instead of as an opaque mismatch.
-    max_day_users = (
+    # bar holds with zero slack). The precondition ships IN-PLAN as an
+    # assert_true over the 1-row max-day-NDV aggregate (broadcast
+    # crossJoin, evaluated with the query): a larger corpus fails
+    # loudly at execution instead of as an opaque hash mismatch, and
+    # the entry stays a pure lazy plan (no construction-time job).
+    guard = (
         du.groupBy("day")
         .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n"))
-        .collect()[0][0]
-    )
-    if max_day_users is not None and max_day_users > 4096:
-        raise AssertionError(
-            "events_theta_retention contract precondition broken: "
-            f"max per-day distinct users {max_day_users} > 4096 "
-            "(lg_nom_entries=12 exact mode) — the sketch enters "
-            "estimation mode and the 5% bar is no longer a "
-            "deterministic certificate; raise lg_nom_entries or widen "
-            "the bar for estimation-mode days before grading."
+        .agg(F.max("n").alias("mx"))
+        .select(
+            F.assert_true(
+                F.coalesce(F.col("mx") <= 4096, F.lit(True)),
+                F.concat(
+                    F.lit(
+                        "events_theta_retention contract precondition "
+                        "broken: max per-day distinct users "
+                    ),
+                    F.col("mx").cast("string"),
+                    F.lit(
+                        " > 4096 (lg_nom_entries=12 exact mode) — the "
+                        "sketch enters estimation mode and the 5% bar "
+                        "is no longer a deterministic certificate; "
+                        "raise lg_nom_entries or widen the bar before "
+                        "grading."
+                    ),
+                ),
+            ).alias("__guard")
         )
+    )
     nxt = du.select(
         (F.col("day") - F.lit(1)).alias("day"), "user_id"
     )
@@ -6172,13 +6184,18 @@ def events_theta_retention_q(spark, sf_dir):
     est = theta_day_overlap(events)
     return (
         exact.join(est, "day")
+        .crossJoin(F.broadcast(guard))
         .select(
             "day",
             "overlap_exact",
-            (
+            # the isnull(__guard) wrap keeps the side-effecting assert
+            # in the evaluated tree (assert_true yields NULL when the
+            # precondition holds, so the value is within_5pct verbatim)
+            F.when(
+                F.isnull(F.col("__guard")),
                 F.abs(F.col("overlap_est") - F.col("overlap_exact"))
                 * F.lit(20)
-                <= F.col("overlap_exact")
+                <= F.col("overlap_exact"),
             ).alias("within_5pct"),
         )
         .orderBy("day")
@@ -6222,38 +6239,58 @@ def events_topk_sketch_q(spark, sf_dir):
     # NDV(event_type) <= k (result carries every item) and per-day
     # NDV <= max_items_tracked (each daily sketch stays exact). A
     # corpus/SF that breaks either turns the sketch approximate and the
-    # exact GROUP BY oracle reds with an opaque hash mismatch — assert
-    # the precondition HERE so a corpus change fails loudly at the
-    # entry. One tiny job over the distinct (day, item) pairs (same day
-    # derivation as topk_daily_sketches).
+    # exact GROUP BY oracle reds with an opaque hash mismatch — the
+    # precondition ships IN-PLAN as an assert_true over the 1-row
+    # NDV aggregate (broadcast crossJoin, evaluated with the query):
+    # a corpus change fails loudly at execution, and the entry stays a
+    # pure lazy plan. Same day derivation as topk_daily_sketches.
     sec = epoch_of(events, "ts")
     day = F.floor(sec("ts", "SECOND") / F.lit(86_400)).cast("long")
     pairs = events.select(
         day.alias("day"), F.col("event_type").alias("item")
     ).distinct()
-    prow = (
+    guard = (
         pairs.groupBy("day")
         .agg(F.count(F.lit(1)).alias("d"))
-        .agg(
-            F.max("d").alias("max_day_ndv"),
-            F.sum("d").alias("pair_total"),
+        .agg(F.max("d").alias("max_day_ndv"))
+        .crossJoin(
+            F.broadcast(pairs.agg(F.countDistinct("item").alias("ndv")))
         )
-        .crossJoin(pairs.agg(F.countDistinct("item").alias("ndv")))
-        .collect()[0]
+        .select(
+            F.assert_true(
+                F.coalesce(
+                    (F.col("ndv") <= 16) & (F.col("max_day_ndv") <= 64),
+                    F.lit(True),
+                ),
+                F.concat(
+                    F.lit(
+                        "events_topk_sketch exact-regime precondition "
+                        "broken: NDV(event_type)="
+                    ),
+                    F.col("ndv").cast("string"),
+                    F.lit(" (bar 16), max per-day NDV="),
+                    F.col("max_day_ndv").cast("string"),
+                    F.lit(
+                        " (bar 64) — the sketch is approximate at this "
+                        "corpus and the exact oracle no longer applies; "
+                        "raise k/max_items_tracked or re-grade under an "
+                        "accuracy contract (the theta/HLL pattern)."
+                    ),
+                ),
+            ).alias("__guard")
+        )
     )
-    if prow["ndv"] > 16 or prow["max_day_ndv"] > 64:
-        raise AssertionError(
-            "events_topk_sketch exact-regime precondition broken: "
-            f"NDV(event_type)={prow['ndv']} (bar 16), max per-day "
-            f"NDV={prow['max_day_ndv']} (bar 64) — the sketch is "
-            "approximate at this corpus and the exact oracle no longer "
-            "applies; raise k/max_items_tracked or re-grade under an "
-            "accuracy contract (the theta/HLL pattern)."
-        )
     out = topk_merged_counts(
         events, "event_type", k=16, max_items_tracked=64
     )
-    return out.select("item", F.col("count").cast("long").alias("n"))
+    return out.crossJoin(F.broadcast(guard)).select(
+        "item",
+        # isnull(__guard) keeps the side-effecting assert in the
+        # evaluated tree (NULL when the precondition holds)
+        F.when(F.isnull(F.col("__guard")), F.col("count"))
+        .cast("long")
+        .alias("n"),
+    )
 
 
 @_q("embed_pca_project")  # rows-only: eigendecomposition isn't SQL-expressible
