@@ -6576,6 +6576,112 @@ def merge_upsert_scd2_q(spark, sf_dir):
 
 
 @_q(
+    "part_entity_resolution",
+    """
+    WITH vocab AS (
+      SELECT p_name AS name, split_part(p_name, ' ', 2) AS blk,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM part WHERE p_name IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+           a.n AS n_records_a, b.n AS n_records_b
+    FROM vocab a JOIN vocab b ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 3
+    """,
+)
+def part_entity_resolution_q(spark, sf_dir):
+    """Record-linkage candidate generation value-graded (r8 — entity
+    resolution, the merge-two-catalogs pipeline step no prior entry
+    covered): fuzzy match over the DISTINCT part-name vocabulary,
+    blocked by the name's noun (split_part 2), scored with exact
+    Levenshtein ≤ 3, each side carrying its record support count.
+    Levenshtein is the classic DP — identical integers in any engine —
+    so pairs, distances, AND counts all hash. The load-bearing scale
+    property: records collapse to the (name, block, count) vocabulary
+    FIRST, and the quadratic candidate join runs over the blocked
+    DISTINCT vocab only (62-64 names at every test SF — vocabulary
+    grows sublinearly in records, the realistic ER regime; the 10×
+    row proxy is therefore trivially ~1 and is disclosed as such, the
+    corpus_bpe_merges convention)
+    (operators/text.py fuzzy_match_candidates)."""
+    from iceberg_geospatial_api_server_spark.operators.text import (
+        fuzzy_match_candidates,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    return fuzzy_match_candidates(
+        part,
+        "p_name",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)),
+        max_dist=3,
+    )
+
+
+@_q(
+    "events_gapfill_ffill",
+    """
+    WITH hourly AS (
+      SELECT user_id AS key,
+             CAST(FLOOR(CAST(FLOOR(epoch_us(ts) / 1000000) AS BIGINT)
+                        / 3600) AS BIGINT) AS h,
+             MAX(event_type) AS v
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        AND user_id IS NOT NULL
+      GROUP BY 1, 2
+    ), bounds AS (
+      SELECT key, MIN(h) AS h_lo, MAX(h) AS h_hi FROM hourly GROUP BY 1
+    ), spine AS (
+      SELECT key, h_lo, unnest(generate_series(h_lo, h_hi)) AS h
+      FROM bounds
+    ), filled AS (
+      SELECT s.key, s.h_lo, s.h, hv.v IS NULL AS was_gap,
+             last_value(hv.v IGNORE NULLS) OVER (
+               PARTITION BY s.key ORDER BY s.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS fv
+      FROM spine s LEFT JOIN hourly hv
+        ON hv.key = s.key AND hv.h = s.h
+    )
+    SELECT key AS user_id, CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(CASE WHEN was_gap THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_filled,
+           CAST(SUM(
+             ((h - h_lo) % 2147483647)
+             * (('0x' || substr(md5(fv), 1, 15))::BIGINT % 2147483647)
+             % 2147483647
+           ) % 2147483647 AS BIGINT) AS series_checksum
+    FROM filled GROUP BY 1
+    """,
+)
+def events_gapfill_ffill_q(spark, sf_dir):
+    """Time-series gap-fill + forward fill value-graded (r8 — the
+    resample/LOCF regularization every seasonality or window model
+    needs over irregular event streams; no prior entry densified a
+    grid): per user, hourly observations (MAX within the hour — the
+    agreed tie rule) densify to EVERY hour between the user's first
+    and last event via an exploded sequence spine, gaps carry the last
+    observed value forward (last IGNORE NULLS ≡ DuckDB last_value
+    IGNORE NULLS), and the filled series hashes as one exact integer
+    checksum per user (Σ (hour_index · word_hash(value)) mod M) plus
+    observed/filled hour counts — a moved, dropped, or wrongly-carried
+    fill shifts the checksum. Scale: one key-hour exchange, the spine
+    explodes map-side from per-key bounds (never a global calendar
+    cross join), LOCF is one window on the key exchange; span outliers
+    are the documented skew hazard
+    (operators/relational.py events_gapfill_ffill)."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        events_gapfill_ffill,
+    )
+
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    return events_gapfill_ffill(events)
+
+
+@_q(
     "mm_phash_parity",
     """
     SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -10536,9 +10642,10 @@ _ORACLED_OVERFLOW += [
 # r8 window refill, executing the recorded plan verbatim. Order of
 # precedence (the r7 convention): never-driver-observed first, then
 # kernel-or-oracle-changed-since-last-green, then the stale-vintage
-# rotation (r4 block). 48 promoted + 2 r8-new oracles
-# (embed_pca_checksums — VERDICT r7 item 6 — and merge_upsert_scd2,
-# both registering outside the overflow) = exactly 50, all oracled.
+# rotation (r4 block). 46 promoted + 4 r8-new oracles
+# (embed_pca_checksums — VERDICT r7 item 6 — merge_upsert_scd2,
+# part_entity_resolution, events_gapfill_ffill, all registering
+# outside the overflow) = exactly 50, all oracled.
 _R8_PROMOTED = [
     # (1) the EIGHT late-r7 oracles the driver has never observed
     # (VERDICT r7 directive 1 — judge-MATCH only; external green is the
@@ -10611,8 +10718,11 @@ _R8_PROMOTED = [
     "geo_lcc",
     "mm_features_stats",
     "orders_cohort_ltv",
-    "orders_purchase_intervals",
-    "pack_materialize",
+    # (orders_purchase_intervals and pack_materialize ceded their
+    # block slots to the two further r8-new oracles —
+    # part_entity_resolution and events_gapfill_ffill — per the
+    # new-outranks-vintage convention; they join the r9 r4-vintage
+    # head with q11_important_stock and pack_sequences)
 ]
 _ORACLED_OVERFLOW = [
     n for n in _ORACLED_OVERFLOW if n not in set(_R8_PROMOTED)

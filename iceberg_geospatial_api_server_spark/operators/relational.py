@@ -2215,3 +2215,101 @@ def scd2_merge(
         attr_col,
     )
     return untouched.unionByName(closed).unionByName(recomputed)
+
+
+def events_gapfill_ffill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "event_type",
+) -> DataFrame:
+    """Time-series gap-fill with forward fill (resample + LOCF): each
+    key's observations snap to an hourly grid, the grid densifies to
+    EVERY hour between the key's first and last observation, and gaps
+    carry the last observed value forward — the standard regularization
+    step before any window/seasonality model runs over irregular event
+    streams.
+
+    Per-hour values pick MAX within the hour (engines must agree on a
+    tie rule). Returns one row per key: the span (n_hours), observed
+    vs filled hour counts, and an exact integer checksum over the
+    filled series (Σ (hour_index · word_hash(value)) mod M — a moved,
+    dropped, or wrongly-carried fill shifts the checksum).
+
+    Plan/scale: ONE exchange total — raw events hash-partition by key
+    once, and every downstream stage reuses that partitioning:
+    HashPartitioning(key) satisfies ClusteredDistribution for the
+    (key, h) hourly aggregate, the per-key bounds, the (key, h) spine
+    join (both sides descend from the same exchange — co-partitioned,
+    no new shuffle), the LOCF window (partitionBy key), and the final
+    per-key aggregate. The spine explodes map-side from per-key
+    (min, max) bounds ACROSS the partitioned keys (never a global
+    calendar cross join, and never a fan-out from a coalesced tiny
+    frame — the naive bounds-then-explode form generated the full
+    proxy-scale spine inside 1-3 tasks). Span outliers are the skew
+    hazard (a key alive for years explodes its spine) — bound upstream
+    with a max-span filter or per-epoch partitioning when keys live
+    long.
+    """
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        MERSENNE,
+        word_hash,
+    )
+
+    sec = epoch_of(events, ts_col)
+    hour = F.floor(sec(ts_col, "SECOND") / F.lit(3600)).cast("long")
+    n = events.sparkSession.sparkContext.defaultParallelism
+    keyed = (
+        events.filter(
+            F.col(ts_col).isNotNull() & F.col(val_col).isNotNull()
+        )
+        .select(F.col(key_col).alias("key"), hour.alias("h"),
+                F.col(val_col).alias("v"))
+        .repartition(n, "key")
+    )
+    hourly = keyed.groupBy("key", "h").agg(F.max("v").alias("v"))
+    bounds = hourly.groupBy("key").agg(
+        F.min("h").alias("h_lo"), F.max("h").alias("h_hi")
+    )
+    spine = bounds.select(
+        "key",
+        "h_lo",
+        F.explode(F.sequence("h_lo", "h_hi")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = (
+        spine.join(hourly, ["key", "h"], "left")
+        .select(
+            "key",
+            "h_lo",
+            "h",
+            F.col("v").isNull().alias("was_gap"),
+            F.last("v", ignorenulls=True).over(w).alias("fv"),
+        )
+    )
+    term = (
+        (F.col("h") - F.col("h_lo")) % F.lit(MERSENNE)
+        * (word_hash(F.col("fv")) % F.lit(MERSENNE))
+    ) % F.lit(MERSENNE)
+    return (
+        filled.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum(
+                F.when(F.col("was_gap"), F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_filled"),
+            (F.sum(term) % F.lit(MERSENNE)).cast("long").alias(
+                "series_checksum"
+            ),
+        )
+        .select(
+            F.col("key").alias(key_col),
+            "n_hours",
+            "n_filled",
+            "series_checksum",
+        )
+    )
