@@ -10676,8 +10676,15 @@ _R8_PROMOTED = [
     # (VERDICT r7 item 3: wedge-stream equi-joins → degree-oriented
     # adjacency intersection) after its r5 green — re-driven MATCH at
     # 3 SFs post-rework; pack_sequences cedes its block slot (joins
-    # the r9 r4-vintage head)
+    # the r9 r4-vintage head)...
     "graph_triangles",
+    # ...plus corpus_perplexity, whose final presentational sort was
+    # removed this round (the r7 final-sort class) after its r7 green
+    # — re-driven MATCH at 3 SFs post-change; orders_cohort_ltv cedes
+    # its block slot (joins the r9 r4-vintage head). corpus_segment_
+    # dedup got the same sort removal but already sits in the window's
+    # r4 block, so it re-grades this round with no extra slot.
+    "corpus_perplexity",
     # (3) the four r7-displaced r4-vintage entries (each ceded its r7
     # slot to an r7-new oracle; recorded plan item 3)
     "corpus_epoch_order",
@@ -10720,12 +10727,12 @@ _R8_PROMOTED = [
     "geo_albers",
     "geo_lcc",
     "mm_features_stats",
-    "orders_cohort_ltv",
-    # (orders_purchase_intervals and pack_materialize ceded their
-    # block slots to the two further r8-new oracles —
+    # (orders_cohort_ltv ceded its block slot to the corpus_perplexity
+    # kernel re-grade; orders_purchase_intervals and pack_materialize
+    # ceded theirs to the two further r8-new oracles —
     # part_entity_resolution and events_gapfill_ffill — per the
-    # new-outranks-vintage convention; they join the r9 r4-vintage
-    # head with q11_important_stock and pack_sequences)
+    # new-outranks-vintage convention; all three join the r9
+    # r4-vintage head with q11_important_stock and pack_sequences)
 ]
 _ORACLED_OVERFLOW = [
     n for n in _ORACLED_OVERFLOW if n not in set(_R8_PROMOTED)

@@ -1020,7 +1020,9 @@ def perplexity_profile(
             .otherwise(F.round(F.exp(-ent), 6))
             .alias("ppl"),
         )
-        .orderBy(id_col)
+        # no final sort (r7 lesson): the RangePartitioning sampling
+        # re-executed the docs⋈agg join; every consumer compares
+        # order-insensitively
     )
 
 
@@ -1097,7 +1099,9 @@ def segment_dedup_stats(
             .cast("long")
             .alias("n_tokens_kept"),
         )
-        .orderBy(id_col)
+        # no final sort (r7 lesson): the sampling pass re-executed the
+        # hash-count join; consumers compare order-insensitively
+        # (measured 1.2 → 0.9s at sf0.1)
     )
 
 
