@@ -153,6 +153,16 @@ R8_ADDITIONS = {
     "embed_hard_negatives",
 }
 
+# r9 bench-set plan (recorded now so the refresh happens at ROUND
+# START, the r8 convention): add the three r8-new plan shapes —
+# merge_upsert_scd2 (broadcast anti/semi pass-through + batch-scoped
+# window), events_gapfill_ffill (single-exchange explode-spine + LOCF
+# window), part_entity_resolution (vocab-collapse + blocked quadratic)
+# — then re-baseline with an r8-intersection denominator exactly as
+# R8_ADDITIONS does for r7. embed_pca_checksums stays OUT (its plan
+# shape duplicates embed_pca_moments' posexplode+integer-agg, already
+# represented via embed_dim_stats/pca entries).
+
 # entries whose CONSTRUCTION runs Spark jobs (driver-looped iterations,
 # eager index builds, bounded dim-side collects) — verified empirically
 # via statusTracker job counts during a build with warm table caches.
