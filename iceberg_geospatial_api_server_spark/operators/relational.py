@@ -2243,13 +2243,17 @@ def events_gapfill_ffill(
     filled series (Σ (hour_index · word_hash(value)) mod M — a moved,
     dropped, or wrongly-carried fill shifts the checksum).
 
-    Plan/scale: ONE exchange total — raw events hash-partition by key
-    once, and every downstream stage reuses that partitioning:
+    Plan/scale: the key repartition is the ONLY shuffle shape — it
+    appears once per scan branch (the bounds and hourly subtrees read
+    the source separately with different column pruning, so Catalyst
+    plans two HashPartitioning(key) exchanges rather than sharing
+    one), and NOTHING downstream adds an exchange:
     HashPartitioning(key) satisfies ClusteredDistribution for the
-    (key, h) hourly aggregate, the per-key bounds, the (key, h) spine
-    join (both sides descend from the same exchange — co-partitioned,
-    no new shuffle), the LOCF window (partitionBy key), and the final
-    per-key aggregate. The spine explodes map-side from per-key
+    (key, h) hourly aggregate and the per-key bounds, the spine join
+    runs broadcast (AQE, small hourly) or co-partitioned, and the
+    LOCF window (partitionBy key) plus the final per-key aggregate
+    reuse the join's left-side partitioning (plan-asserted in
+    tests/test_plans.py). The spine explodes map-side from per-key
     (min, max) bounds ACROSS the partitioned keys (never a global
     calendar cross join, and never a fan-out from a coalesced tiny
     frame — the naive bounds-then-explode form generated the full

@@ -767,11 +767,51 @@ def test_triangle_census_no_cartesian_bounded_joins(tables):
     edges = a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
     out = triangle_stats(edges)
     assert_no_cartesian(out)
+    # r8 kernel: the count comes from per-edge adjacency INTERSECTION
+    # against the broadcast out-neighborhoods — the O(m^1.5) wedge
+    # stream is never materialized, so the plan must carry the two
+    # adjacency broadcasts and the intersect expression, and no
+    # range/global sort anywhere
+    from iceberg_geospatial_api_server_spark.plans.explain import (
+        assert_broadcast_join,
+        formatted_plan,
+        range_exchange_count,
+    )
+
+    plan = formatted_plan(out)
+    assert "array_intersect" in plan
+    assert_broadcast_join(out, min_count=2)
+    assert range_exchange_count(plan) == 0
     row = out.first()
     # sanity: wedges >= 3 * triangles always (each triangle closes 3 wedges)
     assert row["n_wedges"] >= 3 * row["n_triangles"] > 0
 
     assert shuffle_count(lexical_complexity(tables["documents"])) == 0
+
+
+def test_gapfill_single_shuffle_shape_per_branch(tables):
+    """events_gapfill_ffill: the key repartition is the only shuffle
+    shape — one HashPartitioning(key) per scan branch (bounds/hourly
+    are column-pruned separately) and NOTHING downstream adds an
+    exchange: the hourly agg, bounds agg, spine explode, join, LOCF
+    window, and final agg all reuse it. No range exchange (no global
+    sort), no single-partition funnel."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        events_gapfill_ffill,
+    )
+    from iceberg_geospatial_api_server_spark.plans.explain import (
+        formatted_plan,
+        hash_exchange_count,
+        range_exchange_count,
+        single_partition_exchange_count,
+    )
+
+    out = events_gapfill_ffill(tables["events"])
+    plan = formatted_plan(out)
+    assert hash_exchange_count(plan) <= 2, plan
+    assert range_exchange_count(plan) == 0
+    assert single_partition_exchange_count(plan) == 0
+    assert "Window" in plan
 
 
 def test_label_outliers_bounded_exchanges(tables):
