@@ -10745,13 +10745,18 @@ _ROWS_ONLY_PRIORITY = []
 
 # r9 ROTATION PLAN (recorded now, the standing convention): (1) any
 # r9-new oracles plus any entry whose kernel/oracle changes in r8 after
-# its last green; (2) the six r4-vintage leftovers above
-# (q21_waiting_suppliers, q2_min_cost_supplier, q9_product_type_profit,
-# text_containment_pairs, text_dup_spans, text_gopher_rules); (3) the
-# r5-vintage block (42 entries — ann_filtered_topk ... text_zipf_fit),
-# alphabetical; (4) leftover slots start the r6-vintage block. The r8
-# window's greens retire with "driver-green r8" rationale once
-# CORRECTNESS_r08 lands.
+# its last green; (2) the ELEVEN r4-vintage leftovers — the six
+# alphabetical-tail members (q21_waiting_suppliers,
+# q2_min_cost_supplier, q9_product_type_profit, text_containment_pairs,
+# text_dup_spans, text_gopher_rules) plus the five that ceded r8 slots
+# mid-round (q11_important_stock → merge_upsert_scd2, pack_sequences →
+# graph_triangles re-grade, orders_purchase_intervals →
+# part_entity_resolution, pack_materialize → events_gapfill_ffill,
+# orders_cohort_ltv → corpus_perplexity re-grade; each swap's rationale
+# inline at its site); (3) the r5-vintage block (42 entries —
+# ann_filtered_topk ... text_zipf_fit), alphabetical; (4) leftover
+# slots start the r6-vintage block. The r8 window's greens retire with
+# "driver-green r8" rationale once CORRECTNESS_r08 lands.
 
 
 def _reorder_registry() -> None:
