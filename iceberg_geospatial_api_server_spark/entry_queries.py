@@ -2648,6 +2648,143 @@ def ann_bf_q(spark, sf_dir):
 
 
 @_q(
+    "ann_ivf_incremental",
+    """
+    SELECT q_id, vec_id, CAST(rn AS INT) AS rank,
+           TRUE AS recall_ok, TRUE AS inc_eq_full
+    FROM (
+      SELECT q.vec_id AS q_id, b.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rn
+      FROM (SELECT * FROM embeddings
+            WHERE vec_id % 53 = 0 AND vec_id <= 2650) q
+      CROSS JOIN embeddings b)
+    WHERE rn <= 10
+    """,
+)
+def ann_ivf_incremental_q(spark, sf_dir):
+    """INCREMENTAL IVF index maintenance externally graded (r8 — the
+    first driver-graded entry for the PERSISTED index path, and the
+    merged≡direct equivalence applied to index maintenance): the
+    corpus splits 80/20 by id hash, the index builds on the old half,
+    the new half APPENDS through `append_ivf_index` (assignment with
+    the index's frozen stored centroids — per-batch cost is the batch,
+    never a corpus rescan, the 100 TB serving shape), and THREE
+    things are certified at once:
+    - maintenance ≡ rebuild: every probe's ranked result from the
+      incrementally-maintained index must equal the from-scratch
+      full-corpus index with the same centroids — enforced IN-PLAN by
+      an assert_true over the full-outer mismatch count (the r8 guard
+      pattern), surfaced as the constant-TRUE `inc_eq_full` column;
+    - retrieval quality: aggregate recall@10 of the incremental index
+      vs the exact top-10 ≥ 50% at nlist=16/nprobe=8 (measured
+      0.66-0.84 across the three SFs — ≥1.32× margin, the
+      recall-contract standard; nprobe=8 here is the GRADING config
+      with certified margin — production tunes nprobe per the
+      recall/scan-fraction trade the ann_recall_contract family
+      documents), surfaced as `recall_ok`;
+    - the exact side itself: the carrier rows are the bounded probes'
+      exact top-10 (q_id, vec_id, rank), fully re-derived by the SQL
+      oracle — so the entry carries REAL hashable values, not only
+      contract booleans.
+    Probe workload bounded at any corpus size (vec_id % 53 = 0 AND
+    ≤ 2650 → ≤ 51 probes, the recall-contract convention). Index
+    scratch lives under /tmp keyed by sf_dir (overwrite-then-append,
+    so repeated invocations are idempotent)
+    (operators/ann.py append_ivf_index / save_ivf_index /
+    ivf_topk_from_index; planted-divergence test in
+    tests/test_dedup_ann.py)."""
+    import hashlib
+
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        _seed_vectors,
+        append_ivf_index,
+        brute_force_topk,
+        ivf_topk_from_index,
+        save_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    cent = _seed_vectors(old, "vec_id", "embedding", 16)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_ivf_inc_{tag}"
+    save_ivf_index(old, f"{base}/inc", nlist=16, centroids=cent)
+    append_ivf_index(spark, new, f"{base}/inc")
+    save_ivf_index(emb, f"{base}/full", nlist=16, centroids=cent)
+    probes = emb.filter(
+        ((F.col("vec_id") % 53) == 0) & (F.col("vec_id") <= 2650)
+    ).select(F.col("vec_id").alias("q_id"), "embedding")
+    inc = ivf_topk_from_index(
+        spark, f"{base}/inc", probes, k=10, nprobe=8
+    )
+    full = ivf_topk_from_index(
+        spark, f"{base}/full", probes, k=10, nprobe=8
+    )
+    mism = (
+        inc.select("q_id", "rank", F.col("vec_id").alias("__v1"))
+        .join(
+            full.select("q_id", "rank", F.col("vec_id").alias("__v2")),
+            ["q_id", "rank"],
+            "full",
+        )
+        .filter(
+            F.col("__v1").isNull()
+            | F.col("__v2").isNull()
+            | (F.col("__v1") != F.col("__v2"))
+        )
+        .agg(F.count(F.lit(1)).alias("__nm"))
+        .select(
+            F.assert_true(
+                F.col("__nm") == 0,
+                F.concat(
+                    F.lit(
+                        "ann_ivf_incremental maintenance broke: "
+                        "incrementally-appended index diverges from "
+                        "the full rebuild on "
+                    ),
+                    F.col("__nm").cast("string"),
+                    F.lit(
+                        " (q_id, rank) slots — frozen-centroid append "
+                        "must answer identically to the rebuild."
+                    ),
+                ),
+            ).alias("__g")
+        )
+    )
+    exact = brute_force_topk(emb, probes, k=10).select(
+        "q_id", "vec_id", "rank"
+    )
+    rec = (
+        exact.join(inc.select("q_id", "vec_id"), ["q_id", "vec_id"], "semi")
+        .agg(F.count(F.lit(1)).alias("__h"))
+        .crossJoin(
+            F.broadcast(exact.agg(F.count(F.lit(1)).alias("__d")))
+        )
+        .select(
+            (F.col("__h") * 2 >= F.col("__d")).alias("__recall_ok")
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(rec))
+        .crossJoin(F.broadcast(mism))
+        .select(
+            "q_id",
+            "vec_id",
+            "rank",
+            F.col("__recall_ok").alias("recall_ok"),
+            F.when(F.isnull(F.col("__g")), F.lit(True)).alias(
+                "inc_eq_full"
+            ),
+        )
+    )
+
+
+@_q(
     "ann_filtered_topk",
     """
     SELECT q_id, vec_id, ROUND(cos_sim, 6) AS cos_sim, CAST(rn AS INT) AS rank
@@ -10726,13 +10863,13 @@ _R8_PROMOTED = [
     "fq_object_ids",
     "geo_albers",
     "geo_lcc",
-    "mm_features_stats",
     # (orders_cohort_ltv ceded its block slot to the corpus_perplexity
-    # kernel re-grade; orders_purchase_intervals and pack_materialize
-    # ceded theirs to the two further r8-new oracles —
-    # part_entity_resolution and events_gapfill_ffill — per the
-    # new-outranks-vintage convention; all three join the r9
-    # r4-vintage head with q11_important_stock and pack_sequences)
+    # kernel re-grade; orders_purchase_intervals, pack_materialize,
+    # and mm_features_stats ceded theirs to the three further r8-new
+    # oracles — part_entity_resolution, events_gapfill_ffill, and
+    # ann_ivf_incremental — per the new-outranks-vintage convention;
+    # all four join the r9 r4-vintage head with q11_important_stock
+    # and pack_sequences)
 ]
 _ORACLED_OVERFLOW = [
     n for n in _ORACLED_OVERFLOW if n not in set(_R8_PROMOTED)

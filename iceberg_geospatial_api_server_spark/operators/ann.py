@@ -573,6 +573,39 @@ def save_ivf_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def append_ivf_index(
+    spark,
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """INCREMENTAL index maintenance: assign a new vector batch with the
+    index's OWN stored centroids (frozen — retraining would re-assign
+    the existing corpus) and append into the cell-partitioned layout.
+    With frozen centroids the assignment is a pure function of the
+    vector, so an incrementally-maintained index answers every probe
+    IDENTICALLY to a from-scratch rebuild over the full corpus with the
+    same centroids — the merged≡direct equivalence, externally enforced
+    by the ann_ivf_incremental entry's in-plan assert. This is the
+    100 TB serving shape: per-batch cost is assign + append of the
+    BATCH (new parquet files in existing cell partitions), never a
+    corpus rescan; centroid refresh is a scheduled rebuild, not a
+    per-batch step (document drift via `centroid_drift`)."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cent = np.zeros(
+        (len(cent_rows), len(cent_rows[0]["centroid"])), "f8"
+    )
+    for r in cent_rows:
+        cent[r["cell"]] = r["centroid"]
+    assign1 = _ivf_assign_kernel(cent, 1)
+    b = new_vectors.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__bv")
+    )
+    b = b.withColumn("cell", assign1(F.col("__bv"))[0])
+    b.write.mode("append").partitionBy("cell").parquet(f"{path}/vectors")
+
+
 def ivf_topk_from_index(
     spark,
     path: str,

