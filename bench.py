@@ -250,6 +250,10 @@ def main() -> None:
     # Spark-only artifact instead of crashing (ADVICE r5)
     skip_duckdb = "--no-duckdb" in sys.argv
     sys_argv_skipped_reason = None
+    try:  # host state at start — bursts poison the Spark side only
+        load_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_start = None
     dd_pre = None
     if not skip_duckdb:
         try:
@@ -389,7 +393,7 @@ def main() -> None:
         # scheduling-floor rows run 10-100x DuckDB every round by
         # design and are not noise. Flags with spark-side times under
         # 0.3s are suppressed (jitter at the scheduling floor).
-        hist = _latest_recorded_ratios()
+        hist = _latest_recorded_ratios(sf_val)
         if hist:
             flags = {}
             for n, r in out["duckdb_ratio_per_query"].items():
@@ -406,6 +410,17 @@ def main() -> None:
         # keeps only the TAIL of a too-long output line (observed in
         # BENCH_r05.json, whose stored line starts mid-JSON), so the
         # fields a reader must never lose sit at the end
+        # host-state stamp (r8): this machine shows multi-minute
+        # phantom-load episodes (loadavg ~4 with zero owned processes)
+        # that inflate the Spark side 1.5-2x; a recorded artifact taken
+        # inside one should say so itself
+        try:
+            out["loadavg_start_end"] = [
+                load_start,
+                round(os.getloadavg()[0], 2),
+            ]
+        except OSError:
+            pass
         out["duckdb_shared_queries"] = len(shared)
         # r7→r8 like-for-like comparison (VERDICT r7 directive 2): the
         # ratio over the 58 queries shared with the BENCH_r07 set (=
@@ -425,9 +440,12 @@ def main() -> None:
     print(json.dumps(out))
 
 
-def _latest_recorded_ratios() -> dict[str, float]:
+def _latest_recorded_ratios(sf_val: float | None = None) -> dict[str, float]:
     """Per-query ratio table of the newest driver-recorded BENCH_r*.json
     next to this file (empty when none parse — e.g. a fresh clone).
+    Artifacts recorded at a DIFFERENT scale factor are skipped: ratios
+    are only history-comparable at the same SF (a tiny-SF smoke run is
+    scheduling-floor-dominated and every query would flag).
 
     The driver's record is a wrapper {n, rc, ..., tail} keeping only the
     LAST 2000 chars of the output line; the ratio table sits near the
@@ -447,6 +465,13 @@ def _latest_recorded_ratios() -> dict[str, float]:
         try:
             with open(path) as f:
                 data = json.load(f)
+            rec_sf = data.get("sf")
+            if (
+                sf_val is not None
+                and rec_sf is not None
+                and float(rec_sf) != float(sf_val)
+            ):
+                continue
             table = data.get("duckdb_ratio_per_query")
             if table is None:
                 tail = data.get("tail", "")
