@@ -141,27 +141,44 @@ BENCH_QUERIES = [
     "lineitem_key_skew",
     "events_topk_sketch",
     "embed_hard_negatives",
+    # r9 round-start refresh (the recorded r8 plan, executed BEFORE any
+    # r9 perf work): the three r8-new plan shapes — broadcast anti/semi
+    # pass-through + batch-scoped window (SCD2 merge), single-exchange
+    # explode-spine + LOCF window (gapfill), vocab-collapse + blocked
+    # quadratic (entity resolution). embed_pca_checksums stays OUT (its
+    # plan shape duplicates embed_pca_moments' posexplode+integer-agg,
+    # already represented via embed_dim_stats/pca entries); the r9-new
+    # contract oracles (ann_ivfpq_incremental, versioned_read_asof,
+    # scd2_merge_late) stay out like every grading-apparatus entry —
+    # their cost is the merged≡rebuilt assert machinery, not a
+    # recurring production query shape.
+    "merge_upsert_scd2",
+    "events_gapfill_ffill",
+    "part_entity_resolution",
 ]
 
-# the r8 round-start additions, kept as a set so the artifact can
-# report the r7-intersection denominator (= shared queries minus these)
-R8_ADDITIONS = {
-    "graph_common_neighbors",
-    "events_theta_retention",
-    "lineitem_key_skew",
-    "events_topk_sketch",
-    "embed_hard_negatives",
+# the r9 round-start additions, kept as a set so the artifact can
+# report the r8-intersection denominator (= shared queries minus
+# these) — the standing convention: round-over-round trends read on
+# the PREVIOUS round's constant denominator. (The r8 additions —
+# graph_common_neighbors, events_theta_retention, lineitem_key_skew,
+# events_topk_sketch, embed_hard_negatives — are now part of the
+# shared base, exactly as the r5 additions were for r8.)
+R9_ADDITIONS = {
+    "merge_upsert_scd2",
+    "events_gapfill_ffill",
+    "part_entity_resolution",
 }
 
-# r9 bench-set plan (recorded now so the refresh happens at ROUND
-# START, the r8 convention): add the three r8-new plan shapes —
-# merge_upsert_scd2 (broadcast anti/semi pass-through + batch-scoped
-# window), events_gapfill_ffill (single-exchange explode-spine + LOCF
-# window), part_entity_resolution (vocab-collapse + blocked quadratic)
-# — then re-baseline with an r8-intersection denominator exactly as
-# R8_ADDITIONS does for r7. embed_pca_checksums stays OUT (its plan
-# shape duplicates embed_pca_moments' posexplode+integer-agg, already
-# represented via embed_dim_stats/pca entries).
+# r10 bench-set plan (recorded now so the refresh happens at ROUND
+# START): no r9-new entries qualify — all three r9-new operators are
+# merged≡rebuilt contract oracles whose timed cost would be the
+# grading apparatus (dual index builds, dual snapshot writes, the
+# full-outer mismatch asserts), not a production plan shape; the
+# production paths they certify (append_ivf*_index, scd2_merge,
+# VersionedTable.read) are covered by the benched scd2/ANN entries.
+# r10 therefore re-baselines on THIS set with a trivial
+# r9-intersection (= full set) unless r10 itself adds operators.
 
 # entries whose CONSTRUCTION runs Spark jobs (driver-looped iterations,
 # eager index builds, bounded dim-side collects) — verified empirically
@@ -186,10 +203,48 @@ EAGER_ENTRIES = {
     # (the r8 sketch-contract precondition guards ship IN-PLAN as
     # assert_true over 1-row broadcast aggregates — ADVICE r7 items
     # 2-3 — so those entries remain pure lazy plans)
+    # r9 addition whose construction runs a driver job (the split-point
+    # min/max-day aggregate, 1 row) — pre-classified per ADVICE r8 so
+    # its first timed rep never absorbs construction jobs the protocol
+    # excludes for the other eager entries. events_gapfill_ffill and
+    # part_entity_resolution are pure lazy plans (no construction
+    # collect — verified, and the runtime _build_checked guard would
+    # promote them loudly if that ever changes).
+    "merge_upsert_scd2",
 }
 
 
 def main() -> None:
+    # quiet-host guard (VERDICT r8 item 1 / directive 2): the recorded
+    # convention is that bench runs ALONE — concurrent load poisons the
+    # Spark side of the ratio only (DuckDB's brackets straddle it). The
+    # r8 artifact was captured at loadavg 5.1 and had to be adjudicated
+    # by hand; enforce the convention in the tool instead. Measured
+    # BEFORE the SparkSession exists so our own warmup doesn't count.
+    # If the host is busy, WAIT (up to $SPARK_GRAFT_LOAD_WAIT sec,
+    # default 300, poll 10s) for loadavg to fall under the threshold;
+    # if it never does, proceed but stamp a loud "load_warning" into
+    # the artifact so the number can never be quoted as record-quality.
+    load_thresh = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "1.0"))
+    load_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "300"))
+    pre_spark_load = None
+    try:
+        pre_spark_load = os.getloadavg()[0]
+        waited = 0.0
+        while pre_spark_load > load_thresh and waited < load_wait:
+            print(
+                f"# host busy (loadavg {pre_spark_load:.2f} > "
+                f"{load_thresh}); waiting for quiet "
+                f"({waited:.0f}/{load_wait:.0f}s)",
+                file=sys.stderr,
+            )
+            time.sleep(10)
+            waited += 10
+            pre_spark_load = os.getloadavg()[0]
+        pre_spark_load = round(pre_spark_load, 2)
+    except OSError:
+        pass
+
     from iceberg_geospatial_api_server_spark.session import get_spark
 
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
@@ -410,32 +465,45 @@ def main() -> None:
         # keeps only the TAIL of a too-long output line (observed in
         # BENCH_r05.json, whose stored line starts mid-JSON), so the
         # fields a reader must never lose sit at the end
-        # host-state stamp (r8): this machine shows multi-minute
-        # phantom-load episodes (loadavg ~4 with zero owned processes)
-        # that inflate the Spark side 1.5-2x; a recorded artifact taken
-        # inside one should say so itself
-        try:
-            out["loadavg_start_end"] = [
-                load_start,
-                round(os.getloadavg()[0], 2),
-            ]
-        except OSError:
-            pass
         out["duckdb_shared_queries"] = len(shared)
-        # r7→r8 like-for-like comparison (VERDICT r7 directive 2): the
-        # ratio over the 58 queries shared with the BENCH_r07 set (=
-        # the refreshed shared set minus the five r8 additions), so the
-        # round-over-round trend is read on a constant denominator
-        inter = [n for n in shared if n not in R8_ADDITIONS]
+        # r8→r9 like-for-like comparison (the standing round-over-round
+        # convention): the ratio over the queries shared with the
+        # BENCH_r08 set (= the refreshed shared set minus the three r9
+        # additions), so the trend is read on a constant denominator
+        inter = [n for n in shared if n not in R9_ADDITIONS]
         di_tot = sum(dd[n] for n in inter)
         si_tot = sum(timings[n] for n in inter)
-        out["r7_intersection_queries"] = len(inter)
-        out["duckdb_ratio_r7_intersection"] = (
+        out["r8_intersection_queries"] = len(inter)
+        out["duckdb_ratio_r8_intersection"] = (
             round(si_tot / di_tot, 3) if di_tot else None
         )
         out["duckdb_ratio"] = round(s_tot / d_tot, 3) if d_tot else None
     elif skip_duckdb and sys_argv_skipped_reason:
         out["duckdb_skipped"] = sys_argv_skipped_reason
+
+    # host-state stamp (r8, unconditional since r9 — ADVICE r8 item 3:
+    # a Spark-only artifact is exactly the one with no cross-engine
+    # ratio to lean on for burst attribution, so it needs the stamp
+    # MOST): this machine shows multi-minute phantom-load episodes
+    # (loadavg ~4 with zero owned processes) that inflate the Spark
+    # side 1.5-2x; a recorded artifact taken inside one says so itself.
+    # loadavg_pre_spark is the HOST state before our own JVM existed —
+    # the number the quiet-host convention is about; loadavg_start_end
+    # brackets the timed section (includes our own load).
+    try:
+        out["loadavg_pre_spark"] = pre_spark_load
+        out["loadavg_start_end"] = [
+            load_start,
+            round(os.getloadavg()[0], 2),
+        ]
+    except OSError:
+        pass
+    if pre_spark_load is not None and pre_spark_load > load_thresh:
+        out["load_warning"] = (
+            f"host loadavg {pre_spark_load} exceeded {load_thresh} after "
+            f"{load_wait:.0f}s of waiting — NOT record-quality; rerun on "
+            "a quiet host before quoting this artifact"
+        )
 
     print(json.dumps(out))
 
@@ -466,10 +534,13 @@ def _latest_recorded_ratios(sf_val: float | None = None) -> dict[str, float]:
             with open(path) as f:
                 data = json.load(f)
             rec_sf = data.get("sf")
-            if (
-                sf_val is not None
-                and rec_sf is not None
-                and float(rec_sf) != float(sf_val)
+            # a recorded artifact whose sf was truncated out of the
+            # tail (the BENCH_r05-style wrapper) is NOT known to be
+            # same-scale — treat missing rec_sf as not comparable
+            # rather than comparable (ADVICE r8 item 4: cross-SF ratio
+            # comparison produces spurious ratio_outliers_vs_prev)
+            if sf_val is not None and (
+                rec_sf is None or float(rec_sf) != float(sf_val)
             ):
                 continue
             table = data.get("duckdb_ratio_per_query")
