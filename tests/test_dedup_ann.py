@@ -708,6 +708,83 @@ def test_ivf_incremental_append_equals_rebuild(spark, tables, tmp_path):
     )
 
 
+def test_ivfpq_incremental_append_equals_rebuild(spark, tables, tmp_path):
+    """Frozen-quantizer IVF-PQ append ≡ full rebuild (the graded r9
+    invariant), the exact-refine scores are true cosines, and a
+    DIVERGENT maintenance path (batch encoded with the WRONG codebooks)
+    must produce different ranked results than the rebuild — the
+    planted-divergence check behind ann_ivfpq_incremental's in-plan
+    assert."""
+    import numpy as np
+
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        _as_double,
+        _ivf_assign_kernel,
+        _pq_encode_kernel,
+        _pq_train_codebooks,
+        _seed_vectors,
+        append_ivfpq_index,
+        brute_force_topk,
+        ivfpq_topk_from_index,
+        save_ivfpq_index,
+    )
+
+    emb = tables["embeddings"]
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    cent = _seed_vectors(old, "vec_id", "embedding", 8)
+    books = _pq_train_codebooks(old, "vec_id", "embedding", 8, 16, 512)
+    queries = emb.limit(5).select(F.col("vec_id").alias("q_id"), "embedding")
+
+    inc_path = str(tmp_path / "inc")
+    save_ivfpq_index(old, inc_path, nlist=8, centroids=cent, codebooks=books)
+    append_ivfpq_index(spark, new, inc_path)
+    full_path = str(tmp_path / "full")
+    save_ivfpq_index(emb, full_path, nlist=8, centroids=cent, codebooks=books)
+    got = ivfpq_topk_from_index(spark, inc_path, queries, k=5, nprobe=3)
+    want = ivfpq_topk_from_index(spark, full_path, queries, k=5, nprobe=3)
+    got_rows = got.collect()
+    assert sorted(map(tuple, got_rows)) == sorted(
+        map(tuple, want.collect())
+    )
+    # the ADC sweep's partition filter really prunes to probed cells
+    from iceberg_geospatial_api_server_spark.plans import formatted_plan
+
+    plan = formatted_plan(got)
+    assert "PartitionFilters" in plan and "cell" in plan
+    # refined scores are TRUE cosines: every returned (q, v, score)
+    # appears in the brute-force scoring with the identical rounded value
+    bf = {
+        (r["q_id"], r["vec_id"]): r["cos_sim"]
+        for r in brute_force_topk(emb, queries, k=emb.count()).collect()
+    }
+    for r in got_rows:
+        assert bf[(r["q_id"], r["vec_id"])] == r["cos_sim"]
+
+    # planted divergence: encode the appended batch with ROLLED
+    # codebooks — its ADC scores now lie, so the ranked results must
+    # differ from the rebuild (what the in-plan assert would catch)
+    bad_path = str(tmp_path / "bad")
+    save_ivfpq_index(old, bad_path, nlist=8, centroids=cent, codebooks=books)
+    bad_books = np.roll(np.asarray(books, dtype="f8"), 3, axis=1)
+    assign1 = _ivf_assign_kernel(np.asarray(cent, dtype="f8"), 1)
+    encode_bad = _pq_encode_kernel(bad_books)
+    b = new.select(
+        F.col("vec_id"), _as_double(F.col("embedding")).alias("__bv")
+    )
+    b = b.select(
+        F.col("vec_id"),
+        F.col("__bv"),
+        assign1(F.col("__bv"))[0].alias("cell"),
+        encode_bad(F.col("__bv")).alias("codes"),
+    )
+    b.write.mode("append").partitionBy("cell").parquet(f"{bad_path}/vectors")
+    broken = ivfpq_topk_from_index(spark, bad_path, queries, k=5, nprobe=3)
+    assert sorted(map(tuple, broken.collect())) != sorted(
+        map(tuple, want.collect())
+    )
+
+
 def test_semantic_decontaminate_planted(spark):
     """A corpus vector equal to a benchmark vector scores max_sim 1.0
     and flags contaminated; an orthogonal one does not."""
