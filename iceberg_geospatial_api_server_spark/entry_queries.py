@@ -6864,6 +6864,172 @@ def merge_upsert_scd2_q(spark, sf_dir):
 
 
 @_q(
+    "versioned_read_asof",
+    """
+    WITH cl AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+    ), b AS (
+      SELECT ((MIN(ts_us // 86400000000)
+               + MAX(ts_us // 86400000000)) // 2 + 1) * 86400000000
+               AS cutoff
+      FROM cl
+    ), labelled AS (
+      SELECT 'v1' AS snap, cl.* FROM cl, b WHERE ts_us < cutoff
+      UNION ALL SELECT 'v2' AS snap, cl.* FROM cl
+      UNION ALL SELECT 'latest' AS snap, cl.* FROM cl
+    )
+    SELECT snap, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(ts_us % 2147483647) % 2147483647 AS BIGINT)
+             AS ts_checksum,
+           CAST(SUM((event_id % 2147483647)
+                    * (('0x' || substr(md5(event_type), 1, 15))::BIGINT
+                       % 2147483647)
+                    % 2147483647) % 2147483647 AS BIGINT)
+             AS type_checksum,
+           TRUE AS asof_eq_version
+    FROM labelled GROUP BY snap
+    """,
+)
+def versioned_read_asof_q(spark, sf_dir):
+    """Snapshot time travel value-graded (r9 — VERDICT r8 directive 5:
+    the fs_versioned contract was pytest-only; this is the
+    merged≡rebuilt pattern applied to TIME TRAVEL): the events
+    changelog splits at its midpoint day, snapshot v1 = overwrite(old
+    half), snapshot v2 = append(new half) — so v2's manifest unions
+    v1's files with the new ones, no data copied — and THREE read
+    paths are certified at once:
+    - `read(version=1)` (VERSION AS OF) must reconstruct exactly the
+      old half — the SQL oracle re-derives it from the raw events with
+      the same cutoff, so a manifest that loses/duplicates a file, a
+      wrong file-union rule, or a broken version lookup flips the
+      row-count or a checksum;
+    - `read(as_of_us=t_v1)` (TIMESTAMP AS OF at v1's commit time) must
+      equal `read(version=1)` row-for-row — enforced IN-PLAN by an
+      assert_true over the full-outer multiset mismatch count,
+      surfaced as the constant-TRUE `asof_eq_version` column;
+    - `read(version=2)` and bare `read()` (latest) must both
+      reconstruct the FULL changelog (append really is parent ∪ new;
+      latest-resolution agrees with explicit-version resolution).
+    Carrier rows are per-snapshot exact-integer aggregates (row count,
+    distinct users, ts and md5-based type checksums — the word_hash
+    grid, overflow-safe BIGINT arithmetic on both engines).
+    Construction writes the two snapshots under /tmp keyed by sf_dir
+    (fresh rebuild per invocation — idempotent) and raises if the two
+    commit timestamps are not strictly increasing (the as-of probe
+    would be ambiguous). Scale: time travel is a manifest lookup —
+    readers plan O(files), never rescan or copy data; the manifest is
+    the same metadata shape Iceberg keeps in avro
+    (sources/fs_versioned.py VersionedTable; ref duckdb-init.sql:24-36,
+    api/main.py:492-604 — the Iceberg snapshot surface)."""
+    import hashlib
+    import shutil
+
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        MERSENNE,
+        word_hash,
+    )
+    from iceberg_geospatial_api_server_spark.sources.fs_versioned import (
+        VersionedTable,
+    )
+    from iceberg_geospatial_api_server_spark.util import epoch_of
+
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    sec = epoch_of(events, "ts")
+    cl = events.select(
+        "event_id",
+        "user_id",
+        sec("ts", "MICROSECOND").alias("ts_us"),
+        "event_type",
+    )
+    day = (F.col("ts_us") / F.lit(86_400_000_000)).cast("long")
+    bounds = cl.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        cutoff_us = 0
+    else:
+        cutoff_us = (
+            (bounds["lo"] + bounds["hi"]) // 2 + 1
+        ) * 86_400_000_000
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_versioned_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    vt = VersionedTable(spark, path)
+    vt.overwrite(cl.filter(F.col("ts_us") < F.lit(cutoff_us)))
+    vt.append(cl.filter(F.col("ts_us") >= F.lit(cutoff_us)))
+    hist = {
+        r["version"]: r["ts_us"] for r in vt.history().collect()
+    }
+    if not hist[2] > hist[1]:
+        raise RuntimeError(
+            "versioned_read_asof: snapshot commit timestamps not "
+            f"strictly increasing ({hist}) — the TIMESTAMP AS OF probe "
+            "at v1's commit time would be ambiguous"
+        )
+    r_v1 = vt.read(version=1)
+    r_asof = vt.read(as_of_us=hist[1])
+    r_v2 = vt.read(version=2)
+    r_latest = vt.read()
+
+    from iceberg_geospatial_api_server_spark.util import (
+        multiset_equal_guard,
+    )
+
+    mism = multiset_equal_guard(
+        r_v1,
+        r_asof,
+        ["event_id", "user_id", "ts_us", "event_type"],
+        "versioned_read_asof time travel broke: read(as_of_us=t_v1) "
+        "diverges from read(version=1) — TIMESTAMP AS OF must resolve "
+        "to the same snapshot as VERSION AS OF",
+    )
+
+    def snap_agg(df, label):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            (F.sum(F.col("ts_us") % F.lit(MERSENNE)) % F.lit(MERSENNE))
+            .cast("long")
+            .alias("ts_checksum"),
+            (
+                F.sum(
+                    (F.col("event_id") % F.lit(MERSENNE))
+                    * word_hash(F.col("event_type"))
+                    % F.lit(MERSENNE)
+                )
+                % F.lit(MERSENNE)
+            )
+            .cast("long")
+            .alias("type_checksum"),
+        ).select(F.lit(label).alias("snap"), "*")
+
+    out = (
+        snap_agg(r_v1, "v1")
+        .unionByName(snap_agg(r_v2, "v2"))
+        .unionByName(snap_agg(r_latest, "latest"))
+    )
+    return out.crossJoin(F.broadcast(mism)).select(
+        "snap",
+        "n_rows",
+        "n_users",
+        "ts_checksum",
+        "type_checksum",
+        F.when(F.isnull(F.col("__g")), F.lit(True)).alias(
+            "asof_eq_version"
+        ),
+    )
+
+
+@_q(
     "part_entity_resolution",
     """
     WITH vocab AS (

@@ -6,6 +6,42 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def multiset_equal_guard(
+    a: DataFrame, b: DataFrame, cols: list[str], msg: str
+) -> DataFrame:
+    """1-row guard frame certifying multiset equality of two frames on
+    `cols` — the in-plan precondition pattern (ADVICE r7 / r8 lessons):
+    groupBy-count both sides, full-outer join, and `assert_true` that
+    zero row-groups mismatch. Returns a single row whose `__g` column
+    is NULL on pass; consume it as
+    `result.crossJoin(F.broadcast(guard)).select(...,
+    F.when(F.isnull("__g"), F.lit(True)).alias(flag))` so column
+    pruning cannot drop the side effect and the entry stays a lazy
+    plan (no construction collect). On violation the ACTION fails
+    loudly with `msg` plus the mismatch count."""
+    ca = a.groupBy(cols).agg(F.count(F.lit(1)).alias("__c1"))
+    cb = b.groupBy(cols).agg(F.count(F.lit(1)).alias("__c2"))
+    return (
+        ca.join(cb, cols, "full")
+        .filter(
+            F.col("__c1").isNull()
+            | F.col("__c2").isNull()
+            | (F.col("__c1") != F.col("__c2"))
+        )
+        .agg(F.count(F.lit(1)).alias("__nm"))
+        .select(
+            F.assert_true(
+                F.col("__nm") == 0,
+                F.concat(
+                    F.lit(msg + " ("),
+                    F.col("__nm").cast("string"),
+                    F.lit(" mismatched row groups)"),
+                ),
+            ).alias("__g")
+        )
+    )
+
+
 def epoch_of(df: DataFrame, col: str = "ts"):
     """Epoch extractor that works for TIMESTAMP and TIMESTAMP_NTZ columns.
 

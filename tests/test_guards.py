@@ -68,3 +68,43 @@ def test_guards_pass_on_the_real_corpus(spark, sf_dir):
 
     assert QUERIES["events_topk_sketch"](spark, sf_dir).count() > 0
     assert QUERIES["events_theta_retention"](spark, sf_dir).count() > 0
+
+
+def test_versioned_asof_guard_fires_on_tampered_manifest(spark, tmp_path):
+    # versioned_read_asof's in-plan guard: a manifest whose v2 commit
+    # timestamp predates v1 makes TIMESTAMP AS OF at t_v1 resolve to
+    # the WRONG snapshot — the as-of≡version multiset guard must fail
+    # the action loudly, not serve divergent reads
+    import json
+    import os
+
+    from iceberg_geospatial_api_server_spark.sources.fs_versioned import (
+        VersionedTable,
+    )
+    from iceberg_geospatial_api_server_spark.util import (
+        multiset_equal_guard,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    vt.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    t_v1 = {r["version"]: r["ts_us"] for r in vt.history().collect()}[1]
+
+    def guard():
+        return multiset_equal_guard(
+            vt.read(version=1),
+            vt.read(as_of_us=t_v1),
+            ["id", "v"],
+            "versioned time travel broke",
+        )
+
+    # untampered: the guard passes (NULL __g row)
+    assert guard().collect()[0]["__g"] is None
+
+    mp = os.path.join(str(tmp_path / "t"), VersionedTable.MANIFEST)
+    with open(mp) as f:
+        snaps = json.load(f)
+    snaps[1]["ts_us"] = snaps[0]["ts_us"] - 10
+    with open(mp, "w") as f:
+        json.dump(snaps, f)
+    _fires(guard(), "versioned time travel broke")
