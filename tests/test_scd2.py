@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from iceberg_geospatial_api_server_spark.operators.relational import (
     scd2_from_changelog,
     scd2_merge,
+    scd2_merge_late,
 )
 
 
@@ -97,6 +98,85 @@ def test_merge_is_idempotent_for_replayed_batch(spark):
     full = scd2_from_changelog(_cl(spark, rows))
     replay = scd2_merge(full, _cl(spark, [(1, 300, "b")]))
     assert _sorted(replay) == _sorted(full)
+
+
+def test_merge_guard_fires_on_late_batch(spark):
+    # the r9 append-order precondition raise: a batch row whose ts
+    # predates the touched key's open version must fail the ACTION
+    # loudly (pointing at scd2_merge_late), never silently produce a
+    # dimension that diverges from the rebuild
+    dim = scd2_from_changelog(_cl(spark, [(1, 100, "a"), (1, 300, "b")]))
+    merged = scd2_merge(dim, _cl(spark, [(1, 200, "c")]))
+    with pytest.raises(Exception) as ei:
+        merged.collect()
+    assert "scd2_merge precondition broken" in str(ei.value)
+    assert "scd2_merge_late" in str(ei.value)
+    # check_order=False skips the guard (the pre-r9 caller-beware mode)
+    ungated = scd2_merge(
+        dim, _cl(spark, [(1, 200, "c")]), check_order=False
+    )
+    ungated.collect()  # runs (and is documented to diverge)
+
+
+def test_merge_late_equals_rebuild_including_split_run(spark):
+    # the out-of-order planted case, including the one a dim-replay
+    # shortcut CANNOT get right: user 1's old changelog (100,a),(200,a)
+    # collapses to one version, and the late (150,b) splits the run —
+    # true history is a,b,a (three versions). User 3 gets a late
+    # equal-attr no-op mid-history; user 2 is untouched.
+    old = [
+        (1, 100, "a"),
+        (1, 200, "a"),
+        (2, 50, "x"),
+        (3, 400, "z"),
+        (3, 600, "w"),
+    ]
+    late = [(1, 150, "b"), (3, 500, "z")]
+    merged = scd2_merge_late(
+        scd2_from_changelog(_cl(spark, old)),
+        _cl(spark, late),
+        _cl(spark, old),
+    )
+    rebuilt = scd2_from_changelog(_cl(spark, old + late))
+    assert _sorted(merged) == _sorted(rebuilt)
+    assert [t for t in _sorted(merged) if t[0] == 1] == [
+        (1, "a", 100, 150, False),
+        (1, "b", 150, 200, False),
+        (1, "a", 200, None, True),
+    ]
+    assert [t for t in _sorted(merged) if t[0] == 2] == [
+        (2, "x", 50, None, True)
+    ]
+    assert [t for t in _sorted(merged) if t[0] == 3] == [
+        (3, "z", 400, 600, False),
+        (3, "w", 600, None, True),
+    ]
+
+
+@pytest.mark.parametrize("n_keys", [37])
+def test_merge_late_equals_rebuild_randomized(spark, n_keys):
+    # deterministic pseudo-random changelog with the MIDDLE ts band
+    # arriving late: merged-late must equal the full rebuild on every
+    # key and interleaving (the graded invariant of the r9 entry)
+    rows = []
+    for k in range(n_keys):
+        for j in range(1 + (k * 7) % 5):
+            ts = 100 + ((k * 13 + j * 29) % 11) * 50 + j * 600
+            attr = "av"[((k + j) * 3) % 2]
+            rows.append((k, ts, attr))
+    seen = {}
+    for k, ts, a in rows:
+        seen[(k, ts)] = max(seen.get((k, ts), ""), a)
+    rows = [(k, ts, a) for (k, ts), a in seen.items()]
+    late = [r for r in rows if 400 <= r[1] < 900]
+    old = [r for r in rows if not (400 <= r[1] < 900)]
+    merged = scd2_merge_late(
+        scd2_from_changelog(_cl(spark, old)),
+        _cl(spark, late),
+        _cl(spark, old),
+    )
+    rebuilt = scd2_from_changelog(_cl(spark, rows))
+    assert _sorted(merged) == _sorted(rebuilt)
 
 
 @pytest.mark.parametrize("n_keys", [37])
