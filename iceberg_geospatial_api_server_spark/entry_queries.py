@@ -11307,20 +11307,171 @@ _ORACLED_OVERFLOW = [
 # the window carries 50 oracles
 _ROWS_ONLY_PRIORITY = []
 
-# r9 ROTATION PLAN (recorded now, the standing convention): (1) any
-# r9-new oracles plus any entry whose kernel/oracle changes in r8 after
-# its last green; (2) the ELEVEN r4-vintage leftovers — the six
-# alphabetical-tail members (q21_waiting_suppliers,
-# q2_min_cost_supplier, q9_product_type_profit, text_containment_pairs,
-# text_dup_spans, text_gopher_rules) plus the five that ceded r8 slots
-# mid-round (q11_important_stock → merge_upsert_scd2, pack_sequences →
-# graph_triangles re-grade, orders_purchase_intervals →
-# part_entity_resolution, pack_materialize → events_gapfill_ffill,
-# orders_cohort_ltv → corpus_perplexity re-grade; each swap's rationale
-# inline at its site); (3) the r5-vintage block (42 entries —
-# ann_filtered_topk ... text_zipf_fit), alphabetical; (4) leftover
-# slots start the r6-vintage block. The r8 window's greens retire with
-# "driver-green r8" rationale once CORRECTNESS_r08 lands.
+# r9 ROTATION (executing the plan recorded in r8, with VERDICT r8
+# item 4's correction): the recorded plan enumerated "ELEVEN
+# r4-vintage leftovers" but the artifacts count TWELVE — it silently
+# dropped mm_features_stats (hash-green r4 only); the twelve are
+# graded below. The plan's "(3) the r5-vintage block (42 entries)"
+# also overcounted: recomputing freshest-green per oracle from
+# CORRECTNESS_r01..r08 gives FORTY r5-vintage oracles (two of the 42
+# were re-greened since). tools/window_check.py now recomputes both
+# numbers from the artifacts each run instead of trusting prose.
+# ----- the 50 r8-green window oracles retire to the overflow — every
+# one carries a fresh CORRECTNESS_r08 hash-MATCH (50/50, 0 FAIL).
+# Donor rationale uniform: "driver-green r8". -----
+_ORACLED_OVERFLOW += [
+    "events_sessionize",
+    "geo_albers",
+    "geo_lcc",
+    "fq_object_ids",
+    "fq_geometry_filter",
+    "fq_geometry_filter_rects",
+    "ann_ivf_incremental",
+    "embed_hard_negatives",
+    "embed_matryoshka_recall",
+    "ann_ivfpq_exhaustive",
+    "events_topk_salted",
+    "embed_semantic_decontaminate",
+    "dedup_keep_best",
+    "corpus_split_leakage",
+    "corpus_split",
+    "corpus_pii_scrub",
+    "corpus_decontaminate",
+    "dedup_simhash_stats",
+    "corpus_segment_dedup",
+    "corpus_temperature_mixture",
+    "corpus_quality_classifier",
+    "doc_length_quantiles",
+    "corpus_diff",
+    "corpus_perplexity",
+    "corpus_curate",
+    "corpus_token_budget",
+    "embed_quantize_int8",
+    "events_outliers",
+    "cross_source_overlap",
+    "embed_dim_stats",
+    "embed_centroid_drift",
+    "events_theta_retention",
+    "events_topk_sketch",
+    "embed_pca_checksums",
+    "merge_upsert_scd2",
+    "part_entity_resolution",
+    "events_gapfill_ffill",
+    "corpus_epoch_order",
+    "text_tfidf_topk",
+    "events_error_rate",
+    "events_seasonal_anomaly",
+    "events_session_paths",
+    "graph_triangles",
+    "lineitem_key_skew",
+    "geo_zorder_keys",
+    "corpus_entropy",
+    "data_quality_report",
+    "streaming_dedup_state",
+    "text_winnow_fingerprints",
+    "text_winnow_pairs",
+]
+
+# the r9 jump queue — entries whose kernel or oracle changed in r9
+# AFTER their last green, plus the r9-new oracles. Exported so
+# tools/window_check.py can exempt exactly these from the
+# oldest-vintage-first invariant (a jump-queue member re-grades out
+# of turn BY DESIGN).
+_R9_JUMP_QUEUE = [
+    # oracle changed: gained the null/empty-embedding filter on both
+    # subqueries (ADVICE r8 item 1) — text differs from the r8-graded
+    # oracle, so it re-grades
+    "ann_ivf_incremental",
+    # kernel changed: scd2_merge gained the default-on in-plan
+    # append-order guard (VERDICT r8 directive 6's fast-path raise) —
+    # the entry's plan differs from the r8-graded one
+    "merge_upsert_scd2",
+    # r9-new oracles (register outside the overflow; named here only
+    # for the window_check exemption)
+    "ann_ivfpq_incremental",
+    "scd2_merge_late",
+    "versioned_read_asof",
+]
+
+# r9 window refill: 5 jump-queue + 12 r4-vintage + the first 33 of the
+# 40-member r5-vintage block = exactly 50.
+_R9_PROMOTED = [
+    # (1) jump-queue members sitting in the overflow (the r9-new three
+    # never enter it)
+    "ann_ivf_incremental",
+    "merge_upsert_scd2",
+    # (2) the TWELVE r4-vintage oracles: the plan's eleven (six
+    # alphabetical-tail members + the five that ceded r8 slots
+    # mid-round, rationale inline at the r8 swap sites) PLUS
+    # mm_features_stats (VERDICT r8 item 4's silent omission — its
+    # freshest green is CORRECTNESS_r04 like the others; the judge
+    # re-drove it MATCH at sf0.1 in r8 but judge drives don't retire
+    # vintage, driver greens do)
+    "mm_features_stats",
+    "orders_cohort_ltv",
+    "orders_purchase_intervals",
+    "pack_materialize",
+    "pack_sequences",
+    "q11_important_stock",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "text_containment_pairs",
+    "text_dup_spans",
+    "text_gopher_rules",
+    # (3) the r5-vintage block, alphabetical from ann_filtered_topk —
+    # 33 fit; the leftover SEVEN (orders_forecast_linreg,
+    # streaming_cusum_state, streaming_window_counts,
+    # text_lang_confusion, text_ngram_novelty, text_readability,
+    # text_zipf_fit) head the r10 plan
+    "ann_filtered_topk",
+    "ann_ivf_exhaustive",
+    "ann_lsh_exhaustive",
+    "brand_supplier_hhi",
+    "corpus_decontaminate_spans",
+    "corpus_dedup_materialize",
+    "embed_label_outliers",
+    "events_attribution_lag",
+    "events_autocorr",
+    "events_cusum",
+    "events_dau_rolling",
+    "events_outliers_mad",
+    "events_rfm",
+    "events_session_overlap",
+    "events_transitions",
+    "geo_clip_rects",
+    "geo_dbscan_core",
+    "geo_flow_bearings",
+    "geo_haversine_knn",
+    "geo_heatmap",
+    "geo_hex_aggregate",
+    "geo_hotspot_gi",
+    "geo_knn_join",
+    "geo_line_lengths",
+    "geo_moran_i",
+    "geo_multiline_lengths",
+    "geo_polygon_areas",
+    "geo_ps",
+    "geo_tile_netflow",
+    "graph_pagerank",
+    "mm_decode_parity",
+    "mm_extract_features",
+    "mm_resize_parity",
+]
+_ORACLED_OVERFLOW = [
+    n for n in _ORACLED_OVERFLOW if n not in set(_R9_PROMOTED)
+]
+
+# r10 ROTATION PLAN (recorded now, the standing convention): (1) any
+# r10-new oracles plus any entry whose kernel/oracle changes in r9
+# after its last green; (2) the SEVEN r5-vintage leftovers named
+# above; (3) the r6-vintage block, alphabetical, until the window
+# fills (~43 of its 44 members; the remainder heads r11); (4) any
+# leftover slots continue the r6 block. Membership numbers are
+# VERIFIED against the CORRECTNESS artifacts by tools/window_check.py
+# --vintage (added r9), not trusted from this prose. The r9 window's
+# greens retire with "driver-green r9" rationale once CORRECTNESS_r09
+# lands.
 
 
 def _reorder_registry() -> None:
