@@ -9155,6 +9155,116 @@ def streaming_dedup_state_q(spark, sf_dir):
 
 
 @_q(
+    "streaming_scd2_cdc",
+    """
+    WITH cl AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_type) AS attr
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ), dd AS (
+      SELECT user_id, ts_us, attr,
+             LAG(attr) OVER (PARTITION BY user_id ORDER BY ts_us)
+               AS prev
+      FROM cl
+    ), kept AS (
+      SELECT user_id, ts_us, attr FROM dd
+      WHERE prev IS NULL OR attr <> prev
+    ), dim AS (
+      SELECT user_id, attr, ts_us AS eff_from_us,
+             LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+               AS eff_to_us,
+             LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+               IS NULL AS is_current
+      FROM kept
+    )
+    SELECT user_id, attr, eff_from_us, eff_to_us, is_current,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY eff_from_us) AS BIGINT) AS version_seq
+    FROM dim
+    """,
+)
+def streaming_scd2_cdc_q(spark, sf_dir):
+    """The STREAMING CDC→SCD2 upsert sink under the driver's hash
+    oracle (r9 — the fifth driver-graded streaming entry, and the
+    first to grade a foreachBatch MERGE sink rather than an in-stream
+    operator; it composes three r8/r9-graded pieces into the real
+    lakehouse CDC loop): the shared two-micro-batch file stream drives
+    ``scd2_cdc_stream`` — per micro-batch the changes normalize,
+    ``scd2_merge`` applies them incrementally (batch-sized compute,
+    in-plan append-order guard live), and ONE immutable versioned
+    snapshot commits with the epoch id as its replay-dedup batch_ref
+    (exactly-once). The final dimension read back from the versioned
+    table must equal the one-shot batch rebuild the SQL oracle
+    computes from the raw events — stream ≡ batch, end-to-end through
+    the sink, the store, AND the read path. Carrier rows add a per-key
+    `version_seq` so the effective-dating order itself is hashed. The
+    entry also RAISES unless exactly two snapshots committed (the
+    fixture's two triggers — a silently-coalesced or replayed-and-
+    duplicated batch would change the count). Replay idempotency and
+    the stream≡batch equivalence on crafted splits are pytest-pinned
+    (tests/test_streaming.py)
+    (streaming/windows.py scd2_cdc_stream; ref api/main.py:492-604 —
+    the MERGE INTO surface this keeps runnable jar-less)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from iceberg_geospatial_api_server_spark.sources.fs_versioned import (
+        VersionedTable,
+    )
+    from iceberg_geospatial_api_server_spark.streaming.windows import (
+        read_event_stream,
+        scd2_cdc_stream,
+        write_ts_split_stream_files,
+    )
+
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    base = tempfile.mkdtemp(prefix="scd2_cdc_stream_")
+    try:
+        path = os.path.join(base, "events")
+        write_ts_split_stream_files(spark, events, path)
+        stream = read_event_stream(spark, path, max_files_per_trigger=1)
+        table = os.path.join(base, "dim")
+        q = scd2_cdc_stream(
+            stream, table, checkpoint=os.path.join(base, "ckpt")
+        ).start()
+        q.awaitTermination()
+        vt = VersionedTable(spark, table)
+        n_snaps = vt.history().count()
+        if n_snaps != 2:
+            raise RuntimeError(
+                f"streaming_scd2_cdc: expected exactly 2 snapshots "
+                f"(one per micro-batch), found {n_snaps} — the sink "
+                "coalesced or duplicated a batch"
+            )
+        final = vt.read()
+        w = Window.partitionBy("user_id").orderBy("eff_from_us")
+        out = final.select(
+            "user_id",
+            "attr",
+            "eff_from_us",
+            "eff_to_us",
+            "is_current",
+            F.row_number().over(w).cast("long").alias("version_seq"),
+        )
+        # materialize before the scratch dir is removed (the memory-
+        # sink entries' convention: the returned frame must not depend
+        # on files the finally-block deletes)
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@_q(
     "streaming_attribution_pairs",
     """
     SELECT t.user_id,
@@ -11391,10 +11501,16 @@ _R9_JUMP_QUEUE = [
     "ann_ivfpq_incremental",
     "scd2_merge_late",
     "versioned_read_asof",
+    # late-r9 fourth new oracle (the streaming CDC→SCD2 upsert sink;
+    # new-outranks-vintage: mm_resize_parity — the r5 block's
+    # alphabetical tail member — cedes its slot and heads the r10
+    # r5-leftover list, see _R9_PROMOTED)
+    "streaming_scd2_cdc",
 ]
 
-# r9 window refill: 5 jump-queue + 12 r4-vintage + the first 33 of the
-# 40-member r5-vintage block = exactly 50.
+# r9 window refill: 6 jump-queue (the 5 below + the late-r9
+# streaming_scd2_cdc) + 12 r4-vintage + the first 32 of the 40-member
+# r5-vintage block = exactly 50.
 _R9_PROMOTED = [
     # (1) jump-queue members sitting in the overflow (the r9-new three
     # never enter it)
@@ -11420,7 +11536,9 @@ _R9_PROMOTED = [
     "text_dup_spans",
     "text_gopher_rules",
     # (3) the r5-vintage block, alphabetical from ann_filtered_topk —
-    # 33 fit; the leftover SEVEN (orders_forecast_linreg,
+    # 32 fit after the late-r9 streaming_scd2_cdc took a jump-queue
+    # slot; the leftover EIGHT (mm_resize_parity — ceded to the new
+    # oracle per new-outranks-vintage — plus orders_forecast_linreg,
     # streaming_cusum_state, streaming_window_counts,
     # text_lang_confusion, text_ngram_novelty, text_readability,
     # text_zipf_fit) head the r10 plan
@@ -11456,7 +11574,6 @@ _R9_PROMOTED = [
     "graph_pagerank",
     "mm_decode_parity",
     "mm_extract_features",
-    "mm_resize_parity",
 ]
 _ORACLED_OVERFLOW = [
     n for n in _ORACLED_OVERFLOW if n not in set(_R9_PROMOTED)
@@ -11464,9 +11581,9 @@ _ORACLED_OVERFLOW = [
 
 # r10 ROTATION PLAN (recorded now, the standing convention): (1) any
 # r10-new oracles plus any entry whose kernel/oracle changes in r9
-# after its last green; (2) the SEVEN r5-vintage leftovers named
+# after its last green; (2) the EIGHT r5-vintage leftovers named
 # above; (3) the r6-vintage block, alphabetical, until the window
-# fills (~43 of its 44 members; the remainder heads r11); (4) any
+# fills (~42 of its 44 members; the remainder heads r11); (4) any
 # leftover slots continue the r6 block. Membership numbers are
 # VERIFIED against the CORRECTNESS artifacts by tools/window_check.py
 # --vintage (added r9), not trusted from this prose. The r9 window's
