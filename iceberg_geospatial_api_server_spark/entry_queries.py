@@ -7143,6 +7143,170 @@ def versioned_read_asof_q(spark, sf_dir):
 
 
 @_q(
+    "versioned_expire_gc",
+    """
+    WITH cl AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+    ), b AS (
+      SELECT MIN(ts_us // 86400000000) AS lo,
+             MAX(ts_us // 86400000000) AS hi
+      FROM cl
+    ), bands AS (
+      SELECT (lo + (hi - lo) // 3) * 86400000000 AS band_lo,
+             (lo + 2 * ((hi - lo) // 3)) * 86400000000 AS band_hi
+      FROM b
+    ), labelled AS (
+      SELECT 'v2' AS snap, cl.* FROM cl, bands
+      WHERE ts_us >= band_lo AND ts_us < band_hi
+      UNION ALL
+      SELECT 'latest' AS snap, cl.* FROM cl, bands
+      WHERE ts_us >= band_lo
+    )
+    SELECT snap, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(ts_us % 2147483647) % 2147483647 AS BIGINT)
+             AS ts_checksum,
+           CAST(SUM((event_id % 2147483647)
+                    * (('0x' || substr(md5(event_type), 1, 15))::BIGINT
+                       % 2147483647)
+                    % 2147483647) % 2147483647 AS BIGINT)
+             AS type_checksum,
+           TRUE AS expired_unreadable, TRUE AS gc_exact
+    FROM labelled GROUP BY snap
+    """,
+)
+def versioned_expire_gc_q(spark, sf_dir):
+    """Snapshot EXPIRY + GC value-graded (late r9 — closes §2.A's last
+    pytest-only contract, completing the directive-5 time-travel
+    grades with the maintenance half of the Iceberg snapshot surface,
+    ref cookbook §1.7 expire_snapshots): the events changelog splits
+    into day-thirds A/B/C; v1 = overwrite(A), v2 = OVERWRITE(B) — so
+    v1's files are referenced by NO later snapshot — v3 = append(C)
+    (v3 = v2 ∪ C). `expire_snapshots(keep_last=2)` must then: expire
+    exactly [v1]; physically delete exactly v1's data files (they are
+    unreferenced) while every v2/v3 file survives — the
+    reference-counted GC rule, checked file-by-file against the
+    pre-expiry manifest and surfaced as `gc_exact`; leave
+    `read(version=1)` RAISING (expired version) — probed in-code and
+    surfaced as `expired_unreadable`; and leave the RETAINED reads
+    byte-intact — `read(version=2)` ≡ band B and `read()` ≡ B ∪ C,
+    both reconstructed by the SQL oracle from the raw changelog (a GC
+    that deleted a still-referenced file would flip a checksum; one
+    that deleted nothing would flip `gc_exact`). Carrier rows reuse
+    the versioned_read_asof exact-integer aggregate shape.
+    Construction writes three snapshots + the expiry under /tmp keyed
+    by sf_dir (fresh rebuild per invocation — idempotent). Scale:
+    expiry is manifest arithmetic + unlink of unreferenced files —
+    O(files), never a data rewrite (sources/fs_versioned.py
+    expire_snapshots; tests/test_fs_versioned.py pins the shared-file
+    retention case this layout deliberately avoids)."""
+    import hashlib
+    import os
+    import shutil
+
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        MERSENNE,
+        word_hash,
+    )
+    from iceberg_geospatial_api_server_spark.sources.fs_versioned import (
+        VersionedTable,
+    )
+    from iceberg_geospatial_api_server_spark.util import epoch_of
+
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    sec = epoch_of(events, "ts")
+    cl = events.select(
+        "event_id",
+        "user_id",
+        sec("ts", "MICROSECOND").alias("ts_us"),
+        "event_type",
+    )
+    day = (F.col("ts_us") / F.lit(86_400_000_000)).cast("long")
+    bounds = cl.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        band_lo_us = band_hi_us = 0
+    else:
+        lo, hi = bounds["lo"], bounds["hi"]
+        band_lo_us = (lo + (hi - lo) // 3) * 86_400_000_000
+        band_hi_us = (lo + 2 * ((hi - lo) // 3)) * 86_400_000_000
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_versioned_gc_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    vt = VersionedTable(spark, path)
+    vt.overwrite(cl.filter(F.col("ts_us") < F.lit(band_lo_us)))
+    vt.overwrite(
+        cl.filter(
+            (F.col("ts_us") >= F.lit(band_lo_us))
+            & (F.col("ts_us") < F.lit(band_hi_us))
+        )
+    )
+    vt.append(cl.filter(F.col("ts_us") >= F.lit(band_hi_us)))
+    pre = {s["version"]: list(s["files"]) for s in vt._load_manifest()}
+    expired = vt.expire_snapshots(keep_last=2)
+    if expired != [1]:
+        raise RuntimeError(
+            f"versioned_expire_gc: expected exactly [1] expired, got "
+            f"{expired}"
+        )
+    # reference-counted GC, checked file-by-file: exactly v1's
+    # (unreferenced) files deleted, every retained file intact
+    retained_files = set(pre[2]) | set(pre[3])
+    doomed = [f for f in pre[1] if f not in retained_files]
+    gc_exact = (
+        len(doomed) > 0
+        and not any(os.path.exists(f) for f in doomed)
+        and all(os.path.exists(f) for f in retained_files)
+    )
+    try:
+        vt.read(version=1)
+        expired_unreadable = False
+    except ValueError:
+        expired_unreadable = True
+
+    r_v2 = vt.read(version=2)
+    r_latest = vt.read()
+
+    def snap_agg(df, label):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            (F.sum(F.col("ts_us") % F.lit(MERSENNE)) % F.lit(MERSENNE))
+            .cast("long")
+            .alias("ts_checksum"),
+            (
+                F.sum(
+                    (F.col("event_id") % F.lit(MERSENNE))
+                    * word_hash(F.col("event_type"))
+                    % F.lit(MERSENNE)
+                )
+                % F.lit(MERSENNE)
+            )
+            .cast("long")
+            .alias("type_checksum"),
+        ).select(F.lit(label).alias("snap"), "*")
+
+    return (
+        snap_agg(r_v2, "v2")
+        .unionByName(snap_agg(r_latest, "latest"))
+        .select(
+            "*",
+            F.lit(bool(expired_unreadable)).alias("expired_unreadable"),
+            F.lit(bool(gc_exact)).alias("gc_exact"),
+        )
+    )
+
+
+@_q(
     "part_entity_resolution",
     """
     WITH vocab AS (
@@ -11506,11 +11670,16 @@ _R9_JUMP_QUEUE = [
     # alphabetical tail member — cedes its slot and heads the r10
     # r5-leftover list, see _R9_PROMOTED)
     "streaming_scd2_cdc",
+    # late-r9 fifth new oracle (snapshot expiry + reference-counted GC
+    # — closes §2.A's last pytest-only contract; mm_extract_features,
+    # now the in-window r5 block's alphabetical tail, cedes per the
+    # same convention and joins the r10 r5-leftover list)
+    "versioned_expire_gc",
 ]
 
-# r9 window refill: 6 jump-queue (the 5 below + the late-r9
-# streaming_scd2_cdc) + 12 r4-vintage + the first 32 of the 40-member
-# r5-vintage block = exactly 50.
+# r9 window refill: 7 jump-queue (the 5 below + the late-r9
+# streaming_scd2_cdc and versioned_expire_gc) + 12 r4-vintage + the
+# first 31 of the 40-member r5-vintage block = exactly 50.
 _R9_PROMOTED = [
     # (1) jump-queue members sitting in the overflow (the r9-new three
     # never enter it)
@@ -11536,12 +11705,14 @@ _R9_PROMOTED = [
     "text_dup_spans",
     "text_gopher_rules",
     # (3) the r5-vintage block, alphabetical from ann_filtered_topk —
-    # 32 fit after the late-r9 streaming_scd2_cdc took a jump-queue
-    # slot; the leftover EIGHT (mm_resize_parity — ceded to the new
-    # oracle per new-outranks-vintage — plus orders_forecast_linreg,
-    # streaming_cusum_state, streaming_window_counts,
-    # text_lang_confusion, text_ngram_novelty, text_readability,
-    # text_zipf_fit) head the r10 plan
+    # 31 fit after the late-r9 streaming_scd2_cdc and
+    # versioned_expire_gc took jump-queue slots; the leftover NINE
+    # (mm_extract_features and mm_resize_parity — each ceded to a
+    # late new oracle per new-outranks-vintage — plus
+    # orders_forecast_linreg, streaming_cusum_state,
+    # streaming_window_counts, text_lang_confusion,
+    # text_ngram_novelty, text_readability, text_zipf_fit) head the
+    # r10 plan
     "ann_filtered_topk",
     "ann_ivf_exhaustive",
     "ann_lsh_exhaustive",
@@ -11573,7 +11744,6 @@ _R9_PROMOTED = [
     "geo_tile_netflow",
     "graph_pagerank",
     "mm_decode_parity",
-    "mm_extract_features",
 ]
 _ORACLED_OVERFLOW = [
     n for n in _ORACLED_OVERFLOW if n not in set(_R9_PROMOTED)
@@ -11581,9 +11751,9 @@ _ORACLED_OVERFLOW = [
 
 # r10 ROTATION PLAN (recorded now, the standing convention): (1) any
 # r10-new oracles plus any entry whose kernel/oracle changes in r9
-# after its last green; (2) the EIGHT r5-vintage leftovers named
+# after its last green; (2) the NINE r5-vintage leftovers named
 # above; (3) the r6-vintage block, alphabetical, until the window
-# fills (~42 of its 44 members; the remainder heads r11); (4) any
+# fills (~41 of its 44 members; the remainder heads r11); (4) any
 # leftover slots continue the r6 block. Membership numbers are
 # VERIFIED against the CORRECTNESS artifacts by tools/window_check.py
 # --vintage (added r9), not trusted from this prose. The r9 window's
