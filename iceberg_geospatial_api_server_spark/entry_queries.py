@@ -7143,6 +7143,157 @@ def versioned_read_asof_q(spark, sf_dir):
 
 
 @_q(
+    "versioned_schema_evolution",
+    """
+    WITH cl AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+             value
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+    ), b AS (
+      SELECT ((MIN(ts_us // 86400000000)
+               + MAX(ts_us // 86400000000)) // 2 + 1) * 86400000000
+               AS cutoff
+      FROM cl
+    ), labelled AS (
+      SELECT 'v1' AS snap, ts_us, CAST(NULL AS BIGINT) AS cents
+      FROM cl, b WHERE ts_us < cutoff
+      UNION ALL
+      SELECT 'latest' AS snap, ts_us,
+             CASE WHEN ts_us >= cutoff
+                  THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+             END AS cents
+      FROM cl, b
+    )
+    SELECT snap, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(cents) AS BIGINT) AS n_with_cents,
+           CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS sum_cents,
+           CAST(SUM(ts_us % 2147483647) % 2147483647 AS BIGINT)
+             AS ts_checksum,
+           TRUE AS v1_schema_unevolved
+    FROM labelled GROUP BY snap
+    """,
+)
+def versioned_schema_evolution_q(spark, sf_dir):
+    """SCHEMA EVOLUTION on the snapshot store value-graded (late r9 —
+    the add-column behavior the reference gets from Iceberg
+    (duckdb-init.sql:24-36's table surface; previously covered only by
+    the jar-gated iceberg_io), runnable and driver-graded on the bare
+    filesystem): snapshot v1 writes the changelog's old half WITHOUT
+    the `value_cents` column, v2 APPENDS the new half WITH it — the
+    manifest unions files of two schemas — then:
+    - `read(merge_schema=True)` (the evolution read) must surface the
+      UNION schema with the old rows' cents NULL: the carrier row
+      hashes total rows, non-null-cents count (exactly the new half),
+      and the exact integer cents sum — a read that dropped the new
+      column, dropped old rows, or backfilled anything but NULL flips
+      a value;
+    - `read(version=1)` must come back with the UNEVOLVED schema
+      (time travel returns that version's schema — raised on in code,
+      surfaced as `v1_schema_unevolved`), and `value_cents` must be
+      present on the merged read (also raised on).
+    Cents quantize via the half-free FLOOR grid (the streaming
+    attribution convention — identical IEEE ops both engines).
+    Construction writes two snapshots under /tmp keyed by sf_dir
+    (fresh rebuild — idempotent). Scale: schema evolution is METADATA
+    — no rewrite of old files ever; the merge read reconciles footers
+    at planning time, off by default so same-schema tables don't pay
+    it (sources/fs_versioned.py read(merge_schema=);
+    tests/test_fs_versioned.py)."""
+    import hashlib
+    import shutil
+
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        MERSENNE,
+    )
+    from iceberg_geospatial_api_server_spark.sources.fs_versioned import (
+        VersionedTable,
+    )
+    from iceberg_geospatial_api_server_spark.util import epoch_of
+
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    sec = epoch_of(events, "ts")
+    cl = events.select(
+        "event_id",
+        "user_id",
+        sec("ts", "MICROSECOND").alias("ts_us"),
+        "event_type",
+        "value",
+    )
+    day = (F.col("ts_us") / F.lit(86_400_000_000)).cast("long")
+    bounds = cl.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        cutoff_us = 0
+    else:
+        cutoff_us = (
+            (bounds["lo"] + bounds["hi"]) // 2 + 1
+        ) * 86_400_000_000
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_versioned_evo_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    vt = VersionedTable(spark, path)
+    vt.overwrite(
+        cl.filter(F.col("ts_us") < F.lit(cutoff_us)).select(
+            "event_id", "user_id", "ts_us", "event_type"
+        )
+    )
+    vt.append(
+        cl.filter(F.col("ts_us") >= F.lit(cutoff_us)).select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "event_type",
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )
+    r_v1 = vt.read(version=1)
+    if "value_cents" in r_v1.columns:
+        raise RuntimeError(
+            "versioned_schema_evolution: read(version=1) surfaced the "
+            "post-evolution column — time travel must return the "
+            "schema AS OF that version"
+        )
+    r_latest = vt.read(merge_schema=True)
+    if "value_cents" not in r_latest.columns:
+        raise RuntimeError(
+            "versioned_schema_evolution: merge_schema read lost the "
+            "evolved column"
+        )
+
+    v1_row = r_v1.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.lit(0).cast("long").alias("n_with_cents"),
+        F.lit(0).cast("long").alias("sum_cents"),
+        (F.sum(F.col("ts_us") % F.lit(MERSENNE)) % F.lit(MERSENNE))
+        .cast("long")
+        .alias("ts_checksum"),
+    ).select(F.lit("v1").alias("snap"), "*")
+    latest_row = r_latest.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("value_cents").cast("long").alias("n_with_cents"),
+        F.coalesce(F.sum("value_cents"), F.lit(0))
+        .cast("long")
+        .alias("sum_cents"),
+        (F.sum(F.col("ts_us") % F.lit(MERSENNE)) % F.lit(MERSENNE))
+        .cast("long")
+        .alias("ts_checksum"),
+    ).select(F.lit("latest").alias("snap"), "*")
+    return v1_row.unionByName(latest_row).select(
+        "*", F.lit(True).alias("v1_schema_unevolved")
+    )
+
+
+@_q(
     "versioned_expire_gc",
     """
     WITH cl AS (
@@ -11675,11 +11826,16 @@ _R9_JUMP_QUEUE = [
     # now the in-window r5 block's alphabetical tail, cedes per the
     # same convention and joins the r10 r5-leftover list)
     "versioned_expire_gc",
+    # late-r9 sixth new oracle (schema evolution on the snapshot store
+    # — the Iceberg add-column behavior, previously jar-gated-only;
+    # mm_decode_parity cedes per the same convention)
+    "versioned_schema_evolution",
 ]
 
-# r9 window refill: 7 jump-queue (the 5 below + the late-r9
-# streaming_scd2_cdc and versioned_expire_gc) + 12 r4-vintage + the
-# first 31 of the 40-member r5-vintage block = exactly 50.
+# r9 window refill: 8 jump-queue (the 5 below + the late-r9
+# streaming_scd2_cdc, versioned_expire_gc, and
+# versioned_schema_evolution) + 12 r4-vintage + the first 30 of the
+# 40-member r5-vintage block = exactly 50.
 _R9_PROMOTED = [
     # (1) jump-queue members sitting in the overflow (the r9-new three
     # never enter it)
@@ -11705,14 +11861,14 @@ _R9_PROMOTED = [
     "text_dup_spans",
     "text_gopher_rules",
     # (3) the r5-vintage block, alphabetical from ann_filtered_topk —
-    # 31 fit after the late-r9 streaming_scd2_cdc and
-    # versioned_expire_gc took jump-queue slots; the leftover NINE
-    # (mm_extract_features and mm_resize_parity — each ceded to a
-    # late new oracle per new-outranks-vintage — plus
-    # orders_forecast_linreg, streaming_cusum_state,
-    # streaming_window_counts, text_lang_confusion,
-    # text_ngram_novelty, text_readability, text_zipf_fit) head the
-    # r10 plan
+    # 30 fit after the three late-r9 oracles (streaming_scd2_cdc,
+    # versioned_expire_gc, versioned_schema_evolution) took jump-queue
+    # slots; the leftover TEN (mm_decode_parity, mm_extract_features,
+    # mm_resize_parity — each ceded to a late new oracle per
+    # new-outranks-vintage — plus orders_forecast_linreg,
+    # streaming_cusum_state, streaming_window_counts,
+    # text_lang_confusion, text_ngram_novelty, text_readability,
+    # text_zipf_fit) head the r10 plan
     "ann_filtered_topk",
     "ann_ivf_exhaustive",
     "ann_lsh_exhaustive",
@@ -11743,7 +11899,6 @@ _R9_PROMOTED = [
     "geo_ps",
     "geo_tile_netflow",
     "graph_pagerank",
-    "mm_decode_parity",
 ]
 _ORACLED_OVERFLOW = [
     n for n in _ORACLED_OVERFLOW if n not in set(_R9_PROMOTED)
@@ -11751,9 +11906,9 @@ _ORACLED_OVERFLOW = [
 
 # r10 ROTATION PLAN (recorded now, the standing convention): (1) any
 # r10-new oracles plus any entry whose kernel/oracle changes in r9
-# after its last green; (2) the NINE r5-vintage leftovers named
+# after its last green; (2) the TEN r5-vintage leftovers named
 # above; (3) the r6-vintage block, alphabetical, until the window
-# fills (~41 of its 44 members; the remainder heads r11); (4) any
+# fills (~40 of its 44 members; the remainder heads r11); (4) any
 # leftover slots continue the r6 block. Membership numbers are
 # VERIFIED against the CORRECTNESS artifacts by tools/window_check.py
 # --vintage (added r9), not trusted from this prose. The r9 window's

@@ -157,13 +157,25 @@ class VersionedTable:
         self,
         version: int | None = None,
         as_of_us: int | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """Latest snapshot by default; `version=` ≡ VERSION AS OF;
-        `as_of_us=` ≡ TIMESTAMP AS OF (epoch µs)."""
+        `as_of_us=` ≡ TIMESTAMP AS OF (epoch µs).
+
+        ``merge_schema=True`` is the SCHEMA-EVOLUTION read (Iceberg
+        add-column semantics on the bare filesystem): a snapshot whose
+        manifest unions files written with different schemas reads as
+        the union schema, columns absent from older files surfacing as
+        NULL. Off by default — same-schema tables skip the footer
+        reconciliation pass, and time-traveling to a pre-evolution
+        version returns exactly that version's schema."""
         snap = self._resolve(version, as_of_us)
         if not snap["files"]:
             raise ValueError(f"snapshot {snap['version']} is empty")
-        return self.spark.read.parquet(*snap["files"])
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*snap["files"])
 
     def history(self) -> DataFrame:
         """The `.history` metadata view: one row per snapshot."""

@@ -143,3 +143,31 @@ def test_versioned_sink_replayed_batch_emits_once(spark, tmp_path):
     assert len(events) == 1
     handle(_df(spark, 7, 9), 1)
     assert len(events) == 2 and table.read().count() == 9
+
+
+def test_schema_evolution_merge_read(spark, vt):
+    """Add-column evolution (the Iceberg behavior, jar-less): an
+    append with an extra column reads back as the UNION schema under
+    merge_schema=True with old rows NULL; time travel to the
+    pre-evolution version returns the unevolved schema; the default
+    read stays cheap (no footer reconciliation) and is not relied on
+    for mixed-schema snapshots."""
+    vt.append(_df(spark, 0, 10))
+    vt.append(
+        spark.range(10, 15).select(
+            F.col("id"),
+            (F.col("id") * 2).alias("val"),
+            (F.col("id") * 100).alias("cents"),
+        )
+    )
+    merged = vt.read(merge_schema=True)
+    assert set(merged.columns) == {"id", "val", "cents"}
+    assert merged.count() == 15
+    assert merged.filter(F.col("cents").isNull()).count() == 10
+    got = {
+        r["id"]: r["cents"]
+        for r in merged.filter(F.col("cents").isNotNull()).collect()
+    }
+    assert got == {i: i * 100 for i in range(10, 15)}
+    # time travel returns the schema AS OF that version
+    assert "cents" not in vt.read(version=1).columns
