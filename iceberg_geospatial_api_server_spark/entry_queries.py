@@ -6954,6 +6954,17 @@ def scd2_merge_late_q(spark, sf_dir):
         band_lo_us = band_hi_us = 0
     else:
         lo, hi = bounds["lo"], bounds["hi"]
+        if hi - lo < 3:
+            # ADVICE r9: with <3 distinct days the day-third bands
+            # collapse to empty and the construction would fail later
+            # with a confusing "snapshot is empty" / gc_exact error —
+            # mirror the strictly-increasing-timestamps guard style
+            # and name the precondition instead
+            raise RuntimeError(
+                "day-third band split needs an events changelog "
+                f"spanning >= 3 distinct days (got days {lo}..{hi}) — "
+                "this entry grades at sf >= 0.001 fixtures by design"
+            )
         band_lo_us = (lo + (hi - lo) // 3) * 86_400_000_000
         band_hi_us = (lo + 2 * ((hi - lo) // 3)) * 86_400_000_000
     in_band = (F.col("ts_us") >= F.lit(band_lo_us)) & (
@@ -7387,6 +7398,17 @@ def versioned_expire_gc_q(spark, sf_dir):
         band_lo_us = band_hi_us = 0
     else:
         lo, hi = bounds["lo"], bounds["hi"]
+        if hi - lo < 3:
+            # ADVICE r9: with <3 distinct days the day-third bands
+            # collapse to empty and the construction would fail later
+            # with a confusing "snapshot is empty" / gc_exact error —
+            # mirror the strictly-increasing-timestamps guard style
+            # and name the precondition instead
+            raise RuntimeError(
+                "day-third band split needs an events changelog "
+                f"spanning >= 3 distinct days (got days {lo}..{hi}) — "
+                "this entry grades at sf >= 0.001 fixtures by design"
+            )
         band_lo_us = (lo + (hi - lo) // 3) * 86_400_000_000
         band_hi_us = (lo + 2 * ((hi - lo) // 3)) * 86_400_000_000
 

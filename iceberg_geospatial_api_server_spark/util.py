@@ -18,11 +18,21 @@ def multiset_equal_guard(
     F.when(F.isnull("__g"), F.lit(True)).alias(flag))` so column
     pruning cannot drop the side effect and the entry stays a lazy
     plan (no construction collect). On violation the ACTION fails
-    loudly with `msg` plus the mismatch count."""
+    loudly with `msg` plus the mismatch count.
+
+    NULL keys compare null-safely (ADVICE r9): the full-outer join
+    runs on `eqNullSafe` per column, so identical NULL-keyed groups
+    on both sides MATCH instead of false-firing the guard — callers
+    need not pre-filter NULLs for the guard's sake (they may still
+    filter for their own semantics)."""
     ca = a.groupBy(cols).agg(F.count(F.lit(1)).alias("__c1"))
     cb = b.groupBy(cols).agg(F.count(F.lit(1)).alias("__c2"))
+    cond = None
+    for c in cols:
+        piece = ca[c].eqNullSafe(cb[c])
+        cond = piece if cond is None else (cond & piece)
     return (
-        ca.join(cb, cols, "full")
+        ca.join(cb, cond, "full")
         .filter(
             F.col("__c1").isNull()
             | F.col("__c2").isNull()

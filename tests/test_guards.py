@@ -108,3 +108,29 @@ def test_versioned_asof_guard_fires_on_tampered_manifest(spark, tmp_path):
     with open(mp, "w") as f:
         json.dump(snaps, f)
     _fires(guard(), "versioned time travel broke")
+
+
+def test_multiset_guard_null_keys_match_null_safely(spark):
+    # ADVICE r9: NULL-keyed groups identical on both sides must MATCH
+    # (eqNullSafe join), not false-fire; an actual NULL-side imbalance
+    # must still fire
+    from iceberg_geospatial_api_server_spark.util import (
+        multiset_equal_guard,
+    )
+
+    a = spark.createDataFrame(
+        [(None, "x"), (None, "x"), (1, "y")], "k int, v string"
+    )
+    b = spark.createDataFrame(
+        [(None, "x"), (None, "x"), (1, "y")], "k int, v string"
+    )
+    assert (
+        multiset_equal_guard(a, b, ["k", "v"], "null keys broke")
+        .collect()[0]["__g"]
+        is None
+    )
+    c = spark.createDataFrame([(None, "x"), (1, "y")], "k int, v string")
+    _fires(
+        multiset_equal_guard(a, c, ["k", "v"], "null keys broke"),
+        "null keys broke",
+    )

@@ -9,16 +9,26 @@ LEAST-recently-green oracles first, so
 
   * every oracle the driver has NEVER hash-greened must be in the
     window (new entries grade in the round they land);
-  * with V = the oldest vintage among non-jump-queue window members,
-    every oracle STRICTLY older than V must be in the window (nothing
-    older waits behind something newer);
+  * with V = the NEWEST vintage among non-jump-queue window members
+    (ADVICE r9 — the code always computed max; a window that clears
+    vintages oldest-first admits members of at most two adjacent
+    vintage classes, so "nothing strictly older than the newest
+    member waits outside" is the strong form of the rotation rule),
+    every oracle STRICTLY older than V must be in the window;
   * within the boundary vintage class V itself, the in-window members
     must be the alphabetical prefix (the recorded block convention —
     a silent mid-block omission is exactly the r8 bug).
 
-Jump-queue members (entry_queries._R9_JUMP_QUEUE — kernel/oracle
-changed since last green, or new this round) are exempt: they re-grade
-out of turn by design.
+Jump-queue members (entry_queries._R<N>_JUMP_QUEUE, highest N —
+kernel/oracle changed since last green, or new this round) are
+exempt: they re-grade out of turn by design.
+
+Mid-cycle note (ADVICE r9): immediately after a round's CORRECTNESS
+artifact lands, the registry still holds the JUST-GRADED window, so
+every freshly-greened member reads as boundary-vintage and the tool
+exits 1 until the next rotation executes. That state is ROTATION
+PENDING, not an omission — the tool detects it (every violating
+member greened in the newest artifact) and says so explicitly.
 
 Run after ANY registry change:
 
@@ -66,7 +76,15 @@ for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         if isinstance(row, dict) and row.get("hash_match"):
             fresh[name] = max(fresh.get(name, 0), rnd)
 
-jump = set(getattr(entry_queries, "_R9_JUMP_QUEUE", []))
+# highest-numbered _R<N>_JUMP_QUEUE is the current round's exemption
+# list (the r9 name stays importable for history; the tool must not
+# pin a round number that every rotation would have to edit here)
+_jq_names = sorted(
+    (n for n in dir(entry_queries) if n.startswith("_R") and n.endswith("_JUMP_QUEUE")),
+    key=lambda n: int(n[2:].split("_")[0]),
+)
+jump = set(getattr(entry_queries, _jq_names[-1], []) if _jq_names else [])
+newest_round = max(fresh.values(), default=0)
 never = [n for n in o if n not in fresh]
 never_out = [n for n in never if n not in w]
 if never_out:
@@ -84,10 +102,21 @@ if regular:
         n for n in o if n in fresh and fresh[n] < v and n not in w
     ]
     if older_out:
-        print(
-            f"VIOLATION: oracles with vintage older than the window's "
-            f"newest regular member (r{v}) left outside: {older_out}"
-        )
+        if v == newest_round:
+            # rotation-pending, not an omission (ADVICE r9): the
+            # newest regular member greened in the newest artifact,
+            # i.e. the registry still holds the just-graded window
+            print(
+                f"ROTATION PENDING: the window's newest regular member "
+                f"greened in the newest artifact (r{v}) — execute the "
+                f"recorded r{v + 1} rotation; older oracles waiting: "
+                f"{older_out}"
+            )
+        else:
+            print(
+                f"VIOLATION: oracles with vintage older than the window's "
+                f"newest regular member (r{v}) left outside: {older_out}"
+            )
         rc = 1
     # boundary class: window picks must be the alphabetical prefix
     # (the recorded block convention)
