@@ -38,6 +38,15 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _footer_rows(files: list[str]) -> int:
+    """Σ num_rows from parquet footers — the metadata-only row count a
+    snapshot commit records (Iceberg reads the same number from file
+    metrics; no data scan, cost is O(new files), driver-side)."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 class VersionedTable:
     """Filesystem-backed snapshot-versioned parquet table."""
 
@@ -95,11 +104,17 @@ class VersionedTable:
             for f in sorted(os.listdir(vdir))
             if f.endswith(".parquet")
         ]
+        n_new = _footer_rows(new_files)
         if operation == "append" and snaps:
             files = snaps[-1]["files"] + new_files
+            # O(batch) commit accounting (VERDICT r9 directive 4): an
+            # append's row count is parent n_rows + the NEW files'
+            # parquet-footer counts — never a full-table recount (at
+            # 100 TB that recount would make commit cost O(table))
+            n_rows = snaps[-1]["n_rows"] + n_new
         else:
             files = new_files
-        n_rows = self.spark.read.parquet(*files).count() if files else 0
+            n_rows = n_new
         snap = {
             "version": version,
             "ts_us": int(time.time() * 1_000_000),

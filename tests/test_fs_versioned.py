@@ -171,3 +171,19 @@ def test_schema_evolution_merge_read(spark, vt):
     assert got == {i: i * 100 for i in range(10, 15)}
     # time travel returns the schema AS OF that version
     assert "cents" not in vt.read(version=1).columns
+
+
+def test_commit_row_counts_are_footer_derived_and_exact(spark, vt):
+    # VERDICT r9 directive 4 pin: commits record n_rows from parent
+    # n_rows + the NEW files' parquet footers (O(batch)), and the
+    # numbers must equal what a full recount would have said across an
+    # append/overwrite/append chain — history() is unchanged by the
+    # accounting change
+    vt.append(_df(spark, 0, 10).repartition(3))
+    vt.append(_df(spark, 10, 17))
+    vt.overwrite(_df(spark, 0, 4))
+    vt.append(_df(spark, 4, 9))
+    h = {r.version: r.n_rows for r in vt.history().collect()}
+    assert h == {1: 10, 2: 17, 3: 4, 4: 9}
+    for v, n in h.items():
+        assert vt.read(version=v).count() == n
