@@ -20,7 +20,12 @@ time-travel workflow can be exercised (and tested) anywhere:
   hand Spark exactly those paths: time travel is a manifest lookup, no
   data copy, O(files) planning like any snapshot store;
 * `expire_snapshots(keep_last)` deletes data files only when NO retained
-  snapshot references them — the Iceberg GC rule.
+  snapshot references them — the Iceberg GC rule;
+* `overwrite_partitions` is PARTITION-SCOPED copy-on-write (r10): the
+  manifest maps bucket → files, a write replaces only the buckets
+  present in the frame, and untouched buckets' files carry into the
+  new snapshot path-identical — the Iceberg dynamic-partition-
+  overwrite rule that keeps CDC write cost batch-sized at 100 TB.
 
 Scale posture: snapshots reference files, never rows; append writes only
 the new data; the manifest is O(snapshots·files) driver-side JSON (the
@@ -89,6 +94,12 @@ class VersionedTable:
             for s in snaps:
                 if s.get("batch_ref") == batch_ref:
                     return s["version"]
+        if snaps and "buckets" in snaps[-1]:
+            raise ValueError(
+                f"{operation} on a partitioned table — use "
+                "overwrite_partitions (whole-table and partitioned "
+                "writes cannot mix)"
+            )
         version = (snaps[-1]["version"] + 1) if snaps else 1
         vdir = os.path.join(self.path, f"v={version}")
         if os.path.exists(vdir):
@@ -128,6 +139,143 @@ class VersionedTable:
         snaps.append(snap)
         self._store_manifest(snaps)
         return version
+
+    def overwrite_partitions(
+        self, df: DataFrame, bucket_col: str, batch_ref: str | None = None
+    ) -> int:
+        """PARTITION-SCOPED copy-on-write (VERDICT r9 directive 2 —
+        the Iceberg dynamic-partition-overwrite / CoW file-rewrite
+        rule, ref api/main.py:492-604's MERGE surface at table scale):
+        every bucket value PRESENT in ``df`` is rewritten from ``df``'s
+        rows; every parent bucket ABSENT from ``df`` carries its data
+        files into the new snapshot's manifest verbatim —
+        path-identical, zero bytes copied. At 100 TB this is the
+        difference between batch-sized and dimension-sized write cost:
+        a CDC micro-batch touching 3 of 1024 key-range buckets writes
+        3 buckets' worth of parquet, and the other 1021 buckets are a
+        manifest pointer copy.
+
+        ``df`` must carry ``bucket_col`` (the caller owns the
+        bucketing function — key-hash for dimensions, time-range for
+        facts). Partitioned and whole-table writes cannot mix on one
+        table: the carry-forward rule needs a per-bucket file map,
+        which a whole-table snapshot doesn't have. Same ``batch_ref``
+        replay dedup as append/overwrite."""
+        snaps = self._load_manifest()
+        if batch_ref is not None:
+            for s in snaps:
+                if s.get("batch_ref") == batch_ref:
+                    return s["version"]
+        if snaps and "buckets" not in snaps[-1]:
+            raise ValueError(
+                "overwrite_partitions on a non-partitioned parent "
+                "snapshot — partitioned and whole-table writes cannot "
+                "mix on one table"
+            )
+        if snaps and snaps[-1].get("bucket_col") != bucket_col:
+            raise ValueError(
+                f"bucket_col {bucket_col!r} does not match the table's "
+                f"{snaps[-1].get('bucket_col')!r}"
+            )
+        bucket_type = dict(df.dtypes).get(bucket_col)
+        if bucket_type is None:
+            raise ValueError(f"df has no bucket column {bucket_col!r}")
+        version = (snaps[-1]["version"] + 1) if snaps else 1
+        vdir = os.path.join(self.path, f"v={version}")
+        if os.path.exists(vdir):
+            shutil.rmtree(vdir)  # pre-commit debris (see _write_snapshot)
+        df.write.mode("errorifexists").partitionBy(bucket_col).parquet(vdir)
+        written: dict[str, dict] = {}
+        for entry in sorted(os.listdir(vdir)):
+            full = os.path.join(vdir, entry)
+            if not (
+                os.path.isdir(full) and entry.startswith(bucket_col + "=")
+            ):
+                continue
+            bfiles = [
+                os.path.join(full, f)
+                for f in sorted(os.listdir(full))
+                if f.endswith(".parquet")
+            ]
+            if bfiles:
+                written[entry.split("=", 1)[1]] = {
+                    "files": bfiles,
+                    "n_rows": _footer_rows(bfiles),
+                }
+        buckets = dict(snaps[-1]["buckets"]) if snaps else {}
+        buckets.update(written)
+        files = [
+            f
+            for v in sorted(buckets)
+            for f in buckets[v]["files"]
+        ]
+        snap = {
+            "version": version,
+            "ts_us": int(time.time() * 1_000_000),
+            "operation": "overwrite_partitions",
+            "files": files,
+            "n_rows": sum(b["n_rows"] for b in buckets.values()),
+            "parent": snaps[-1]["version"] if snaps else None,
+            "buckets": buckets,
+            "bucket_col": bucket_col,
+            "bucket_type": bucket_type,
+        }
+        if batch_ref is not None:
+            snap["batch_ref"] = batch_ref
+        snaps.append(snap)
+        self._store_manifest(snaps)
+        return version
+
+    def buckets(self, version: int | None = None) -> dict[str, dict]:
+        """The resolved snapshot's bucket map
+        ``{value: {"files": [...], "n_rows": n}}`` (empty for
+        non-partitioned snapshots) — the manifest view the partitioned
+        CoW tests and sinks plan against."""
+        return dict(self._resolve(version, None).get("buckets", {}))
+
+    def read_buckets(
+        self,
+        values: list,
+        version: int | None = None,
+        with_bucket_col: bool = True,
+    ) -> DataFrame:
+        """Read ONLY the named buckets' files of a snapshot — the
+        partition-pruned read of the CoW layout (plan cost is the
+        requested buckets' files, never the table). Bucket values
+        absent from the snapshot are skipped (a merge batch may open a
+        brand-new bucket); at least one must exist. With
+        ``with_bucket_col`` the partition value is restored as a
+        column (partitionBy writes don't store it in the data files),
+        cast back to the recorded bucket dtype."""
+        snap = self._resolve(version, None)
+        if "buckets" not in snap:
+            raise ValueError(
+                f"snapshot {snap['version']} is not partitioned"
+            )
+        bmap = snap["buckets"]
+        parts = []
+        for v in values:
+            b = bmap.get(str(v))
+            if not b:
+                continue
+            part = self.spark.read.parquet(*b["files"])
+            if with_bucket_col:
+                from pyspark.sql import functions as F
+
+                part = part.withColumn(
+                    snap["bucket_col"],
+                    F.lit(str(v)).cast(snap["bucket_type"]),
+                )
+            parts.append(part)
+        if not parts:
+            raise ValueError(
+                f"none of buckets {values} exist in snapshot "
+                f"{snap['version']}"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def version_for_batch(self, batch_ref: str) -> int | None:
         """Version of the snapshot committed for `batch_ref`, or None —
@@ -229,11 +377,19 @@ class VersionedTable:
             for f in s["files"]:
                 if f not in live and os.path.exists(f):
                     os.remove(f)
-        # remove now-empty snapshot dirs
+        # remove now-empty snapshot dirs — walk RECURSIVELY: a
+        # partitioned snapshot keeps its parquet in bucket subdirs, and
+        # a later snapshot may carry those files forward, so the dir is
+        # only debris when no .parquet survives anywhere under it
         for entry in os.listdir(self.path):
             full = os.path.join(self.path, entry)
             if entry.startswith("v=") and os.path.isdir(full):
-                if not any(f.endswith(".parquet") for f in os.listdir(full)):
+                has_data = any(
+                    f.endswith(".parquet")
+                    for _, _, names in os.walk(full)
+                    for f in names
+                )
+                if not has_data:
                     shutil.rmtree(full)
         self._store_manifest(retained)
         return [s["version"] for s in expired]

@@ -187,3 +187,87 @@ def test_commit_row_counts_are_footer_derived_and_exact(spark, vt):
     assert h == {1: 10, 2: 17, 3: 4, 4: 9}
     for v, n in h.items():
         assert vt.read(version=v).count() == n
+
+
+def _bdf(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string, b int")
+
+
+def test_overwrite_partitions_carries_untouched_files_verbatim(spark, vt):
+    # VERDICT r9 directive 2's pytest bar: across a partition-scoped
+    # write, untouched buckets' data files must be PATH-IDENTICAL in
+    # the new manifest (zero bytes copied), touched buckets rewritten
+    v1 = vt.overwrite_partitions(
+        _bdf(spark, [(1, "a", 0), (2, "b", 1), (3, "c", 2)]), "b"
+    )
+    v2 = vt.overwrite_partitions(
+        _bdf(spark, [(2, "B", 1)]), "b"
+    )
+    assert (v1, v2) == (1, 2)
+    b1, b2 = vt.buckets(version=1), vt.buckets(version=2)
+    assert b2["0"]["files"] == b1["0"]["files"]  # carried verbatim
+    assert b2["2"]["files"] == b1["2"]["files"]
+    assert b2["1"]["files"] != b1["1"]["files"]  # rewritten
+    got = {(r.id, r.v) for r in vt.read().collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    # time travel still sees the pre-rewrite bucket
+    old = {(r.id, r.v) for r in vt.read(version=1).collect()}
+    assert old == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_read_buckets_prunes_and_restores_bucket_col(spark, vt):
+    vt.overwrite_partitions(
+        _bdf(spark, [(1, "a", 0), (2, "b", 1), (3, "c", 2)]), "b"
+    )
+    part = vt.read_buckets([0, 2])
+    rows = {(r.id, r.b) for r in part.collect()}
+    assert rows == {(1, 0), (3, 2)}
+    assert dict(part.dtypes)["b"] == "int"
+    # absent buckets skip; all-absent raises
+    assert vt.read_buckets([0, 99]).count() == 1
+    with pytest.raises(ValueError):
+        vt.read_buckets([98, 99])
+
+
+def test_partitioned_and_whole_table_writes_cannot_mix(spark, vt):
+    vt.append(_df(spark, 0, 3))
+    with pytest.raises(ValueError):
+        vt.overwrite_partitions(_bdf(spark, [(1, "a", 0)]), "b")
+    vt2 = VersionedTable(spark, vt.path + "_p")
+    vt2.overwrite_partitions(_bdf(spark, [(1, "a", 0)]), "b")
+    with pytest.raises(ValueError):
+        vt2.append(_bdf(spark, [(2, "b", 1)]))
+    with pytest.raises(ValueError):
+        vt2.overwrite(_bdf(spark, [(2, "b", 1)]))
+
+
+def test_overwrite_partitions_batch_ref_replay_is_idempotent(spark, vt):
+    v1 = vt.overwrite_partitions(
+        _bdf(spark, [(1, "a", 0), (2, "b", 1)]), "b", batch_ref="x-b0"
+    )
+    v_replay = vt.overwrite_partitions(
+        _bdf(spark, [(1, "DIVERGED", 0)]), "b", batch_ref="x-b0"
+    )
+    assert v_replay == v1
+    assert vt.history().count() == 1
+    assert {r.v for r in vt.read().collect()} == {"a", "b"}
+
+
+def test_expiry_gc_respects_carried_partition_files(spark, vt):
+    # v1 writes buckets 0/1/2; v2 rewrites only bucket 1. Expiring v1
+    # must delete ONLY v1's bucket-1 files (unreferenced) and keep the
+    # carried bucket-0/2 files — which live under the v=1 directory
+    import os
+
+    vt.overwrite_partitions(
+        _bdf(spark, [(1, "a", 0), (2, "b", 1), (3, "c", 2)]), "b"
+    )
+    vt.overwrite_partitions(_bdf(spark, [(2, "B", 1)]), "b")
+    old_b1 = vt.buckets(version=1)["1"]["files"]
+    carried = vt.buckets(version=2)["0"]["files"]
+    expired = vt.expire_snapshots(keep_last=1)
+    assert expired == [1]
+    assert all(not os.path.exists(f) for f in old_b1)
+    assert all(os.path.exists(f) for f in carried)
+    got = {(r.id, r.v) for r in vt.read().collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
