@@ -2130,6 +2130,7 @@ def scd2_from_changelog(
     key_col: str = "user_id",
     ts_col: str = "ts_us",
     attr_col: str = "attr",
+    op_col: str | None = None,
 ) -> DataFrame:
     """Build an SCD TYPE-2 dimension from a change log — the effective-
     dated upsert semantics of Iceberg ``MERGE INTO`` (ref
@@ -2143,18 +2144,59 @@ def scd2_from_changelog(
     not open a new version (the run-dedup rule: a change row only
     counts when the attribute actually changed).
 
+    With ``op_col`` (r10 — VERDICT r9 directive 3) the changelog is a
+    full CDC stream (key, ts, attr, op) with op ∈ {'upsert',
+    'delete'}: a DELETE closes the key's open version at the delete
+    timestamp WITHOUT opening a new one (Iceberg ``MERGE INTO ...
+    WHEN MATCHED THEN DELETE`` semantics — ref api/main.py:492-604's
+    MERGE surface; the jar-gated analog is iceberg_io.delete_where);
+    a later upsert reopens, ALWAYS starting a new version even when
+    its attribute equals the pre-delete one (the run was interrupted).
+    Deletes of nothing (key not yet inserted, or already deleted) are
+    no-ops on both engines. Mechanics: each row maps to a STATE
+    (attr, or NULL for delete); run-dedup keeps rows whose state
+    differs null-safely from the previous ROW's state (a dropped
+    row's state equals its predecessor's, so "previous row" ≡
+    "previous kept row" — the Markov property the incremental merge
+    relies on); versions are the kept UPSERT rows, each closed by the
+    next kept row's timestamp whether that row is an upsert or a
+    delete.
+
     Plan: ONE key exchange; the run-dedup lag, the closing lead, and
     the is_current flag are three window passes sharing that single
     exchange (the filter between them is narrow, so the partitioning
     survives). At 100 TB this is the canonical one-shuffle dimension
-    build — no join, no second exchange.
+    build — no join, no second exchange; the op path adds a CASE
+    expression, no extra shuffle.
     """
     w = Window.partitionBy(key_col).orderBy(ts_col)
+    w2 = Window.partitionBy(key_col).orderBy(ts_col)
+    if op_col is not None:
+        state = F.when(
+            F.col(op_col) == F.lit("delete"), F.lit(None)
+        ).otherwise(F.col(attr_col))
+        dd = changes.withColumn("__state", state).withColumn(
+            "__prev", F.lag("__state").over(w)
+        )
+        kept = dd.filter(
+            ~F.col("__state").eqNullSafe(F.col("__prev"))
+        )
+        return (
+            kept.select(
+                F.col(key_col),
+                F.col(attr_col),
+                F.col("__state"),
+                F.col(ts_col).alias("eff_from_us"),
+                F.lead(ts_col).over(w2).alias("eff_to_us"),
+                F.lead(ts_col).over(w2).isNull().alias("is_current"),
+            )
+            .filter(F.col("__state").isNotNull())
+            .drop("__state")
+        )
     dd = changes.withColumn("__prev", F.lag(attr_col).over(w))
     kept = dd.filter(
         F.col("__prev").isNull() | (F.col(attr_col) != F.col("__prev"))
     ).drop("__prev")
-    w2 = Window.partitionBy(key_col).orderBy(ts_col)
     return kept.select(
         F.col(key_col),
         F.col(attr_col),
@@ -2171,6 +2213,7 @@ def scd2_merge(
     ts_col: str = "ts_us",
     attr_col: str = "attr",
     check_order: bool = True,
+    op_col: str | None = None,
 ) -> DataFrame:
     """Apply a change batch to an existing SCD2 dimension — the
     INCREMENTAL path of the Type-2 upsert (Iceberg ``MERGE INTO``
@@ -2209,6 +2252,19 @@ def scd2_merge(
     diverging from the rebuild, whose window treats NULL as one group.
     Same for NULL attributes: `attr != prev` is NULL-valued and the
     run-dedup drops the row on both engines — normalize upstream.
+
+    With ``op_col`` (r10) the batch is a CDC stream with deletes (see
+    ``scd2_from_changelog``): the same broadcast pass-through/re-window
+    shape applies — a touched key whose history ENDS IN A DELETE has
+    no open version, so nothing reopens and its batch rows window
+    alone, which matches the rebuild because a dropped row's state
+    equals its predecessor's (the delete left state NULL on both
+    paths). The append-order guard generalizes to the key's FRONTIER
+    — max(coalesce(eff_to_us, eff_from_us)) over its dim rows — since
+    a deleted key's last event (the delete timestamp) lives in
+    eff_to_us of its final closed version, not in any open row; a
+    batch change predating the frontier must take the
+    ``scd2_merge_late`` rewrite.
     """
     bk = batch.select(key_col).distinct()
     untouched = dim.join(F.broadcast(bk), key_col, "left_anti")
@@ -2219,29 +2275,39 @@ def scd2_merge(
         F.col("eff_from_us").alias(ts_col),
         F.col(attr_col),
     )
+    if op_col is not None:
+        reopened = reopened.withColumn(op_col, F.lit("upsert"))
+        batch_cols = [key_col, ts_col, attr_col, op_col]
+    else:
+        batch_cols = [key_col, ts_col, attr_col]
     recomputed = scd2_from_changelog(
-        reopened.unionByName(
-            batch.select(key_col, ts_col, attr_col)
-        ),
+        reopened.unionByName(batch.select(*batch_cols)),
         key_col,
         ts_col,
         attr_col,
+        op_col=op_col,
     )
     out = untouched.unionByName(closed).unionByName(recomputed)
     if not check_order:
         return out
     # in-plan append-order guard (batch-sized work: min-ts per batch
-    # key broadcast-joined against the open versions). Consumed through
-    # the is_current column so pruning cannot drop the side effect.
+    # key broadcast-joined against the open versions — or, on the CDC
+    # path, against the per-key frontier). Consumed through the
+    # is_current column so pruning cannot drop the side effect.
+    if op_col is not None:
+        frontier = touched.groupBy(key_col).agg(
+            F.max(
+                F.coalesce(F.col("eff_to_us"), F.col("eff_from_us"))
+            ).alias("eff_from_us")
+        )
+    else:
+        frontier = dim.filter(F.col("is_current")).select(
+            key_col, "eff_from_us"
+        )
     viol = (
         batch.groupBy(key_col)
         .agg(F.min(ts_col).alias("__bmin"))
-        .join(
-            dim.filter(F.col("is_current")).select(
-                key_col, "eff_from_us"
-            ),
-            key_col,
-        )
+        .join(frontier, key_col)
         .filter(F.col("__bmin") < F.col("eff_from_us"))
         .agg(F.count(F.lit(1)).alias("__nv"))
         .select(
@@ -2278,6 +2344,7 @@ def scd2_merge_late(
     key_col: str = "user_id",
     ts_col: str = "ts_us",
     attr_col: str = "attr",
+    op_col: str | None = None,
 ) -> DataFrame:
     """Apply LATE-arriving changes to an SCD2 dimension — the
     partition-scoped rewrite `scd2_merge`'s contract names for batches
@@ -2314,19 +2381,29 @@ def scd2_merge_late(
 
     NULL keys/attributes must be normalized upstream, same as
     `scd2_merge`.
+
+    With ``op_col`` (r10) both the retained changelog and the late
+    batch carry CDC ops: the affected keys' histories re-window under
+    the delete-aware state machine, so a late DELETE landing inside a
+    collapsed equal-attribute run splits it into two versions closed
+    and reopened around the delete — the case neither dim replay nor
+    an upsert-only rebuild can answer.
     """
+    if op_col is not None:
+        cl_cols = [key_col, ts_col, attr_col, op_col]
+    else:
+        cl_cols = [key_col, ts_col, attr_col]
     bk = late_batch.select(key_col).distinct()
     untouched = dim.join(F.broadcast(bk), key_col, "left_anti")
-    affected = changelog.select(key_col, ts_col, attr_col).join(
+    affected = changelog.select(*cl_cols).join(
         F.broadcast(bk), key_col, "semi"
     )
     recomputed = scd2_from_changelog(
-        affected.unionByName(
-            late_batch.select(key_col, ts_col, attr_col)
-        ),
+        affected.unionByName(late_batch.select(*cl_cols)),
         key_col,
         ts_col,
         attr_col,
+        op_col=op_col,
     )
     return untouched.unionByName(recomputed)
 

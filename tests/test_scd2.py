@@ -203,3 +203,164 @@ def test_merge_equals_rebuild_randomized(spark, n_keys):
     rebuilt = scd2_from_changelog(_cl(spark, rows))
     assert _sorted(merged) == _sorted(rebuilt)
     assert merged.filter(F.col("is_current")).count() == n_keys
+
+
+# ---- CDC delete ops (r10 — VERDICT r9 directive 3) -------------------
+
+
+def _ccl(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts_us long, attr string, op string"
+    )
+
+
+def test_cdc_build_delete_closes_without_reopening(spark):
+    # user 1: insert a, delete (closes at the delete ts, NO new row),
+    # reinsert the SAME attr (a fresh version — the run was broken);
+    # user 2: delete of a never-inserted key is a no-op; user 3:
+    # double delete collapses to one close
+    dim = scd2_from_changelog(
+        _ccl(
+            spark,
+            [
+                (1, 100, "a", "upsert"),
+                (1, 200, None, "delete"),
+                (1, 300, "a", "upsert"),
+                (2, 100, None, "delete"),
+                (3, 100, "x", "upsert"),
+                (3, 200, None, "delete"),
+                (3, 250, None, "delete"),
+            ],
+        ),
+        op_col="op",
+    )
+    assert _sorted(dim) == [
+        (1, "a", 100, 200, False),
+        (1, "a", 300, None, True),
+        (3, "x", 100, 200, False),
+    ]
+
+
+def test_cdc_upsert_only_changelog_matches_plain_path(spark):
+    rows = [(1, 100, "a"), (1, 200, "a"), (1, 300, "b"), (2, 150, "x")]
+    plain = scd2_from_changelog(_cl(spark, rows))
+    cdc = scd2_from_changelog(
+        _ccl(spark, [(k, t, a, "upsert") for k, t, a in rows]),
+        op_col="op",
+    )
+    assert _sorted(plain) == _sorted(cdc)
+
+
+def test_cdc_merge_equals_rebuild_with_deletes(spark):
+    # planted per the directive: delete-then-reinsert split across the
+    # merge boundary (user 1), batch-side delete closing an open
+    # version (user 2), delete of an untouched key's sibling (user 3
+    # untouched), and a batch delete for a key whose history is
+    # ALREADY fully deleted (user 4 — nothing reopens, no-op)
+    rows = [
+        (1, 100, "a", "upsert"),
+        (1, 200, None, "delete"),
+        (1, 600, "a", "upsert"),  # reinsert arrives in the batch
+        (2, 150, "x", "upsert"),
+        (2, 700, None, "delete"),  # batch delete closes the open version
+        (3, 120, "z", "upsert"),  # untouched pass-through
+        (4, 100, "q", "upsert"),
+        (4, 300, None, "delete"),
+        (4, 800, None, "delete"),  # delete on already-deleted: no-op
+    ]
+    cut = 500
+    merged = scd2_merge(
+        scd2_from_changelog(
+            _ccl(spark, [r for r in rows if r[1] < cut]), op_col="op"
+        ),
+        _ccl(spark, [r for r in rows if r[1] >= cut]),
+        op_col="op",
+    )
+    rebuilt = scd2_from_changelog(_ccl(spark, rows), op_col="op")
+    assert _sorted(merged) == _sorted(rebuilt)
+    assert _sorted(merged) == [
+        (1, "a", 100, 200, False),
+        (1, "a", 600, None, True),
+        (2, "x", 150, 700, False),
+        (3, "z", 120, None, True),
+        (4, "q", 100, 300, False),
+    ]
+
+
+def test_cdc_merge_frontier_guard_fires_for_deleted_key(spark):
+    # user 1 was deleted at ts 300; a batch upsert at 200 PREDATES the
+    # delete — the open-version guard cannot see it (no open row), the
+    # frontier guard must: silently merging would open a version the
+    # rebuild closes at 300
+    dim = scd2_from_changelog(
+        _ccl(
+            spark,
+            [(1, 100, "a", "upsert"), (1, 300, None, "delete")],
+        ),
+        op_col="op",
+    )
+    merged = scd2_merge(
+        dim, _ccl(spark, [(1, 200, "b", "upsert")]), op_col="op"
+    )
+    with pytest.raises(Exception) as ei:
+        merged.collect()
+    assert "scd2_merge precondition broken" in str(ei.value)
+
+
+def test_cdc_merge_late_delete_splits_collapsed_run(spark):
+    # the delete-inside-collapsed-run planted case (directive 3's
+    # done-bar): old (100,a),(200,a) collapses to ONE version; a late
+    # delete at 150 makes the true history a[100,150) then a[200,...)
+    # — resurrecting the second observation from the RAW changelog
+    old = [
+        (1, 100, "a", "upsert"),
+        (1, 200, "a", "upsert"),
+        (2, 50, "x", "upsert"),
+    ]
+    late = [(1, 150, None, "delete")]
+    merged = scd2_merge_late(
+        scd2_from_changelog(_ccl(spark, old), op_col="op"),
+        _ccl(spark, late),
+        _ccl(spark, old),
+        op_col="op",
+    )
+    rebuilt = scd2_from_changelog(_ccl(spark, old + late), op_col="op")
+    assert _sorted(merged) == _sorted(rebuilt)
+    assert [t for t in _sorted(merged) if t[0] == 1] == [
+        (1, "a", 100, 150, False),
+        (1, "a", 200, None, True),
+    ]
+    assert [t for t in _sorted(merged) if t[0] == 2] == [
+        (2, "x", 50, None, True)
+    ]
+
+
+@pytest.mark.parametrize("n_keys", [37])
+def test_cdc_merge_equals_rebuild_randomized_with_deletes(spark, n_keys):
+    # deterministic pseudo-random CDC changelog (~1 in 4 rows a
+    # delete), split at the midpoint: merged must equal rebuilt on
+    # every key and interleaving, deletes included
+    rows = []
+    for k in range(n_keys):
+        for j in range(1 + (k * 7) % 5):
+            ts = 100 + ((k * 13 + j * 29) % 11) * 50 + j * 600
+            if (k * 31 + j * 17) % 4 == 0:
+                rows.append((k, ts, None, "delete"))
+            else:
+                rows.append((k, ts, "av"[((k + j) * 3) % 2], "upsert"))
+    seen = {}
+    for k, ts, a, op in rows:  # normalize: upsert beats delete at a tie
+        cur = seen.get((k, ts))
+        if cur is None or (op, a or "") > (cur[1], cur[0] or ""):
+            seen[(k, ts)] = (a, op)
+    rows = [(k, ts, a, op) for (k, ts), (a, op) in seen.items()]
+    cut = 700
+    merged = scd2_merge(
+        scd2_from_changelog(
+            _ccl(spark, [r for r in rows if r[1] < cut]), op_col="op"
+        ),
+        _ccl(spark, [r for r in rows if r[1] >= cut]),
+        op_col="op",
+    )
+    rebuilt = scd2_from_changelog(_ccl(spark, rows), op_col="op")
+    assert _sorted(merged) == _sorted(rebuilt)

@@ -1334,3 +1334,67 @@ def test_scd2_cdc_stream_equals_batch_and_replay_idempotent(
     )
     want_all = sorted(map(tuple, scd2_from_changelog(cl_all).collect()))
     assert sorted(map(tuple, vt.read().collect())) == want_all
+
+
+def test_scd2_cdc_stream_with_delete_ops(spark, tmp_path):
+    """CDC delete ops through the STREAMING sink (r10): a delete in
+    micro-batch 2 closes the open version without opening a new one,
+    and the final dimension equals the delete-aware batch rebuild."""
+    from datetime import datetime, timedelta
+
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        scd2_from_changelog,
+    )
+    from iceberg_geospatial_api_server_spark.sources.fs_versioned import (
+        VersionedTable,
+    )
+    from iceberg_geospatial_api_server_spark.streaming.windows import (
+        scd2_cdc_stream,
+        write_ts_split_stream_files,
+    )
+    from iceberg_geospatial_api_server_spark.util import epoch_of
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (base + timedelta(hours=1), 1, "a", "upsert"),
+        (base + timedelta(hours=2), 2, "x", "upsert"),
+        (base + timedelta(hours=40), 1, "zz", "delete"),
+        (base + timedelta(hours=41), 2, "y", "upsert"),
+    ]
+    schema = "ts timestamp, user_id long, event_type string, op string"
+    events = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "cdc")
+    write_ts_split_stream_files(spark, events, path)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+    table = str(tmp_path / "dim")
+    q = scd2_cdc_stream(
+        stream,
+        table,
+        checkpoint=str(tmp_path / "ckpt"),
+        op_col="op",
+    ).start()
+    q.awaitTermination()
+    vt = VersionedTable(spark, table)
+    assert vt.history().count() == 2
+    sec = epoch_of(events, "ts")
+    cl = events.select(
+        "user_id",
+        sec("ts", "MICROSECOND").alias("ts_us"),
+        F.col("event_type").alias("attr"),
+        "op",
+    )
+    want = sorted(
+        map(tuple, scd2_from_changelog(cl, op_col="op").collect())
+    )
+    assert sorted(map(tuple, vt.read().collect())) == want
+    # user 1's only version is CLOSED at the delete ts; user 2 has two
+    got = {
+        r.user_id: (r.attr, r.is_current)
+        for r in vt.read().filter(F.col("is_current")).collect()
+    }
+    assert got == {2: ("y", True)}
