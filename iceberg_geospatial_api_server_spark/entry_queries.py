@@ -7480,6 +7480,268 @@ def versioned_expire_gc_q(spark, sf_dir):
 
 
 @_q(
+    "scd2_delete_cdc",
+    """
+    WITH cl0 AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_type) AS attr
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ), cl AS (
+      SELECT user_id, ts_us, attr,
+             CASE WHEN (user_id + ts_us // 1000000) % 7 = 0
+                  THEN 'delete' ELSE 'upsert' END AS op
+      FROM cl0
+    ), dd AS (
+      SELECT user_id, ts_us, attr,
+             CASE WHEN op = 'delete' THEN NULL ELSE attr END AS state,
+             LAG(CASE WHEN op = 'delete' THEN NULL ELSE attr END)
+               OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+      FROM cl
+    ), kept AS (
+      SELECT user_id, ts_us, attr, state FROM dd
+      WHERE state IS DISTINCT FROM prev
+    ), led AS (
+      SELECT user_id, attr, state, ts_us AS eff_from_us,
+             LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+               AS eff_to_us,
+             LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+               IS NULL AS is_current
+      FROM kept
+    )
+    SELECT user_id, attr, eff_from_us, eff_to_us, is_current,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY eff_from_us) AS BIGINT) AS version_seq
+    FROM led WHERE state IS NOT NULL
+    """,
+)
+def scd2_delete_cdc_q(spark, sf_dir):
+    """SCD2 merge with CDC DELETE ops value-graded (r10 — VERDICT r9
+    directive 3: ``MERGE INTO ... WHEN MATCHED THEN DELETE`` semantics,
+    ref api/main.py:492-604's MERGE surface; the jar-gated literal is
+    sources/iceberg_io.py delete_where): the events changelog gains a
+    deterministic op column — (user_id + ts_us//1e6) % 7 = 0 plays
+    'delete' (~14% of rows, scattered through every key's history so
+    delete-then-reinsert and delete-inside-collapsed-run cases occur
+    naturally at every SF; both are ALSO planted explicitly in
+    tests/test_scd2.py) — computed from (key, ts) so the (key, ts)
+    normalization is op-agnostic and both engines agree. The entry
+    splits at the midpoint day, builds the dimension from the old half
+    (delete-aware state machine: a delete CLOSES the open version at
+    its timestamp without opening a new one; a later upsert reopens,
+    even with an unchanged attribute), then merges the new half
+    through ``scd2_merge(op_col=...)`` — whose append-order guard
+    generalizes to the per-key FRONTIER (max(coalesce(eff_to,
+    eff_from))) because a deleted key has no open row. The oracle
+    rebuilds from the FULL op-tagged changelog in one SQL window pass
+    (IS DISTINCT FROM = the null-safe state compare); merged must
+    equal rebuilt row-for-row, and per-key version_seq hashes the
+    effective-dating order itself. Construction runs one bounded
+    min/max-day aggregate (2 ints). Scale: merge cost stays
+    batch-sized (broadcast key semi/anti; the frontier aggregate is
+    touched-keys-only) — the op path adds a CASE, no new shuffle
+    (operators/relational.py scd2_from_changelog/scd2_merge)."""
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        scd2_from_changelog,
+        scd2_merge,
+    )
+    from iceberg_geospatial_api_server_spark.util import epoch_of
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    sec = epoch_of(events, "ts")
+    cl = (
+        events.select(
+            "user_id",
+            sec("ts", "MICROSECOND").alias("ts_us"),
+            "event_type",
+        )
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_type").alias("attr"))
+        .withColumn(
+            "op",
+            F.when(
+                (
+                    F.col("user_id")
+                    + F.expr("ts_us div 1000000")
+                )
+                % F.lit(7)
+                == F.lit(0),
+                F.lit("delete"),
+            ).otherwise(F.lit("upsert")),
+        )
+    )
+    day = (F.col("ts_us") / F.lit(86_400_000_000)).cast("long")
+    bounds = cl.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        cutoff_us = 0
+    else:
+        cutoff_us = (
+            (bounds["lo"] + bounds["hi"]) // 2 + 1
+        ) * 86_400_000_000
+    old = cl.filter(F.col("ts_us") < F.lit(cutoff_us))
+    batch = cl.filter(F.col("ts_us") >= F.lit(cutoff_us))
+    dim = scd2_from_changelog(old, op_col="op")
+    merged = scd2_merge(dim, batch, op_col="op")
+    w = Window.partitionBy("user_id").orderBy("eff_from_us")
+    return merged.select(
+        "user_id",
+        "attr",
+        "eff_from_us",
+        "eff_to_us",
+        "is_current",
+        F.row_number().over(w).cast("long").alias("version_seq"),
+    )
+
+
+@_q(
+    "versioned_cow_partitions",
+    """
+    WITH cl AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_type) AS attr
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ), b AS (
+      SELECT ((MIN(ts_us // 86400000000)
+               + MAX(ts_us // 86400000000)) // 2 + 1) * 86400000000
+               AS cutoff
+      FROM cl
+    ), src AS (
+      SELECT cl.* FROM cl, b
+      WHERE ts_us < cutoff OR user_id % 8 < 3
+    ), dd AS (
+      SELECT user_id, ts_us, attr,
+             LAG(attr) OVER (PARTITION BY user_id ORDER BY ts_us)
+               AS prev
+      FROM src
+    ), kept AS (
+      SELECT user_id, ts_us, attr FROM dd
+      WHERE prev IS NULL OR attr <> prev
+    )
+    SELECT user_id, CAST(user_id % 8 AS INTEGER) AS bucket, attr,
+           ts_us AS eff_from_us,
+           LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+             AS eff_to_us,
+           LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+             IS NULL AS is_current,
+           user_id % 8 >= 3 AS carried
+    FROM kept
+    """,
+)
+def versioned_cow_partitions_q(spark, sf_dir):
+    """PARTITION-SCOPED copy-on-write value-graded (r10 — VERDICT r9
+    directive 2, the batch face of the rule the CDC sink now uses; ref
+    duckdb-init.sql:24-36's Iceberg storage tier, whose CoW MERGE
+    rewrites only touched data files): the dimension built from the
+    OLD half of the events changelog lands as a key-bucketed
+    ``VersionedTable`` snapshot (bucket = user_id % 8 — chosen over a
+    hash so the ORACLE can reproduce bucket membership); the merge
+    batch is the new half RESTRICTED to buckets 0-2, so v2 =
+    ``overwrite_partitions`` must rewrite exactly those three buckets
+    while buckets 3-7 carry their v1 data files PATH-IDENTICAL into
+    v2's manifest. The construction RAISES unless (a) every untouched
+    bucket's file list is verbatim-equal across v1→v2 and (b) every
+    touched bucket's changed — the carry-forward property itself is
+    load-bearing, then the returned frame re-reads v2 THROUGH the
+    manifest (read path graded end-to-end) with each row's bucket and
+    a `carried` flag. The oracle rebuilds from the changelog filtered
+    to (old half ∪ new-half-buckets-0-2) in one window pass — a wrong
+    bucket routing, a stale carried file, or a lost rewrite all flip
+    the hash. Construction: two snapshot writes + one bounded min/max
+    day aggregate. Scale: write cost per merge batch is (touched
+    buckets) × bucket size, never the dimension — at 100 TB with
+    1024-8192 buckets this is the difference between batch-sized and
+    dimension-sized CoW (sources/fs_versioned.py overwrite_partitions;
+    tests/test_fs_versioned.py pins the file-identity and GC rules)."""
+    import hashlib
+    import shutil
+
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        scd2_from_changelog,
+        scd2_merge,
+    )
+    from iceberg_geospatial_api_server_spark.sources.fs_versioned import (
+        VersionedTable,
+    )
+    from iceberg_geospatial_api_server_spark.util import epoch_of
+
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    sec = epoch_of(events, "ts")
+    cl = (
+        events.select(
+            "user_id",
+            sec("ts", "MICROSECOND").alias("ts_us"),
+            "event_type",
+        )
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_type").alias("attr"))
+    )
+    day = (F.col("ts_us") / F.lit(86_400_000_000)).cast("long")
+    bounds = cl.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        cutoff_us = 0
+    else:
+        cutoff_us = (
+            (bounds["lo"] + bounds["hi"]) // 2 + 1
+        ) * 86_400_000_000
+    bucket = F.pmod(F.col("user_id"), F.lit(8)).cast("int")
+    old = cl.filter(F.col("ts_us") < F.lit(cutoff_us))
+    batch = cl.filter(
+        (F.col("ts_us") >= F.lit(cutoff_us)) & (bucket < F.lit(3))
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_versioned_cow_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    vt = VersionedTable(spark, path)
+    vt.overwrite_partitions(
+        scd2_from_changelog(old).withColumn("bucket", bucket), "bucket"
+    )
+    merged = scd2_merge(
+        vt.read_buckets([0, 1, 2], with_bucket_col=False), batch
+    )
+    vt.overwrite_partitions(merged.withColumn("bucket", bucket), "bucket")
+    b1, b2 = vt.buckets(version=1), vt.buckets(version=2)
+    for bval in sorted(b1):
+        same = b1[bval]["files"] == b2.get(bval, {}).get("files")
+        if int(bval) >= 3 and not same:
+            raise RuntimeError(
+                f"versioned_cow_partitions: untouched bucket {bval} "
+                "was rewritten — carry-forward broke (files differ "
+                "between v1 and v2)"
+            )
+        if int(bval) < 3 and same:
+            raise RuntimeError(
+                f"versioned_cow_partitions: touched bucket {bval} "
+                "carries v1's files verbatim — the rewrite was lost"
+            )
+    return vt.read().select(
+        "user_id",
+        bucket.alias("bucket"),
+        "attr",
+        "eff_from_us",
+        "eff_to_us",
+        "is_current",
+        (bucket >= F.lit(3)).alias("carried"),
+    )
+
+
+@_q(
     "part_entity_resolution",
     """
     WITH vocab AS (
@@ -11926,7 +12188,7 @@ _ORACLED_OVERFLOW = [
     n for n in _ORACLED_OVERFLOW if n not in set(_R9_PROMOTED)
 ]
 
-# r10 ROTATION PLAN (recorded now, the standing convention): (1) any
+# r10 ROTATION PLAN (recorded r9, the standing convention): (1) any
 # r10-new oracles plus any entry whose kernel/oracle changes in r9
 # after its last green; (2) the TEN r5-vintage leftovers named
 # above; (3) the r6-vintage block, alphabetical, until the window
@@ -11936,6 +12198,153 @@ _ORACLED_OVERFLOW = [
 # --vintage (added r9), not trusted from this prose. The r9 window's
 # greens retire with "driver-green r9" rationale once CORRECTNESS_r09
 # lands.
+
+# ---- r10 ROTATION (executed at round start, CORRECTNESS_r09 landed
+# 50/50 green) -------------------------------------------------------
+# The jump queue carries EIGHT members, so 32 (not ~40) r6-vintage
+# members fit after the ten r5 leftovers — the r6 alphabetical tail
+# (q13_customer_distribution .. top3_orders_per_priority, 12 members)
+# heads the r11 plan below.
+_R10_JUMP_QUEUE = [
+    # r10-new oracles (VERDICT r9 directives 2 and 3)
+    "scd2_delete_cdc",
+    "versioned_cow_partitions",
+    # kernel changed: fs_versioned gained O(batch) footer-count
+    # commits (directive 4), partition-scoped CoW manifests, and the
+    # recursive expiry-dir walk — every entry whose plan touches the
+    # store re-grades
+    "versioned_read_asof",
+    "versioned_expire_gc",
+    "versioned_schema_evolution",
+    # kernel changed: the CDC sink now writes partition-scoped CoW
+    # snapshots with stream-identity batch refs (directive 2 + ADVICE
+    # r9 medium)
+    "streaming_scd2_cdc",
+    # kernel changed: scd2_from_changelog/scd2_merge/scd2_merge_late
+    # gained the op_col CDC-delete path (directive 3) — the op_col=None
+    # plans are unchanged by construction, but the conservative
+    # kernel-changed-since-last-green rule re-grades both consumers
+    "merge_upsert_scd2",
+    "scd2_merge_late",
+]
+
+# retire the r9 window's 44 non-re-jumping members (all driver-green
+# in CORRECTNESS_r09 — the 2 r9 jump-queue ANN members whose kernels
+# are untouched in r10, the 12 r4-vintage block, and the 30 r5-vintage
+# block)
+_R9_RETIRED = [
+    "events_session_overlap",
+    "geo_ps",
+    "geo_line_lengths",
+    "geo_multiline_lengths",
+    "geo_polygon_areas",
+    "ann_ivf_incremental",
+    "ann_ivfpq_incremental",
+    "ann_filtered_topk",
+    "ann_ivf_exhaustive",
+    "ann_lsh_exhaustive",
+    "mm_features_stats",
+    "q21_waiting_suppliers",
+    "corpus_dedup_materialize",
+    "events_outliers_mad",
+    "embed_label_outliers",
+    "text_dup_spans",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "pack_sequences",
+    "pack_materialize",
+    "text_gopher_rules",
+    "corpus_decontaminate_spans",
+    "events_dau_rolling",
+    "orders_cohort_ltv",
+    "text_containment_pairs",
+    "events_attribution_lag",
+    "brand_supplier_hhi",
+    "graph_pagerank",
+    "orders_purchase_intervals",
+    "geo_hex_aggregate",
+    "events_cusum",
+    "geo_heatmap",
+    "events_transitions",
+    "geo_knn_join",
+    "events_rfm",
+    "geo_hotspot_gi",
+    "geo_tile_netflow",
+    "geo_flow_bearings",
+    "geo_moran_i",
+    "events_autocorr",
+    "geo_dbscan_core",
+    "geo_haversine_knn",
+    "geo_clip_rects",
+]
+_ORACLED_OVERFLOW += [
+    n for n in _R9_RETIRED if n not in _ORACLED_OVERFLOW
+]
+
+# promote the r10 window's vintage members: the TEN r5 leftovers
+# (freshest green CORRECTNESS_r05 — verified by window_check's
+# artifact-derived histogram) + the first 32 of the 44-member
+# r6-vintage block, alphabetical
+_R10_PROMOTED = [
+    # (1) the r5-vintage leftovers (the whole class — r5 clears)
+    "mm_decode_parity",
+    "mm_extract_features",
+    "mm_resize_parity",
+    "orders_forecast_linreg",
+    "streaming_cusum_state",
+    "streaming_window_counts",
+    "text_lang_confusion",
+    "text_ngram_novelty",
+    "text_readability",
+    "text_zipf_fit",
+    # (2) the r6-vintage block, alphabetical prefix (32 of 44 fit
+    # behind the 8 jump-queue members; the tail 12 head r11)
+    "catalog_row_counts",
+    "catalog_table_files",
+    "corpus_mixture",
+    "customer_pareto",
+    "dedup_keep_first_prefix",
+    "dedup_spans_scrub",
+    "embed_neardup_cosine",
+    "embed_pca_moments",
+    "events_bounce_rate",
+    "events_hopping_agg",
+    "events_pivot",
+    "events_user_stats",
+    "events_windowed_agg",
+    "geo_buffer_parity",
+    "geo_dwithin",
+    "geo_dwithin_join",
+    "geo_grid_aggregate",
+    "geo_hull_parity",
+    "geo_knn_join_grid",
+    "geo_line_join_parity",
+    "geo_multipoint_checksums",
+    "geo_multipolygon_areas",
+    "geo_od_flows",
+    "geo_simplify_parity",
+    "geo_tile_aggregate",
+    "mm_audio_fp_parity",
+    "mm_frame_sample",
+    "mm_phash_parity",
+    "mm_scene_cuts_parity",
+    "orders_rollup",
+    "q10_returned_items",
+    "q12_shipmode_priority",
+]
+_ORACLED_OVERFLOW = [
+    n for n in _ORACLED_OVERFLOW if n not in set(_R10_PROMOTED)
+]
+
+# r11 ROTATION PLAN (recorded now): (1) any r11-new/kernel-changed
+# jump queue; (2) the TWELVE r6-vintage leftovers
+# (q13_customer_distribution, q14_promo_revenue, q17_small_qty_revenue,
+# q18_large_volume, q19_disjunctive, q4_order_priority,
+# q6_forecast_revenue, q7_volume_shipping, q8_market_share,
+# sample_per_lang, text_ngram_topk, top3_orders_per_priority);
+# (3) the r7-vintage block, alphabetical, until the window fills.
+# Verify with tools/window_check.py, never this prose.
 
 
 def _reorder_registry() -> None:
