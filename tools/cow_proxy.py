@@ -11,10 +11,15 @@ Two claims, both measured:
   real deployment sizes buckets): the 4-bucket rewrite cost is ~FLAT
   across the 10x growth — the dimension grew, the batch write didn't.
 
-The timed section per write = merge compute (batch-scoped broadcast
-semi/anti + re-window of the touched buckets' slice) + parquet write of
-the touched buckets + manifest commit; the full-dimension baseline =
-dimension build + full write. Best-of-2 per measurement.
+The dimension and the change batch are MATERIALIZED to parquet outside
+the timers (a stored dim and an arriving batch are inputs at merge
+time, not recomputed from the fact table). Timed sections, best-of-2:
+* full write = read dim parquet + partitionBy write of ALL buckets +
+  manifest commit (a fresh table per rep);
+* touched write = partition-pruned read of the TOUCHED buckets (from
+  v1 each rep — merging onto the merged head would trip the order
+  guard) + batch-scoped merge + partitionBy write of the touched
+  buckets + manifest commit.
 """
 import json
 import shutil
@@ -59,26 +64,40 @@ def run(spark, sf_dir: str, n_buckets: int) -> dict:
     lo, hi = cl.agg(F.min(day), F.max(day)).first()
     cutoff_us = ((lo + hi) // 2 + 1) * 86_400_000_000
     bucket = F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).cast("int")
-    old = cl.filter(F.col("ts_us") < F.lit(cutoff_us))
-    dim = scd2_from_changelog(old).withColumn("b", bucket)
+    touch = list(range(TOUCHED))
 
     base = tempfile.mkdtemp(prefix="cow_proxy_")
     out: dict = {"n_buckets": n_buckets, "touched": TOUCHED}
     try:
-        vt = VersionedTable(spark, f"{base}/t")
-        t0 = time.perf_counter()
-        vt.overwrite_partitions(dim, "b")
-        out["full_write_sec"] = round(time.perf_counter() - t0, 3)
+        # materialize the inputs OUTSIDE the timers
+        scd2_from_changelog(
+            cl.filter(F.col("ts_us") < F.lit(cutoff_us))
+        ).withColumn("b", bucket).write.parquet(f"{base}/dim")
+        cl.filter(
+            (F.col("ts_us") >= F.lit(cutoff_us)) & bucket.isin(touch)
+        ).write.parquet(f"{base}/batch")
+        dim = spark.read.parquet(f"{base}/dim")
+        batch = spark.read.parquet(f"{base}/batch")
+
+        full_samples = []
+        for i in range(2):
+            vt_full = VersionedTable(spark, f"{base}/full{i}")
+            t0 = time.perf_counter()
+            vt_full.overwrite_partitions(dim, "b")
+            full_samples.append(time.perf_counter() - t0)
+        out["full_write_sec"] = round(min(full_samples), 3)
+        vt = VersionedTable(spark, f"{base}/full0")
         out["dim_rows"] = sum(
             b["n_rows"] for b in vt.buckets().values()
         )
-        touch = list(range(TOUCHED))
-        batch = cl.filter(
-            (F.col("ts_us") >= F.lit(cutoff_us)) & bucket.isin(touch)
-        )
         samples = []
         for _ in range(2):
-            part = vt.read_buckets(touch, with_bucket_col=False)
+            # each rep re-applies the batch to the PRE-merge snapshot
+            # (v1) — merging onto the already-merged head would trip
+            # the append-order guard, correctly
+            part = vt.read_buckets(
+                touch, version=1, with_bucket_col=False
+            )
             merged = scd2_merge(part, batch).withColumn("b", bucket)
             t0 = time.perf_counter()
             vt.overwrite_partitions(merged, "b")
