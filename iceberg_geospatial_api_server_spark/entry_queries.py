@@ -7742,6 +7742,172 @@ def versioned_cow_partitions_q(spark, sf_dir):
 
 
 @_q(
+    "scd2_late_cow",
+    """
+    WITH cl AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_type) AS attr
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ), b AS (
+      SELECT MIN(ts_us // 86400000000) AS lo,
+             MAX(ts_us // 86400000000) AS hi
+      FROM cl
+    ), bands AS (
+      SELECT (lo + (hi - lo) // 3) * 86400000000 AS band_lo,
+             (lo + 2 * ((hi - lo) // 3)) * 86400000000 AS band_hi
+      FROM b
+    ), src AS (
+      SELECT cl.* FROM cl, bands
+      WHERE ts_us < band_lo OR ts_us >= band_hi OR user_id % 8 < 3
+    ), late_keys AS (
+      SELECT DISTINCT user_id FROM cl, bands
+      WHERE ts_us >= band_lo AND ts_us < band_hi
+        AND user_id % 8 < 3
+    ), dd AS (
+      SELECT user_id, ts_us, attr,
+             LAG(attr) OVER (PARTITION BY user_id ORDER BY ts_us)
+               AS prev
+      FROM src
+    ), kept AS (
+      SELECT user_id, ts_us, attr FROM dd
+      WHERE prev IS NULL OR attr <> prev
+    ), dim AS (
+      SELECT user_id, attr, ts_us AS eff_from_us,
+             LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+               AS eff_to_us,
+             LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+               IS NULL AS is_current
+      FROM kept
+    )
+    SELECT d.user_id, CAST(d.user_id % 8 AS INTEGER) AS bucket,
+           d.attr, d.eff_from_us, d.eff_to_us, d.is_current,
+           lk.user_id IS NOT NULL AS reopened,
+           d.user_id % 8 >= 3 AS carried
+    FROM dim d LEFT JOIN late_keys lk ON d.user_id = lk.user_id
+    """,
+)
+def scd2_late_cow_q(spark, sf_dir):
+    """LATE-arrival merge against the BUCKETED store with
+    partition-scoped copy-on-write value-graded (late r10 — the
+    composition closing the CoW MERGE story: r9's `scd2_merge_late`
+    affected-key rewrite × r10's `overwrite_partitions` carry-forward;
+    this is what Iceberg CoW does for out-of-order data — late rows
+    rewrite ONLY the data files of partitions holding affected keys,
+    ref api/main.py:492-604's MERGE surface): the full-changelog
+    dimension minus its MIDDLE day-third lands bucketed by user_id % 8
+    (oracle-reproducible bucketing, the versioned_cow_partitions
+    convention); the late batch is the middle band RESTRICTED to
+    buckets 0-2; `scd2_merge_late_cow` must rewrite exactly the
+    buckets holding late keys — the construction RAISES unless every
+    bucket ≥3 carries its v1 files PATH-IDENTICAL and every
+    late-key bucket's file list changed — and the returned frame
+    re-reads v2 through the manifest with per-row bucket, `reopened`
+    (key had late rows — grades the affected-key scoping), and
+    `carried` flags. The oracle rebuilds from (changelog minus the
+    band ∪ the band's bucket-0-2 rows) in one window pass — a stale
+    carried file, a wrong bucket route, a dim-replay shortcut (late
+    rows inside collapsed runs), or a lost rewrite all flip the hash.
+    Construction: two snapshot writes + one bounded min/max-day
+    aggregate + a ≤3-value touched-bucket collect. Scale: cost =
+    affected keys' changelog slice re-window + touched buckets
+    written + manifest pointer copies — never the dimension
+    (operators/relational.py scd2_merge_late_cow;
+    tests/test_scd2.py pins the split-run + file-identity case)."""
+    import hashlib
+    import shutil
+
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        scd2_from_changelog,
+        scd2_merge_late_cow,
+    )
+    from iceberg_geospatial_api_server_spark.sources.fs_versioned import (
+        VersionedTable,
+    )
+    from iceberg_geospatial_api_server_spark.util import epoch_of
+
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    sec = epoch_of(events, "ts")
+    cl = (
+        events.select(
+            "user_id",
+            sec("ts", "MICROSECOND").alias("ts_us"),
+            "event_type",
+        )
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_type").alias("attr"))
+    )
+    day = (F.col("ts_us") / F.lit(86_400_000_000)).cast("long")
+    bounds = cl.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        band_lo_us = band_hi_us = 0
+    else:
+        lo, hi = bounds["lo"], bounds["hi"]
+        if hi - lo < 3:
+            raise RuntimeError(
+                "day-third band split needs an events changelog "
+                f"spanning >= 3 distinct days (got days {lo}..{hi}) — "
+                "this entry grades at sf >= 0.001 fixtures by design"
+            )
+        band_lo_us = (lo + (hi - lo) // 3) * 86_400_000_000
+        band_hi_us = (lo + 2 * ((hi - lo) // 3)) * 86_400_000_000
+    in_band = (F.col("ts_us") >= F.lit(band_lo_us)) & (
+        F.col("ts_us") < F.lit(band_hi_us)
+    )
+    bucket = F.pmod(F.col("user_id"), F.lit(8)).cast("int")
+    old = cl.filter(~in_band)
+    late = cl.filter(in_band & (bucket < F.lit(3)))
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_scd2_late_cow_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    vt = VersionedTable(spark, path)
+    vt.overwrite_partitions(
+        scd2_from_changelog(old).withColumn("bucket", bucket), "bucket"
+    )
+    scd2_merge_late_cow(vt, late, old, bucket)
+    late_buckets = {
+        str(r["__b"])
+        for r in late.select(bucket.alias("__b")).distinct().collect()
+    }
+    b1, b2 = vt.buckets(version=1), vt.buckets(version=2)
+    for bval in sorted(b1):
+        same = b1[bval]["files"] == b2.get(bval, {}).get("files")
+        if bval not in late_buckets and not same:
+            raise RuntimeError(
+                f"scd2_late_cow: untouched bucket {bval} was "
+                "rewritten — carry-forward broke"
+            )
+        if bval in late_buckets and same:
+            raise RuntimeError(
+                f"scd2_late_cow: affected bucket {bval} carries v1's "
+                "files verbatim — the late rewrite was lost"
+            )
+    bk = late.select("user_id").distinct().withColumn("__r", F.lit(True))
+    return (
+        vt.read()
+        .join(F.broadcast(bk), "user_id", "left")
+        .select(
+            "user_id",
+            bucket.alias("bucket"),
+            "attr",
+            "eff_from_us",
+            "eff_to_us",
+            "is_current",
+            F.coalesce(F.col("__r"), F.lit(False)).alias("reopened"),
+            (bucket >= F.lit(3)).alias("carried"),
+        )
+    )
+
+
+@_q(
     "part_entity_resolution",
     """
     WITH vocab AS (
@@ -12226,6 +12392,11 @@ _R10_JUMP_QUEUE = [
     # kernel-changed-since-last-green rule re-grades both consumers
     "merge_upsert_scd2",
     "scd2_merge_late",
+    # late-r10 third new oracle (the scd2_merge_late × partitioned-CoW
+    # composition; new-outranks-vintage: q12_shipmode_priority — the
+    # in-window r6 block's alphabetical tail member — cedes its slot
+    # and heads the r11 r6-leftover list, see _R10_PROMOTED)
+    "scd2_late_cow",
 ]
 
 # retire the r9 window's 44 non-re-jumping members (all driver-green
@@ -12331,15 +12502,18 @@ _R10_PROMOTED = [
     "mm_scene_cuts_parity",
     "orders_rollup",
     "q10_returned_items",
-    "q12_shipmode_priority",
+    # (q12_shipmode_priority — the alphabetical tail of the planned
+    # 32 — ceded its slot to the late-r10 scd2_late_cow oracle per
+    # new-outranks-vintage and heads the r11 r6-leftover list)
 ]
 _ORACLED_OVERFLOW = [
     n for n in _ORACLED_OVERFLOW if n not in set(_R10_PROMOTED)
 ]
 
 # r11 ROTATION PLAN (recorded now): (1) any r11-new/kernel-changed
-# jump queue; (2) the TWELVE r6-vintage leftovers
-# (q13_customer_distribution, q14_promo_revenue, q17_small_qty_revenue,
+# jump queue; (2) the THIRTEEN r6-vintage leftovers
+# (q12_shipmode_priority — ceded late-r10 — plus
+# q13_customer_distribution, q14_promo_revenue, q17_small_qty_revenue,
 # q18_large_volume, q19_disjunctive, q4_order_priority,
 # q6_forecast_revenue, q7_volume_shipping, q8_market_share,
 # sample_per_lang, text_ngram_topk, top3_orders_per_priority);

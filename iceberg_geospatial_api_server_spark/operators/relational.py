@@ -2408,6 +2408,72 @@ def scd2_merge_late(
     return untouched.unionByName(recomputed)
 
 
+def scd2_merge_late_cow(
+    table,
+    late_batch: DataFrame,
+    changelog: DataFrame,
+    bucket_expr,
+    key_col: str = "user_id",
+    ts_col: str = "ts_us",
+    attr_col: str = "attr",
+    op_col: str | None = None,
+) -> int:
+    """LATE-arrival SCD2 merge against a BUCKETED ``VersionedTable``
+    with partition-scoped copy-on-write (r10 — the composition of
+    ``scd2_merge_late``'s affected-key rewrite with
+    ``overwrite_partitions``' carry-forward rule; this is the full
+    Iceberg CoW ``MERGE`` story for out-of-order data: late rows cause
+    ONLY the data files of partitions holding affected keys to
+    rewrite, ref api/main.py:492-604's MERGE surface at table scale).
+
+    ``table`` is a partitioned VersionedTable whose current snapshot
+    was written with ``bucket_expr`` (a Column mapping ``key_col`` to
+    the bucket value — the caller owns the bucketing function, same
+    contract as the CDC sink). The affected-bucket list is a bounded
+    collect (≤ distinct late keys, in practice ≤ n_buckets); the
+    dimension-side read partition-prunes to those buckets; the
+    rebuild's window processes only the affected keys' changelog slice
+    plus the late rows (the ``scd2_merge_late`` cost model); the write
+    replaces only the affected buckets, untouched buckets' files carry
+    path-identical (pytest-pinned). Commits a new snapshot and returns
+    its version.
+
+    At 100 TB: cost = (affected keys' history re-window) + (affected
+    buckets × bucket size written) + manifest pointer copies — never
+    the dimension, never the full changelog.
+    """
+    bk = late_batch.select(key_col).distinct()
+    touched = sorted(
+        r["__b"]
+        for r in bk.select(bucket_expr.alias("__b")).distinct().collect()
+    )
+    existing = set(table.buckets())
+    readable = [b for b in touched if str(b) in existing]
+    if readable:
+        dim_part = table.read_buckets(readable, with_bucket_col=False)
+        merged = scd2_merge_late(
+            dim_part, late_batch, changelog,
+            key_col, ts_col, attr_col, op_col=op_col,
+        )
+    else:
+        # every affected bucket is brand-new: nothing passes through,
+        # the affected keys' slice + late rows window alone
+        cl_cols = [key_col, ts_col, attr_col] + (
+            [op_col] if op_col else []
+        )
+        merged = scd2_from_changelog(
+            changelog.select(*cl_cols)
+            .join(F.broadcast(bk), key_col, "semi")
+            .unionByName(late_batch.select(*cl_cols)),
+            key_col, ts_col, attr_col, op_col=op_col,
+        )
+    snap = table._resolve(None, None)
+    return table.overwrite_partitions(
+        merged.withColumn(snap["bucket_col"], bucket_expr),
+        snap["bucket_col"],
+    )
+
+
 def events_gapfill_ffill(
     events: DataFrame,
     key_col: str = "user_id",

@@ -364,3 +364,47 @@ def test_cdc_merge_equals_rebuild_randomized_with_deletes(spark, n_keys):
     )
     rebuilt = scd2_from_changelog(_ccl(spark, rows), op_col="op")
     assert _sorted(merged) == _sorted(rebuilt)
+
+
+def test_merge_late_cow_rewrites_only_affected_buckets(spark, tmp_path):
+    # the r10 composition: late rows for keys in bucket 1 must rewrite
+    # ONLY bucket 1's files — buckets 0/2 carry path-identical — and
+    # the merged dimension must equal the full rebuild (including a
+    # late row splitting a collapsed run, the case dim replay cannot
+    # answer)
+    from iceberg_geospatial_api_server_spark.operators.relational import (
+        scd2_merge_late_cow,
+    )
+    from iceberg_geospatial_api_server_spark.sources.fs_versioned import (
+        VersionedTable,
+    )
+
+    # keys 0,1,2 -> buckets 0,1,2 under key % 3
+    old = [
+        (1, 100, "a"),
+        (1, 200, "a"),  # collapsed run for key 1
+        (0, 50, "x"),
+        (2, 70, "z"),
+    ]
+    late = [(1, 150, "b")]
+    bucket = (F.col("user_id") % F.lit(3)).cast("int")
+    vt = VersionedTable(spark, str(tmp_path / "dim"))
+    vt.overwrite_partitions(
+        scd2_from_changelog(_cl(spark, old)).withColumn("b", bucket),
+        "b",
+    )
+    v2 = scd2_merge_late_cow(
+        vt, _cl(spark, late), _cl(spark, old), bucket
+    )
+    assert v2 == 2
+    b1, b2 = vt.buckets(version=1), vt.buckets(version=2)
+    assert b2["0"]["files"] == b1["0"]["files"]
+    assert b2["2"]["files"] == b1["2"]["files"]
+    assert b2["1"]["files"] != b1["1"]["files"]
+    rebuilt = scd2_from_changelog(_cl(spark, old + late))
+    assert _sorted(vt.read()) == _sorted(rebuilt)
+    assert [t for t in _sorted(vt.read()) if t[0] == 1] == [
+        (1, "a", 100, 150, False),
+        (1, "b", 150, 200, False),
+        (1, "a", 200, None, True),
+    ]
