@@ -7908,6 +7908,164 @@ def scd2_late_cow_q(spark, sf_dir):
 
 
 @_q(
+    "versioned_incremental_read",
+    """
+    WITH cl AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+    ), b AS (
+      SELECT MIN(ts_us // 86400000000) AS lo,
+             MAX(ts_us // 86400000000) AS hi
+      FROM cl
+    ), bands AS (
+      SELECT (lo + (hi - lo) // 3) * 86400000000 AS band_lo,
+             (lo + 2 * ((hi - lo) // 3)) * 86400000000 AS band_hi
+      FROM b
+    ), labelled AS (
+      SELECT 'v1_to_v2' AS rng, cl.* FROM cl, bands
+      WHERE ts_us >= band_lo AND ts_us < band_hi
+      UNION ALL
+      SELECT 'v2_to_v3' AS rng, cl.* FROM cl, bands
+      WHERE ts_us >= band_hi
+      UNION ALL
+      SELECT 'v1_to_v3' AS rng, cl.* FROM cl, bands
+      WHERE ts_us >= band_lo
+    )
+    SELECT rng, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(ts_us % 2147483647) % 2147483647 AS BIGINT)
+             AS ts_checksum,
+           CAST(SUM((event_id % 2147483647)
+                    * (('0x' || substr(md5(event_type), 1, 15))::BIGINT
+                       % 2147483647)
+                    % 2147483647) % 2147483647 AS BIGINT)
+             AS type_checksum,
+           TRUE AS overwrite_refused
+    FROM labelled GROUP BY rng
+    """,
+)
+def versioned_incremental_read_q(spark, sf_dir):
+    """INCREMENTAL (changes-since) read on the snapshot store
+    value-graded (late r10 — the Iceberg incremental-scan contract
+    `spark.read.option("start-snapshot-id", ...)`, cookbook §1.7,
+    jar-less; the CONSUME side of the CDC loop the r9/r10 entries
+    graded the produce side of, and the only-new-files pattern every
+    recurring training-data job runs on): day-thirds A/B/C land as
+    v1 = overwrite(A), v2 = append(B), v3 = append(C);
+    `read_changes(1, 2)` must return exactly B, `read_changes(2)`
+    exactly C, and `read_changes(1)` exactly B ∪ C — each delta is a
+    MANIFEST DIFF (the files the range's snapshots added; appends
+    never rewrite, so the file delta IS the row delta), reconstructed
+    independently by the SQL oracle from the raw changelog's bands.
+    The append-only precondition is probed in-code: v4 = overwrite
+    makes `read_changes(3)` RAISE (an overwrite's file delta is not a
+    row delta — Iceberg's incremental scan refuses the same way),
+    surfaced as the `overwrite_refused` carrier column. Carrier rows
+    reuse the versioned_read_asof exact-integer aggregate shape.
+    Construction: four snapshot writes under /tmp keyed by sf_dir
+    (fresh rebuild per invocation). Scale: incremental planning cost
+    is the ADDED files only — a downstream job checkpointing its last
+    processed version reads new footers, never a table scan
+    (sources/fs_versioned.py read_changes;
+    tests/test_fs_versioned.py pins the delta and refusal rules)."""
+    import hashlib
+    import shutil
+
+    from iceberg_geospatial_api_server_spark.operators.dedup import (
+        MERSENNE,
+        word_hash,
+    )
+    from iceberg_geospatial_api_server_spark.sources.fs_versioned import (
+        VersionedTable,
+    )
+    from iceberg_geospatial_api_server_spark.util import epoch_of
+
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    sec = epoch_of(events, "ts")
+    cl = events.select(
+        "event_id",
+        "user_id",
+        sec("ts", "MICROSECOND").alias("ts_us"),
+        "event_type",
+    )
+    day = (F.col("ts_us") / F.lit(86_400_000_000)).cast("long")
+    bounds = cl.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        band_lo_us = band_hi_us = 0
+    else:
+        lo, hi = bounds["lo"], bounds["hi"]
+        if hi - lo < 3:
+            raise RuntimeError(
+                "day-third band split needs an events changelog "
+                f"spanning >= 3 distinct days (got days {lo}..{hi}) — "
+                "this entry grades at sf >= 0.001 fixtures by design"
+            )
+        band_lo_us = (lo + (hi - lo) // 3) * 86_400_000_000
+        band_hi_us = (lo + 2 * ((hi - lo) // 3)) * 86_400_000_000
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_versioned_incr_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    vt = VersionedTable(spark, path)
+    vt.overwrite(cl.filter(F.col("ts_us") < F.lit(band_lo_us)))
+    vt.append(
+        cl.filter(
+            (F.col("ts_us") >= F.lit(band_lo_us))
+            & (F.col("ts_us") < F.lit(band_hi_us))
+        )
+    )
+    vt.append(cl.filter(F.col("ts_us") >= F.lit(band_hi_us)))
+    ranges = {
+        "v1_to_v2": vt.read_changes(1, 2),
+        "v2_to_v3": vt.read_changes(2),
+        "v1_to_v3": vt.read_changes(1),
+    }
+    # append-only precondition probe: after an overwrite, the
+    # changefeed past it must REFUSE (file delta ≠ row delta)
+    vt.overwrite(cl.filter(F.col("ts_us") < F.lit(band_lo_us)))
+    try:
+        vt.read_changes(3)
+        overwrite_refused = False
+    except ValueError:
+        overwrite_refused = True
+
+    def range_agg(df, label):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            (F.sum(F.col("ts_us") % F.lit(MERSENNE)) % F.lit(MERSENNE))
+            .cast("long")
+            .alias("ts_checksum"),
+            (
+                F.sum(
+                    (F.col("event_id") % F.lit(MERSENNE))
+                    * word_hash(F.col("event_type"))
+                    % F.lit(MERSENNE)
+                )
+                % F.lit(MERSENNE)
+            )
+            .cast("long")
+            .alias("type_checksum"),
+        ).select(F.lit(label).alias("rng"), "*")
+
+    out = None
+    for label, df in ranges.items():
+        part = range_agg(df, label)
+        out = part if out is None else out.unionByName(part)
+    return out.select(
+        "*", F.lit(bool(overwrite_refused)).alias("overwrite_refused")
+    )
+
+
+@_q(
     "part_entity_resolution",
     """
     WITH vocab AS (
@@ -12397,6 +12555,11 @@ _R10_JUMP_QUEUE = [
     # in-window r6 block's alphabetical tail member — cedes its slot
     # and heads the r11 r6-leftover list, see _R10_PROMOTED)
     "scd2_late_cow",
+    # late-r10 fourth new oracle (the incremental changes-since read —
+    # the consume side of the CDC loop; q10_returned_items, now the
+    # in-window r6 block's alphabetical tail, cedes per the same
+    # convention and joins the r11 r6-leftover list)
+    "versioned_incremental_read",
 ]
 
 # retire the r9 window's 44 non-re-jumping members (all driver-green
@@ -12501,18 +12664,18 @@ _R10_PROMOTED = [
     "mm_phash_parity",
     "mm_scene_cuts_parity",
     "orders_rollup",
-    "q10_returned_items",
-    # (q12_shipmode_priority — the alphabetical tail of the planned
-    # 32 — ceded its slot to the late-r10 scd2_late_cow oracle per
-    # new-outranks-vintage and heads the r11 r6-leftover list)
+    # (q12_shipmode_priority then q10_returned_items — the
+    # alphabetical tail of the planned 32 — each ceded its slot to a
+    # late-r10 oracle (scd2_late_cow, versioned_incremental_read) per
+    # new-outranks-vintage and they head the r11 r6-leftover list)
 ]
 _ORACLED_OVERFLOW = [
     n for n in _ORACLED_OVERFLOW if n not in set(_R10_PROMOTED)
 ]
 
 # r11 ROTATION PLAN (recorded now): (1) any r11-new/kernel-changed
-# jump queue; (2) the THIRTEEN r6-vintage leftovers
-# (q12_shipmode_priority — ceded late-r10 — plus
+# jump queue; (2) the FOURTEEN r6-vintage leftovers
+# (q10_returned_items and q12_shipmode_priority — ceded late-r10 — plus
 # q13_customer_distribution, q14_promo_revenue, q17_small_qty_revenue,
 # q18_large_volume, q19_disjunctive, q4_order_priority,
 # q6_forecast_revenue, q7_volume_shipping, q8_market_share,

@@ -271,3 +271,37 @@ def test_expiry_gc_respects_carried_partition_files(spark, vt):
     assert all(os.path.exists(f) for f in carried)
     got = {(r.id, r.v) for r in vt.read().collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_read_changes_append_only_delta(spark, vt):
+    # incremental read = the rows appended strictly after
+    # from_version; a same-version range or an empty delta raises
+    vt.overwrite(_df(spark, 0, 10))
+    vt.append(_df(spark, 10, 15))
+    vt.append(_df(spark, 15, 18))
+    assert {r.id for r in vt.read_changes(1).collect()} == set(
+        range(10, 18)
+    )
+    assert {r.id for r in vt.read_changes(1, 2).collect()} == set(
+        range(10, 15)
+    )
+    assert {r.id for r in vt.read_changes(2).collect()} == set(
+        range(15, 18)
+    )
+    with pytest.raises(ValueError):
+        vt.read_changes(3)  # empty delta
+    with pytest.raises(ValueError):
+        vt.read_changes(99)
+
+
+def test_read_changes_refuses_overwrite_ranges(spark, vt):
+    # an overwrite in the range replaces files wholesale — its file
+    # delta is NOT a row delta, so the changefeed must refuse loudly
+    vt.append(_df(spark, 0, 5))
+    vt.overwrite(_df(spark, 100, 103))
+    vt.append(_df(spark, 103, 105))
+    with pytest.raises(ValueError) as ei:
+        vt.read_changes(1)
+    assert "non-append range" in str(ei.value)
+    # but the post-overwrite append-only suffix is a valid range
+    assert {r.id for r in vt.read_changes(2).collect()} == {103, 104}
