@@ -415,6 +415,38 @@ class VersionedTable:
             "n_files LONG, n_rows LONG, parent LONG",
         )
 
+    def rollback(self, version: int) -> int:
+        """Roll the table back to ``version`` (Iceberg
+        `rollback_to_snapshot`, cookbook §1.7): commits a NEW snapshot
+        whose file list duplicates the target's — history is never
+        rewritten (the bad snapshots stay time-travelable until
+        expiry), readers of "latest" see the restored state, and the
+        rollback itself is one manifest append, no data copy. Works on
+        partitioned tables too (the bucket map restores with the file
+        list). Returns the new version."""
+        snaps = self._load_manifest()
+        target = None
+        for s in snaps:
+            if s["version"] == version:
+                target = s
+                break
+        if target is None:
+            raise ValueError(f"version {version} not found (expired?)")
+        snap = {
+            "version": snaps[-1]["version"] + 1,
+            "ts_us": int(time.time() * 1_000_000),
+            "operation": "rollback",
+            "files": list(target["files"]),
+            "n_rows": target["n_rows"],
+            "parent": snaps[-1]["version"],
+        }
+        for k in ("buckets", "bucket_col", "bucket_type"):
+            if k in target:
+                snap[k] = target[k]
+        snaps.append(snap)
+        self._store_manifest(snaps)
+        return snap["version"]
+
     # -- maintenance -------------------------------------------------------
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:

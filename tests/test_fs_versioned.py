@@ -305,3 +305,48 @@ def test_read_changes_refuses_overwrite_ranges(spark, vt):
     assert "non-append range" in str(ei.value)
     # but the post-overwrite append-only suffix is a valid range
     assert {r.id for r in vt.read_changes(2).collect()} == {103, 104}
+
+
+def test_rollback_restores_without_rewriting_history(spark, vt):
+    # rollback commits a NEW snapshot duplicating the target's files:
+    # latest reads the restored state, the rolled-past snapshots stay
+    # time-travelable, GC after expiry keeps the duplicated files, and
+    # incremental reads refuse to cross the rollback (not a row delta)
+    vt.append(_df(spark, 0, 5))
+    vt.append(_df(spark, 5, 9))
+    vt.overwrite(_df(spark, 100, 103))  # the "bad" write
+    v4 = vt.rollback(2)
+    assert v4 == 4
+    assert {r.id for r in vt.read().collect()} == set(range(9))
+    assert vt.read(version=3).count() == 3  # bad snapshot still travels
+    h = {r.version: r for r in vt.history().collect()}
+    assert h[4].operation == "rollback" and h[4].n_rows == 9
+    with pytest.raises(ValueError):
+        vt.read_changes(2)  # range crosses overwrite+rollback: refuse
+    # appends continue from the restored state
+    vt.append(_df(spark, 9, 11))
+    assert vt.read().count() == 11
+    # expiry keeps the files the rollback re-referenced
+    vt.expire_snapshots(keep_last=2)
+    assert {r.id for r in vt.read().collect()} == set(range(11))
+    with pytest.raises(ValueError):
+        vt.rollback(99)
+
+
+def test_rollback_partitioned_restores_bucket_map(spark, vt):
+    vt.overwrite_partitions(
+        _bdf(spark, [(1, "a", 0), (2, "b", 1)]), "b"
+    )
+    vt.overwrite_partitions(_bdf(spark, [(2, "BAD", 1)]), "b")
+    v3 = vt.rollback(1)
+    assert v3 == 3
+    assert {(r.id, r.v) for r in vt.read().collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+    assert vt.buckets(version=3) == vt.buckets(version=1)
+    # partitioned writes continue against the restored bucket map
+    vt.overwrite_partitions(_bdf(spark, [(2, "B2", 1)]), "b")
+    assert vt.buckets(version=4)["0"]["files"] == vt.buckets(
+        version=1
+    )["0"]["files"]
