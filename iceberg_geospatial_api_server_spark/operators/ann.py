@@ -679,7 +679,14 @@ def _ivf_assign_kernel(centroids, top: int):
         order = np.argsort(-sims, axis=1)[:, :top].astype("int32")
         return pd.Series([row.tolist() for row in order])
 
-    return _assign
+    # r10 (guide §4.4): the cell id this kernel computes becomes a join
+    # key, and the inner join's inferred isnotnull(cell) filter was
+    # being pushed BELOW the projection — duplicating the whole matvec
+    # ArrowEvalPython node, so every base vector paid the assignment
+    # twice (plan showed assign at nodes 2 AND 6). The kernel is
+    # actually deterministic; the flag only forbids the optimizer to
+    # clone or reorder it, yielding a single evaluation.
+    return _assign.asNondeterministic()
 
 
 # ---------------------------------------------------------------------------
@@ -1522,6 +1529,15 @@ def _pq_train_codebooks(
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     x = x / norms
+    return _fit_codebooks(x, m_subspaces, n_codes, iters)
+
+
+def _fit_codebooks(
+    x: "np.ndarray", m_subspaces: int, n_codes: int, iters: int
+) -> "np.ndarray":
+    """Driver-side per-subspace Lloyd loop over an L2-normalized sample
+    (factored out of `_pq_train_codebooks` so the fused sampling path
+    below reuses the identical math)."""
     dim = x.shape[1]
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
@@ -1547,6 +1563,62 @@ def _pq_train_codebooks(
                     cent[c] = sub[mask].mean(axis=0)
         books[j] = cent
     return books
+
+
+def _seed_and_codebooks(
+    base: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nlist: int,
+    m_subspaces: int,
+    n_codes: int,
+    train_sample: int,
+    iters: int = 10,
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Coarse seeds + PQ codebooks from ONE count and ONE TakeOrdered
+    collect (r10 — guide §1.2 'don't compute things twice': the
+    separate `_seed_vectors` + `_pq_train_codebooks` calls each ran
+    their own count job and their own ordered-collect job, 4 driver
+    jobs per index build where 2 suffice).
+
+    Equivalence: both selectors keep the globally hash-smallest (h, id)
+    rows — the hash-threshold filter only drops rows LARGER than every
+    admitted one, so whenever the filtered collect returns its full
+    limit the result equals the unfiltered top-limit (the fallback
+    restores it otherwise). The first `nlist` rows of the
+    `train_sample`-row collect are therefore exactly `_seed_vectors`'
+    output, and the full collect is exactly the training sample —
+    byte-identical centroids and codebooks, half the driver jobs.
+    """
+    from iceberg_geospatial_api_server_spark.operators.sampling import (
+        MERSENNE,
+        id_hash,
+    )
+
+    limit = max(train_sample, nlist)
+    n = base.count()
+    if n == 0:
+        raise ValueError("cannot seed from an empty corpus")
+    frac = min(1.0, max(train_sample * 2, nlist * 32) / n)
+    h = id_hash(F.col(id_col))
+    cand = base.select(id_col, vec_col)
+    if frac < 1.0:
+        cand = cand.filter(h < F.lit(int(frac * MERSENNE)))
+    rows = cand.orderBy(h.asc(), F.col(id_col).asc()).limit(limit).collect()
+    if len(rows) < min(limit, n):  # pathological hash clustering
+        rows = (
+            base.select(id_col, vec_col)
+            .orderBy(h.asc(), F.col(id_col).asc())
+            .limit(limit)
+            .collect()
+        )
+    x = np.array([[float(v) for v in r[1]] for r in rows], dtype="f8")
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+    cent = x[:nlist]
+    books = _fit_codebooks(x[:train_sample], m_subspaces, n_codes, iters)
+    return cent, books
 
 
 def _pq_encode_kernel(books: np.ndarray):
@@ -1612,9 +1684,8 @@ def ivfpq_topk(
     near-output-sized candidate set; nothing iterates on the driver but
     the constant-size training loop.
     """
-    cent = _seed_vectors(base, id_col, vec_col, nlist)
-    books = _pq_train_codebooks(
-        base, id_col, vec_col, m_subspaces, n_codes, train_sample
+    cent, books = _seed_and_codebooks(
+        base, id_col, vec_col, nlist, m_subspaces, n_codes, train_sample
     )
     assign1 = _ivf_assign_kernel(cent, 1)
     assignN = _ivf_assign_kernel(cent, nprobe)

@@ -251,6 +251,16 @@ def triangle_stats(
     )
     du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
+    if broadcast_adj:
+        # r10 (guide §3.1): deg is n_nodes (id, d) rows — strictly
+        # smaller than the adjacency broadcast below, so whenever adj
+        # fits on the executors deg does too. Hinting it removes the
+        # two sort-merge joins that re-shuffled AND re-sorted the edge
+        # stream by u then by v (plan: 2 Exchange + 4 Sort dropped;
+        # measured 2.75s → 2.32s at sf0.1). At billion-edge scale the
+        # same broadcast_adj=False switch that degrades adj to shuffle
+        # joins degrades these too.
+        du, dv = F.broadcast(du), F.broadcast(dv)
     lo_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )

@@ -524,12 +524,25 @@ def phash_dedup_pairs(
 
     Incremental mode (``against=existing_hashes``): same contract as the
     text dedup family — ``hashes`` is the NEW batch, pairs are emitted
-    only when at least one side is new (old×old pairs drop at the block
-    join, before the hamming filter and distinct spend anything on
-    them). At 100 TB the 8-byte/image hash column is the natural thing
-    to persist between ingest runs; each increment then pays the
-    decode+hash pass for the new batch only. Ids must be unique across
-    the two frames.
+    only when at least one side is new (old×old pairs drop at
+    pair-emission time, before the hamming filter and distinct spend
+    anything on them). At 100 TB the 8-byte/image hash column is the
+    natural thing to persist between ingest runs; each increment then
+    pays the decode+hash pass for the new batch only. Ids must be
+    unique across the two frames.
+
+    Plan shape (r10 rework — guide §2.4): the block SELF-JOIN evaluated
+    its child twice, and here the child is the Python decode+hash
+    pipeline — every image was decoded and DCT-hashed TWICE per run
+    (plan showed 4 MapInPandas nodes; 2.3s at sf0.1). Grouping blocks
+    into buckets (`collect_set` per (blk, val) — dedup_minhash_lsh's
+    bucket shape) and emitting sorted-id pairs in-bucket runs the
+    Python pipeline ONCE and shuffles the exploded blocks once instead
+    of twice (measured 2.27s → 1.33s; emitted pairs identical
+    including hamming values). Bucket memory is bounded by images
+    sharing one 16-bit block value — at the hamming radii this
+    operator targets that is near-duplicate-cluster-sized; a corpus of
+    byte-identical images should go through exact dedup first.
     """
     nblocks = 64 // block_bits
     assert max_hamming < nblocks, (
@@ -562,24 +575,48 @@ def phash_dedup_pairs(
         "doc_id", "phash", "__new",
         F.col("__b.blk").alias("blk"), F.col("__b.val").alias("val"),
     )
-    left = blocks.select(
-        F.col("doc_id").alias("id_a"), F.col("phash").alias("ph_a"),
-        F.col("__new").alias("new_a"), "blk", "val",
+    # struct sorts by its first field, so sorted members emit each
+    # unordered pair exactly once as (smaller id, larger id) — the
+    # final distinct collapses cross-block repeats only
+    buckets = (
+        blocks.groupBy("blk", "val")
+        .agg(
+            F.sort_array(
+                F.collect_set(
+                    F.struct(
+                        F.col("doc_id").alias("id"),
+                        F.col("phash").alias("ph"),
+                        F.col("__new").alias("nw"),
+                    )
+                )
+            ).alias("members")
+        )
+        .filter(F.size("members") >= 2)
     )
-    right = blocks.select(
-        F.col("doc_id").alias("id_b"), F.col("phash").alias("ph_b"),
-        F.col("__new").alias("new_b"), "blk", "val",
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda a, i: F.transform(
+                F.slice(F.col("members"), i + 2, F.size("members")),
+                lambda b: F.struct(
+                    a["id"].alias("id_a"),
+                    b["id"].alias("id_b"),
+                    F.bit_count(a["ph"].bitwiseXOR(b["ph"]))
+                    .cast("int")
+                    .alias("hamming"),
+                    # incremental: only pairs touching the new batch
+                    # (folds to 1 in batch mode, where all rows are new)
+                    F.greatest(a["nw"], b["nw"]).alias("keep"),
+                ),
+            ),
+        )
     )
-    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
     return (
-        left.join(right, on=["blk", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        # incremental: only pairs touching the new batch (folds to true
-        # in batch mode, where everything is tagged new)
-        .filter(F.greatest("new_a", "new_b") == 1)
-        .withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        buckets.select(F.explode(pair_structs).alias("__p"))
+        .filter(
+            (F.col("__p.hamming") <= max_hamming) & (F.col("__p.keep") == 1)
+        )
+        .select("__p.id_a", "__p.id_b", "__p.hamming")
         .distinct()
     )
 

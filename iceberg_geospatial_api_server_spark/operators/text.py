@@ -1131,6 +1131,13 @@ def dup_span_stats(
     grams don't skew a reducer); surviving positions re-shuffle once on
     the doc key where lag/row_number windows do the interval merge.
     Per-doc span state is bounded by document length, never corpus size.
+    (r10 note: a (hash, doc)-keyed census variant — collect positions
+    per gram-doc, count docs off the census, explode back — was
+    measured against this plan in an interleaved A/B at sf0.1 and LOST
+    (min 1.93s vs 1.57s): the census adds a full gram-stream exchange
+    while the dup-hash branch's column pruning already drops positions,
+    so the dual explode it tried to remove is cheaper than the extra
+    shuffle. Left as-is deliberately.)
     """
     from pyspark.sql import Window
 

@@ -885,3 +885,52 @@ def test_geo_extent_pushes_aggregate_to_parquet_footer(spark, sf_dir):
     plan = _plan(QUERIES["geo_extent"](spark, sf_dir))
     assert "PushedAggregation" in plan, plan[:3000]
     assert re.search(r"PushedAggregation: \[[^\]]*MIN", plan), plan[:3000]
+
+
+def test_triangle_deg_joins_broadcast_no_smj(tables):
+    """r10: with broadcast_adj=True the degree attachment joins (und⋈du,
+    und⋈dv) broadcast the derived degree frame instead of sort-merging
+    the edge stream — the plan must carry NO SortMergeJoin and at least
+    four broadcast joins (2 degree legs + 2 adjacency legs)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.operators.graph import (
+        triangle_stats,
+    )
+    from iceberg_geospatial_api_server_spark.plans.explain import (
+        assert_broadcast_join,
+        formatted_plan,
+    )
+
+    li = tables["lineitem"].select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "ok").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    out = triangle_stats(edges)
+    plan = formatted_plan(out)
+    assert "SortMergeJoin" not in plan
+    assert_broadcast_join(out, min_count=4)
+
+
+def test_phash_pairs_single_python_pipeline(spark, sf_dir):
+    """r10: the bucket aggregation replaced the block self-join, so the
+    Python decode+hash pipeline (2 MapInPandas kernels: synthesize +
+    phash) appears ONCE in the plan — the join formulation evaluated it
+    twice (4 MapInPandas nodes)."""
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        image_phash,
+        phash_dedup_pairs,
+        synthesize_image_corpus,
+    )
+    from iceberg_geospatial_api_server_spark.plans.explain import (
+        formatted_plan,
+    )
+    from iceberg_geospatial_api_server_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    hashes = image_phash(synthesize_image_corpus(docs), stub=False)
+    import re
+
+    plan = formatted_plan(phash_dedup_pairs(hashes))
+    nodes = re.findall(r"^\(\d+\) MapInPandas", plan, re.M)
+    assert len(nodes) == 2, plan
