@@ -760,7 +760,12 @@ def _lsh_buckets_kernel(tables: list[list[list[float]]]):
         ids = (per_tbl * weights).sum(axis=2)  # (n, T)
         return pd.Series(list(ids))
 
-    return _buckets
+    # r10 (guide §4.4): the bucket array feeds a posexplode whose output
+    # becomes a join key; the inferred size/isnotnull filter was pushed
+    # below the projection, cloning this matmul ArrowEvalPython so every
+    # base vector was bucketed twice (plan nodes 2 AND 6). Deterministic
+    # in fact — the flag only stops the optimizer duplicating it.
+    return _buckets.asNondeterministic()
 
 
 def lsh_topk(
