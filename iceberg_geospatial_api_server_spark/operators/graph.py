@@ -170,8 +170,18 @@ def common_neighbor_pairs(
         (cn["x"] == und["u"]) & (cn["z"] == und["v"]),
         "left_anti",
     )
-    dx = deg.select(F.col("c").alias("x"), F.col("d").alias("dx"))
-    dz = deg.select(F.col("c").alias("z"), F.col("d").alias("dz"))
+    # r10 (guide §3.1): deg is one row per node — the same frame the
+    # triangle census broadcasts; hinting it saves shuffling the
+    # wedge-mass pair stream twice (by x, then by z) through two
+    # sort-merge joins. At node counts where a broadcast can't hold
+    # the degree frame, drop the hints and the plan degrades to the
+    # shuffle joins this replaced.
+    dx = F.broadcast(
+        deg.select(F.col("c").alias("x"), F.col("d").alias("dx"))
+    )
+    dz = F.broadcast(
+        deg.select(F.col("c").alias("z"), F.col("d").alias("dz"))
+    )
     scored = (
         nonadj.join(dx, "x")
         .join(dz, "z")

@@ -393,7 +393,9 @@ def asof_join_events_orders(events: DataFrame, orders: DataFrame) -> DataFrame:
             "asof_orderkey",
             "asof_totalprice",
         )
-        .orderBy("event_id")
+        # no final orderBy (r10, the r7 final-sort rule): the range
+        # sampling re-executed this stage's windows/aggregates; every
+        # consumer compares order-insensitively
     )
 
 
@@ -1432,7 +1434,9 @@ def mad_outlier_profile(events: DataFrame, k: float = 3.0) -> DataFrame:
             .cast("long")
             .alias("n_outliers"),
         )
-        .orderBy("user_id")
+        # no final orderBy (r10, the r7 final-sort rule): the range
+        # sampling re-executed this stage's windows/aggregates; every
+        # consumer compares order-insensitively
     )
 
 
@@ -1540,7 +1544,9 @@ def events_cusum(
                 "first_alarm_s"
             ),
         )
-        .orderBy("user_id")
+        # no final orderBy (r10, the r7 final-sort rule): the range
+        # sampling re-executed this stage's windows/aggregates; every
+        # consumer compares order-insensitively
     )
 
 

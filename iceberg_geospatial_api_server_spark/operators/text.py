@@ -235,7 +235,9 @@ def clean_corpus(
             token_count(c).cast("long").alias("n_tokens"),
             F.round(quality_score(c), 6).alias("quality"),
         )
-        .orderBy(id_col)
+        # no final orderBy (r10, the r7 final-sort rule): the range
+        # sampling re-executed this stage's windows/aggregates; every
+        # consumer compares order-insensitively
     )
 
 
@@ -670,7 +672,9 @@ def corpus_source_stats(
             .cast("long")
             .alias("median_chars"),
         )
-        .orderBy(source_col)
+        # no final orderBy (r10, the r7 final-sort rule): the range
+        # sampling re-executed this stage's windows/aggregates; every
+        # consumer compares order-insensitively
     )
 
 
@@ -1194,7 +1198,11 @@ def dup_span_stats(
                 6,
             ).alias("dup_token_frac"),
         )
-        .orderBy(id_col)
+        # no final orderBy (r10, the r7 final-sort rule): the range
+        # exchange's sampling pass re-executed the child's last stage —
+        # here the per-doc token/gram REGEX projections — so every doc
+        # paid the gram regex twice; every consumer compares
+        # order-insensitively
     )
 
 
