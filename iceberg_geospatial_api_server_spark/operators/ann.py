@@ -1794,19 +1794,26 @@ def save_ivfpq_index(
     Centroid handling mirrors `save_ivf_index`; explicit `codebooks`
     (shape (m, n_codes, dim//m)) freeze the quantizer so an append can
     encode identically to the original build (`append_ivfpq_index`)."""
-    if centroids is not None:
-        cent = np.asarray(centroids, dtype="f8")
-        norms = np.linalg.norm(cent, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        cent = cent / norms
-    else:
-        cent = _seed_vectors(base, id_col, vec_col, nlist)
-    if codebooks is None:
-        books = _pq_train_codebooks(
-            base, id_col, vec_col, m_subspaces, n_codes, train_sample
+    if centroids is None and codebooks is None:
+        # r10: one count + one ordered collect serve both quantizers
+        # (byte-identical to the separate calls — see _seed_and_codebooks)
+        cent, books = _seed_and_codebooks(
+            base, id_col, vec_col, nlist, m_subspaces, n_codes, train_sample
         )
     else:
-        books = np.asarray(codebooks, dtype="f8")
+        if centroids is not None:
+            cent = np.asarray(centroids, dtype="f8")
+            norms = np.linalg.norm(cent, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            cent = cent / norms
+        else:
+            cent = _seed_vectors(base, id_col, vec_col, nlist)
+        if codebooks is None:
+            books = _pq_train_codebooks(
+                base, id_col, vec_col, m_subspaces, n_codes, train_sample
+            )
+        else:
+            books = np.asarray(codebooks, dtype="f8")
     assign1 = _ivf_assign_kernel(cent, 1)
     encode = _pq_encode_kernel(books)
     b = base.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__bv"))
