@@ -12689,6 +12689,19 @@ _ORACLED_OVERFLOW = [
 # sample_per_lang, text_ngram_topk, top3_orders_per_priority);
 # (3) the r7-vintage block, alphabetical, until the window fills.
 # Verify with tools/window_check.py, never this prose.
+#
+# r10-OPT jump-queue adds (kernels changed in the optimization round
+# AFTER their last external green; every one locally re-driven MATCH
+# at sf0.01 — and sf0.1 where values could shift — this round, see
+# OPTIMIZATION_r10.md): graph_triangles, graph_common_neighbors,
+# text_dup_spans, events_cusum, events_outliers_mad, corpus_clean,
+# corpus_epoch_order, corpus_source_stats, embed_quantize_int8,
+# asof_join_events_orders, ann_filtered_topk, ann_ivf_exhaustive,
+# ann_lsh_exhaustive, ann_ivf_incremental, ann_ivfpq_incremental
+# (assign-kernel dedup + fused quantizer sampling; byte-identical
+# outputs proven), mm_phash_parity + mm_audio_fp_parity (bucket-agg
+# pair join; both ALREADY in the r10 window and green at every SF
+# locally).
 
 
 def _reorder_registry() -> None:
