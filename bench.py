@@ -533,6 +533,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # core count stamp (r11, VERDICT r10 what's-wrong #2): the
+        # driver also runs this bench at a lower core count; without
+        # the stamp a later same-SF run anchors its history-keyed
+        # outlier flag to the other core count's timings and flags
+        # garbage (the r10 8-core artifact clobbered the 32-core one)
+        "cpus": CPUS,
     }
 
     # DuckDB comparison runs BY DEFAULT so the recorded artifact itself
@@ -712,7 +718,13 @@ def _latest_recorded_ratios(sf_val: float | None = None) -> dict[str, float]:
     try:
         with open(local) as f:
             data = json.load(f)
-        if (
+        # cpus mismatch skip (r11): an anchor recorded at a different
+        # core count is not ratio-comparable (the driver's 8-core
+        # scaling run must not anchor the next 32-core run's outlier
+        # flags). Artifacts predating the stamp carry no "cpus" key
+        # and stay comparable (they were all recorded at full width).
+        rec_cpus = data.get("cpus")
+        if (rec_cpus is None or int(rec_cpus) == CPUS) and (
             sf_val is None
             or (
                 data.get("sf") is not None
@@ -746,6 +758,11 @@ def _latest_recorded_ratios(sf_val: float | None = None) -> dict[str, float]:
             if sf_val is not None and (
                 rec_sf is None or float(rec_sf) != float(sf_val)
             ):
+                continue
+            # same cpus rule as the local anchor (the driver wrapper
+            # stamps "cpus"; a different-width record is skipped)
+            rec_cpus = data.get("cpus")
+            if rec_cpus is not None and int(rec_cpus) != CPUS:
                 continue
             table = data.get("duckdb_ratio_per_query")
             if table is None:

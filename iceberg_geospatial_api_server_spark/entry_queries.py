@@ -12703,6 +12703,140 @@ _ORACLED_OVERFLOW = [
 # pair join; both ALREADY in the r10 window and green at every SF
 # locally).
 
+# ---- r11 ROTATION (executed at round start, CORRECTNESS_r10 landed
+# 50/50 green) -------------------------------------------------------
+# Window composition: 15 jump-queue + the 14 r6-vintage leftovers +
+# the first 21 of the 43-member non-jump r7-vintage block,
+# alphabetical (the r7 tail heads any future plan). Verified by
+# tools/window_check.py against the artifacts, never this prose.
+_R11_JUMP_QUEUE = [
+    # the r10-OPT kernel-changed re-grades recorded above (every one
+    # locally re-driven MATCH at sf0.01 — and sf0.1 where values could
+    # shift — in r10, see OPTIMIZATION_r10.md)
+    "graph_triangles",
+    "graph_common_neighbors",
+    "text_dup_spans",
+    "events_cusum",
+    "events_outliers_mad",
+    "corpus_clean",
+    "corpus_epoch_order",
+    "corpus_source_stats",
+    "embed_quantize_int8",
+    "asof_join_events_orders",
+    "ann_filtered_topk",
+    "ann_ivf_exhaustive",
+    "ann_lsh_exhaustive",
+    "ann_ivf_incremental",
+    "ann_ivfpq_incremental",
+]
+
+# retire the r10 window's 50 members (all driver-green in
+# CORRECTNESS_r10 — rows+schema+hash 50/50)
+_R10_RETIRED = [
+    "events_windowed_agg",
+    "events_pivot",
+    "orders_rollup",
+    "events_user_stats",
+    "geo_dwithin",
+    "geo_grid_aggregate",
+    "geo_hull_parity",
+    "geo_buffer_parity",
+    "geo_line_join_parity",
+    "geo_multipoint_checksums",
+    "geo_multipolygon_areas",
+    "geo_simplify_parity",
+    "dedup_keep_first_prefix",
+    "embed_neardup_cosine",
+    "mm_frame_sample",
+    "mm_extract_features",
+    "mm_resize_parity",
+    "mm_decode_parity",
+    "catalog_row_counts",
+    "catalog_table_files",
+    "orders_forecast_linreg",
+    "corpus_mixture",
+    "text_readability",
+    "embed_pca_moments",
+    "merge_upsert_scd2",
+    "scd2_merge_late",
+    "versioned_read_asof",
+    "versioned_schema_evolution",
+    "versioned_expire_gc",
+    "scd2_delete_cdc",
+    "versioned_cow_partitions",
+    "scd2_late_cow",
+    "versioned_incremental_read",
+    "mm_phash_parity",
+    "mm_audio_fp_parity",
+    "text_lang_confusion",
+    "events_bounce_rate",
+    "text_ngram_novelty",
+    "dedup_spans_scrub",
+    "mm_scene_cuts_parity",
+    "geo_tile_aggregate",
+    "streaming_cusum_state",
+    "streaming_window_counts",
+    "streaming_scd2_cdc",
+    "events_hopping_agg",
+    "geo_knn_join_grid",
+    "geo_dwithin_join",
+    "geo_od_flows",
+    "text_zipf_fit",
+    "customer_pareto",
+]
+_ORACLED_OVERFLOW += [
+    n for n in _R10_RETIRED if n not in _ORACLED_OVERFLOW
+]
+
+_R11_PROMOTED = [
+    # (1) jump-queue members sitting in the overflow
+    *_R11_JUMP_QUEUE,
+    # (2) the FOURTEEN r6-vintage leftovers (freshest green
+    # CORRECTNESS_r06 — the whole class; r6 clears)
+    "q10_returned_items",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q17_small_qty_revenue",
+    "q18_large_volume",
+    "q19_disjunctive",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "sample_per_lang",
+    "text_ngram_topk",
+    "top3_orders_per_priority",
+    # (3) the r7-vintage block minus its 4 jump-queue members
+    # (graph_common_neighbors, corpus_clean, corpus_source_stats,
+    # asof_join_events_orders re-grade via the queue), alphabetical
+    # prefix — 21 fit; the tail (geo_extent ..) heads the next plan
+    "ann_bruteforce_topk",
+    "ann_recall_contract",
+    "corpus_bpe_merges",
+    "dedup_cluster_assign",
+    "dedup_exact",
+    "dedup_minhash_stats",
+    "dedup_recall_contract",
+    "doc_chunks",
+    "doc_length_histogram",
+    "embed_kmeans_stats",
+    "events_approx_contract",
+    "events_distinct_salted",
+    "events_funnel",
+    "events_hll_contract",
+    "events_props_stats",
+    "events_retention",
+    "fq_aggregate_mode",
+    "fq_attribute_filter",
+    "fq_bbox_filter",
+    "fq_count_only",
+    "fq_ids_only",
+]
+_ORACLED_OVERFLOW = [
+    n for n in _ORACLED_OVERFLOW if n not in set(_R11_PROMOTED)
+]
+
 
 def _reorder_registry() -> None:
     oracled = [

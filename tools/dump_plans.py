@@ -39,7 +39,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r10",
+        os.environ.get("PLANS_DIR", "r11"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
