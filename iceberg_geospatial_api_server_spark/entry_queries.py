@@ -12728,6 +12728,19 @@ _R11_JUMP_QUEUE = [
     "ann_lsh_exhaustive",
     "ann_ivf_incremental",
     "ann_ivfpq_incremental",
+    # r11-OPT kernel-changed adds (each locally re-driven MATCH at
+    # sf0.01 AND sf0.1 this round, see OPTIMIZATION_r11.md):
+    # phash_dedup_pairs gained the hot-bucket cap + two-level pair
+    # emission
+    "mm_phash_parity",
+    # line_join's bbox kernel is single-evaluation now (§4.4 clone fix)
+    "geo_line_join_parity",
+    # ivfpq_topk's quantizer sampling dropped its sizing count()
+    # (byte-identical selection proven + pytest-pinned)
+    "ann_ivfpq_exhaustive",
+    # segment_dedup_stats' count branch collapses onto one hash-keyed
+    # exchange (plan changed; output verified identical)
+    "corpus_segment_dedup",
 ]
 
 # retire the r10 window's 50 members (all driver-green in
@@ -12810,7 +12823,9 @@ _R11_PROMOTED = [
     # (3) the r7-vintage block minus its 4 jump-queue members
     # (graph_common_neighbors, corpus_clean, corpus_source_stats,
     # asof_join_events_orders re-grade via the queue), alphabetical
-    # prefix — 21 fit; the tail (geo_extent ..) heads the next plan
+    # prefix — 17 fit after the 4 r11-OPT kernel-changed jump-queue
+    # adds took their slots (new-outranks-vintage); the tail
+    # (fq_attribute_filter ..) heads the next plan
     "ann_bruteforce_topk",
     "ann_recall_contract",
     "corpus_bpe_merges",
@@ -12828,10 +12843,6 @@ _R11_PROMOTED = [
     "events_props_stats",
     "events_retention",
     "fq_aggregate_mode",
-    "fq_attribute_filter",
-    "fq_bbox_filter",
-    "fq_count_only",
-    "fq_ids_only",
 ]
 _ORACLED_OVERFLOW = [
     n for n in _ORACLED_OVERFLOW if n not in set(_R11_PROMOTED)

@@ -62,6 +62,20 @@ def st_bbox(geom: pd.Series) -> pd.DataFrame:
     )
 
 
+# r11 (guide §4.4): single-evaluation copy of st_bbox for call sites
+# whose bbox columns feed inferred join-key filters — the optimizer
+# pushes those below the bbox projection and CLONES the decode kernel
+# (geo_line_join's polygon side ran two identical st_bbox nodes on one
+# scan; the r11 registry-wide plan sweep caught it). st_bbox is in
+# fact deterministic; the flag only forbids cloning/reordering. Scoped
+# to line_join, NOT applied to the default st_bbox: the flag would
+# also block pushing unrelated filters past the projection, which the
+# fq_* bbox pre-filter entries rely on. Placement constraint: like all
+# nondeterministic expressions, valid only inside Project/Filter/
+# Aggregate/Window.
+_st_bbox_single_eval = st_bbox.asNondeterministic()
+
+
 @pandas_udf(_XY_T)
 def st_centroid(geom: pd.Series) -> pd.DataFrame:
     out = np.full((len(geom), 2), np.nan)
@@ -222,14 +236,22 @@ def mercator_y(lat: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def with_bbox(df: DataFrame, geom_col: str = "geometry") -> DataFrame:
+def with_bbox(
+    df: DataFrame, geom_col: str = "geometry", single_eval: bool = False
+) -> DataFrame:
     """Attach __bbox_* pre-filter columns (ref engine.py:232-279).
 
     One Arrow-batched decode pass; afterwards every spatial pre-filter is a
     numeric comparison. At ingest time these columns should be *persisted*
     so parquet min/max stats enable data skipping at the scan.
+
+    ``single_eval`` (r11, guide §4.4): use the nondeterministic-marked
+    kernel so inferred join-key filters cannot clone the decode pass —
+    pass True when the bbox columns feed join keys (line_join's cell
+    explode); leave False where downstream filter pushdown past the
+    projection matters more (the fq_* pre-filter path).
     """
-    b = st_bbox(F.col(geom_col))
+    b = (_st_bbox_single_eval if single_eval else st_bbox)(F.col(geom_col))
     return (
         df.withColumn("__b", b)
         .withColumn("__bbox_xmin", F.col("__b.xmin"))
@@ -487,7 +509,11 @@ def line_polygon_intersect_join(
     polygon side set False: no driver collect; polygon WKB streams
     through the candidate rows and the kernel decodes each distinct
     buffer once per Arrow batch (mirror of st_contains_point)."""
-    lns = lines if "__bbox_xmin" in lines.columns else with_bbox(lines, line_geom_col)
+    lns = (
+        lines
+        if "__bbox_xmin" in lines.columns
+        else with_bbox(lines, line_geom_col, single_eval=True)
+    )
     # disambiguate: both sides may carry a column named `geometry`
     lns = lns.select(
         *[
@@ -499,8 +525,10 @@ def line_polygon_intersect_join(
             for c in lns.columns
         ]
     )
-    pls = polygons if "__bbox_xmin" in polygons.columns else with_bbox(
-        polygons, poly_geom_col
+    pls = (
+        polygons
+        if "__bbox_xmin" in polygons.columns
+        else with_bbox(polygons, poly_geom_col, single_eval=True)
     )
 
     decoded = None

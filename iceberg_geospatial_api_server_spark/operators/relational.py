@@ -351,6 +351,11 @@ def asof_join_events_orders(events: DataFrame, orders: DataFrame) -> DataFrame:
     of the order side carried forward — a single window pass, no range
     cross product. (pd.merge_asof per group via applyInPandas is the
     fallback for semantics Spark windows can't express.)
+
+    Output row order is UNDEFINED (r11, ADVICE r10): the final
+    presentational sort was dropped in r10 because its
+    RangePartitioning sampling pass re-executed the pipeline;
+    callers needing an order must sort the returned frame.
     """
     ev = events.select(
         F.col("user_id").alias("k"),
@@ -1395,7 +1400,13 @@ def mad_outlier_profile(events: DataFrame, k: float = 3.0) -> DataFrame:
     Scale shape: ONE user-key exchange; the value-rank window, the
     median broadcast window, the deviation-rank window, the MAD window,
     and the final aggregate all partition by user_id — later windows
-    re-sort within partitions but never re-shuffle."""
+    re-sort within partitions but never re-shuffle.
+
+    Output row order is UNDEFINED (r11, ADVICE r10): the final
+    presentational sort was dropped in r10 because its
+    RangePartitioning sampling pass re-executed the pipeline;
+    callers needing an order must sort the returned frame.
+    """
     from pyspark.sql import Window
 
     w_all = Window.partitionBy("user_id")
@@ -1515,6 +1526,11 @@ def events_cusum(
     Returns one row per user: n_events, n_alarms, max_cusum (cents),
     first_alarm_s (epoch seconds of the first alarming event, NULL when
     the user never alarms).
+
+    Output row order is UNDEFINED (r11, ADVICE r10): the final
+    presentational sort was dropped in r10 because its
+    RangePartitioning sampling pass re-executed the pipeline;
+    callers needing an order must sort the returned frame.
     """
     us = epoch_of(events, "ts")
     drift_cents = int(round(drift * 100))

@@ -219,6 +219,11 @@ def clean_corpus(
     Filters are JVM expressions evaluated in the scan stage; the dedup is
     one shuffle on md5(text) (self-salting: distinct docs → distinct
     reducers) with a row_number window sharing that partitioning.
+
+    Output row order is UNDEFINED (r11, ADVICE r10): the final
+    presentational sort was dropped in r10 because its
+    RangePartitioning sampling pass re-executed the pipeline;
+    callers needing an order must sort the returned frame.
     """
     from pyspark.sql import Window
 
@@ -643,6 +648,11 @@ def corpus_source_stats(
     window, and the final aggregate all partition by source; the median
     falls out of the same shuffle as the sums (no second pass, no
     driver-side sort).
+
+    Output row order is UNDEFINED (r11, ADVICE r10): the final
+    presentational sort was dropped in r10 because its
+    RangePartitioning sampling pass re-executed the pipeline;
+    callers needing an order must sort the returned frame.
     """
     from pyspark.sql import Window
 
@@ -1082,8 +1092,26 @@ def segment_dedup_stats(
     segment appearing in every document never funnels one reducer; the
     join back is an equi-join on the hash and the per-doc re-agg is the
     final exchange. Nothing corpus-sized broadcasts or collects.
+
+    r11 (guide §2.4): the segment stream repartitions on the hash key
+    before the count aggregate, so HashPartitioning(__h) satisfies BOTH
+    the (__h, id) distinct clustering AND the final per-hash count —
+    the counts branch runs its whole countDistinct chain on ONE
+    exchange instead of two (the (h,id) pre-exchange disappears).
+    Interleaved A/B at sf0.1: 1.18 → 0.96 s, output verified
+    row-identical. Honest plan note: the gram+md5 pass still executes
+    on both join branches — column pruning projects the branches
+    differently, so the two repartition subtrees are not identical and
+    ReusedExchange does NOT fire. A persisted/localCheckpointed segment
+    stream (true single pass) measured 0.79/0.71 s but caches a
+    corpus-GRAM-sized stream — the §5 executor-memory hazard the
+    minhash path deliberately avoids (signatures-not-shingles rule) —
+    and flips the bench entry to eager rebuild, whose construction cost
+    eats the gain; examined and declined.
     """
-    ex = segment_hashes(df, seg_tokens, text_col, id_col)
+    ex = segment_hashes(df, seg_tokens, text_col, id_col).repartition(
+        F.col("__h")
+    )
     counts = ex.groupBy("__h").agg(
         F.countDistinct(id_col).alias("__nd")
     )
@@ -1142,6 +1170,11 @@ def dup_span_stats(
     while the dup-hash branch's column pruning already drops positions,
     so the dual explode it tried to remove is cheaper than the extra
     shuffle. Left as-is deliberately.)
+
+    Output row order is UNDEFINED (r11, ADVICE r10): the final
+    presentational sort was dropped in r10 because its
+    RangePartitioning sampling pass re-executed the pipeline;
+    callers needing an order must sort the returned frame.
     """
     from pyspark.sql import Window
 
@@ -1178,10 +1211,23 @@ def dup_span_stats(
             F.sum("__span_tokens").cast("long").alias("dup_tokens"),
         )
     )
+    # n_grams arithmetically (r11, guide §1.2 "don't compute things
+    # twice"): the gram builder emits one gram per window start, so its
+    # count is exactly greatest(n_tokens − (n−1), 0) on the single-space
+    # contract this operator already requires (see
+    # overlapping_gram_strings) — and the ORACLE's list_transform over
+    # generate_series(1, greatest(LEN−7, 0)) is literally this formula.
+    # Dropping size(grams) removes the base branch's second full gram
+    # REGEX pass (interleaved A/B at sf0.1: 1.49 → 1.30 s; output
+    # verified row-identical). A shared hash-keyed exchange for the two
+    # count-branch passes was ALSO A/B'd and REJECTED (1.57 vs 1.63 s —
+    # shipping positions through the extra exchange costs what the
+    # regex recompute saves; same verdict as the r10 census variant).
+    ntok = token_count(c).cast("long")
     base = df.select(
         F.col(id_col),
-        token_count(c).cast("long").alias("n_tokens"),
-        F.size(grams).cast("long").alias("n_grams"),
+        ntok.alias("n_tokens"),
+        F.greatest(ntok - F.lit(n - 1), F.lit(0)).cast("long").alias("n_grams"),
     )
     return (
         base.join(spans, id_col, "left")

@@ -1302,3 +1302,95 @@ def test_matryoshka_truncation_recall_crafted(spark):
         emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
     )
     assert trunc == full  # leading dims carry everything
+
+
+def test_seed_and_codebooks_single_job_and_exact(spark):
+    """r11 (VERDICT r10 #5): the fixed hash-threshold drops the sizing
+    count() — ONE driver job per index build on a normal-sized corpus —
+    and the selection still equals the unfiltered global top-limit
+    (byte-identical centroids/codebooks)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        _fit_codebooks,
+        _seed_and_codebooks,
+        _seed_vectors,
+    )
+    from iceberg_geospatial_api_server_spark.operators.sampling import id_hash
+
+    base = spark.range(4096).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (F.col("id") * (i + 3) % 97).cast("double")
+                for i in range(8)
+            ]
+        ).alias("embedding"),
+    )
+    base = base.localCheckpoint()  # freeze lineage so job counting is clean
+
+    sc = spark.sparkContext
+    sc.setJobGroup("r11_seed_jobs", "seed+codebooks")
+    cent, books = _seed_and_codebooks(
+        base, "vec_id", "embedding", nlist=4, m_subspaces=4, n_codes=4,
+        train_sample=64, iters=3,
+    )
+    jobs = sc.statusTracker().getJobIdsForGroup("r11_seed_jobs")
+    sc.setJobGroup("r11_seed_done", "")
+    assert len(jobs) == 1  # no sizing count, no fallback at this size
+
+    # equivalence with the unfiltered global top-limit
+    rows = (
+        base.select("vec_id", "embedding")
+        .orderBy(id_hash(F.col("vec_id")).asc(), F.col("vec_id").asc())
+        .limit(64)
+        .collect()
+    )
+    x = np.array([[float(v) for v in r[1]] for r in rows], dtype="f8")
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+    assert np.array_equal(cent, x[:4])
+    assert np.array_equal(books, _fit_codebooks(x[:64], 4, 4, 3))
+
+    # _seed_vectors: same one-job contract, same selection rule
+    sc.setJobGroup("r11_seed_vec_jobs", "seeds only")
+    cent2 = _seed_vectors(base, "vec_id", "embedding", 4)
+    jobs2 = sc.statusTracker().getJobIdsForGroup("r11_seed_vec_jobs")
+    sc.setJobGroup("r11_seed_done2", "")
+    assert len(jobs2) == 1
+    assert np.array_equal(cent2, x[:4])
+
+
+def test_seed_fallback_small_corpus(spark):
+    """A corpus smaller than the admit threshold can serve still falls
+    back to the exact unfiltered top-k (2 jobs, old-code cost) and an
+    empty corpus still raises."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.operators.ann import (
+        _seed_vectors,
+    )
+    from iceberg_geospatial_api_server_spark.operators.sampling import id_hash
+
+    tiny = spark.range(12).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") + i).cast("double") for i in range(4)]).alias(
+            "embedding"
+        ),
+    )
+    cent = _seed_vectors(tiny, "vec_id", "embedding", 8)
+    rows = (
+        tiny.orderBy(id_hash(F.col("vec_id")).asc(), F.col("vec_id").asc())
+        .limit(8)
+        .collect()
+    )
+    x = np.array([[float(v) for v in r[1]] for r in rows], dtype="f8")
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    assert np.array_equal(cent, x)
+
+    with _pytest.raises(ValueError, match="empty corpus"):
+        _seed_vectors(tiny.filter(F.col("vec_id") < 0), "vec_id", "embedding", 4)

@@ -550,3 +550,83 @@ def test_decode_content_stats_hand_computed(spark):
     assert a["sum_val"] == int(s.sum())
     assert a["sum_abs"] == int(np.abs(s).sum())
     assert (a["min_val"], a["max_val"]) == (int(s.min()), int(s.max()))
+
+
+def test_phash_pairs_hot_bucket_cap(spark):
+    """A degenerate block value shared by a large cluster is DROPPED by
+    max_bucket_size (r11, VERDICT r10 #1): quadratic pair emission on a
+    hot 16-bit bucket is bounded instead of concentrated into one
+    aggregation row; healthy buckets are unaffected."""
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        phash_dedup_pairs,
+    )
+
+    # 500 hashes i<<16: blocks 0 (low 16 bits), 2 and 3 are all-zero →
+    # three 500-member degenerate buckets; block 1 = i separates them.
+    # hamming(i<<16, j<<16) = popcount(i^j), so e.g. (0,1) is a true
+    # near-dup pair reachable ONLY through the degenerate buckets.
+    hot = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.shiftleft(F.col("id"), 16).alias("phash"),
+    )
+    capped = phash_dedup_pairs(hot, max_hamming=3, max_bucket_size=100)
+    assert capped.count() == 0  # every candidate bucket was over the cap
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in phash_dedup_pairs(hot, max_hamming=3).collect()
+    }
+    assert (0, 1) in full  # default cap leaves the small corpus exact
+
+    # healthy buckets are unaffected by the cap: a planted near-dup pair
+    # in its own bucket survives alongside the dropped hot cluster
+    planted = spark.createDataFrame(
+        [(1000, 7 << 16 | 0x1234), (1001, 7 << 16 | 0x1235)],
+        "doc_id long, phash long",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash_dedup_pairs(
+            hot.unionByName(planted), max_hamming=3, max_bucket_size=100
+        ).collect()
+    }
+    assert got == {(1000, 1001, 1)}
+
+
+def test_phash_pairs_equal_bruteforce_blocked(spark):
+    """The two-level (posexplode) pair emission returns exactly the
+    blocked brute-force pair set, hamming values included — pins the
+    r11 rework of the flattened O(bucket²) single-row emission."""
+    from pyspark.sql import functions as F
+
+    from iceberg_geospatial_api_server_spark.operators.multimodal import (
+        phash_dedup_pairs,
+    )
+
+    rng = np.random.default_rng(42)
+    vals = rng.integers(-(1 << 62), 1 << 62, size=300).tolist()
+    # plant near-dups: every 7th hash is a 1-2 bit twiddle of its
+    # predecessor
+    for i in range(7, 300, 7):
+        vals[i] = vals[i - 1] ^ (1 << int(rng.integers(0, 64)))
+    rows = [(i, int(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "doc_id long, phash long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in phash_dedup_pairs(df, max_hamming=3).collect()
+    }
+
+    def blocks_of(p):
+        return {(b, (p >> (16 * b)) & 0xFFFF) for b in range(4)}
+
+    expect = set()
+    for i, a in rows:
+        for j, b in enumerate(vals):
+            if j <= i:
+                continue
+            if blocks_of(a) & blocks_of(int(b)):
+                h = bin((a ^ int(b)) & ((1 << 64) - 1)).count("1")
+                if h <= 3:
+                    expect.add((i, j, h))
+    assert got == expect
