@@ -5561,9 +5561,17 @@ def corpus_curate_q(spark, sf_dir):
     from iceberg_geospatial_api_server_spark.operators.text import (
         curate_corpus,
     )
-    from iceberg_geospatial_api_server_spark.util import spread
 
-    return curate_corpus(spread(_t(spark, sf_dir, "documents"), None))
+    # NO spread (r11, guide §2.4 "remove shuffles outright"): the gate
+    # predicate is a FILTER, and filter pushdown slides it below any
+    # round-robin exchange back into the scan task — so spread never
+    # parallelized the gates, it only shuffled the full text for
+    # nothing (interleaved A/B at sf0.1: 1.13 → 0.74 s; a
+    # monotonically_increasing_id pushdown barrier measured 1.46 s —
+    # worse than both). At scale the scan is many-task and the gates
+    # parallelize naturally in the scan stage, exactly the operator's
+    # documented design.
+    return curate_corpus(_t(spark, sf_dir, "documents"))
 
 
 # quality score of `text` (mirrors operators.text.quality_score), unrounded
@@ -12741,6 +12749,9 @@ _R11_JUMP_QUEUE = [
     # segment_dedup_stats' count branch collapses onto one hash-keyed
     # exchange (plan changed; output verified identical)
     "corpus_segment_dedup",
+    # the entry dropped its spread() — filter pushdown made it a pure
+    # full-text shuffle (plan changed; output verified identical)
+    "corpus_curate",
 ]
 
 # retire the r10 window's 50 members (all driver-green in
@@ -12823,9 +12834,9 @@ _R11_PROMOTED = [
     # (3) the r7-vintage block minus its 4 jump-queue members
     # (graph_common_neighbors, corpus_clean, corpus_source_stats,
     # asof_join_events_orders re-grade via the queue), alphabetical
-    # prefix — 17 fit after the 4 r11-OPT kernel-changed jump-queue
+    # prefix — 16 fit after the 5 r11-OPT kernel-changed jump-queue
     # adds took their slots (new-outranks-vintage); the tail
-    # (fq_attribute_filter ..) heads the next plan
+    # (fq_aggregate_mode ..) heads the next plan
     "ann_bruteforce_topk",
     "ann_recall_contract",
     "corpus_bpe_merges",
@@ -12842,7 +12853,6 @@ _R11_PROMOTED = [
     "events_hll_contract",
     "events_props_stats",
     "events_retention",
-    "fq_aggregate_mode",
 ]
 _ORACLED_OVERFLOW = [
     n for n in _ORACLED_OVERFLOW if n not in set(_R11_PROMOTED)
