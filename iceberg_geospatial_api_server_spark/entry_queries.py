@@ -12752,6 +12752,10 @@ _R11_JUMP_QUEUE = [
     # the entry dropped its spread() — filter pushdown made it a pure
     # full-text shuffle (plan changed; output verified identical)
     "corpus_curate",
+    # the simhash vote aggregates now build as SQL text (identical
+    # parsed expressions — fingerprints verified value-identical; the
+    # conservative kernel-changed rule still re-grades)
+    "dedup_simhash_stats",
 ]
 
 # retire the r10 window's 50 members (all driver-green in
@@ -12834,9 +12838,9 @@ _R11_PROMOTED = [
     # (3) the r7-vintage block minus its 4 jump-queue members
     # (graph_common_neighbors, corpus_clean, corpus_source_stats,
     # asof_join_events_orders re-grade via the queue), alphabetical
-    # prefix — 16 fit after the 5 r11-OPT kernel-changed jump-queue
+    # prefix — 15 fit after the 6 r11-OPT kernel-changed jump-queue
     # adds took their slots (new-outranks-vintage); the tail
-    # (fq_aggregate_mode ..) heads the next plan
+    # (events_retention ..) heads the next plan
     "ann_bruteforce_topk",
     "ann_recall_contract",
     "corpus_bpe_merges",
@@ -12852,7 +12856,6 @@ _R11_PROMOTED = [
     "events_funnel",
     "events_hll_contract",
     "events_props_stats",
-    "events_retention",
 ]
 _ORACLED_OVERFLOW = [
     n for n in _ORACLED_OVERFLOW if n not in set(_R11_PROMOTED)

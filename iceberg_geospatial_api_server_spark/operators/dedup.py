@@ -95,28 +95,33 @@ def _minhash_min_aggs(num_hashes: int) -> list[Column]:
     permutation h_i(x) = (aᵢ·x + bᵢ) mod p over exploded shingle hashes
     `__s`. SHARED by the production LSH path and the SQL-graded band
     census (minhash_band_stats) so the graded machinery stays provably
-    identical to production — don't inline either copy."""
+    identical to production — don't inline either copy. Built as SQL
+    text (r11): one F.expr per aggregate instead of ~8 py4j round
+    trips each — same parsed integer arithmetic, cheaper driver-side
+    construction (the bench times eager entries' build)."""
     return [
-        F.min((F.col("__s") * a + b) % MERSENNE).alias(f"__h{i}")
+        F.expr(f"min((__s * {a} + {b}) % {MERSENNE})").alias(f"__h{i}")
         for i, (a, b) in enumerate(_minhash_params(num_hashes))
     ]
 
 
-def _band_structs(sig_col: Column, nbands: int, band_size: int) -> Column:
+def _band_structs(sig_col: str, nbands: int, band_size: int) -> Column:
     """(band, bsig) struct array from a signature array column: band
     signatures are '_'-joined component strings. Shared by
     dedup_minhash_lsh and minhash_band_stats (same provably-identical
-    rationale as _minhash_min_aggs)."""
-    return F.array(*[
-        F.struct(
-            F.lit(i).alias("band"),
-            F.concat_ws(
-                "_",
-                *[sig_col[i * band_size + j] for j in range(band_size)],
-            ).alias("bsig"),
+    rationale as _minhash_min_aggs). Built as ONE SQL-text expression
+    (r11) — both call sites pass the `__sig` column, and the single
+    F.expr replaces ~10 py4j round trips per band (driver-side build
+    cost the bench counts for eager entries)."""
+    bands = ", ".join(
+        f"named_struct('band', {i}, 'bsig', concat_ws('_', "
+        + ", ".join(
+            f"{sig_col}[{i * band_size + j}]" for j in range(band_size)
         )
+        + "))"
         for i in range(nbands)
-    ])
+    )
+    return F.expr(f"array({bands})")
 
 
 def fast_shingle_hashes(tokens: Column, k: int = 3) -> Column:
@@ -519,7 +524,7 @@ def dedup_minhash_lsh(
         id_col,
         "__new",
         "__sig",
-        F.explode(_band_structs(F.col("__sig"), nbands, band_size)).alias(
+        F.explode(_band_structs("__sig", nbands, band_size)).alias(
             "__b"
         ),
     ).select(
@@ -561,26 +566,18 @@ def dedup_minhash_lsh(
     # output size. Sorted members ⇒ each unordered pair emitted once per
     # bucket as (smaller, larger); distinct collapses cross-band repeats.
     min_match = max(0, math.ceil(verify_threshold * num_hashes) - 1)
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("members"),
-            lambda a, i: F.transform(
-                F.slice(F.col("members"), i + 2, F.size("members")),
-                lambda b: F.struct(
-                    a["id"].alias("id_a"),
-                    b["id"].alias("id_b"),
-                    F.size(
-                        F.filter(
-                            F.zip_with(
-                                a["__sig"], b["__sig"], lambda x, y: x == y
-                            ),
-                            lambda m: m,
-                        )
-                    ).alias("est"),
-                    F.greatest(a["__new"], b["__new"]).alias("keep"),
-                ),
-            ),
-        )
+    # one F.expr instead of the nested-lambda Column DSL (r11): the
+    # DSL build of this tree was ~40 py4j round trips per entry
+    # construction, which the bench counts for this eager entry; the
+    # parsed plan is the identical flatten/transform/named_struct tree
+    pair_structs = F.expr(
+        "flatten(transform(members, (a, i) ->"
+        " transform(slice(members, i + 2, size(members)), b ->"
+        " named_struct("
+        "'id_a', a.id, 'id_b', b.id,"
+        " 'est', size(filter(zip_with(a.__sig, b.__sig,"
+        " (x, y) -> x = y), m -> m)),"
+        " 'keep', greatest(a.__new, b.__new)))))"
     )
     # pre-filtered pairs are ~linear in true duplicates — persist them:
     # they feed both the id-set semi-join and the verify join below.
@@ -809,28 +806,35 @@ def _simhash_fingerprints(
     # beyond any representable row (a 3×21-bit packing saved one buffer
     # but silently corrupted neighboring votes past 2^21 ≈ 2M distinct
     # tokens — a size an unfiltered web-crawl document can reach).
+    # The vote aggregates and the fingerprint reassembly build as SQL
+    # TEXT through one F.expr each (r11, §1.2 applied to the DRIVER:
+    # the bench times eager entries' construction, and the previous
+    # per-term Column DSL cost ~700 py4j round trips ≈ 1.0-1.6 s per
+    # build — 60% of the bench row). The parsed expressions are the
+    # IDENTICAL Catalyst operators (shiftleft/shiftright/&/CASE/sum
+    # over the same integer types), pinned by the fingerprint-equality
+    # test and the dedup_simhash_stats oracle at sf0.01 + sf0.1.
     field = 31
     mask = (1 << field) - 1
     groups = [list(range(i, min(i + 2, bits))) for i in range(0, bits, 2)]
     aggs = [F.count(F.lit(1)).alias("__n"), F.first("__new").alias("__new")]
     for gi, g in enumerate(groups):
-        packed = None
-        for j, b in enumerate(g):
-            t = F.shiftleft(
-                F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)), j * field
-            )
-            packed = t if packed is None else packed + t
-        aggs.append(F.sum(packed.cast("long")).alias(f"__p{gi}"))
-    fp = None
+        terms = " + ".join(
+            f"shiftleft(shiftright(__h, {b}) & 1, {j * field})"
+            for j, b in enumerate(g)
+        )
+        aggs.append(
+            F.expr(f"sum(CAST({terms} AS BIGINT))").alias(f"__p{gi}")
+        )
+    parts = []
     for gi, g in enumerate(groups):
         for j, b in enumerate(g):
-            ones = F.shiftright(F.col(f"__p{gi}"), j * field).bitwiseAND(
-                F.lit(mask)
+            parts.append(
+                f"(CASE WHEN (shiftright(__p{gi}, {j * field}) & {mask})"
+                f" * 2 > __n THEN CAST({1 << b} AS BIGINT)"
+                f" ELSE CAST(0 AS BIGINT) END)"
             )
-            part = F.when(
-                ones * 2 > F.col("__n"), F.lit(1 << b).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-            fp = part if fp is None else fp + part
+    fp = F.expr(" + ".join(parts))
     return (
         exploded.groupBy(id_col)
         .agg(*aggs)
@@ -1106,7 +1110,7 @@ def minhash_band_stats(
         )
     )
     bands = sig.select(
-        F.explode(_band_structs(F.col("__sig"), nbands, band_size)).alias(
+        F.explode(_band_structs("__sig", nbands, band_size)).alias(
             "__b"
         )
     ).select("__b.band", "__b.bsig")
